@@ -1,0 +1,4 @@
+from querysight_spark.sources.catalog import load_table, load_tables, register_views
+from querysight_spark.sources.snapshot_cache import SnapshotCache
+
+__all__ = ["load_table", "load_tables", "register_views", "SnapshotCache"]

@@ -1,0 +1,65 @@
+"""Parquet sources for the driver testdata + generic readers.
+
+Replaces the reference's ClickHouse scan path
+(/root/reference/utils/data_acquisition.py:47-192): where the reference
+string-builds SQL so the server evaluates predicates, we just read parquet
+and let Catalyst push filters/projections into the scan (visible as
+PushedFilters/ReadSchema in .explain). The LIMIT/OFFSET pagination loop
+(data_acquisition.py:145-178) has no equivalent — partitioned parallel scan
+gives bounded memory for free and removes the O(n²) server re-scan.
+
+At 100 TB the same call works unchanged: parquet splits into
+maxPartitionBytes-sized tasks; nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from querysight_spark.schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _nano_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS). Spark's vectorized reader
+    rejects that physical type; with spark.sql.legacy.parquet.nanosAsLong
+    (set in session.get_spark) they surface as epoch-nano longs instead.
+    One footer read on the driver — O(bytes of footer), scale-independent."""
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return []
+    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Read one testdata table. Plain parquet read — no schema option, so the
+    vectorized reader uses the file footer schema; column pruning and filter
+    pushdown happen in whatever plan the caller builds on top.
+
+    Nano-timestamp columns are converted back to TimestampType via integer
+    `div 1000` (float division would lose precision: epoch-nanos ≈ 1.7e18
+    exceeds a double's 53-bit mantissa)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for col in _nano_timestamp_columns(path):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, n, sf_dir) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every testdata table as a temp view so spark.sql(...) probes
+    can reference them by name (mirrors the driver's DuckDB view set)."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
