@@ -1,38 +1,104 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator family (SURVEY.md §2):
+  * p01-p30  — general-operator probes (scan/filter/agg/join/window/setop/
+               scalar fns) run via spark.sql over the testdata views, i.e.
+               straight through Catalyst.
+  * ql01-ql14 — querysight pipeline parity (pattern hash-agg, merge,
+               coverage joins, closure, summaries, pagination) computed by
+               the ENGINE's DataFrame plans (querysight_spark.plans.*) over
+               a deterministic query-log analog derived from `events`.
+  * dd/ss/tx — training-data operators (dedup, similarity search, text
+               analysis) over documents/embeddings.
+
+``oracle_sql()`` carries the DuckDB-dialect equivalent for every entry
+(CTE-reconstructed analog tables where needed), so the driver's
+row-count + schema + value-hash gate covers the full inventory.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_conf(spark: SparkSession) -> None:
+    """The driver may hand us a session it built itself — pin the confs our
+    plans rely on (UTC timestamps, nanos-as-long parquet reads)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # static conf on some builds; sources.catalog handles the cast
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full analyze-equivalent on sf0.001 — pattern hash-agg over
+    the query-log analog, enriched with dbt model coverage."""
+    _ensure_conf(spark)
+    from querysight_spark.demo import build_model_map, build_query_log
+    from querysight_spark.plans.coverage import patterns_with_models
+    from querysight_spark.plans.patterns import aggregate_patterns
+    from pyspark.sql import functions as F
+
+    log = build_query_log(spark, "/root/testdata/sf0.001")
+    patterns = aggregate_patterns(log, min_frequency=2, extract_from_sql=True)
+    enriched = patterns_with_models(patterns, build_model_map(spark))
+    return enriched.select(
+        "normalized_query",
+        "frequency",
+        F.round("total_duration_ms", 2).alias("total_duration_ms"),
+        "first_seen",
+        "last_seen",
+        F.array_join("users", ",").alias("users_list"),
+        F.array_join("dbt_models_used", ",").alias("models_list"),
+    ).orderBy("normalized_query")
+
+
+def _sql_query(spark_sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_conf(spark)
+        from querysight_spark.sources import register_views
+
+        register_views(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    return run
+
+
+def _engine_query(fn) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_conf(spark)
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from querysight_spark.pipeline_queries import PIPELINE_QUERIES
+    from querysight_spark.probes import PROBES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (spark_sql, _duck) in PROBES.items():
+        out[name] = _sql_query(spark_sql)
+    for name, (fn, _oracle) in PIPELINE_QUERIES.items():
+        out[name] = _engine_query(fn)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from querysight_spark.pipeline_queries import PIPELINE_QUERIES
+    from querysight_spark.probes import PROBES
+
+    out: dict[str, str] = {}
+    for name, (spark_sql, duck) in PROBES.items():
+        out[name] = duck if duck is not None else spark_sql
+    for name, (_fn, oracle) in PIPELINE_QUERIES.items():
+        if oracle is not None:
+            out[name] = oracle
+    return out

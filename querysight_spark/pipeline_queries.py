@@ -1,0 +1,407 @@
+"""Pipeline-parity queries (SURVEY §2.8 QL1-QL12 analogs).
+
+Each entry runs the ENGINE's DataFrame plans (plans.patterns /
+plans.coverage / plans.report) over the deterministic query-log analog
+(demo.build_query_log), and carries a DuckDB oracle built from the same
+analog as CTE SQL. This is the hash-checked proof that the reference's
+pipeline operators (B/C/D/E/F families) compute identically in our engine.
+
+Float discipline: see demo module docstring — totals ROUND(sum,2) (data has
+≤2 exact decimals), averages = rounded-total / count so both engines divide
+bit-identical doubles, complexity rounded at 6.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from querysight_spark.demo import (
+    EDGES_CTE,
+    MODEL_MAP_CTE,
+    QUERY_LOG_CTE,
+    SOURCES_CTE,
+    build_edges,
+    build_model_map,
+    build_query_log,
+    build_sources_dim,
+)
+from querysight_spark.plans.coverage import (
+    uncovered_tables,
+    upstream_closure,
+    used_models,
+)
+from querysight_spark.plans.patterns import (
+    aggregate_patterns,
+    filter_logs,
+    merge_patterns,
+)
+from querysight_spark.plans.report import (
+    latest_version_per_key,
+    paginate,
+    summary_stats,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_WITH_QL = f"WITH {QUERY_LOG_CTE}"
+_WITH_ALL = f"WITH {QUERY_LOG_CTE}, {MODEL_MAP_CTE}, {SOURCES_CTE}, {EDGES_CTE}"
+
+PIPELINE_QUERIES: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def _q(name: str):
+    def deco(fn: QueryFn):
+        PIPELINE_QUERIES[name] = (fn, _ORACLES.get(name))
+        return fn
+
+    return deco
+
+
+def _patterns(spark: SparkSession, sf_dir: str, min_frequency: int = 2) -> DataFrame:
+    return aggregate_patterns(
+        build_query_log(spark, sf_dir),
+        min_frequency=min_frequency,
+        extract_from_sql=False,
+    )
+
+
+# Oracle SQL, keyed by query name (kept adjacent for review).
+_ORACLES: dict[str, str] = {
+    "ql01_filtered_scan": _WITH_QL
+    + """
+    SELECT query_id, "user", query_kind, query_duration_ms
+    FROM query_log
+    WHERE query_start_time >= TIMESTAMP '2024-01-03 00:00:00'
+      AND query_start_time <  TIMESTAMP '2024-01-10 00:00:00'
+      AND lower("user") NOT IN ('user_3')
+      AND upper(query_kind) IN ('SELECT')
+      AND query_duration_ms > 1000
+    ORDER BY query_id""",
+    "ql02_patterns": _WITH_QL
+    + """
+    SELECT normalized_query, COUNT(*) AS frequency,
+           ROUND(SUM(query_duration_ms), 2) AS total_duration_ms,
+           ROUND(SUM(query_duration_ms), 2) / COUNT(*) AS avg_duration_ms,
+           MIN(query_start_time) AS first_seen, MAX(query_start_time) AS last_seen,
+           SUM(memory_usage) AS memory_usage,
+           SUM(read_rows) AS total_read_rows, SUM(read_bytes) AS total_read_bytes,
+           MIN(query) AS sql_pattern
+    FROM query_log GROUP BY normalized_query HAVING COUNT(*) >= 2
+    ORDER BY normalized_query""",
+    "ql03_pattern_sets": _WITH_QL
+    + """
+    SELECT normalized_query,
+           array_to_string(list_sort(list_distinct(list("user"))), ',') AS users_list,
+           array_to_string(list_sort(list_distinct(list(tname))), ',') AS tables_list
+    FROM query_log GROUP BY normalized_query HAVING COUNT(*) >= 2
+    ORDER BY normalized_query""",
+    "ql04_models_per_pattern": _WITH_ALL
+    + """,
+    pat AS (SELECT normalized_query FROM query_log
+            GROUP BY normalized_query HAVING COUNT(*) >= 2),
+    pt AS (SELECT DISTINCT l.normalized_query, l.tname FROM query_log l
+           JOIN pat USING (normalized_query)),
+    res AS (SELECT p.normalized_query, m.model_name
+            FROM pt p LEFT JOIN dbt_model_map m ON m.table_key = p.tname)
+    SELECT normalized_query,
+           array_to_string(list_sort(list_distinct(
+             coalesce(list(model_name) FILTER (WHERE model_name IS NOT NULL), [])
+           )), ',') AS models_list
+    FROM res GROUP BY normalized_query ORDER BY normalized_query""",
+    "ql05_uncovered_tables": _WITH_ALL
+    + """
+    SELECT tname FROM (SELECT DISTINCT tname FROM query_log) t
+    WHERE NOT EXISTS (SELECT 1 FROM dbt_model_map m WHERE m.table_key = t.tname)
+      AND NOT EXISTS (SELECT 1 FROM dbt_sources s
+                      WHERE lower(s.physical_table) = lower(t.tname)
+                         OR lower(s.physical_table) LIKE concat('%.', lower(t.tname)))
+    ORDER BY tname""",
+    "ql06_closure_one_hop": _WITH_ALL
+    + """,
+    used AS (SELECT DISTINCT m.model_name
+             FROM (SELECT DISTINCT tname FROM query_log
+                   WHERE tname LIKE '%.t6' OR tname LIKE '%.t7') t
+             JOIN dbt_model_map m ON m.table_key = t.tname)
+    SELECT DISTINCT model_name FROM (
+      SELECT model_name FROM used
+      UNION ALL
+      SELECT e.depends_on AS model_name FROM used u
+      JOIN dbt_edges e ON e.model = u.model_name
+    ) ORDER BY model_name""",
+    "ql06b_closure_fixpoint": _WITH_ALL
+    + """,
+    used AS (SELECT DISTINCT m.model_name
+             FROM (SELECT DISTINCT tname FROM query_log
+                   WHERE tname LIKE '%.t6' OR tname LIKE '%.t7') t
+             JOIN dbt_model_map m ON m.table_key = t.tname),
+    reach AS (
+      WITH RECURSIVE r(model_name) AS (
+        SELECT model_name FROM used
+        UNION
+        SELECT e.depends_on FROM r JOIN dbt_edges e ON e.model = r.model_name
+      ) SELECT model_name FROM r)
+    SELECT DISTINCT model_name FROM reach ORDER BY model_name""",
+    "ql07_merge_runs": _WITH_QL
+    + """,
+    runs_union AS (
+      SELECT * FROM query_log WHERE query_start_time < TIMESTAMP '2024-01-08 00:00:00'
+      UNION ALL
+      SELECT * FROM query_log WHERE query_start_time >= TIMESTAMP '2024-01-06 00:00:00'
+    )
+    SELECT normalized_query, COUNT(*) AS frequency,
+           ROUND(SUM(query_duration_ms), 2) AS total_duration_ms,
+           MIN(query_start_time) AS first_seen, MAX(query_start_time) AS last_seen,
+           SUM(memory_usage) AS memory_usage,
+           array_to_string(list_sort(list_distinct(list("user"))), ',') AS users_list
+    FROM runs_union GROUP BY normalized_query ORDER BY normalized_query""",
+    "ql08_summary": _WITH_QL
+    + """
+    SELECT COUNT(*) AS total_queries, COUNT(DISTINCT "user") AS distinct_users,
+           SUM(CASE WHEN query_duration_ms > 1000 THEN 1 ELSE 0 END) AS slow,
+           SUM(CASE WHEN query_duration_ms > 100 AND query_duration_ms <= 1000
+               THEN 1 ELSE 0 END) AS medium,
+           SUM(CASE WHEN query_duration_ms <= 100 THEN 1 ELSE 0 END) AS fast
+    FROM query_log""",
+    "ql09_complexity": _WITH_QL
+    + """,
+    p AS (SELECT normalized_query, COUNT(*) AS frequency,
+                 ROUND(SUM(query_duration_ms), 2) / COUNT(*) AS avg_ms,
+                 COUNT(DISTINCT tname) AS ntab
+          FROM query_log GROUP BY normalized_query HAVING COUNT(*) >= 2)
+    SELECT normalized_query,
+           ROUND(0.4 * LEAST(avg_ms / 1000.0, 1.0)
+               + 0.4 * LEAST(frequency / 100.0, 1.0)
+               + 0.2 * LEAST(ntab / 5.0, 1.0), 6) AS complexity
+    FROM p ORDER BY normalized_query""",
+    "ql10_table_wildcard": _WITH_QL
+    + """
+    SELECT query_id FROM query_log WHERE tname LIKE 'db1.%' ORDER BY query_id""",
+    "ql11_latest_per_key": _WITH_QL
+    + """,
+    hist AS (SELECT normalized_query AS hist_pattern_id,
+                    CAST(substr(query_id, 1, 16) AS BIGINT) % 3 AS run_id,
+                    query_start_time AS updated_at,
+                    CAST(query_id AS BIGINT) AS version_id
+             FROM query_log)
+    SELECT hist_pattern_id, run_id, updated_at
+    FROM (SELECT hist_pattern_id, run_id, updated_at,
+                 ROW_NUMBER() OVER (PARTITION BY hist_pattern_id
+                                    ORDER BY updated_at DESC, run_id DESC, version_id DESC) AS rn
+          FROM hist) t
+    WHERE rn = 1 ORDER BY hist_pattern_id""",
+    "ql12_pagination": _WITH_QL
+    + """,
+    p AS (SELECT normalized_query, COUNT(*) AS frequency
+          FROM query_log GROUP BY normalized_query HAVING COUNT(*) >= 2)
+    SELECT normalized_query, frequency FROM p
+    ORDER BY frequency DESC, normalized_query LIMIT 20 OFFSET 20""",
+    "ql13_impact_topk": _WITH_QL
+    + """,
+    p AS (SELECT normalized_query,
+                 ROUND(SUM(query_duration_ms), 2) AS impact
+          FROM query_log GROUP BY normalized_query HAVING COUNT(*) >= 2)
+    SELECT normalized_query, impact FROM p
+    ORDER BY impact DESC, normalized_query LIMIT 10""",
+    "ql14_speed_buckets": _WITH_QL
+    + """,
+    p AS (SELECT normalized_query, COUNT(*) AS frequency,
+                 ROUND(SUM(query_duration_ms), 2) / COUNT(*) AS avg_ms
+          FROM query_log GROUP BY normalized_query HAVING COUNT(*) >= 2)
+    SELECT CASE WHEN avg_ms > 1000 THEN 'slow'
+                WHEN avg_ms > 100 THEN 'medium' ELSE 'fast' END AS bucket,
+           COUNT(*) AS n_patterns
+    FROM p GROUP BY 1 ORDER BY 1""",
+}
+
+
+@_q("ql01_filtered_scan")
+def ql01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = build_query_log(spark, sf_dir)
+    out = filter_logs(
+        log,
+        start_time=dt.datetime(2024, 1, 3),
+        end_time=dt.datetime(2024, 1, 10),
+        exclude_users=["user_3"],
+        query_kinds=["SELECT"],
+        focus="SLOW",
+    )
+    return out.select("query_id", "user", "query_kind", "query_duration_ms").orderBy(
+        "query_id"
+    )
+
+
+def _rounded_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _patterns(spark, sf_dir)
+    return p.select(
+        "normalized_query",
+        "frequency",
+        F.round("total_duration_ms", 2).alias("total_duration_ms"),
+        (F.round("total_duration_ms", 2) / F.col("frequency")).alias("avg_duration_ms"),
+        "first_seen",
+        "last_seen",
+        "memory_usage",
+        "total_read_rows",
+        "total_read_bytes",
+        "sql_pattern",
+        "users",
+        "tables_accessed",
+    )
+
+
+@_q("ql02_patterns")
+def ql02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rounded_patterns(spark, sf_dir).drop("users", "tables_accessed").orderBy(
+        "normalized_query"
+    )
+
+
+@_q("ql03_pattern_sets")
+def ql03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _patterns(spark, sf_dir)
+    return p.select(
+        "normalized_query",
+        F.array_join("users", ",").alias("users_list"),
+        F.array_join("tables_accessed", ",").alias("tables_list"),
+    ).orderBy("normalized_query")
+
+
+@_q("ql04_models_per_pattern")
+def ql04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from querysight_spark.plans.coverage import patterns_with_models
+
+    p = _patterns(spark, sf_dir)
+    enriched = patterns_with_models(p, build_model_map(spark))
+    return enriched.select(
+        "normalized_query", F.array_join("dbt_models_used", ",").alias("models_list")
+    ).orderBy("normalized_query")
+
+
+@_q("ql05_uncovered_tables")
+def ql05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _patterns(spark, sf_dir, min_frequency=1)
+    return uncovered_tables(p, build_model_map(spark), build_sources_dim(spark))
+
+
+def _used_t67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = build_query_log(spark, sf_dir).where(
+        F.element_at("tables", 1).rlike(r"\.t[67]$")
+    )
+    p = aggregate_patterns(log, min_frequency=1, extract_from_sql=False)
+    return used_models(p, build_model_map(spark))
+
+
+@_q("ql06_closure_one_hop")
+def ql06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    used = _used_t67(spark, sf_dir)
+    return upstream_closure(used, build_edges(spark), max_hops=1).orderBy("model_name")
+
+
+@_q("ql06b_closure_fixpoint")
+def ql06b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    used = _used_t67(spark, sf_dir)
+    return upstream_closure(used, build_edges(spark), max_hops=None).orderBy("model_name")
+
+
+@_q("ql07_merge_runs")
+def ql07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = build_query_log(spark, sf_dir)
+    run1 = aggregate_patterns(
+        log.where(F.col("query_start_time") < dt.datetime(2024, 1, 8)),
+        min_frequency=1, extract_from_sql=False,
+    )
+    run2 = aggregate_patterns(
+        log.where(F.col("query_start_time") >= dt.datetime(2024, 1, 6)),
+        min_frequency=1, extract_from_sql=False,
+    )
+    merged = merge_patterns(run1, run2)
+    return merged.select(
+        "normalized_query",
+        "frequency",
+        F.round("total_duration_ms", 2).alias("total_duration_ms"),
+        "first_seen",
+        "last_seen",
+        "memory_usage",
+        F.array_join("users", ",").alias("users_list"),
+    ).orderBy("normalized_query")
+
+
+@_q("ql08_summary")
+def ql08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return summary_stats(build_query_log(spark, sf_dir))
+
+
+@_q("ql09_complexity")
+def ql09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _rounded_patterns(spark, sf_dir)
+    return p.select(
+        "normalized_query",
+        F.round(
+            0.4 * F.least(F.col("avg_duration_ms") / 1000.0, F.lit(1.0))
+            + 0.4 * F.least(F.col("frequency") / 100.0, F.lit(1.0))
+            + 0.2 * F.least(F.size("tables_accessed") / 5.0, F.lit(1.0)),
+            6,
+        ).alias("complexity"),
+    ).orderBy("normalized_query")
+
+
+@_q("ql10_table_wildcard")
+def ql10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = build_query_log(spark, sf_dir)
+    return filter_logs(log, select_tables=["db1.%"]).select("query_id").orderBy("query_id")
+
+
+@_q("ql11_latest_per_key")
+def ql11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = build_query_log(spark, sf_dir)
+    hist = log.select(
+        F.col("normalized_query").alias("hist_pattern_id"),
+        (F.substring("query_id", 1, 16).cast("long") % 3).alias("run_id"),
+        F.col("query_start_time").alias("updated_at"),
+        F.col("query_id").cast("long").alias("version_id"),
+    )
+    latest = latest_version_per_key(
+        hist,
+        ["hist_pattern_id"],
+        [F.col("updated_at").desc(), F.col("run_id").desc(), F.col("version_id").desc()],
+    )
+    return latest.select("hist_pattern_id", "run_id", "updated_at").orderBy(
+        "hist_pattern_id"
+    )
+
+
+@_q("ql12_pagination")
+def ql12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _patterns(spark, sf_dir).select("normalized_query", "frequency")
+    return paginate(
+        p, [F.col("frequency").desc(), F.col("normalized_query")], page=1, page_size=20
+    )
+
+
+@_q("ql13_impact_topk")
+def ql13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _patterns(spark, sf_dir)
+    return (
+        p.select("normalized_query", F.round("total_duration_ms", 2).alias("impact"))
+        .orderBy(F.col("impact").desc(), "normalized_query")
+        .limit(10)
+    )
+
+
+@_q("ql14_speed_buckets")
+def ql14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _rounded_patterns(spark, sf_dir)
+    return (
+        p.select(
+            F.when(F.col("avg_duration_ms") > 1000, "slow")
+            .when(F.col("avg_duration_ms") > 100, "medium")
+            .otherwise("fast")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_patterns"))
+        .orderBy("bucket")
+    )

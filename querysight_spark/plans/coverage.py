@@ -130,7 +130,10 @@ def upstream_closure(
     is a catalog dim (thousands of rows), so each hop is a driver-looped
     but executor-evaluated broadcast join; iterations are bounded by DAG
     depth. Persisted frontier avoids recomputing the growing lineage."""
-    total = used.select(F.col("model_name")).distinct()
+    # localCheckpoint truncates lineage each hop — without it the iterative
+    # plan re-derives the whole upstream pipeline per iteration and codegen
+    # depth explodes (observed: 400+ codegen stages before StackOverflow).
+    total = used.select(F.col("model_name")).distinct().localCheckpoint()
     frontier = total
     hops = 0
     while True:
@@ -141,10 +144,10 @@ def upstream_closure(
             .select(F.col("depends_on").alias("model_name"))
             .distinct()
         )
-        new = step.exceptAll(total).distinct().persist()
+        new = step.join(total, "model_name", "left_anti").localCheckpoint()
         if new.isEmpty():
             break
-        total = total.unionByName(new).distinct().persist()
+        total = total.unionByName(new).distinct().localCheckpoint()
         frontier = new
         hops += 1
         if max_hops is not None and hops >= max_hops:

@@ -1,0 +1,91 @@
+"""Report layer: summaries (D4/D5), sorts/pagination (E2/E3), latest-version
+dedup (E4/E7), JSON export (A10).
+
+The reference computes these driver-side over collected lists
+(/root/reference/querysight.py:63-268, utils/cache_manager.py:484-497).
+Here they are plans: pagination is row_number banding (scales past
+driver memory), export is a distributed ``write.json``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SLOW_MS = 1000.0  # querysight.py:107,147-149
+MEDIUM_MS = 100.0
+
+
+def summary_stats(logs: DataFrame) -> DataFrame:
+    """D4/D5: one-row global summary with speed buckets
+    (querysight.py:139-163)."""
+    return logs.agg(
+        F.count(F.lit(1)).alias("total_queries"),
+        F.countDistinct("user").alias("distinct_users"),
+        F.sum(F.when(F.col("query_duration_ms") > SLOW_MS, 1).otherwise(0)).alias("slow"),
+        F.sum(
+            F.when(
+                (F.col("query_duration_ms") > MEDIUM_MS)
+                & (F.col("query_duration_ms") <= SLOW_MS),
+                1,
+            ).otherwise(0)
+        ).alias("medium"),
+        F.sum(F.when(F.col("query_duration_ms") <= MEDIUM_MS, 1).otherwise(0)).alias("fast"),
+    )
+
+
+def pattern_summary(patterns: DataFrame) -> DataFrame:
+    """D4 over aggregated patterns: Σ frequency, Σ duration, distinct users /
+    tables across all patterns (querysight.py:139-145)."""
+    exploded_users = patterns.select(F.explode("users").alias("u"))
+    exploded_tables = patterns.select(F.explode("tables_accessed").alias("t"))
+    base = patterns.agg(
+        F.sum("frequency").alias("total_queries"),
+        F.round(F.sum("total_duration_ms"), 2).alias("total_duration_ms"),
+        F.sum("memory_usage").alias("total_memory"),
+    )
+    return (
+        base.crossJoin(exploded_users.agg(F.countDistinct("u").alias("distinct_users")))
+        .crossJoin(exploded_tables.agg(F.countDistinct("t").alias("distinct_tables")))
+    )
+
+
+def sort_patterns(patterns: DataFrame, by: str = "frequency") -> DataFrame:
+    """E2 user-selected sort; E1 impact default (frequency·avg)."""
+    keys = {
+        "frequency": [F.col("frequency").desc()],
+        "duration": [F.col("avg_duration_ms").desc()],
+        "memory": [(F.col("memory_usage") / F.col("frequency")).desc()],  # avg memory (fidelity F1/F2)
+        "impact": [(F.col("frequency") * F.col("avg_duration_ms")).desc()],
+    }[by]
+    return patterns.orderBy(*keys, F.col("pattern_id"))
+
+
+def paginate(df: DataFrame, order_cols: Sequence[Column], page: int, page_size: int = 20) -> DataFrame:
+    """E3 pagination as ORDER BY + LIMIT/OFFSET (querysight.py:77-84).
+    ``order_cols`` must impose a total order for determinism."""
+    return df.orderBy(*order_cols).offset(page * page_size).limit(page_size)
+
+
+def latest_version_per_key(
+    df: DataFrame, key_cols: Sequence[str], order_cols: Sequence[Column]
+) -> DataFrame:
+    """E4/E7: latest row per key via row_number
+    (utils/cache_manager.py:488-497 ORDER BY updated_at DESC LIMIT 1)."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def export_json(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """A10 JSON export sink (querysight.py:815-848). ``single_file`` matches
+    the reference's one-file report; leave False at scale so executors write
+    in parallel."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(path)

@@ -1,0 +1,235 @@
+"""General-operator correctness probes (SURVEY §2.8 P1-P30).
+
+Each probe is a (spark_sql, duck_sql) pair over the driver testdata views —
+usually the identical string; dialect swaps are marked. Determinism rules
+(§2.8): every money/metric sum goes through DECIMAL so the aggregation is
+exact and order-independent, then CASTs to DOUBLE so both engines output the
+identical value with a plain schema; no double→int CASTs (Spark truncates,
+DuckDB rounds — FLOOR first); deterministic ORDER BY everywhere a LIMIT
+exists.
+
+The Spark strings run through ``spark.sql`` against temp views registered by
+``sources.register_views`` — i.e. straight through Catalyst: these probes are
+exactly the declarative plans the engine's operators compile to.
+"""
+
+from __future__ import annotations
+
+# name -> (spark_sql, duck_sql); duck_sql None means identical.
+PROBES: dict[str, tuple[str, str | None]] = {}
+
+
+def _p(name: str, spark_sql: str, duck_sql: str | None = None) -> None:
+    PROBES[name] = (spark_sql, duck_sql)
+
+
+# --- scans / filters / projections -----------------------------------------
+
+_p(
+    "p01_scan_filter_project",
+    """SELECT event_id, user_id, value FROM events
+       WHERE event_type = 'purchase' AND value > 100 ORDER BY event_id""",
+)
+_p(
+    "p02_time_predicate",
+    """SELECT event_id FROM events
+       WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-07 00:00:00'
+       ORDER BY event_id""",
+)
+_p(
+    "p03_in_notin",
+    """SELECT event_id FROM events
+       WHERE lower(event_type) IN ('signup','error') AND user_id NOT IN (1,2,3)
+       ORDER BY event_id""",
+)
+_p(
+    "p04_like",
+    "SELECT p_partkey FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey",
+)
+
+# --- aggregations ----------------------------------------------------------
+
+_p(
+    "p05_hash_agg",
+    """SELECT user_id, COUNT(*) AS freq,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+              MIN(ts) AS first_seen, MAX(ts) AS last_seen
+       FROM events GROUP BY user_id ORDER BY user_id""",
+)
+_p(
+    "p06_having",
+    """SELECT user_id, COUNT(*) AS c FROM events
+       GROUP BY user_id HAVING COUNT(*) >= 30 ORDER BY user_id""",
+)
+_p(
+    "p07_avg",
+    """SELECT event_type,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+       FROM events GROUP BY event_type ORDER BY event_type""",
+)
+_p(
+    "p08_count_distinct",
+    "SELECT COUNT(DISTINCT user_id) AS u, COUNT(DISTINCT event_type) AS t FROM events",
+)
+_p(
+    "p09_bucket_agg",
+    """SELECT CASE WHEN value > 150 THEN 'slow' WHEN value > 50 THEN 'medium'
+                   ELSE 'fast' END AS bucket, COUNT(*) AS n
+       FROM events GROUP BY 1 ORDER BY 1""",
+)
+
+# --- joins -----------------------------------------------------------------
+
+_p(
+    "p10_join_agg",
+    """SELECT c.c_mktsegment, COUNT(*) AS n,
+              CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+)
+_p(
+    "p11_dim_chain_join",
+    """SELECT r.r_name, COUNT(*) AS n FROM nation n
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY r.r_name ORDER BY r.r_name""",
+)
+_p(
+    "p12_semi_join",
+    """SELECT c_custkey FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+       ORDER BY c_custkey""",
+)
+_p(
+    "p13_anti_join",
+    """SELECT c_custkey FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       ORDER BY c_custkey""",
+)
+_p(
+    "p14_left_outer_coalesce",
+    """SELECT c.c_custkey,
+              COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS spend
+       FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+       GROUP BY c.c_custkey ORDER BY c.c_custkey""",
+)
+_p(
+    "p15_five_way_join",
+    """SELECT n.n_name,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+       FROM lineitem l
+       JOIN orders o ON l.l_orderkey = o.o_orderkey
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY n.n_name ORDER BY n.n_name""",
+)
+
+# --- windows / sorts / limits ----------------------------------------------
+
+_p(
+    "p16_rownum_dedup_first",
+    """SELECT event_id FROM (
+         SELECT event_id, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         FROM events) t
+       WHERE rn = 1 ORDER BY event_id""",
+)
+_p(
+    "p17_running_sum",
+    """SELECT event_id,
+              ROUND(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run
+       FROM events ORDER BY event_id""",
+    """SELECT event_id,
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS run
+       FROM events ORDER BY event_id""",
+)
+_p(
+    "p18_lag",
+    """SELECT event_id,
+              LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       FROM events ORDER BY event_id""",
+)
+_p(
+    "p19_topk_per_group",
+    """SELECT user_id, event_id FROM (
+         SELECT user_id, event_id,
+                RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+         FROM events WHERE event_type = 'purchase') t
+       WHERE rk <= 3 ORDER BY user_id, event_id""",
+)
+_p(
+    "p20_global_topk",
+    "SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 10",
+)
+_p(
+    "p21_offset",
+    "SELECT event_id FROM events ORDER BY event_id LIMIT 20 OFFSET 40",
+)
+
+# --- set operations --------------------------------------------------------
+
+_p(
+    "p22_intersect",
+    """SELECT user_id FROM events WHERE event_type='signup'
+       INTERSECT
+       SELECT user_id FROM events WHERE event_type='purchase'
+       ORDER BY user_id""",
+)
+_p(
+    "p23_except",
+    """SELECT user_id FROM events
+       EXCEPT
+       SELECT user_id FROM events WHERE event_type='purchase'
+       ORDER BY user_id""",
+)
+_p(
+    "p24_union",
+    """SELECT user_id FROM events WHERE value > 180
+       UNION
+       SELECT user_id FROM events WHERE event_type='error'
+       ORDER BY user_id""",
+)
+
+# --- scalar functions ------------------------------------------------------
+
+_p(
+    "p25_string_fns",
+    """SELECT doc_id, upper(lang) AS l, length(text) AS n, substr(text, 1, 10) AS head
+       FROM documents ORDER BY doc_id""",
+)
+_p(
+    "p26_regexp",
+    """SELECT event_id, regexp_extract(props, '"k": ([0-9]+)', 1) AS k
+       FROM events ORDER BY event_id""",
+)
+_p(
+    "p27_date_fns",
+    """SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events
+       GROUP BY CAST(ts AS DATE) ORDER BY d""",
+)
+_p(
+    "p28_json",
+    """SELECT event_id, get_json_object(props, '$.k') AS k FROM events ORDER BY event_id""",
+    """SELECT event_id, json_extract_string(props, '$.k') AS k FROM events ORDER BY event_id""",
+)
+_p(
+    "p29_math",
+    """SELECT event_id, ROUND(sqrt(value), 6) AS s,
+              CAST(FLOOR(value) AS BIGINT) AS f,
+              abs(value - 100) > 50 AS far
+       FROM events ORDER BY event_id""",
+)
+
+# --- grouping extensions ---------------------------------------------------
+
+_p(
+    "p30_rollup",
+    """SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       GROUP BY ROLLUP(c_mktsegment, o_orderstatus)
+       ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""",
+)
