@@ -80,6 +80,7 @@ def _engine_query(fn) -> Callable[[SparkSession, str], DataFrame]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from querysight_spark.extension_queries import EXTENSION_QUERIES
     from querysight_spark.pipeline_queries import PIPELINE_QUERIES
     from querysight_spark.probes import PROBES
 
@@ -88,10 +89,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _sql_query(spark_sql)
     for name, (fn, _oracle) in PIPELINE_QUERIES.items():
         out[name] = _engine_query(fn)
+    for name, (fn, _oracle) in EXTENSION_QUERIES.items():
+        out[name] = _engine_query(fn)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
+    from querysight_spark.extension_queries import EXTENSION_QUERIES
     from querysight_spark.pipeline_queries import PIPELINE_QUERIES
     from querysight_spark.probes import PROBES
 
@@ -99,6 +103,9 @@ def oracle_sql() -> dict[str, str]:
     for name, (spark_sql, duck) in PROBES.items():
         out[name] = duck if duck is not None else spark_sql
     for name, (_fn, oracle) in PIPELINE_QUERIES.items():
+        if oracle is not None:
+            out[name] = oracle
+    for name, (_fn, oracle) in EXTENSION_QUERIES.items():
         if oracle is not None:
             out[name] = oracle
     return out

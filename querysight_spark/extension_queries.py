@@ -1,0 +1,315 @@
+"""Training-data operator queries for the driver contract (dedup, similarity
+search, text analysis) with DuckDB oracles.
+
+Duplicates don't occur naturally in the synthetic corpus, so dedup queries
+run over an AUGMENTED corpus built identically in both engines: every doc
+duplicated (exact dedup), every 10th doc copied with 3 extra tokens
+(near-dup), every 25th embedding copied verbatim (cosine dup). All hashing
+is md5-hex (engine-portable); minhash = min over md5(j:shingle) strings.
+
+ss02 (LSH ANN) and dd05 (SimHash) are rows-only: the LSH bucketing uses
+seeded random hyperplanes and SimHash uses conv()-based bit votes — neither
+is worth contorting into portable SQL; their semantics are pinned by unit
+tests instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from querysight_spark.operators.dedup import (
+    embedding_cosine_duplicates,
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from querysight_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+from querysight_spark.operators.textstats import (
+    document_fingerprint,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+from querysight_spark.sources.catalog import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+EXTENSION_QUERIES: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def _docs_exact_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+
+
+_DOCS_EXACT_AUG_CTE = """
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+)"""
+
+
+def _docs_near_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    near = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz9 zz8 zz7")).alias("text"),
+    )
+    return d.unionByName(near)
+
+
+_DOCS_NEAR_AUG_CTE = """
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, concat(text, ' zz9 zz8 zz7') AS text
+  FROM documents WHERE doc_id % 10 = 0
+)"""
+
+# word 3-gram distinct shingles, DuckDB side (inclusive slicing: words[i:i+2]
+# is 3 words; i runs 1 .. len-2)
+_DUCK_SHINGLES = """
+shingled AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+2], ' ')
+                        for i in range(1, len(words) - 1)]) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM aug)
+),
+doc_sh AS (SELECT doc_id, UNNEST(shingles) AS sh FROM shingled)
+"""
+
+
+def _q(name: str, oracle: str | None):
+    def deco(fn: QueryFn):
+        EXTENSION_QUERIES[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# --- dedup ------------------------------------------------------------------
+
+
+@_q(
+    "dd01_exact_dedup",
+    f"""WITH {_DOCS_EXACT_AUG_CTE}
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM aug GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY keeper_id""",
+)
+def dd01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = exact_duplicates(_docs_exact_aug(spark, sf_dir))
+    return out.select("content_hash", "keeper_id", "n_copies").orderBy("keeper_id")
+
+
+@_q(
+    "dd02_minhash_lsh",
+    f"""WITH {_DOCS_NEAR_AUG_CTE}, {_DUCK_SHINGLES},
+    sig AS (
+      SELECT doc_id, j, MIN(md5(concat(CAST(j AS VARCHAR), ':', sh))) AS mh
+      FROM doc_sh CROSS JOIN (SELECT UNNEST(range(8)) AS j) hashes
+      GROUP BY doc_id, j
+    ),
+    bands AS (
+      SELECT doc_id, j // 2 AS band,
+             md5(string_agg(mh, '|' ORDER BY j)) AS key
+      FROM sig GROUP BY doc_id, j // 2
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b""",
+)
+def dd02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = minhash_lsh_candidates(
+        _docs_near_aug(spark, sf_dir), num_hashes=8, shingle_size=3, bands=4
+    )
+    return out.orderBy("doc_a", "doc_b")
+
+
+@_q(
+    "dd03_ngram_jaccard",
+    f"""WITH {_DOCS_NEAR_AUG_CTE}, {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM doc_sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+      FROM doc_sh a JOIN doc_sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT ia AS doc_a, ib AS doc_b,
+           ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+    WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+    ORDER BY doc_a, doc_b""",
+)
+def dd03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ngram_jaccard_pairs(_docs_near_aug(spark, sf_dir), shingle_size=3, threshold=0.5)
+    return out.orderBy("doc_a", "doc_b")
+
+
+def _vecs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    dup = v.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return v.unionByName(dup)
+
+
+_VECS_AUG_CTE = """
+vaug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 25 = 0
+)"""
+
+
+@_q(
+    "dd04_embedding_cosine_dups",
+    f"""WITH {_VECS_AUG_CTE},
+    normed AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vaug)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+    FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.95
+    ORDER BY vec_a, vec_b""",
+)
+def dd04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = embedding_cosine_duplicates(_vecs_aug(spark, sf_dir), threshold=0.95)
+    return out.orderBy("vec_a", "vec_b")
+
+
+@_q("dd05_simhash", None)  # rows-only: conv()-bit votes not worth porting to SQL
+def dd05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return simhash(docs).orderBy("doc_id")
+
+
+# --- similarity search ------------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        load_table(spark, "embeddings", sf_dir)
+        .where(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row.embedding]
+
+
+@_q(
+    "ss01_brute_topk",
+    """WITH q AS (
+         SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+       )
+       SELECT vec_id,
+              ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+                    / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[])))
+                       * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+       FROM embeddings CROSS JOIN q
+       ORDER BY cosine DESC, vec_id LIMIT 10""",
+)
+def ss01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, "embeddings", sf_dir)
+    return brute_force_topk(vecs, _query_vec(spark, sf_dir), k=10)
+
+
+@_q("ss02_lsh_topk", None)  # rows-only: seeded-hyperplane ANN is approximate
+def ss02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, "embeddings", sf_dir)
+    return lsh_bucketed_topk(vecs, _query_vec(spark, sf_dir), k=10, bits=4)
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+@_q(
+    "tx01_token_counts",
+    r"""SELECT doc_id,
+              len(string_split_regex(text, '\s+')) AS ws_tokens,
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+       FROM documents ORDER BY doc_id""",
+)
+def tx01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return token_counts(docs).orderBy("doc_id")
+
+
+@_q(
+    "tx02_quality_scores",
+    r"""WITH f AS (
+         SELECT doc_id,
+                length(text) AS n_chars,
+                len(string_split(text, ' ')) AS n_words,
+                len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                len([w for w in string_split(text, ' ')
+                     if w IN ('the','a','of','and','to','in','is','that','it','for')]) AS n_stop
+         FROM documents)
+       SELECT doc_id, n_chars, n_words,
+              ROUND(n_punct / GREATEST(n_chars, 1), 6) AS punct_ratio,
+              ROUND(n_stop / GREATEST(n_words, 1), 6) AS stopword_ratio,
+              ROUND((n_chars - (n_words - 1)) / GREATEST(n_words, 1), 6) AS avg_word_len,
+              ROUND(0.4 * LEAST(n_words / 100.0, 1.0)
+                  + 0.3 * (1.0 - LEAST(ROUND(n_punct / GREATEST(n_chars, 1), 6) * 10.0, 1.0))
+                  + 0.3 * LEAST(ROUND(n_stop / GREATEST(n_words, 1), 6) * 5.0, 1.0), 7)
+                AS quality_score
+       FROM f ORDER BY doc_id""",
+)
+def tx02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return quality_scores(docs).orderBy("doc_id")
+
+
+@_q(
+    "tx03_fingerprint",
+    """WITH aug AS (SELECT doc_id, text FROM documents),
+    shingled AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(words[i:i+2], ' ')
+                            for i in range(1, len(words) - 1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM aug)
+    ),
+    doc_sh AS (SELECT doc_id, UNNEST(shingles) AS sh FROM shingled)
+    SELECT doc_id, MIN(md5(sh)) AS fingerprint
+    FROM doc_sh GROUP BY doc_id ORDER BY doc_id""",
+)
+def tx03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return document_fingerprint(docs).orderBy("doc_id")
+
+
+_LANG_SCORE = {
+    "de": "('der','die','das','und','zu','in','ein','eine','ist','von')",
+    "en": "('the','a','of','and','to','in','is','that','it','for')",
+    "es": "('el','la','de','y','que','en','un','una','los','las')",
+    "fr": "('le','la','de','et','que','en','un','une','les','des')",
+    "zh": "('de5','le5','shi4','zai4','he2','you3','wo3','ta1','men5','bu4')",
+}
+_LANG_SCORE_COLS = ",\n".join(
+    f"len([w for w in words if w IN {lst}]) / GREATEST(len(words), 1) AS s_{lang}"
+    for lang, lst in _LANG_SCORE.items()
+)
+
+
+@_q(
+    "tx04_language_id",
+    f"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+    s AS (SELECT doc_id, {_LANG_SCORE_COLS} FROM w),
+    m AS (SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+                 GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM s)
+    SELECT doc_id,
+           CASE WHEN s_de = mx THEN 'de' WHEN s_en = mx THEN 'en'
+                WHEN s_es = mx THEN 'es' WHEN s_fr = mx THEN 'fr'
+                ELSE 'zh' END AS predicted_lang,
+           ROUND(mx, 6) AS lang_score
+    FROM m ORDER BY doc_id""",
+)
+def tx04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return language_id(docs).orderBy("doc_id")

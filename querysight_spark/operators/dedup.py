@@ -1,0 +1,228 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Everything except SimHash stays in JVM-side built-in expressions (split /
+transform / md5 / min / joins) — no Python on the hot path, full
+whole-stage codegen. Hash functions are md5-hex-string based so the exact
+same signatures are computable in any engine (the DuckDB oracle mirrors
+them); min over hex strings = min over the 128-bit integer.
+
+Scale notes (100 TB):
+  * exact dedup: one hash-shuffle on md5(text) — optimal.
+  * minhash: signatures are a narrow map-side projection; LSH banding turns
+    the O(n²) pair space into per-bucket joins. Bucket skew (a viral
+    boilerplate string) is the real-world hazard — AQE skew-join handles
+    moderate cases; pathological buckets should be capped (documented).
+  * n-gram Jaccard: the shingle-inverted-index join explodes on common
+    shingles; at scale, drop shingles with doc_frequency above a cap
+    (standard prefix-filtering) — exposed as ``max_shingle_df``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _words(text_col: str):
+    return F.split(F.col(text_col), " ")
+
+
+def _shingles(text_col: str, n: int):
+    """Distinct word n-gram shingles, JVM-side: slice a sliding window out of
+    the split array. Guarded so docs shorter than n yield an empty array
+    (sequence(1,0) would count DOWN, not empty)."""
+    words = f"split(`{text_col}`, ' ')"
+    return F.expr(
+        f"CASE WHEN size({words}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({words}) - {n} + 1), "
+        f"i -> array_join(slice({words}, i, {n}), ' '))) "
+        f"ELSE array() END"
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per duplicated content,
+    with the keeper (min id) and the duplicate count."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """(id, sig array<string>): sig[j] = min over shingles of
+    md5(j || ':' || shingle). Engine-portable (md5-hex min) and fully
+    JVM-side: explode → groupBy id with one min-agg per hash function."""
+    sh = df.select(
+        F.col(id_col), F.explode(_shingles(text_col, shingle_size)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"mh{j}") for j in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_size: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    num_hashes/bands rows; docs sharing any band key are candidate
+    duplicates. Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+
+    The pair join runs per (band, key) bucket — the classic
+    shingle→minhash→band→bucket-join pipeline, O(candidates) not O(n²)."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", F.slice("sig", b * r + 1, r))).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col).alias("bid"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("bid", "bk.band", "bk.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.bid") < F.col("b.bid")),
+        )
+        .select(F.col("a.bid").alias("doc_a"), F.col("b.bid").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """SimHash fingerprint: each word votes ±1 on ``bits`` bit positions
+    (bit b of md5(word)); fingerprint bit = sign of the vote sum. Computed
+    JVM-side: explode words → per-bit conditional sums → reassemble.
+
+    Near-dup detection = grouping by fingerprint or hamming-distance
+    banding; ``bits`` ≤ 32 keeps the vote columns cheap."""
+    words = df.select(
+        F.col(id_col), F.explode(F.array_distinct(_words(text_col))).alias("w")
+    )
+    # low 8 hex chars of md5 → 32-bit int; vote on its low `bits` bits
+    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    votes = words.select(F.col(id_col), *[
+        F.when(F.shiftright(h, b).bitwiseAND(1) == 1, 1).otherwise(-1).alias(f"b{b}")
+        for b in range(bits)
+    ])
+    sums = votes.groupBy(id_col).agg(*[F.sum(f"b{b}").alias(f"s{b}") for b in range(bits)])
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"s{b}") > 0, 1 << b).otherwise(0)
+        fp = bit if fp is None else (fp + bit)
+    return sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via a shingle inverted index:
+    explode shingles → self-join on shingle → |A∩B| per pair →
+    jaccard = inter / (|A| + |B| - inter).
+
+    ``max_shingle_df`` drops shingles appearing in more than that many docs
+    before the pair join (prefix filtering) — at 100 TB this is what keeps
+    stop-phrase shingles from exploding the join; it changes results only
+    for pairs whose entire overlap is stop-phrases."""
+    sh = df.select(F.col(id_col), F.explode(_shingles(text_col, shingle_size)).alias("sh"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    if max_shingle_df is not None:
+        keep = sh.groupBy("sh").agg(F.countDistinct(id_col).alias("df")).where(
+            F.col("df") <= max_shingle_df
+        )
+        sh = sh.join(keep.select("sh"), "sh")
+    a = sh.select(F.col(id_col).alias("ia"), "sh")
+    b = sh.select(F.col(id_col).alias("ib"), "sh")
+    inter = (
+        a.join(b, ["sh"])
+        .where(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("ia"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("ib"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "ia")
+        .join(sb, "ib")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.col("ia").alias("doc_a"), F.col("ib").alias("doc_b"), "jaccard"
+        )
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def embedding_cosine_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine similarity over all (a<b) pairs.
+
+    Brute force is the CORRECTNESS baseline (exact, oracle-checkable).
+    At 100 TB the scale path is similarity.lsh_bucketed_topk's
+    hyperplane-bucket join — same cosine expression, restricted pair space.
+    Vectors are cast to double before any arithmetic so results don't
+    depend on float32 accumulation order."""
+    v = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    a = v.select(F.col(id_col).alias("ida"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = v.select(F.col(id_col).alias("idb"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    pairs = a.join(b, F.col("ida") < F.col("idb"))
+    return (
+        pairs.withColumn(
+            "cosine",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select(F.col("ida").alias("vec_a"), F.col("idb").alias("vec_b"), "cosine")
+    )

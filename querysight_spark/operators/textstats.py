@@ -1,0 +1,121 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. All JVM-side expressions (split / regexp / filter /
+md5) — zero Python on the data path, so they run inside whole-stage codegen
+and scale linearly with no shuffle (fingerprint shuffles once on doc_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks.
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately minimal — real deployments plug in fasttext-style
+# models via the same column contract.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "los", "las"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "une", "les", "des"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ein", "eine", "ist", "von"],
+    "zh": ["de5", "le5", "shi4", "zai4", "he2", "you3", "wo3", "ta1", "men5", "bu4"],
+}
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), r"\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), 0)).alias(
+            "bpe_tokens"
+        ),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio quality features and a
+    composite score in [0,1]. Ratios are int/int divisions of identical
+    values in any engine — oracle-exact."""
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    n_chars = F.length(F.col(text_col))
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^\w\s]"), 0))
+    en = STOPWORDS["en"]
+    n_stop = F.size(F.filter(words, lambda w: w.isin(en)))
+    out = df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(n_stop / F.greatest(n_words, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(
+            (n_chars - (n_words - 1)) / F.greatest(n_words, F.lit(1)), 6
+        ).alias("avg_word_len"),
+    )
+    # rounded at 7, not 6: the composite of 6-decimal components has exactly
+    # 7 decimals, so a 6-digit round sits ON the tie boundary where engines'
+    # rounding implementations disagree; 7 digits recovers the exact value.
+    return out.withColumn(
+        "quality_score",
+        F.round(
+            0.4 * F.least(F.col("n_words") / 100.0, F.lit(1.0))
+            + 0.3 * (1.0 - F.least(F.col("punct_ratio") * 10.0, F.lit(1.0)))
+            + 0.3 * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)),
+            7,
+        ),
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: score each language by the fraction of
+    words in its stopword list; argmax wins (ties broken by language code).
+    Pure expressions: one filter() per language, greatest() for the argmax."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    n = F.greatest(F.size(words), F.lit(1))
+
+    def _in_list(sw: list[str]):
+        # closure factory — a default-arg lambda would change the arity
+        # pyspark infers for higher-order functions
+        return lambda w: w.isin(sw)
+
+    scores = {
+        lang: (F.size(F.filter(words, _in_list(list(sw)))) / n)
+        for lang, sw in STOPWORDS.items()
+    }
+    # argmax via a struct sort: (score desc, lang asc)
+    pairs = F.array(
+        *[
+            F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+            for lang, s in scores.items()
+        ]
+    )
+    best = F.array_sort(
+        pairs,
+        lambda a, b: F.when(a["score"] > b["score"], -1)
+        .when(a["score"] < b["score"], 1)
+        .otherwise(F.when(a["lang"] < b["lang"], -1).when(a["lang"] > b["lang"], 1).otherwise(0)),
+    )[0]
+    return df.select(
+        F.col(id_col),
+        best["lang"].alias("predicted_lang"),
+        F.round(best["score"], 6).alias("lang_score"),
+    )
+
+
+def document_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Winnowing-style fingerprint: min md5 over word n-gram shingles (the
+    k=1 MinHash). Equal fingerprints ⇒ likely shared content; engine-portable
+    (md5-hex min) and exactly the rolling-hash selection the reference-class
+    pipelines use for copy detection."""
+    from querysight_spark.operators.dedup import _shingles
+
+    sh = df.select(F.col(id_col), F.explode(_shingles(text_col, shingle_size)).alias("sh"))
+    return sh.groupBy(id_col).agg(F.min(F.md5("sh")).alias("fingerprint"))

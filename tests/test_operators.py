@@ -1,0 +1,162 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from querysight_spark.operators.dedup import (
+    embedding_cosine_duplicates,
+    exact_duplicates,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from querysight_spark.operators.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    frame_sample_plan,
+    media_from_documents,
+)
+from querysight_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+from querysight_spark.operators.textstats import (
+    document_fingerprint,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog near a river bank"),  # near dup
+        (4, "completely different text about spark distributed query engines"),
+        (5, "el gato y el perro en la casa de la abuela con los juguetes"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0, 0.0]),  # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "raw"])
+    return df.select("vec_id", F.transform("raw", lambda x: x.cast("float")).alias("embedding"))
+
+
+def test_exact_duplicates(docs):
+    out = exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0].keeper_id == 1 and out[0].n_copies == 2
+
+
+def test_minhash_signature_shape_and_dup_equality(docs):
+    sig = {r.doc_id: r.sig for r in minhash_signatures(docs, num_hashes=8).collect()}
+    assert all(len(s) == 8 for s in sig.values())
+    assert sig[1] == sig[2]  # identical text → identical signature
+    assert sig[1] != sig[4]
+
+
+def test_minhash_lsh_candidates(docs):
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_candidates(docs).collect()}
+    assert (1, 2) in pairs  # exact dups always collide
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_simhash_near_dup_distance(docs):
+    fp = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert fp[1] == fp[2]
+    ham_near = bin(fp[1] ^ fp[3]).count("1")
+    ham_far = bin(fp[1] ^ fp[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard_prefix_filter(docs):
+    # dropping ubiquitous shingles must not invent pairs
+    strict = ngram_jaccard_pairs(docs, threshold=0.3, max_shingle_df=2).collect()
+    assert {(r.doc_a, r.doc_b) for r in strict} <= {(1, 2), (1, 3), (2, 3)}
+
+
+def test_embedding_cosine_duplicates(vecs):
+    out = {(r.vec_a, r.vec_b): r.cosine for r in embedding_cosine_duplicates(vecs, threshold=0.95).collect()}
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)] > 0.999
+
+
+def test_brute_force_topk(vecs):
+    top = brute_force_topk(vecs, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r.vec_id for r in top] == [1, 2, 3] or [r.vec_id for r in top][:2] == [1, 2]
+    assert top[0].cosine == 1.0
+
+
+def test_lsh_topk_subset_of_brute(vecs):
+    brute = [r.vec_id for r in brute_force_topk(vecs, [1.0, 0.0, 0.0, 0.0], k=5).collect()]
+    ann = [r.vec_id for r in lsh_bucketed_topk(vecs, [1.0, 0.0, 0.0, 0.0], k=5, bits=2).collect()]
+    assert set(ann) <= set(brute)
+    assert 1 in ann  # the exact match shares every hyperplane sign
+
+
+def test_token_counts(docs):
+    out = {r.doc_id: r for r in token_counts(docs).collect()}
+    assert out[1].ws_tokens == 13
+    assert out[1].bpe_tokens == 13  # no punctuation
+
+
+def test_quality_scores(docs):
+    out = {r.doc_id: r for r in quality_scores(docs).collect()}
+    assert out[1].stopword_ratio > out[5].stopword_ratio  # english stopwords
+    assert 0.0 <= out[1].quality_score <= 1.0
+    assert out[1].punct_ratio == 0.0
+
+
+def test_language_id(docs):
+    out = {r.doc_id: r.predicted_lang for r in language_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[5] == "es"
+
+
+def test_document_fingerprint(docs):
+    out = {r.doc_id: r.fingerprint for r in document_fingerprint(docs).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[4]
+
+
+def test_multimodal_pipeline(spark):
+    docs = spark.createDataFrame(
+        [(i, "word " * (i + 3), "en", "src", 5 * (i + 3)) for i in range(6)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    media = media_from_documents(docs)
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    feats = extract_features(media, fake=True).collect()
+    assert len(feats) == 6
+    assert all(len(r.features) == FEATURE_DIM for r in feats)
+    assert all(r.payload_bytes > 0 for r in feats)
+    # deterministic: same payload → same features
+    again = extract_features(media, fake=True).collect()
+    assert {r.asset_id: r.features for r in feats} == {r.asset_id: r.features for r in again}
+    frames = frame_sample_plan(media, every_ms=50).groupBy("asset_id").count().collect()
+    assert all(r["count"] >= 1 for r in frames)
+
+
+def test_multimodal_decode_stub_raises(spark):
+    docs = spark.createDataFrame([(1, "x", "en", "s", 1)], ["doc_id", "text", "lang", "source", "n_chars"])
+    media = media_from_documents(docs)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|image decoding"):
+        extract_features(media, fake=False).collect()
