@@ -18,12 +18,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+from querysight_spark.operators.vectors import as_double as _as_double
+from querysight_spark.operators.vectors import dot as _dot_dim
 
 
-def _as_double(col):
-    return F.transform(col, lambda x: x.cast("double"))
+def _dot(a, b, dim=None):
+    return _dot_dim(a, b, dim)
 
 
 def brute_force_topk(
@@ -40,11 +40,12 @@ def brute_force_topk(
     qn = float(np.sqrt(sum(x * x for x in q)))
     qcol = F.array(*[F.lit(x) for x in q])
     v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    d = len(q)
     scored = v.select(
         F.col(id_col),
         F.round(
-            _dot(F.col("v"), qcol)
-            / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.lit(qn)),
+            _dot(F.col("v"), qcol, d)
+            / (F.sqrt(_dot(F.col("v"), F.col("v"), d)) * F.lit(qn)),
             6,
         ).alias("cosine"),
     )
@@ -69,7 +70,7 @@ def bucket_ids(
     bucket = None
     for i, p in enumerate(planes):
         pcol = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(_dot(F.col("v"), pcol) >= 0, 1 << i).otherwise(0)
+        bit = F.when(_dot(F.col("v"), pcol, len(p)) >= 0, 1 << i).otherwise(0)
         bucket = bit if bucket is None else (bucket + bit)
     return v.select(F.col(id_col), F.col("v"), bucket.cast("int").alias("bucket"))
 
@@ -100,8 +101,8 @@ def lsh_bucketed_topk(
     scored = cand.select(
         F.col(id_col),
         F.round(
-            _dot(F.col("v"), qcol)
-            / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.lit(qn)),
+            _dot(F.col("v"), qcol, len(q))
+            / (F.sqrt(_dot(F.col("v"), F.col("v"), len(q))) * F.lit(qn)),
             6,
         ).alias("cosine"),
     )
