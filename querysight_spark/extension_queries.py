@@ -284,6 +284,64 @@ def tx03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return document_fingerprint(docs).orderBy("doc_id")
 
 
+# --- multimodal -------------------------------------------------------------
+
+# Decode an md5 hex pair to its byte value, in portable SQL (DuckDB cannot
+# cast '0xab' strings): 16*hv(c1) + hv(c2) with hv = strpos over the hex
+# alphabet. The fake feature extractor (operators.multimodal._fake_features)
+# emits h[i % 16]/255 from the md5 digest of the payload, so
+# sum(round(f*255)) == sum of the 16 digest bytes — an integer-exact check
+# that the mapInPandas stage really ran the advertised computation.
+_DUCK_MD5_BYTE_SUM = """CAST(list_sum([
+  (strpos('0123456789abcdef', substr(md5(text), 2*i + 1, 1)) - 1) * 16
+  + (strpos('0123456789abcdef', substr(md5(text), 2*i + 2, 1)) - 1)
+  for i in range(16)]) AS BIGINT)"""
+
+
+@_q(
+    "mm01_media_features",
+    f"""SELECT concat('asset-', CAST(doc_id AS VARCHAR)) AS asset_id,
+              CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                   ELSE 'video' END AS media_type,
+              strlen(text) AS payload_bytes,
+              16 AS n_features,
+              {_DUCK_MD5_BYTE_SUM} AS feature_checksum
+       FROM documents ORDER BY asset_id""",
+)
+def mm01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from querysight_spark.operators.multimodal import extract_features, media_from_documents
+
+    docs = load_table(spark, "documents", sf_dir)
+    feats = extract_features(media_from_documents(docs), fake=True)
+    return feats.select(
+        "asset_id",
+        "media_type",
+        "payload_bytes",
+        F.size("features").alias("n_features"),
+        F.aggregate(
+            F.transform("features", lambda x: F.round(x * 255).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("feature_checksum"),
+    ).orderBy("asset_id")
+
+
+@_q(
+    "mm02_frame_sample",
+    """SELECT concat('asset-', CAST(doc_id AS VARCHAR)) AS asset_id,
+              UNNEST(generate_series(0, n_chars * 10, 1000)) AS frame_ts_ms
+       FROM documents WHERE doc_id % 3 = 2
+       ORDER BY asset_id, frame_ts_ms""",
+)
+def mm02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from querysight_spark.operators.multimodal import frame_sample_plan, media_from_documents
+
+    docs = load_table(spark, "documents", sf_dir)
+    return frame_sample_plan(media_from_documents(docs), every_ms=1000).orderBy(
+        "asset_id", "frame_ts_ms"
+    )
+
+
 _LANG_SCORE = {
     "de": "('der','die','das','und','zu','in','ein','eine','ist','von')",
     "en": "('the','a','of','and','to','in','is','that','it','for')",

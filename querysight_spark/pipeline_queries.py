@@ -87,8 +87,9 @@ _ORACLES: dict[str, str] = {
            ROUND(SUM(query_duration_ms), 2) AS total_duration_ms,
            ROUND(SUM(query_duration_ms), 2) / COUNT(*) AS avg_duration_ms,
            MIN(query_start_time) AS first_seen, MAX(query_start_time) AS last_seen,
-           SUM(memory_usage) AS memory_usage,
-           SUM(read_rows) AS total_read_rows, SUM(read_bytes) AS total_read_bytes,
+           CAST(SUM(memory_usage) AS BIGINT) AS memory_usage,
+           CAST(SUM(read_rows) AS BIGINT) AS total_read_rows,
+           CAST(SUM(read_bytes) AS BIGINT) AS total_read_bytes,
            MIN(query) AS sql_pattern
     FROM query_log GROUP BY normalized_query HAVING COUNT(*) >= 2
     ORDER BY normalized_query""",
@@ -155,16 +156,16 @@ _ORACLES: dict[str, str] = {
     SELECT normalized_query, COUNT(*) AS frequency,
            ROUND(SUM(query_duration_ms), 2) AS total_duration_ms,
            MIN(query_start_time) AS first_seen, MAX(query_start_time) AS last_seen,
-           SUM(memory_usage) AS memory_usage,
+           CAST(SUM(memory_usage) AS BIGINT) AS memory_usage,
            array_to_string(list_sort(list_distinct(list("user"))), ',') AS users_list
     FROM runs_union GROUP BY normalized_query ORDER BY normalized_query""",
     "ql08_summary": _WITH_QL
     + """
     SELECT COUNT(*) AS total_queries, COUNT(DISTINCT "user") AS distinct_users,
-           SUM(CASE WHEN query_duration_ms > 1000 THEN 1 ELSE 0 END) AS slow,
-           SUM(CASE WHEN query_duration_ms > 100 AND query_duration_ms <= 1000
-               THEN 1 ELSE 0 END) AS medium,
-           SUM(CASE WHEN query_duration_ms <= 100 THEN 1 ELSE 0 END) AS fast
+           CAST(SUM(CASE WHEN query_duration_ms > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS slow,
+           CAST(SUM(CASE WHEN query_duration_ms > 100 AND query_duration_ms <= 1000
+               THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+           CAST(SUM(CASE WHEN query_duration_ms <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS fast
     FROM query_log""",
     "ql09_complexity": _WITH_QL
     + """,
@@ -216,6 +217,75 @@ _ORACLES: dict[str, str] = {
            COUNT(*) AS n_patterns
     FROM p GROUP BY 1 ORDER BY 1""",
 }
+
+# Shared CTE tail for the ql15 recommender oracles: pattern agg + per-pattern
+# unmapped tables + G10 keyword tags, then the rule cascade from
+# plans.recommend (same precedence, same thresholds).
+_RECOMMEND_TAIL = """,
+    pat AS (SELECT normalized_query, COUNT(*) AS frequency,
+                   ROUND(SUM(query_duration_ms), 2) / COUNT(*) AS avg_ms,
+                   MIN(query) AS sql_pattern
+            FROM ql_src GROUP BY normalized_query HAVING COUNT(*) >= 2),
+    pt AS (SELECT DISTINCT l.normalized_query, l.tname
+           FROM ql_src l JOIN pat USING (normalized_query)),
+    unm AS (SELECT normalized_query, list_sort(list(tname)) AS unmapped
+            FROM (SELECT pt.normalized_query, pt.tname
+                  FROM pt LEFT JOIN dbt_model_map m ON m.table_key = pt.tname
+                  WHERE m.table_key IS NULL)
+            GROUP BY normalized_query),
+    tagged AS (
+      SELECT p.*, coalesce(u.unmapped, CAST([] AS VARCHAR[])) AS unmapped,
+             list_sort([t for t in [
+               CASE WHEN contains(lower(sql_pattern), 'group by') THEN 'Aggregation' END,
+               CASE WHEN contains(lower(sql_pattern), 'join') THEN 'Join' END,
+               CASE WHEN contains(lower(sql_pattern), 'where') THEN 'Filter' END,
+               CASE WHEN contains(lower(sql_pattern), 'with') THEN 'CTE' END,
+               CASE WHEN contains(lower(sql_pattern), 'union') THEN 'SetOperation' END,
+               CASE WHEN contains(lower(sql_pattern), 'window') THEN 'Window' END,
+               CASE WHEN contains(lower(sql_pattern), 'having') THEN 'ComplexFilter' END,
+               CASE WHEN contains(lower(sql_pattern), 'order by') THEN 'Sorting' END
+             ] if t IS NOT NULL]) AS tags0
+      FROM pat p LEFT JOIN unm u USING (normalized_query)),
+    typed AS (
+      SELECT *, CASE WHEN len(tags0) = 0 AND contains(lower(sql_pattern), 'select')
+                     THEN ['Simple Select'] ELSE tags0 END AS tags,
+             CASE WHEN len(unmapped) > 0 THEN 'NEW_DBT_MODEL'
+                  WHEN avg_ms > 1000 AND contains(lower(sql_pattern), 'join')
+                       THEN 'REWRITE_QUERY'
+                  WHEN avg_ms > 1000 THEN 'INDEX'
+                  WHEN frequency > 100 THEN 'NEW_DBT_MACRO' END AS rec_type
+      FROM tagged)
+    SELECT normalized_query, rec_type,
+           CASE WHEN rec_type = 'NEW_DBT_MODEL'
+                THEN CASE WHEN frequency > 100 OR avg_ms > 1000
+                          THEN 'HIGH' ELSE 'MEDIUM' END
+                WHEN rec_type = 'REWRITE_QUERY' THEN 'HIGH'
+                WHEN rec_type = 'INDEX'
+                THEN CASE WHEN frequency > 100 THEN 'HIGH' ELSE 'MEDIUM' END
+                ELSE 'MEDIUM' END AS impact,
+           array_to_string(tags, ',') AS pattern_types_list,
+           coalesce(array_to_string(unmapped, ','), '') AS unmapped_list,
+           frequency, ROUND(avg_ms, 4) AS avg_ms,
+           CASE WHEN rec_type = 'NEW_DBT_MODEL'
+                THEN concat('Create dbt model(s) for ',
+                            CAST(len(unmapped) AS VARCHAR),
+                            ' unmapped table(s): ',
+                            array_to_string(unmapped, ','))
+                WHEN rec_type = 'REWRITE_QUERY'
+                THEN 'Rewrite long-running join query; consider pre-joined model'
+                WHEN rec_type = 'INDEX'
+                THEN 'Add index/sort-key for long-running scan predicates'
+                ELSE 'Extract high-frequency pattern into a dbt macro' END AS description
+    FROM typed WHERE rec_type IS NOT NULL ORDER BY normalized_query"""
+
+_ORACLES["ql15_recommendations"] = (
+    _WITH_ALL + ", ql_src AS (SELECT * FROM query_log)" + _RECOMMEND_TAIL
+)
+_ORACLES["ql15b_recommendations_mapped"] = (
+    _WITH_ALL
+    + r", ql_src AS (SELECT * FROM query_log WHERE regexp_matches(tname, '\.t[0-7]$'))"
+    + _RECOMMEND_TAIL
+)
 
 
 @_q("ql01_filtered_scan")
@@ -389,6 +459,40 @@ def ql13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("impact").desc(), "normalized_query")
         .limit(10)
     )
+
+
+def _recommendations_over(log: DataFrame, spark: SparkSession) -> DataFrame:
+    from querysight_spark.plans.recommend import recommendations
+
+    p = aggregate_patterns(log, min_frequency=2, extract_from_sql=False)
+    # oracle float discipline: avg = ROUND(total,2)/count (demo docstring)
+    p = p.withColumn(
+        "avg_duration_ms", F.round("total_duration_ms", 2) / F.col("frequency")
+    )
+    recs = recommendations(p, build_model_map(spark))
+    return recs.select(
+        "normalized_query",
+        "rec_type",
+        "impact",
+        F.array_join("pattern_types", ",").alias("pattern_types_list"),
+        F.array_join("unmapped_tables", ",").alias("unmapped_list"),
+        "frequency",
+        F.round("avg_duration_ms", 4).alias("avg_ms"),
+        "description",
+    ).orderBy("normalized_query")
+
+
+@_q("ql15_recommendations")
+def ql15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recommendations_over(build_query_log(spark, sf_dir), spark)
+
+
+@_q("ql15b_recommendations_mapped")
+def ql15b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = build_query_log(spark, sf_dir).where(
+        F.element_at("tables", 1).rlike(r"\.t[0-7]$")
+    )
+    return _recommendations_over(log, spark)
 
 
 @_q("ql14_speed_buckets")

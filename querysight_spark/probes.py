@@ -137,9 +137,9 @@ _p(
 _p(
     "p17_running_sum",
     """SELECT event_id,
-              ROUND(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS run
        FROM events ORDER BY event_id""",
     """SELECT event_id,
               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (

@@ -1,0 +1,15 @@
+from querysight_spark.streaming.incremental import (
+    compact_pattern_state,
+    read_pattern_state,
+    start_incremental_merge,
+    stream_query_logs,
+    windowed_pattern_counts,
+)
+
+__all__ = [
+    "compact_pattern_state",
+    "read_pattern_state",
+    "start_incremental_merge",
+    "stream_query_logs",
+    "windowed_pattern_counts",
+]

@@ -1,0 +1,129 @@
+"""Structured Streaming variant of the pattern pipeline (SURVEY §2.I).
+
+The reference is a batch poller: it re-reads a sliding N-day window of the
+append-only query log on every run (/root/reference/utils/data_acquisition.py:86-87)
+and merges the result into SQLite pattern state
+(utils/cache_manager.py:591-607) — with NO idempotency key, so overlapping
+re-runs double-count (fidelity F9). This module is the Spark-native
+restatement:
+
+* I1 — ``stream_query_logs``: ``readStream`` over the log directory; new
+  files are discovered incrementally instead of re-scanning the window.
+* I4 — ``windowed_pattern_counts``: event-time windows + watermark give
+  the late-data semantics the reference lacks (it silently re-reads).
+* I2 — ``start_incremental_merge``: ``foreachBatch`` writes each
+  micro-batch's PARTIAL pattern aggregate to ``state_dir/batch_id=N``.
+  Replayed epochs overwrite the same partition, so the merge is
+  idempotent by construction — the (pattern_id, window_id) keying decided
+  in SURVEY §7.4.4, with Structured Streaming's epoch id as window_id.
+* ``read_pattern_state`` / ``compact_pattern_state``: merged view /
+  compaction via one re-aggregation (same shape as plans.patterns.merge_patterns).
+
+Scale notes: per-batch aggregates are tiny relative to raw logs (patterns ×
+batch), so state grows with #batches × #patterns, and compaction is a
+single shuffle on pattern_id. The alternative — stateful streaming agg with
+``outputMode("update")`` — keeps unbounded per-key state in the state
+store; the batch-partition design bounds each write and keeps the state
+readable by any batch consumer without a stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from querysight_spark.plans.patterns import aggregate_patterns, merge_patterns
+from querysight_spark.schemas import QUERY_LOG_SCHEMA
+
+
+def stream_query_logs(
+    spark: SparkSession,
+    input_dir: str,
+    schema=QUERY_LOG_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """I1: file-source stream over an append-only query-log directory.
+
+    The schema must be supplied (streaming sources don't infer);
+    ``maxFilesPerTrigger`` bounds micro-batch size for backpressure."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def windowed_pattern_counts(
+    logs: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """I4: tumbling event-time windows with an explicit allowed-lateness
+    watermark — rows later than ``watermark`` behind the max seen event
+    time are dropped and their windows finalized (the reference has no
+    late-data story; it re-reads the whole window instead)."""
+    return (
+        logs.withWatermark("query_start_time", watermark)
+        .groupBy(
+            F.window("query_start_time", window_duration).alias("win"),
+            F.col("normalized_query"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("query_duration_ms").alias("total_duration_ms"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "normalized_query",
+            "frequency",
+            "total_duration_ms",
+        )
+    )
+
+
+def start_incremental_merge(
+    logs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    min_frequency: int = 1,
+    extract_from_sql: bool = False,
+    trigger_available_now: bool = True,
+):
+    """I2: maintain incremental pattern state via ``foreachBatch``.
+
+    Each micro-batch is aggregated to patterns and written to
+    ``state_dir/batch_id=<epoch>``. Epoch replay after a failure overwrites
+    the same path — idempotent, unlike the reference's double-counting
+    merge (fidelity F9). Returns the started StreamingQuery; callers
+    ``awaitTermination`` it.
+    """
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        pats = aggregate_patterns(
+            batch_df,
+            min_frequency=min_frequency,
+            extract_from_sql=extract_from_sql,
+        )
+        pats.write.mode("overwrite").parquet(f"{state_dir}/batch_id={epoch_id}")
+
+    writer = logs.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_pattern_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merged view over all batch partitions: one re-aggregation keyed by
+    (pattern_id, normalized_query), identical semantics to
+    plans.patterns.merge_patterns over N inputs."""
+    state = spark.read.option("basePath", state_dir).parquet(f"{state_dir}/batch_id=*")
+    state = state.drop("batch_id")
+    return merge_patterns(state, state.limit(0))
+
+
+def compact_pattern_state(spark: SparkSession, state_dir: str, out_dir: str) -> None:
+    """Compact N batch partitions into one snapshot (run periodically so
+    the read-side union stays bounded)."""
+    read_pattern_state(spark, state_dir).write.mode("overwrite").parquet(out_dir)

@@ -1,0 +1,119 @@
+"""Rule-based recommender (plans.recommend): rule precedence, table
+classification, keyword tags — the taxonomy/heuristics from
+/root/reference/utils/ai_suggester.py:36-206 made deterministic."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from querysight_spark.plans.recommend import (
+    recommendations,
+    with_pattern_types,
+    with_table_classes,
+)
+from querysight_spark.schemas import DBT_MODEL_MAP_SCHEMA
+
+_TS = dt.datetime(2024, 1, 5)
+
+
+def _patterns(spark, rows):
+    """rows: (pattern_id, normalized_query, sql_pattern, frequency,
+    avg_duration_ms, tables_accessed)"""
+    cols = [
+        "pattern_id",
+        "normalized_query",
+        "sql_pattern",
+        "frequency",
+        "avg_duration_ms",
+        "tables_accessed",
+    ]
+    df = spark.createDataFrame(
+        [tuple(r) for r in rows],
+        "pattern_id string, normalized_query string, sql_pattern string, "
+        "frequency long, avg_duration_ms double, tables_accessed array<string>",
+    )
+    return df.select(cols)
+
+
+@pytest.fixture(scope="module")
+def model_map(spark):
+    rows = [("orders", "stg_orders", "main", "table", 0),
+            ("main.orders", "stg_orders", "main", "table", 1)]
+    return spark.createDataFrame(rows, schema=DBT_MODEL_MAP_SCHEMA)
+
+
+def test_table_classification(spark):
+    p = _patterns(
+        spark,
+        [("p1", "n1", "SELECT 1", 1, 1.0,
+          ["system.query_log", "information_schema.tables", "orders", "PG_CATALOG.x"])],
+    )
+    row = with_table_classes(p).select("system_tables", "user_tables").first()
+    assert row.system_tables == ["system.query_log", "information_schema.tables",
+                                 "PG_CATALOG.x"]
+    assert row.user_tables == ["orders"]
+
+
+def test_pattern_types_tags(spark):
+    p = _patterns(
+        spark,
+        [
+            ("p1", "n1", "SELECT a FROM t JOIN u ON 1=1 WHERE x GROUP BY a ORDER BY a",
+             1, 1.0, ["t"]),
+            ("p2", "n2", "SELECT 1", 1, 1.0, ["t"]),
+        ],
+    )
+    out = {r.pattern_id: r.pattern_types
+           for r in with_pattern_types(p).collect()}
+    assert out["p1"] == ["Aggregation", "Filter", "Join", "Sorting"]
+    assert out["p2"] == ["Simple Select"]
+
+
+def test_rule_precedence(spark, model_map):
+    p = _patterns(
+        spark,
+        [
+            # unmapped table wins even when long-running → NEW_DBT_MODEL HIGH
+            ("p1", "n1", "SELECT * FROM unknown_t", 5, 5000.0, ["unknown_t"]),
+            # unmapped, cold → MEDIUM
+            ("p2", "n2", "SELECT * FROM unknown_t", 5, 50.0, ["unknown_t"]),
+            # mapped + long-running + join → REWRITE_QUERY HIGH
+            ("p3", "n3", "SELECT * FROM orders JOIN orders", 5, 5000.0, ["orders"]),
+            # mapped + long-running, no join → INDEX; freq<=100 → MEDIUM
+            ("p4", "n4", "SELECT * FROM orders WHERE 1", 5, 5000.0, ["orders"]),
+            # mapped + long-running + high-frequency → INDEX HIGH
+            ("p5", "n5", "SELECT * FROM orders WHERE 1", 500, 5000.0, ["orders"]),
+            # mapped, fast, high-frequency → NEW_DBT_MACRO MEDIUM
+            ("p6", "n6", "SELECT * FROM orders", 500, 10.0, ["orders"]),
+            # mapped, fast, low-frequency → no recommendation
+            ("p7", "n7", "SELECT * FROM orders", 5, 10.0, ["orders"]),
+            # system-only pattern → skipped entirely
+            ("p8", "n8", "SELECT * FROM system.query_log", 500, 5000.0,
+             ["system.query_log"]),
+        ],
+    )
+    recs = {r.pattern_id: r for r in recommendations(p, model_map).collect()}
+    assert set(recs) == {"p1", "p2", "p3", "p4", "p5", "p6"}
+    assert (recs["p1"].rec_type, recs["p1"].impact) == ("NEW_DBT_MODEL", "HIGH")
+    assert recs["p1"].unmapped_tables == ["unknown_t"]
+    assert (recs["p2"].rec_type, recs["p2"].impact) == ("NEW_DBT_MODEL", "MEDIUM")
+    assert (recs["p3"].rec_type, recs["p3"].impact) == ("REWRITE_QUERY", "HIGH")
+    assert (recs["p4"].rec_type, recs["p4"].impact) == ("INDEX", "MEDIUM")
+    assert (recs["p5"].rec_type, recs["p5"].impact) == ("INDEX", "HIGH")
+    assert (recs["p6"].rec_type, recs["p6"].impact) == ("NEW_DBT_MACRO", "MEDIUM")
+    assert "unknown_t" in recs["p1"].description
+
+
+def test_system_tables_never_reported_unmapped(spark, model_map):
+    p = _patterns(
+        spark,
+        [("p1", "n1", "SELECT * FROM system.query_log JOIN orders", 500, 5000.0,
+          ["system.query_log", "orders"])],
+    )
+    rec = recommendations(p, model_map).first()
+    # orders is mapped, system.* excluded → no unmapped → falls to REWRITE_QUERY
+    assert rec.rec_type == "REWRITE_QUERY"
+    assert rec.unmapped_tables == []

@@ -1,0 +1,135 @@
+"""Structured Streaming incremental pattern state (streaming.incremental):
+file-source stream → foreachBatch merge, idempotency on epoch replay,
+windowed counts with watermark. SURVEY §2.I — the reference's batch poller
+(utils/cache_manager.py:591-607) double-counts re-runs; this path must not."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from querysight_spark.plans.patterns import aggregate_patterns
+from querysight_spark.schemas import QUERY_LOG_SCHEMA
+from querysight_spark.streaming import (
+    compact_pattern_state,
+    read_pattern_state,
+    start_incremental_merge,
+    stream_query_logs,
+    windowed_pattern_counts,
+)
+
+
+def _log_rows(ids, norm, day):
+    return [
+        (f"q{i}", f"SELECT {i}", norm, "SELECT", "alice",
+         dt.datetime(2024, 1, day, i % 24), 100.0 * (i + 1), 10, 100, 1, 8, 64,
+         "main", ["main"], ["orders"], [])
+        for i in ids
+    ]
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {
+        "input": str(tmp_path / "logs"),
+        "state": str(tmp_path / "state"),
+        "chk": str(tmp_path / "chk"),
+        "compact": str(tmp_path / "compact"),
+    }
+
+
+def _run_stream(spark, dirs):
+    stream = stream_query_logs(spark, dirs["input"])
+    q = start_incremental_merge(stream, dirs["state"], dirs["chk"])
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_incremental_merge_matches_batch(spark, dirs):
+    batch1 = spark.createDataFrame(_log_rows(range(4), "pat_a", 3), QUERY_LOG_SCHEMA)
+    batch1.write.mode("append").parquet(dirs["input"])
+    _run_stream(spark, dirs)
+
+    batch2 = spark.createDataFrame(_log_rows(range(4, 10), "pat_b", 4), QUERY_LOG_SCHEMA)
+    batch2.write.mode("append").parquet(dirs["input"])
+    _run_stream(spark, dirs)  # resumes from checkpoint: only new files processed
+
+    state = read_pattern_state(spark, dirs["state"])
+    expected = aggregate_patterns(
+        batch1.unionByName(batch2), min_frequency=1, extract_from_sql=False
+    )
+    got = {r.normalized_query: r for r in state.collect()}
+    want = {r.normalized_query: r for r in expected.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k].frequency == want[k].frequency
+        assert got[k].total_duration_ms == pytest.approx(want[k].total_duration_ms)
+        assert got[k].first_seen == want[k].first_seen
+        assert got[k].last_seen == want[k].last_seen
+        assert got[k].users == want[k].users
+
+
+def test_epoch_replay_is_idempotent(spark, dirs):
+    batch = spark.createDataFrame(_log_rows(range(5), "pat_a", 3), QUERY_LOG_SCHEMA)
+    batch.write.mode("append").parquet(dirs["input"])
+    _run_stream(spark, dirs)
+    before = read_pattern_state(spark, dirs["state"]).collect()
+
+    # simulate epoch replay after checkpoint loss: same data, fresh checkpoint
+    # → same batch_id partition overwritten, state unchanged (the reference
+    # would double frequency here — fidelity F9)
+    import shutil
+
+    shutil.rmtree(dirs["chk"])
+    _run_stream(spark, dirs)
+    after = read_pattern_state(spark, dirs["state"]).collect()
+    assert sorted(r.normalized_query for r in after) == sorted(
+        r.normalized_query for r in before
+    )
+    assert {r.normalized_query: r.frequency for r in after} == {
+        r.normalized_query: r.frequency for r in before
+    }
+
+
+def test_compaction_preserves_state(spark, dirs):
+    batch = spark.createDataFrame(
+        _log_rows(range(6), "pat_a", 3) + _log_rows(range(6, 9), "pat_b", 5),
+        QUERY_LOG_SCHEMA,
+    )
+    batch.write.mode("append").parquet(dirs["input"])
+    _run_stream(spark, dirs)
+    compact_pattern_state(spark, dirs["state"], dirs["compact"])
+    compacted = {r.normalized_query: r.frequency
+                 for r in spark.read.parquet(dirs["compact"]).collect()}
+    live = {r.normalized_query: r.frequency
+            for r in read_pattern_state(spark, dirs["state"]).collect()}
+    assert compacted == live
+
+
+def test_windowed_counts_with_watermark(spark, dirs):
+    rows = _log_rows(range(3), "pat_a", 3)
+    spark.createDataFrame(rows, QUERY_LOG_SCHEMA).write.mode("append").parquet(
+        dirs["input"]
+    )
+    stream = stream_query_logs(spark, dirs["input"])
+    windowed = windowed_pattern_counts(stream, "1 hour", "1 day")
+    # complete mode: every window in the result table (append mode would
+    # emit only watermark-finalized windows — none within a single
+    # availableNow batch, since the watermark advances between batches)
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", dirs["chk"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT * FROM win_counts ORDER BY window_start"
+    ).collect()
+    assert all(r.normalized_query == "pat_a" for r in out)
+    assert len(out) == 3  # one tumbling 1h window per event in the fixture
+    assert all(r.frequency == 1 for r in out)
+    assert all((r.window_end - r.window_start).total_seconds() == 3600 for r in out)
