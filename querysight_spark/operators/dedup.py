@@ -29,15 +29,23 @@ def _words(text_col: str):
 
 
 def _shingles(text_col: str, n: int):
-    """Distinct word n-gram shingles, JVM-side: slice a sliding window out of
-    the split array. Guarded so docs shorter than n yield an empty array
+    """Distinct word n-gram shingles, JVM-side.
+
+    The outer ``transform(array(split(...)), w -> ...)[0]`` is a
+    let-binding: it evaluates the split ONCE per row and names it ``w``.
+    Without it, referencing ``split(text)`` inside the per-shingle lambda
+    re-splits the text for every element — O(words²) string work per doc
+    (observed 4.6 s vs 0.9 s to materialize the sf0.1 shingle index).
+    Each shingle is assembled with element_at + concat_ws (no array
+    slice/copy). Guarded so docs shorter than n yield an empty array
     (sequence(1,0) would count DOWN, not empty)."""
-    words = f"split(`{text_col}`, ' ')"
+    parts = ", ".join(f"element_at(w, i + {k})" for k in range(n))
     return F.expr(
-        f"CASE WHEN size({words}) >= {n} THEN "
-        f"array_distinct(transform(sequence(1, size({words}) - {n} + 1), "
-        f"i -> array_join(slice({words}, i, {n}), ' '))) "
-        f"ELSE array() END"
+        f"transform(array(split(`{text_col}`, ' ')), w -> "
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size(w) - {n} + 1), "
+        f"i -> concat_ws(' ', {parts}))) "
+        f"ELSE array() END)[0]"
     )
 
 
@@ -91,7 +99,12 @@ def minhash_lsh_candidates(
     duplicates. Returns distinct (doc_a, doc_b) with doc_a < doc_b.
 
     The pair join runs per (band, key) bucket — the classic
-    shingle→minhash→band→bucket-join pipeline, O(candidates) not O(n²)."""
+    shingle→minhash→band→bucket-join pipeline, O(candidates) not O(n²).
+    The banded relation feeds both self-join sides, so it is persisted
+    once — otherwise the whole shingle→md5-min signature pipeline
+    recomputes per side."""
+    from pyspark import StorageLevel
+
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
@@ -104,7 +117,7 @@ def minhash_lsh_candidates(
     ]
     banded = sig.select(
         F.col(id_col).alias("bid"), F.explode(F.array(*band_cols)).alias("bk")
-    ).select("bid", "bk.band", "bk.key")
+    ).select("bid", "bk.band", "bk.key").persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -160,8 +173,18 @@ def ngram_jaccard_pairs(
     ``max_shingle_df`` drops shingles appearing in more than that many docs
     before the pair join (prefix filtering) — at 100 TB this is what keeps
     stop-phrase shingles from exploding the join; it changes results only
-    for pairs whose entire overlap is stop-phrases."""
-    sh = df.select(F.col(id_col), F.explode(_shingles(text_col, shingle_size)).alias("sh"))
+    for pairs whose entire overlap is stop-phrases.
+
+    The shingle inverted index feeds three consumers (per-doc sizes and
+    both self-join sides), so it is persisted once — without this, the
+    string-heavy shingling recomputes per branch (observed 8 source scans
+    for one query). At 100 TB, write the index to a temp parquet table
+    instead of caching (same plan shape, executor-memory-independent)."""
+    from pyspark import StorageLevel
+
+    sh = df.select(
+        F.col(id_col), F.explode(_shingles(text_col, shingle_size)).alias("sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if max_shingle_df is not None:
         keep = sh.groupBy("sh").agg(F.countDistinct(id_col).alias("df")).where(
