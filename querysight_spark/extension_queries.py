@@ -284,6 +284,63 @@ def tx03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return document_fingerprint(docs).orderBy("doc_id")
 
 
+# --- as-of join -------------------------------------------------------------
+
+
+@_q(
+    "aj01_asof_join",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase'),
+         e AS (SELECT user_id, ts, event_id, value FROM (
+                 SELECT user_id, ts, event_id, value,
+                        ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                           ORDER BY event_id DESC) AS rn
+                 FROM events WHERE event_type = 'error') WHERE rn = 1)
+       SELECT p.event_id, p.user_id,
+              e.event_id AS err_event_id, e.value AS err_value
+       FROM p ASOF LEFT JOIN e
+         ON p.user_id = e.user_id AND p.ts >= e.ts
+       ORDER BY p.event_id""",
+)
+def aj01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase matched to the user's most recent
+    error at-or-before it. Oracle is DuckDB's native ASOF JOIN; the engine
+    side is operators.asof's union-marker window plan."""
+    from pyspark.sql.window import Window
+
+    from querysight_spark.operators.asof import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    out = asof_join(
+        purchases,
+        errors,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        right_values=["event_id", "value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_asof").alias("err_event_id"),
+        F.col("value_asof").alias("err_value"),
+    ).orderBy("event_id")
+
+
 # --- multimodal -------------------------------------------------------------
 
 # Decode an md5 hex pair to its byte value, in portable SQL (DuckDB cannot

@@ -233,3 +233,34 @@ _p(
        GROUP BY ROLLUP(c_mktsegment, o_orderstatus)
        ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""",
 )
+
+# --- sessionization ---------------------------------------------------------
+# Spark's session_window merges an event into the current session while its
+# timestamp is STRICTLY inside the previous event's [ts, ts+gap) window — an
+# event exactly gap after the previous one starts a NEW session. The DuckDB
+# oracle reproduces that as gaps-and-islands: new session when diff >= gap.
+_p(
+    "p31_session_window",
+    """SELECT user_id, session_window.start AS session_start,
+              session_window.end AS session_end, COUNT(*) AS n_events
+       FROM events GROUP BY user_id, session_window(ts, '30 minutes')
+       ORDER BY user_id, session_start""",
+    """WITH o AS (
+         SELECT user_id, ts,
+                CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ),
+       s AS (
+         SELECT user_id, ts,
+                SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+         FROM o
+       )
+       SELECT user_id, MIN(ts) AS session_start,
+              MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+              COUNT(*) AS n_events
+       FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+)
