@@ -35,6 +35,8 @@ HEADLINE = [
     "dd04_embedding_cosine_dups",
     "ss01_brute_topk",
     "tx02_quality_scores",
+    "p31_session_window",
+    "aj01_asof_join",
 ]
 
 

@@ -88,6 +88,37 @@ def with_pattern_types(patterns: DataFrame, sql_col: str = "sql_pattern") -> Dat
     return patterns.withColumn("pattern_types", F.sort_array(tags))
 
 
+def parse_llm_response(df: DataFrame, response_col: str = "response") -> DataFrame:
+    """H3: parse an LLM recommendation response (section markers
+    ``Type:/Description:/Impact:`` plus a fenced \\`\\`\\`sql block —
+    /root/reference/utils/ai_suggester.py:291-350) into a
+    ``parsed`` STRUCT<rec_type, description, impact, sql> column.
+
+    Pure regexp_extract expressions (tolerant of ``**bold**`` markers and
+    ``[BRACKETED]`` values like the reference's parser); unmatched sections
+    surface as NULL rather than the reference's 'UNKNOWN' string so
+    downstream filters can use IS NULL. Runs distributed — relevant when
+    responses are produced by a batched provider over many patterns."""
+    col = F.col(response_col)
+
+    def _section(marker: str) -> F.Column:
+        pat = rf"(?im)^\**{marker}\**:\**\s*\[?([^\]\n]*?)\]?\s*$"
+        out = F.regexp_extract(col, pat, 1)
+        return F.when(out == "", F.lit(None)).otherwise(F.trim(out))
+
+    sql = F.regexp_extract(col, r"(?is)```sql\s*(.*?)\s*```", 1)
+    sql = F.when(sql == "", F.lit(None)).otherwise(F.trim(sql))
+    return df.withColumn(
+        "parsed",
+        F.struct(
+            _section("Type").alias("rec_type"),
+            _section("Description").alias("description"),
+            _section("Impact").alias("impact"),
+            sql.alias("sql"),
+        ),
+    )
+
+
 def recommendations(patterns: DataFrame, model_map: DataFrame) -> DataFrame:
     """Deterministic per-pattern recommendations.
 

@@ -63,3 +63,14 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     can reference them by name (mirrors the driver's DuckDB view set)."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def get_table_schema(df: DataFrame) -> DataFrame:
+    """A3 schema introspection (DESCRIBE TABLE analog,
+    /root/reference/utils/data_acquisition.py:250-293): one row per column
+    with name/type/nullable. The reference round-trips DESCRIBE to the
+    server; here the schema is already on the driver — this just reshapes
+    ``df.schema`` into a queryable DataFrame."""
+    spark = df.sparkSession
+    rows = [(f.name, f.dataType.simpleString(), f.nullable) for f in df.schema.fields]
+    return spark.createDataFrame(rows, "col_name string, data_type string, nullable boolean")

@@ -107,6 +107,44 @@ def test_rule_precedence(spark, model_map):
     assert "unknown_t" in recs["p1"].description
 
 
+def test_parse_llm_response(spark):
+    from querysight_spark.plans.recommend import parse_llm_response
+
+    resp = """Here is my recommendation.
+
+**Type:** [NEW_DBT_MODEL]
+Description: Create a staging model for raw_events
+**Impact:** HIGH
+
+```sql
+SELECT * FROM raw_events
+WHERE loaded_at > '2024-01-01'
+```
+Implementation: run dbt."""
+    df = spark.createDataFrame([("p1", resp), ("p2", "no structure at all")],
+                               "pattern_id string, response string")
+    out = {r.pattern_id: r.parsed for r in parse_llm_response(df).collect()}
+    p1 = out["p1"]
+    assert p1.rec_type == "NEW_DBT_MODEL"
+    assert p1.description == "Create a staging model for raw_events"
+    assert p1.impact == "HIGH"
+    assert p1.sql == "SELECT * FROM raw_events\nWHERE loaded_at > '2024-01-01'"
+    p2 = out["p2"]
+    assert p2.rec_type is None and p2.sql is None
+
+
+def test_get_table_schema(spark):
+    from querysight_spark.sources.catalog import get_table_schema
+
+    df = spark.createDataFrame([(1, "a", [1.0])], "id long, name string, xs array<double>")
+    rows = {r.col_name: (r.data_type, r.nullable) for r in get_table_schema(df).collect()}
+    assert rows == {
+        "id": ("bigint", True),
+        "name": ("string", True),
+        "xs": ("array<double>", True),
+    }
+
+
 def test_system_tables_never_reported_unmapped(spark, model_map):
     p = _patterns(
         spark,
