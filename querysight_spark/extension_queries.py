@@ -341,6 +341,67 @@ def aj01(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+# --- range join -------------------------------------------------------------
+
+
+@_q(
+    "rj01_range_join",
+    """WITH o AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ),
+       s AS (
+         SELECT user_id, ts, event_id,
+                SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+         FROM o
+       ),
+       sessions AS (
+         SELECT user_id, MIN(ts) AS session_start,
+                MAX(ts) + INTERVAL 30 MINUTE AS session_end
+         FROM s GROUP BY user_id, sid
+       )
+       SELECT e.event_id, sx.session_start
+       FROM events e JOIN sessions sx
+         ON e.user_id = sx.user_id
+        AND e.ts >= sx.session_start AND e.ts < sx.session_end
+       ORDER BY e.event_id""",
+)
+def rj01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join: every event matched to its containing user
+    session (sessions = session_window aggregation, so each event lands in
+    exactly one interval — a built-in correctness check). Engine side is
+    the bucketized equi-join of operators.rangejoin; oracle is DuckDB's
+    native range join over the gaps-and-islands session table."""
+    from querysight_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, "events", sf_dir)
+    sessions = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+        )
+    )
+    points = ev.select("event_id", "user_id", "ts")
+    out = range_join(
+        points,
+        sessions,
+        on=["user_id"],
+        point_time="ts",
+        interval_start="session_start",
+        interval_end="session_end",
+        bucket_width_s=3600,
+    )
+    return out.select("event_id", "session_start").orderBy("event_id")
+
+
 # --- multimodal -------------------------------------------------------------
 
 # Decode an md5 hex pair to its byte value, in portable SQL (DuckDB cannot

@@ -15,6 +15,7 @@ from querysight_spark.streaming import (
     compact_pattern_state,
     read_pattern_state,
     start_incremental_merge,
+    stateful_pattern_counts,
     stream_query_logs,
     windowed_pattern_counts,
 )
@@ -105,6 +106,48 @@ def test_compaction_preserves_state(spark, dirs):
     live = {r.normalized_query: r.frequency
             for r in read_pattern_state(spark, dirs["state"]).collect()}
     assert compacted == live
+
+
+def test_stateful_counts_accumulate_across_runs(spark, dirs):
+    batch1 = spark.createDataFrame(_log_rows(range(4), "pat_a", 3), QUERY_LOG_SCHEMA)
+    batch1.write.mode("append").parquet(dirs["input"])
+
+    def run():
+        # memory sink can't recover from a checkpoint; foreachBatch can —
+        # collect the update-mode rows driver-side per run
+        got: dict[str, object] = {}
+        stream = stream_query_logs(spark, dirs["input"])
+        q = (
+            stateful_pattern_counts(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, _eid: got.update(
+                    {r.normalized_query: r for r in bdf.collect()}
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", dirs["chk"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    r1 = run()
+    assert r1["pat_a"].frequency == 4
+    assert r1["pat_a"].total_duration_ms == pytest.approx(100.0 * (1 + 2 + 3 + 4))
+
+    # second run resumes from the checkpoint: state store carries the prior
+    # counts, only the new file is read
+    batch2 = spark.createDataFrame(
+        _log_rows(range(4, 10), "pat_a", 4) + _log_rows(range(3), "pat_b", 5),
+        QUERY_LOG_SCHEMA,
+    )
+    batch2.write.mode("append").parquet(dirs["input"])
+    r2 = run()
+    assert r2["pat_a"].frequency == 10  # 4 carried in state + 6 new
+    assert r2["pat_b"].frequency == 3
+    assert r2["pat_a"].first_seen == dt.datetime(2024, 1, 3, 0)
+    assert r2["pat_a"].last_seen == dt.datetime(2024, 1, 4, 9)
 
 
 def test_windowed_counts_with_watermark(spark, dirs):
