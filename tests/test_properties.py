@@ -1,0 +1,127 @@
+"""Property-based tests (SURVEY §5.4): parser/normalizer invariants under
+hypothesis-generated inputs. These run pure Python (extract_tables) and a
+driver-side re-implementation of the normalize regex chain — no Spark jobs
+per example, so hundreds of cases stay fast."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from querysight_spark.functions.sqlextract import extract_tables
+
+_ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,10}", fullmatch=True).filter(
+    lambda s: s.lower()
+    not in {
+        "select", "from", "join", "where", "with", "as", "on", "group",
+        "order", "having", "limit", "union", "lateral", "unnest", "values",
+        "inner", "left", "right", "full", "cross", "by", "and", "or", "not",
+        "except", "intersect", "window", "qualify", "using", "only", "dual",
+    }
+)
+
+
+# --- extract_tables ---------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300))
+def test_extractor_total_and_canonical(s):
+    """Never raises on arbitrary text; output is sorted, lowercase,
+    deduplicated, and deterministic."""
+    out = extract_tables(s)
+    assert out == sorted(set(out))
+    assert all(t == t.lower() for t in out)
+    assert extract_tables(s) == out
+
+
+@settings(max_examples=100, deadline=None)
+@given(_ident, _ident, st.integers(0, 10**6))
+def test_extractor_finds_from_and_join(t1, t2, n):
+    sql = f"SELECT a FROM {t1} JOIN {t2} ON {t1}.id = {t2}.id WHERE x = {n}"
+    out = extract_tables(sql)
+    assert set(out) >= {t1.lower(), t2.lower()}
+
+
+@settings(max_examples=100, deadline=None)
+@given(_ident, _ident)
+def test_cte_names_never_reported(cte, tbl):
+    """Mirrors utils/sql_parser.py:91-110 — CTE names are not tables."""
+    if cte.lower() == tbl.lower():
+        return
+    sql = f"WITH {cte} AS (SELECT 1 FROM {tbl}) SELECT * FROM {cte}"
+    out = extract_tables(sql)
+    assert cte.lower() not in out
+    assert tbl.lower() in out
+
+
+@settings(max_examples=100, deadline=None)
+@given(_ident, _ident, _ident)
+def test_schema_normalization_keeps_last_two_parts(catalog, schema, tbl):
+    sql = f"SELECT 1 FROM {catalog}.{schema}.{tbl}"
+    assert extract_tables(sql) == [f"{schema.lower()}.{tbl.lower()}"]
+
+
+@settings(max_examples=100, deadline=None)
+@given(_ident, st.text(alphabet=st.characters(blacklist_characters="'"), max_size=40))
+def test_string_literals_never_leak_tables(tbl, lit):
+    sql = f"SELECT 1 FROM {tbl} WHERE x = '{lit}'"
+    out = extract_tables(sql)
+    assert tbl.lower() in out
+    # nothing from inside the literal can appear as a table
+    for t in out:
+        assert t == tbl.lower()
+
+
+# --- normalize_query (same regex chain, applied via Python re) --------------
+
+_PATTERNS = [
+    (re.compile(r"/\*.*?\*/", re.S), " "),
+    (re.compile(r"--[^\n]*"), " "),
+    (re.compile(r"'(?:[^']|'')*'"), "?"),
+    (re.compile(r"\b\d+(?:\.\d+)?\b"), "?"),
+    (re.compile(r"\s+"), " "),
+]
+
+
+def _normalize(s: str) -> str:
+    for pat, repl in _PATTERNS:
+        s = pat.sub(repl, s)
+    return s.strip().lower()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200))
+def test_normalize_idempotent(s):
+    once = _normalize(s)
+    assert _normalize(once) == once
+
+
+@settings(max_examples=100, deadline=None)
+@given(_ident, st.integers(0, 10**9), st.integers(0, 10**9))
+def test_normalize_groups_literal_variants(tbl, a, b):
+    """Two queries differing only in literals normalize identically —
+    the property pattern grouping (D1) relies on."""
+    q1 = f"SELECT * FROM {tbl} WHERE k = {a} AND s = 'x{a}'"
+    q2 = f"SELECT * FROM {tbl}  WHERE k = {b} AND s = 'y{b}'"
+    assert _normalize(q1) == _normalize(q2)
+
+
+def test_normalize_python_matches_spark(spark):
+    """The Python mirror above must agree with the Spark expression chain —
+    one Spark job pinning the contract for the property tests."""
+    from pyspark.sql import functions as F
+
+    from querysight_spark.functions.normalize import normalize_query
+
+    qs = [
+        "SELECT * FROM t WHERE k = 42 AND s = 'hi''there'",
+        "select  1,2.5 /* c */ from x -- tail",
+        "",
+        "WITH c AS (SELECT 9) SELECT * FROM c WHERE d = '2024-01-01'",
+    ]
+    df = spark.createDataFrame([(q,) for q in qs], "q string")
+    got = [r.n for r in df.select(normalize_query(F.col("q")).alias("n")).collect()]
+    assert got == [_normalize(q) for q in qs]
