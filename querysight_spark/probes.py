@@ -234,6 +234,38 @@ _p(
        ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""",
 )
 
+_p(
+    "p32_grouping_sets",
+    """SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+       ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""",
+)
+_p(
+    "p33_cube",
+    """SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       GROUP BY CUBE(c_mktsegment, o_orderstatus)
+       ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""",
+)
+_p(
+    "p34_date_parts",
+    """SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+              CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow,
+              CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr, COUNT(*) AS n
+       FROM events
+       GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    # dialect swap: Spark EXTRACT(dow) is 1-based (Sunday=1), DuckDB's is
+    # 0-based (Sunday=0) — the oracle shifts. date_trunc('week') is
+    # Monday-start in both engines.
+    """SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+              CAST(EXTRACT(dow FROM ts) + 1 AS BIGINT) AS dow,
+              CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr, COUNT(*) AS n
+       FROM events
+       GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+)
+
 # --- sessionization ---------------------------------------------------------
 # Spark's session_window merges an event into the current session while its
 # timestamp is STRICTLY inside the previous event's [ts, ts+gap) window — an
