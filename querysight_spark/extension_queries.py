@@ -223,7 +223,19 @@ def ss01(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("ss02_lsh_topk", None)  # rows-only: seeded-hyperplane ANN is approximate
 def ss02(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, "embeddings", sf_dir)
-    return lsh_bucketed_topk(vecs, _query_vec(spark, sf_dir), k=10, bits=4)
+    return lsh_bucketed_topk(
+        vecs, _query_vec(spark, sf_dir), k=10, bits=4, n_probes=2
+    )
+
+
+@_q("ss03_ivf_topk", None)  # rows-only: k-means quantizer ANN is approximate
+def ss03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from querysight_spark.operators.similarity import ivf_topk
+
+    vecs = load_table(spark, "embeddings", sf_dir)
+    return ivf_topk(
+        vecs, _query_vec(spark, sf_dir), k=10, n_centroids=16, n_probes=4
+    )
 
 
 # --- text analysis ----------------------------------------------------------

@@ -83,26 +83,124 @@ def lsh_bucketed_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
 ) -> DataFrame:
-    """ANN top-k: compute the query's bucket, rank only vectors sharing it.
-    Recall < 1 by construction; raise ``bits`` for smaller buckets or probe
-    neighboring buckets (hamming-1) for higher recall — both knobs keep the
-    plan shape identical."""
+    """ANN top-k: rank only vectors in the query's bucket(s).
+
+    ``n_probes`` enables MULTIPROBE: beyond the query's own bucket, probe
+    the buckets reached by flipping the hyperplane bits with the smallest
+    |margin| (the bits most likely to disagree for true neighbors) — the
+    standard recall knob that costs extra candidates, not extra passes.
+    Probe buckets are computed driver-side (tiny); the plan stays
+    scan → bucket filter (isin) → score → TakeOrderedAndProject."""
     q = [float(x) for x in query_vec]
     planes = hyperplanes(len(q), bits, seed)
-    qbucket = 0
-    for i, p in enumerate(planes):
-        if sum(a * b for a, b in zip(q, p)) >= 0:
-            qbucket |= 1 << i
+    margins = [sum(a * b for a, b in zip(q, p)) for p in planes]
+    qbucket = sum(1 << i for i, m in enumerate(margins) if m >= 0)
+    # flip lowest-|margin| bits first: probe sets of size n_probes
+    flip_order = sorted(range(bits), key=lambda i: abs(margins[i]))
+    probes = [qbucket]
+    for i in flip_order:
+        if len(probes) >= n_probes:
+            break
+        probes.append(qbucket ^ (1 << i))
     bucketed = bucket_ids(df, planes, id_col, vec_col)
     qn = float(np.sqrt(sum(x * x for x in q)))
     qcol = F.array(*[F.lit(x) for x in q])
-    cand = bucketed.where(F.col("bucket") == qbucket)
+    cand = bucketed.where(F.col("bucket").isin(probes))
     scored = cand.select(
         F.col(id_col),
         F.round(
             _dot(F.col("v"), qcol, len(q))
             / (F.sqrt(_dot(F.col("v"), F.col("v"), len(q))) * F.lit(qn)),
+            6,
+        ).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    sample_size: int = 4096,
+    iters: int = 5,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer for IVF, trained on a bounded
+    seeded sample (the ONLY driver-side collection in the ANN path — at
+    100 TB the sample stays ``sample_size`` rows regardless of corpus).
+    Deterministic: seeded sample, seeded init, fixed Lloyd iterations."""
+    rows = (
+        df.select(vec_col).sample(False, 0.5, seed).limit(sample_size).collect()
+    )
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C.tolist()
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid (max cosine) list assignment, map-side: per-centroid
+    dot products → argmax via array_max over (dot, -cid) structs. At scale,
+    write the output partitioned by ``list_id`` so probes prune partitions."""
+    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    norm = F.sqrt(_dot(F.col("v"), F.col("v"), len(centroids[0])))
+    entries = [
+        F.struct(
+            (_dot(F.col("v"), F.array(*[F.lit(float(x)) for x in c]), len(c)) / norm).alias("d"),
+            F.lit(-i).alias("neg_cid"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    best = F.array_max(F.array(*entries))
+    return v.select(F.col(id_col), F.col("v"), (-best["neg_cid"]).cast("int").alias("list_id"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probes: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: restrict exact cosine ranking to the ``n_probes``
+    inverted lists whose centroids are nearest the query. Recall rises with
+    n_probes/n_centroids; plan shape is identical to the LSH variant."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, n_centroids=n_centroids, seed=seed, vec_col=vec_col
+        )
+    q = np.array([float(x) for x in query_vec])
+    qn_ = np.linalg.norm(q)
+    C = np.array(centroids)
+    sims = (C @ q) / np.maximum(np.linalg.norm(C, axis=1) * qn_, 1e-12)
+    probe_ids = [int(i) for i in np.argsort(-sims)[:n_probes]]
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    cand = assigned.where(F.col("list_id").isin(probe_ids))
+    scored = cand.select(
+        F.col(id_col),
+        F.round(
+            _dot(F.col("v"), qcol, len(q))
+            / (F.sqrt(_dot(F.col("v"), F.col("v"), len(q))) * F.lit(float(qn_))),
             6,
         ).alias("cosine"),
     )

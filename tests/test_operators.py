@@ -110,6 +110,34 @@ def test_lsh_topk_subset_of_brute(vecs):
     assert 1 in ann  # the exact match shares every hyperplane sign
 
 
+def test_lsh_multiprobe_widens_candidates(vecs):
+    q = [1.0, 0.0, 0.0, 0.0]
+    single = {r.vec_id for r in lsh_bucketed_topk(vecs, q, k=10, bits=2, n_probes=1).collect()}
+    multi = {r.vec_id for r in lsh_bucketed_topk(vecs, q, k=10, bits=2, n_probes=4).collect()}
+    assert single <= multi  # probing more buckets never loses candidates
+    assert 1 in multi
+
+
+def test_ivf_topk_finds_exact_match(vecs):
+    from querysight_spark.operators.similarity import ivf_assign, ivf_topk, train_ivf_centroids
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    # probing every list makes IVF exact — must equal brute force
+    brute = [(r.vec_id, r.cosine) for r in brute_force_topk(vecs, q, k=3).collect()]
+    full = [(r.vec_id, r.cosine)
+            for r in ivf_topk(vecs, q, k=3, n_centroids=2, n_probes=2).collect()]
+    assert full == brute
+    # assignment is the numpy argmax over normalized centroid dots
+    cents = train_ivf_centroids(vecs, n_centroids=2, sample_size=10)
+    import numpy as np
+
+    C = np.array(cents)
+    for r in ivf_assign(vecs, cents).collect():
+        v = np.array(r.v)
+        sims = (C @ v) / (np.linalg.norm(C, axis=1) * np.linalg.norm(v))
+        assert r.list_id == int(np.argmax(np.round(sims, 12)))
+
+
 def test_token_counts(docs):
     out = {r.doc_id: r for r in token_counts(docs).collect()}
     assert out[1].ws_tokens == 13
