@@ -472,6 +472,69 @@ def mm02(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Inject PII shapes into every 7th doc (both engines identically) so the
+# scrub pass has true positives; untouched docs prove no false positives.
+_PII_SUFFIX = " mail bob@example.com ip 10.0.42.7 call 555-123-4567 ssn 123-45-6789"
+
+
+@_q(
+    "tx05_scrub_pii",
+    f"""WITH aug AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0 THEN text || '{_PII_SUFFIX}'
+                     ELSE text END AS text
+         FROM documents)
+       SELECT doc_id,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                    '(?:\\+?[0-9]{{1,3}}[-. ])?\\(?[0-9]{{3}}\\)?[-. ][0-9]{{3}}[-. ][0-9]{{4}}', '<PHONE>', 'g'),
+                  '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b', '<IP>', 'g'),
+                '\\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\\b', '<SSN>', 'g') AS text
+       FROM aug ORDER BY doc_id""",
+)
+def tx05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from querysight_spark.operators.textstats import scrub_pii
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(_PII_SUFFIX))
+        ).otherwise(F.col("text")),
+    )
+    return scrub_pii(aug).select("doc_id", "text").orderBy("doc_id")
+
+
+@_q(
+    "tx06_dedupe_keep_best",
+    """WITH aug AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+       )
+       SELECT doc_id FROM (
+         SELECT doc_id,
+                ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         FROM aug) t
+       WHERE rn = 1 ORDER BY doc_id""",
+)
+def tx06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper selection over an exact-dup-augmented corpus. Identical text
+    ⇒ identical quality score, so the deterministic id tie-break decides —
+    the oracle orders by doc_id alone for the same reason."""
+    from querysight_spark.operators.textstats import dedupe_keep_best
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    dup = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    aug = docs.unionByName(dup)
+    return dedupe_keep_best(aug).select("doc_id").orderBy("doc_id")
+
+
 _LANG_SCORE = {
     "de": "('der','die','das','und','zu','in','ein','eine','ist','von')",
     "en": "('the','a','of','and','to','in','is','that','it','for')",

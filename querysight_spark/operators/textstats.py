@@ -119,3 +119,55 @@ def document_fingerprint(
 
     sh = df.select(F.col(id_col), F.explode(_shingles(text_col, shingle_size)).alias("sh"))
     return sh.groupBy(id_col).agg(F.min(F.md5("sh")).alias("fingerprint"))
+
+
+# PII patterns kept to RE2-compatible constructs (no backrefs/lookaround) so
+# the same strings run verbatim in Spark (Java regex) and the DuckDB oracle.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"(?:\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Mask common PII shapes (emails, phone numbers, IPv4, SSN-style ids)
+    with typed placeholders — the standard pre-training scrub pass. A
+    regexp_replace chain: JVM-side, codegen, no shuffle; order matters
+    (emails first so their digits don't half-match the phone pattern)."""
+    c = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return df.withColumn(out_col or text_col, c)
+
+
+def dedupe_keep_best(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str | None = None,
+) -> DataFrame:
+    """Canonical-document selection: one keeper per exact-content group,
+    the highest-scoring member (quality_score by default; id as a
+    deterministic tie-break). One window over a hash-shuffle — the
+    "dedup but keep the best copy" pass that follows exact dedup in
+    training pipelines."""
+    from pyspark.sql.window import Window
+
+    if score_col is None:
+        scored = quality_scores(df, id_col, text_col).select(
+            F.col(id_col), F.col("quality_score").alias("_score")
+        )
+        df = df.join(scored, id_col)
+        score_col = "_score"
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_score")
+    )

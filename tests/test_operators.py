@@ -163,6 +163,43 @@ def test_document_fingerprint(docs):
     assert out[1] != out[4]
 
 
+def test_scrub_pii(spark):
+    from querysight_spark.operators.textstats import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "reach me at a.smith+x@mail.co or 555-123-4567, host 10.0.0.1, id 123-45-6789"),
+         (2, "clean text with numbers 12345 and dots 1.2 stays intact")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in scrub_pii(df).collect()}
+    assert out[1] == "reach me at <EMAIL> or <PHONE>, host <IP>, id <SSN>"
+    assert out[2] == "clean text with numbers 12345 and dots 1.2 stays intact"
+
+
+def test_dedupe_keep_best_custom_score(spark):
+    from querysight_spark.operators.textstats import dedupe_keep_best
+
+    df = spark.createDataFrame(
+        [(1, "same text", 0.2), (2, "same text", 0.9), (3, "same text", 0.9),
+         (4, "other", 0.1)],
+        "doc_id long, text string, s double",
+    )
+    kept = sorted(r.doc_id for r in dedupe_keep_best(df, score_col="s").collect())
+    # highest score wins; id breaks the 2-vs-3 tie; singleton group survives
+    assert kept == [2, 4]
+
+
+def test_dedupe_keep_best_default_quality(spark):
+    from querysight_spark.operators.textstats import dedupe_keep_best
+
+    df = spark.createDataFrame(
+        [(10, "the and of to in"), (7, "the and of to in"), (5, "unique doc")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in dedupe_keep_best(df).collect())
+    assert kept == [5, 7]  # equal text ⇒ equal score ⇒ min id kept
+
+
 def test_multimodal_pipeline(spark):
     docs = spark.createDataFrame(
         [(i, "word " * (i + 3), "en", "src", 5 * (i + 3)) for i in range(6)],
