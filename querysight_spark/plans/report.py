@@ -89,3 +89,24 @@ def export_json(df: DataFrame, path: str, single_file: bool = False) -> None:
     in parallel."""
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").json(path)
+
+
+def to_junction_tables(patterns: DataFrame) -> dict[str, DataFrame]:
+    """C7 in reverse: reconstruct the reference's SQLite junction tables
+    (pattern_users / pattern_tables / pattern_dbt_models,
+    utils/cache_manager.py:127-171) from the native array columns — only
+    for exports that need the normalized star shape; the engine itself
+    keeps arrays (SURVEY §1.3)."""
+    out = {
+        "pattern_users": patterns.select(
+            "pattern_id", F.explode("users").alias("user")
+        ),
+        "pattern_tables": patterns.select(
+            "pattern_id", F.explode("tables_accessed").alias("table_name")
+        ),
+    }
+    if "dbt_models_used" in patterns.columns:
+        out["pattern_dbt_models"] = patterns.select(
+            "pattern_id", F.explode("dbt_models_used").alias("model_name")
+        )
+    return out

@@ -133,6 +133,43 @@ Implementation: run dbt."""
     assert p2.rec_type is None and p2.sql is None
 
 
+def test_provider_seam(spark, model_map):
+    from querysight_spark.plans.providers import LLMRecommender, RuleBasedRecommender
+
+    p = _patterns(
+        spark,
+        [("p1", "n1", "SELECT * FROM unknown_t", 5, 5000.0, ["unknown_t"])],
+    )
+    rule = RuleBasedRecommender().recommend(p, model_map).first()
+    assert rule.rec_type == "NEW_DBT_MODEL"
+
+    def fake_complete(prompt):
+        assert "RESPONSE FORMAT" in prompt
+        return "Type: [REWRITE_QUERY]\nDescription: use a CTE\nImpact: [LOW]\n```sql\nSELECT 1\n```"
+
+    llm = LLMRecommender(complete=fake_complete).recommend(p, model_map).first()
+    assert (llm.rec_type, llm.impact, llm.suggested_sql) == (
+        "REWRITE_QUERY", "LOW", "SELECT 1",
+    )
+
+    with pytest.raises(ValueError):
+        LLMRecommender()
+
+
+def test_junction_reconstruction(spark):
+    from querysight_spark.plans.report import to_junction_tables
+
+    pats = spark.createDataFrame(
+        [("p1", ["alice", "bob"], ["t1"], ["m1", "m2"])],
+        "pattern_id string, users array<string>, tables_accessed array<string>, "
+        "dbt_models_used array<string>",
+    )
+    j = to_junction_tables(pats)
+    assert sorted(r.user for r in j["pattern_users"].collect()) == ["alice", "bob"]
+    assert [r.table_name for r in j["pattern_tables"].collect()] == ["t1"]
+    assert sorted(r.model_name for r in j["pattern_dbt_models"].collect()) == ["m1", "m2"]
+
+
 def test_get_table_schema(spark):
     from querysight_spark.sources.catalog import get_table_schema
 
