@@ -87,6 +87,36 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_images(
+    media: DataFrame, max_width: int = 256, max_height: int = 256
+) -> DataFrame:
+    """Image resize stage: metadata math is column expressions (target
+    dims preserve aspect ratio against the max box); the pixel resample
+    itself needs an image library, so the payload transform is the
+    documented stub — payload passes through and ``resized`` is False
+    whenever actual resampling would have been required. The Spark-side
+    contract (pruned metadata read for the planning columns, mapInPandas
+    batch shape for the real thing) matches extract_features."""
+    w = F.coalesce(F.col("meta.width").cast("double"), F.lit(0.0))
+    h = F.coalesce(F.col("meta.height").cast("double"), F.lit(0.0))
+    scale = F.least(
+        F.lit(1.0),
+        F.least(
+            F.lit(float(max_width)) / F.greatest(w, F.lit(1.0)),
+            F.lit(float(max_height)) / F.greatest(h, F.lit(1.0)),
+        ),
+    )
+    return media.where(F.col("media_type") == "image").select(
+        "asset_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.floor(w * scale).cast("int").alias("target_width"),
+        F.floor(h * scale).cast("int").alias("target_height"),
+        (scale < 1.0).alias("needs_resample"),
+        "payload",
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling PLAN: computes per-asset frame timestamps from
     metadata only (no payload touch → parquet reads prune the blob column).

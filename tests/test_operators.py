@@ -218,6 +218,26 @@ def test_multimodal_pipeline(spark):
     assert all(r["count"] >= 1 for r in frames)
 
 
+def test_multimodal_resize_plan(spark):
+    from querysight_spark.operators.multimodal import resize_images
+
+    media = spark.createDataFrame(
+        [("a1", "image", b"x", (640, 480, 0, "c")),
+         ("a2", "image", b"y", (100, 50, 0, "c")),
+         ("a3", "video", b"z", (1920, 1080, 5000, "c"))],
+        "asset_id string, media_type string, payload binary, "
+        "meta struct<width:int,height:int,duration_ms:long,codec:string>",
+    )
+    out = {r.asset_id: r for r in resize_images(media, 256, 256).collect()}
+    assert set(out) == {"a1", "a2"}  # videos excluded
+    # 640x480 → scale 0.4 → 256x192, needs resample
+    assert (out["a1"].target_width, out["a1"].target_height) == (256, 192)
+    assert out["a1"].needs_resample
+    # already inside the box → untouched
+    assert (out["a2"].target_width, out["a2"].target_height) == (100, 50)
+    assert not out["a2"].needs_resample
+
+
 def test_multimodal_decode_stub_raises(spark):
     docs = spark.createDataFrame([(1, "x", "en", "s", 1)], ["doc_id", "text", "lang", "source", "n_chars"])
     media = media_from_documents(docs)
