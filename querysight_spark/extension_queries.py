@@ -296,6 +296,24 @@ def tx03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return document_fingerprint(docs).orderBy("doc_id")
 
 
+# --- sketches ---------------------------------------------------------------
+
+
+@_q("sk01_sketches", None)  # rows-only: sketch internals differ across engines
+def sk01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (SURVEY §2.D "absent" list, supported as
+    built-ins): HyperLogLog++ distinct counts and approximate quantiles.
+    Deliberately NOT oracle-hashed — sketch estimates are engine-specific;
+    the driver records the rows-only check."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct("event_type").alias("approx_types"),
+        F.percentile_approx("value", 0.5).alias("p50_value"),
+        F.percentile_approx("value", 0.99).alias("p99_value"),
+    )
+
+
 # --- as-of join -------------------------------------------------------------
 
 
