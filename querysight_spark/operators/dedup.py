@@ -165,6 +165,7 @@ def ngram_jaccard_pairs(
     shingle_size: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via a shingle inverted index:
     explode shingles → self-join on shingle → |A∩B| per pair →
@@ -179,12 +180,22 @@ def ngram_jaccard_pairs(
     both self-join sides), so it is persisted once — without this, the
     string-heavy shingling recomputes per branch (observed 8 source scans
     for one query). At 100 TB, write the index to a temp parquet table
-    instead of caching (same plan shape, executor-memory-independent)."""
+    instead of caching (same plan shape, executor-memory-independent).
+
+    ``hash_shingles`` (default) joins on ``xxhash64(shingle)`` instead of
+    the shingle string — 2× faster shuffle/compare (measured at sf0.1). A
+    64-bit collision could perturb one intersection count; with d distinct
+    shingles P ≈ d²/2⁶⁵ (~1e-11 at 10⁴·⁵, ~3% only past 10⁹ distinct
+    shingles, and even then jaccard moves by 1/|union|). Set False for the
+    strictly-exact string join."""
     from pyspark import StorageLevel
 
     sh = df.select(
         F.col(id_col), F.explode(_shingles(text_col, shingle_size)).alias("sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if hash_shingles:
+        sh = sh.select(F.col(id_col), F.xxhash64("sh").alias("sh"))
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if max_shingle_df is not None:
         keep = sh.groupBy("sh").agg(F.countDistinct(id_col).alias("df")).where(
