@@ -266,6 +266,33 @@ _p(
        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
 )
 
+_p(
+    "p35_array_fns",
+    """SELECT doc_id,
+              size(split(text, ' ')) AS n_words,
+              array_join(slice(sort_array(array_distinct(split(text, ' '))), 1, 3), ',')
+                AS first3,
+              array_contains(split(text, ' '), 'the') AS has_the
+       FROM documents ORDER BY doc_id""",
+    """SELECT doc_id,
+              len(string_split(text, ' ')) AS n_words,
+              array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',')
+                AS first3,
+              list_contains(string_split(text, ' '), 'the') AS has_the
+       FROM documents ORDER BY doc_id""",
+)
+_p(
+    "p36_struct_fns",
+    """SELECT event_id,
+              named_struct('u', user_id, 'v', value).u AS su,
+              named_struct('u', user_id, 'v', value).v AS sv
+       FROM events ORDER BY event_id""",
+    """SELECT event_id,
+              struct_pack(u := user_id, v := value).u AS su,
+              struct_pack(u := user_id, v := value).v AS sv
+       FROM events ORDER BY event_id""",
+)
+
 # --- sessionization ---------------------------------------------------------
 # Spark's session_window merges an event into the current session while its
 # timestamp is STRICTLY inside the previous event's [ts, ts+gap) window — an
