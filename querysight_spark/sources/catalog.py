@@ -58,11 +58,28 @@ def load_tables(
     return {n: load_table(spark, n, sf_dir) for n in names}
 
 
-def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+# application id → sf_dir whose views are currently registered. Tracking the
+# CURRENT dir (not a seen-set) keeps alternating sf_dirs correct: any switch
+# re-registers, only true repeats skip.
+_REGISTERED: dict[str, str] = {}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, force: bool = False
+) -> None:
     """Register every testdata table as a temp view so spark.sql(...) probes
-    can reference them by name (mirrors the driver's DuckDB view set)."""
+    can reference them by name (mirrors the driver's DuckDB view set).
+
+    Memoized: repeated probe invocations against the same sf_dir in one
+    session skip the 10 footer reads + view registrations (~0.6 s each —
+    more than half the warm runtime of a small probe query)."""
+    app = spark.sparkContext.applicationId
+    target = os.path.abspath(sf_dir)
+    if not force and _REGISTERED.get(app) == target:
+        return
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+    _REGISTERED[app] = target
 
 
 def get_table_schema(df: DataFrame) -> DataFrame:
