@@ -99,6 +99,7 @@ def run_analysis(
     min_frequency: int = 2,
     extract_from_sql: bool = True,
     max_hops: int | None = 1,
+    prior_patterns: DataFrame | None = None,
     cache: SnapshotCache | None = None,
     use_cache: bool = True,
     now: float | None = None,
@@ -163,7 +164,18 @@ def run_analysis(
     if target < 2:
         return res
 
-    # Level 3 — dbt integration (querysight.py:587-638)
+    # Level 3 — dbt integration (querysight.py:587-638). The reference
+    # merges fresh patterns into cached prior state here (enrich_patterns,
+    # utils/cache_manager.py:591-607) — the caller passes prior state
+    # explicitly (e.g. streaming.read_pattern_state output) and owns the
+    # idempotency key discipline (SURVEY §7.4.4).
+    if prior_patterns is not None:
+        from querysight_spark.functions.normalize import with_pattern_columns
+        from querysight_spark.plans.patterns import merge_patterns
+
+        res.patterns = merge_patterns(
+            with_pattern_columns(prior_patterns), res.patterns
+        )
     if model_map is None:
         raise ValueError("level 'dbt_integration' requires model_map")
     res.patterns_enriched = patterns_with_models(res.patterns, model_map)

@@ -3,6 +3,7 @@ from querysight_spark.streaming.incremental import (
     read_pattern_state,
     start_incremental_merge,
     stream_query_logs,
+    streaming_exact_dedup,
     windowed_pattern_counts,
 )
 from querysight_spark.streaming.stateful import stateful_pattern_counts
@@ -13,5 +14,6 @@ __all__ = [
     "start_incremental_merge",
     "stateful_pattern_counts",
     "stream_query_logs",
+    "streaming_exact_dedup",
     "windowed_pattern_counts",
 ]

@@ -81,6 +81,21 @@ def windowed_pattern_counts(
     )
 
 
+def streaming_exact_dedup(
+    logs: DataFrame,
+    key_cols: list[str] | None = None,
+    time_col: str = "query_start_time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key arriving
+    within the watermark horizon (``dropDuplicatesWithinWatermark`` keeps
+    per-key state only until the watermark passes — bounded state, unlike
+    a plain ``dropDuplicates`` on a stream which remembers keys forever).
+    Default key = ``query_id``, the log's natural event id."""
+    keys = list(key_cols) if key_cols else ["query_id"]
+    return logs.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def start_incremental_merge(
     logs: DataFrame,
     state_dir: str,

@@ -112,6 +112,23 @@ def test_cache_warm_start_and_bypass(spark, query_log, dims, tmp_path):
     assert [h.split("/")[0] for h in expired.cache_hits] == ["data_collection"]
 
 
+def test_prior_state_merge(spark, query_log, dims):
+    model_map, _, _ = dims
+    from querysight_spark.plans.patterns import aggregate_patterns
+
+    prior = aggregate_patterns(query_log, min_frequency=1, extract_from_sql=False)
+    r = run_analysis(
+        spark, query_log, model_map,
+        level="dbt_integration", min_frequency=1, extract_from_sql=False,
+        prior_patterns=prior,
+    )
+    merged = {x.normalized_query: x.frequency for x in r.patterns.collect()}
+    fresh = {x.normalized_query: x.frequency for x in prior.collect()}
+    # same window merged once: frequencies double (caller owns idempotency
+    # keys — this asserts merge arithmetic, not dedup)
+    assert merged == {k: 2 * v for k, v in fresh.items()}
+
+
 def test_export_writes_json(spark, query_log, dims, tmp_path):
     model_map, sources, edges = dims
     r = run_analysis(

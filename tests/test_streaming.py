@@ -17,6 +17,7 @@ from querysight_spark.streaming import (
     start_incremental_merge,
     stateful_pattern_counts,
     stream_query_logs,
+    streaming_exact_dedup,
     windowed_pattern_counts,
 )
 
@@ -91,6 +92,24 @@ def test_epoch_replay_is_idempotent(spark, dirs):
     assert {r.normalized_query: r.frequency for r in after} == {
         r.normalized_query: r.frequency for r in before
     }
+
+
+def test_streaming_dedup_drops_redelivery(spark, dirs):
+    rows = _log_rows(range(4), "pat_a", 3)
+    dup = spark.createDataFrame(rows + rows[:2], QUERY_LOG_SCHEMA)  # q0/q1 twice
+    dup.write.mode("append").parquet(dirs["input"])
+    stream = stream_query_logs(spark, dirs["input"])
+    got = []
+    q = (
+        streaming_exact_dedup(stream, watermark="2 days")
+        .writeStream.foreachBatch(lambda bdf, _e: got.extend(bdf.collect()))
+        .option("checkpointLocation", dirs["chk"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r.query_id for r in got)
+    assert ids == ["q0", "q1", "q2", "q3"]  # re-deliveries dropped
 
 
 def test_compaction_preserves_state(spark, dirs):
