@@ -41,6 +41,17 @@ def cache_key(*params: object) -> str:
     return hashlib.md5("_".join(str(p) for p in params).encode()).hexdigest()
 
 
+def level_key(*params: object, schema_fingerprint: object | None = None) -> str:
+    """G3 level cache key: sha256 of the joined params, optionally prefixed
+    with an 8-hex schema-version fingerprint so a schema change invalidates
+    downstream levels (querysight.py:564,592,650-654)."""
+    h = hashlib.sha256("_".join(str(p) for p in params).encode()).hexdigest()
+    if schema_fingerprint is not None:
+        pfx = hashlib.sha256(str(schema_fingerprint).encode()).hexdigest()[:8]
+        return f"{pfx}_{h}"
+    return h
+
+
 class SnapshotCache:
     def __init__(self, root: str, ttls: dict[str, int] | None = None) -> None:
         self.root = root
