@@ -296,6 +296,56 @@ def tx03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return document_fingerprint(docs).orderBy("doc_id")
 
 
+# --- time rollups -----------------------------------------------------------
+
+
+@_q(
+    "tr01_hourly_rollup",
+    """SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+              COUNT(*) AS n,
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_v,
+              MIN(value) AS min_v, MAX(value) AS max_v
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def tr01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from querysight_spark.operators.rollup import time_rollup
+
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "value", F.col("value").cast("decimal(18,2)")
+    )
+    r = time_rollup(ev, "ts", "value", every="1 hour", group_cols=["event_type"])
+    return r.select(
+        "bucket_start", "event_type", "n",
+        F.round(F.col("sum").cast("double"), 2).alias("sum_v"),
+        F.col("min").cast("double").alias("min_v"),
+        F.col("max").cast("double").alias("max_v"),
+    ).orderBy("bucket_start", "event_type")
+
+
+@_q(
+    "tr02_daily_from_hourly",
+    """SELECT date_trunc('day', ts) AS bucket_start,
+              COUNT(*) AS n,
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_v
+       FROM events GROUP BY 1 ORDER BY 1""",
+)
+def tr02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily tier computed by RE-AGGREGATING the hourly rollup (no raw
+    scan) — must equal the oracle's direct daily aggregation because the
+    metrics are additive."""
+    from querysight_spark.operators.rollup import reaggregate, time_rollup
+
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "value", F.col("value").cast("decimal(18,2)")
+    )
+    hourly = time_rollup(ev, "ts", "value", every="1 hour")
+    daily = reaggregate(hourly, "1 day")
+    return daily.select(
+        "bucket_start", "n",
+        F.round(F.col("sum").cast("double"), 2).alias("sum_v"),
+    ).orderBy("bucket_start")
+
+
 # --- sketches ---------------------------------------------------------------
 
 

@@ -1,0 +1,85 @@
+"""Hypertable-style time rollups: bucketed continuous aggregates with
+multi-resolution re-aggregation (the timescale continuous-aggregate /
+"hypertable rollup" shape the reference class of tools lacks —
+SURVEY §2.I design extensions).
+
+``time_rollup`` is one tumbling-window aggregation; ``reaggregate`` rolls
+a finer rollup up to a coarser bucket WITHOUT touching raw data — the
+core hypertable trick: hourly→daily→monthly chains re-aggregate
+rollup-sized inputs (buckets × groups rows), so refreshing coarse tiers
+costs minutes-of-rollup not hours-of-scan at 100 TB. Only additive
+aggregates (count/sum/min/max) participate; averages are derived
+count+sum at read time, never stored (they don't re-aggregate).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# additive metric set: metric name -> (agg fn, re-agg fn)
+_AGGS = {
+    "n": (lambda v: F.count(F.lit(1)), F.sum),
+    "sum": (lambda v: F.sum(v), F.sum),
+    "min": (lambda v: F.min(v), F.min),
+    "max": (lambda v: F.max(v), F.max),
+}
+
+
+def time_rollup(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    every: str = "1 hour",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Tumbling-window rollup: per (bucket, groups) additive aggregates.
+    Buckets are epoch-aligned (Spark ``window()``), so `'1 hour'` matches
+    ``date_trunc('hour', ...)`` exactly."""
+    out = (
+        df.groupBy(F.window(time_col, every).alias("win"), *group_cols)
+        .agg(
+            *[
+                fn(F.col(value_col)).alias(name)
+                for name, (fn, _re) in _AGGS.items()
+            ]
+        )
+        .select(
+            F.col("win.start").alias("bucket_start"),
+            *group_cols,
+            *[F.col(name) for name in _AGGS],
+        )
+    )
+    return out
+
+
+def reaggregate(
+    rollup: DataFrame,
+    every: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Roll a finer rollup up to coarser buckets using only the additive
+    metrics — no raw-data scan. Input must be a ``time_rollup`` output
+    whose bucket width divides ``every``."""
+    return (
+        rollup.groupBy(F.window("bucket_start", every).alias("win"), *group_cols)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum").alias("sum"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+        )
+        .select(
+            F.col("win.start").alias("bucket_start"),
+            *group_cols,
+            "n", "sum", "min", "max",
+        )
+    )
+
+
+def with_avg(rollup: DataFrame) -> DataFrame:
+    """Derived average at read time (avg = sum/n; stored averages would
+    not re-aggregate)."""
+    return rollup.withColumn("avg", F.col("sum") / F.col("n"))

@@ -245,3 +245,22 @@ def test_multimodal_decode_stub_raises(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|image decoding"):
         extract_features(media, fake=False).collect()
+
+
+def test_time_rollup_reaggregation(spark):
+    import datetime as dt
+
+    from querysight_spark.operators.rollup import reaggregate, time_rollup, with_avg
+
+    rows = [(dt.datetime(2024, 1, 1, h, m), float(h * 10 + m)) for h in range(3)
+            for m in (0, 30)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    hourly = time_rollup(df, "ts", "value", every="1 hour")
+    assert hourly.count() == 3
+    h0 = hourly.orderBy("bucket_start").first()
+    assert (h0.n, h0.sum, h0.min, h0.max) == (2, 30.0, 0.0, 30.0)
+    daily = with_avg(reaggregate(hourly, "1 day")).first()
+    assert daily.n == 6
+    assert daily.sum == sum(v for _, v in rows)
+    assert (daily.min, daily.max) == (0.0, 50.0)
+    assert daily.avg == daily.sum / 6
