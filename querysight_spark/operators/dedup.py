@@ -187,7 +187,17 @@ def ngram_jaccard_pairs(
     64-bit collision could perturb one intersection count; with d distinct
     shingles P ≈ d²/2⁶⁵ (~1e-11 at 10⁴·⁵, ~3% only past 10⁹ distinct
     shingles, and even then jaccard moves by 1/|union|). Set False for the
-    strictly-exact string join."""
+    strictly-exact string join.
+
+    Pair generation is posting-list style: one groupBy(shingle) builds the
+    sorted doc list per shingle, then a JVM-side nested ``transform`` emits
+    exactly the i<j pairs — one shuffle of the index instead of the two a
+    self-join needs, and L(L-1)/2 rows per posting list instead of the L²
+    candidates a join filters down. Posting-list length is the skew knob:
+    ``max_shingle_df`` becomes a plain ``size(ids) <= k`` filter (no extra
+    aggregation pass), and at 100 TB it is mandatory — an unbounded
+    stop-phrase posting list is quadratic in one task either way, but here
+    it is also one driver-visible array."""
     from pyspark import StorageLevel
 
     sh = df.select(
@@ -197,16 +207,22 @@ def ngram_jaccard_pairs(
         sh = sh.select(F.col(id_col), F.xxhash64("sh").alias("sh"))
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    posting = sh.groupBy("sh").agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids")
+    )
     if max_shingle_df is not None:
-        keep = sh.groupBy("sh").agg(F.countDistinct(id_col).alias("df")).where(
-            F.col("df") <= max_shingle_df
-        )
-        sh = sh.join(keep.select("sh"), "sh")
-    a = sh.select(F.col(id_col).alias("ia"), "sh")
-    b = sh.select(F.col(id_col).alias("ib"), "sh")
+        posting = posting.where(F.size("ids") <= max_shingle_df)
+    pairs = posting.where(F.size("ids") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "y -> struct(x AS ia, y AS ib))))"
+            )
+        ).alias("pr")
+    )
     inter = (
-        a.join(b, ["sh"])
-        .where(F.col("ia") < F.col("ib"))
+        pairs.select("pr.ia", "pr.ib")
         .groupBy("ia", "ib")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
