@@ -98,13 +98,14 @@ def minhash_lsh_candidates(
     num_hashes/bands rows; docs sharing any band key are candidate
     duplicates. Returns distinct (doc_a, doc_b) with doc_a < doc_b.
 
-    The pair join runs per (band, key) bucket — the classic
-    shingle→minhash→band→bucket-join pipeline, O(candidates) not O(n²).
-    The banded relation feeds both self-join sides, so it is persisted
-    once — otherwise the whole shingle→md5-min signature pipeline
-    recomputes per side."""
-    from pyspark import StorageLevel
-
+    Pairs come from per-(band, key) posting lists — the classic
+    shingle→minhash→band→bucket pipeline, O(candidates) not O(n²): one
+    groupBy builds the sorted doc list per bucket and a JVM-side nested
+    ``transform`` emits the i<j pairs directly. One shuffle of the banded
+    relation (a self-join needs two) and a single consumer, so no
+    persist/cache is needed. Bucket posting lists are small by
+    construction — banding exists to keep them so — which is what makes
+    the collect_list safe here without a df cap."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
@@ -117,17 +118,22 @@ def minhash_lsh_candidates(
     ]
     banded = sig.select(
         F.col(id_col).alias("bid"), F.explode(F.array(*band_cols)).alias("bk")
-    ).select("bid", "bk.band", "bk.key").persist(StorageLevel.MEMORY_AND_DISK)
-    a = banded.alias("a")
-    b = banded.alias("b")
+    ).select("bid", "bk.band", "bk.key")
+    posting = banded.groupBy("band", "key").agg(
+        F.array_sort(F.collect_list("bid")).alias("ids")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.bid") < F.col("b.bid")),
+        posting.where(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("pr")
         )
-        .select(F.col("a.bid").alias("doc_a"), F.col("b.bid").alias("doc_b"))
+        .select("pr.doc_a", "pr.doc_b")
         .distinct()
     )
 
