@@ -228,6 +228,31 @@ def ss02(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("ss04_bucketed_storage_topk", None)  # rows-only: same ANN as ss02
+def ss04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index variant of ss02: write once partitioned by LSH
+    bucket, probe with partition pruning. Same (bits, seed, n_probes) as
+    ss02, so results are identical — what changes is the scan, which
+    reads only the probed ``bucket=`` directories."""
+    import hashlib
+    import tempfile
+
+    from querysight_spark.operators.similarity import (
+        build_lsh_index,
+        probe_lsh_index,
+    )
+
+    q = _query_vec(spark, sf_dir)
+    path = (
+        tempfile.gettempdir()
+        + "/qs_lsh_index_"
+        + hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    )
+    vecs = load_table(spark, "embeddings", sf_dir)
+    build_lsh_index(vecs, path, dim=len(q), bits=4)
+    return probe_lsh_index(spark, path, q, k=10, bits=4, n_probes=2)
+
+
 @_q("ss03_ivf_topk", None)  # rows-only: k-means quantizer ANN is approximate
 def ss03(spark: SparkSession, sf_dir: str) -> DataFrame:
     from querysight_spark.operators.similarity import ivf_topk

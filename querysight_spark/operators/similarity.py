@@ -75,6 +75,24 @@ def bucket_ids(
     return v.select(F.col(id_col), F.col("v"), bucket.cast("int").alias("bucket"))
 
 
+def lsh_probe_buckets(
+    query_vec: list[float], bits: int = 8, seed: int = 42, n_probes: int = 1
+) -> list[int]:
+    """Driver-side multiprobe bucket set for a query: its own sign-pattern
+    bucket, then buckets reached by flipping lowest-|margin| bits first."""
+    q = [float(x) for x in query_vec]
+    planes = hyperplanes(len(q), bits, seed)
+    margins = [sum(a * b for a, b in zip(q, p)) for p in planes]
+    qbucket = sum(1 << i for i, m in enumerate(margins) if m >= 0)
+    flip_order = sorted(range(bits), key=lambda i: abs(margins[i]))
+    probes = [qbucket]
+    for i in flip_order:
+        if len(probes) >= n_probes:
+            break
+        probes.append(qbucket ^ (1 << i))
+    return probes
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -94,17 +112,8 @@ def lsh_bucketed_topk(
     Probe buckets are computed driver-side (tiny); the plan stays
     scan → bucket filter (isin) → score → TakeOrderedAndProject."""
     q = [float(x) for x in query_vec]
-    planes = hyperplanes(len(q), bits, seed)
-    margins = [sum(a * b for a, b in zip(q, p)) for p in planes]
-    qbucket = sum(1 << i for i, m in enumerate(margins) if m >= 0)
-    # flip lowest-|margin| bits first: probe sets of size n_probes
-    flip_order = sorted(range(bits), key=lambda i: abs(margins[i]))
-    probes = [qbucket]
-    for i in flip_order:
-        if len(probes) >= n_probes:
-            break
-        probes.append(qbucket ^ (1 << i))
-    bucketed = bucket_ids(df, planes, id_col, vec_col)
+    probes = lsh_probe_buckets(q, bits, seed, n_probes)
+    bucketed = bucket_ids(df, hyperplanes(len(q), bits, seed), id_col, vec_col)
     qn = float(np.sqrt(sum(x * x for x in q)))
     qcol = F.array(*[F.lit(x) for x in q])
     cand = bucketed.where(F.col("bucket").isin(probes))
@@ -201,6 +210,58 @@ def ivf_topk(
         F.round(
             _dot(F.col("v"), qcol, len(q))
             / (F.sqrt(_dot(F.col("v"), F.col("v"), len(q))) * F.lit(float(qn_))),
+            6,
+        ).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def build_lsh_index(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Write the corpus partitioned by LSH bucket — the "index once, probe
+    a partition" storage layout the in-flight ``lsh_bucketed_topk`` only
+    simulates. One map-side pass (bucketing shuffles nothing; the write
+    redistributes rows into ``bucket=N/`` directories), after which every
+    probe is a partition-pruned scan reading ~n_probes/2^bits of the data —
+    at 100 TB the probe never touches the other buckets' files."""
+    planes = hyperplanes(dim, bits, seed)
+    bucket_ids(df, planes, id_col, vec_col).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+
+
+def probe_lsh_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 42,
+    n_probes: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k against a ``build_lsh_index`` layout. The ``bucket`` filter
+    hits a partition column, so Catalyst prunes directories at planning
+    time (``PartitionFilters`` in the scan node) — same results as
+    ``lsh_bucketed_topk`` with the same (bits, seed, n_probes), but the
+    candidate scan is I/O-pruned, not post-scan filtered."""
+    q = [float(x) for x in query_vec]
+    probes = lsh_probe_buckets(q, bits, seed, n_probes)
+    qn = float(np.sqrt(sum(x * x for x in q)))
+    qcol = F.array(*[F.lit(x) for x in q])
+    cand = spark.read.parquet(path).where(F.col("bucket").isin(probes))
+    scored = cand.select(
+        F.col(id_col),
+        F.round(
+            _dot(F.col("v"), qcol, len(q))
+            / (F.sqrt(_dot(F.col("v"), F.col("v"), len(q))) * F.lit(qn)),
             6,
         ).alias("cosine"),
     )

@@ -264,3 +264,23 @@ def test_time_rollup_reaggregation(spark):
     assert daily.sum == sum(v for _, v in rows)
     assert (daily.min, daily.max) == (0.0, 50.0)
     assert daily.avg == daily.sum / 6
+
+
+def test_persisted_lsh_index_matches_inflight(spark, vecs, tmp_path):
+    from querysight_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_bucketed_topk,
+        probe_lsh_index,
+    )
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    path = str(tmp_path / "lsh_index")
+    build_lsh_index(vecs, path, dim=4, bits=2)
+    indexed = probe_lsh_index(spark, path, q, k=10, bits=2, n_probes=2)
+    inflight = lsh_bucketed_topk(vecs, q, k=10, bits=2, n_probes=2)
+    got = [(r.vec_id, r.cosine) for r in indexed.collect()]
+    want = [(r.vec_id, r.cosine) for r in inflight.collect()]
+    assert got == want and len(got) > 0
+    # the bucket filter must prune at the partition level, not post-scan
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan
