@@ -263,6 +263,25 @@ def ss03(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("ss05_pq_topk", None)  # rows-only: product-quantized ADC is approximate
+def ss05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index path: train m-subspace codebooks on a bounded sample,
+    encode the corpus once (Arrow-batched, map-side), then score the
+    query against codes with driver-built literal lookup tables — the
+    probe plan is scan(codes) -> codegen project -> TakeOrderedAndProject,
+    no Python and no shuffle."""
+    from querysight_spark.operators.similarity import (
+        pq_encode,
+        pq_topk_rerank,
+        train_pq_codebooks,
+    )
+
+    q = _query_vec(spark, sf_dir)
+    vecs = load_table(spark, "embeddings", sf_dir)
+    books = train_pq_codebooks(vecs, dim=len(q), m=32, k=64)
+    return pq_topk_rerank(vecs, pq_encode(vecs, books), books, q, k=10)
+
+
 # --- text analysis ----------------------------------------------------------
 
 

@@ -14,6 +14,7 @@ the driver, broadcast as literals) so results are reproducible run-to-run.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -266,3 +267,122 @@ def probe_lsh_index(
         ).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    sample_size: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split ``dim`` into ``m`` contiguous
+    subspaces and run Lloyd k-means (k centroids) independently in each.
+    Trained on a bounded seeded sample — like ``train_ivf_centroids``, the
+    driver never holds more than ``sample_size`` rows no matter the corpus
+    size. Returns ``m × k × (dim//m)`` nested lists (broadcast as literals
+    / closure constants downstream). Requires ``dim % m == 0``."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    rows = df.select(vec_col).sample(False, 0.5, seed).limit(sample_size).collect()
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    books = []
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        C = Xs[rng.choice(len(Xs), size=min(k, len(Xs)), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for j in range(len(C)):
+                members = Xs[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        books.append(C.tolist())
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` one-byte-ish codes (nearest centroid per
+    subspace) — the write-once compression pass of a PQ index. Arrow-batched
+    pandas UDF (one numpy distance matrix per subspace per batch); output is
+    ``dim//m × 8 bytes → m ints`` per row, so a 100 TB float corpus stores
+    as a few TB of codes. Map-side only — no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    dsub = books[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def encode(vs: pd.Series) -> pd.Series:
+        X = np.array(vs.tolist(), dtype=np.float64)
+        codes = np.empty((len(X), len(books)), dtype=np.int32)
+        for s, C in enumerate(books):
+            Xs = X[:, s * dsub : (s + 1) * dsub]
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return df.select(F.col(id_col), encode(_as_double(F.col(vec_col))).alias("codes"))
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes. The query side of every
+    possible centroid dot product is a tiny ``m × k`` lookup table computed
+    on the driver, shipped as literal arrays; per row the approximate
+    cosine is ``Σ_s lut_dot[s][code_s] / (sqrt(Σ_s lut_sq[s][code_s])·‖q‖)``
+    — m ``F.get`` picks, all whole-stage codegen, no Python and no shuffle
+    in the probe path, finishing in ``TakeOrderedAndProject``."""
+    q = np.array([float(x) for x in query_vec], dtype=np.float64)
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    dsub = books[0].shape[1]
+    qn = float(np.linalg.norm(q))
+    dot_expr, sq_expr = None, None
+    for s, C in enumerate(books):
+        qs = q[s * dsub : (s + 1) * dsub]
+        lut_dot = F.array(*[F.lit(float(v)) for v in C @ qs])
+        lut_sq = F.array(*[F.lit(float(v)) for v in (C * C).sum(axis=1)])
+        code = F.get(F.col("codes"), s)
+        d = F.get(lut_dot, code)
+        sq = F.get(lut_sq, code)
+        dot_expr = d if dot_expr is None else dot_expr + d
+        sq_expr = sq if sq_expr is None else sq_expr + sq
+    scored = codes_df.select(
+        F.col(id_col),
+        F.round(dot_expr / (F.sqrt(sq_expr) * F.lit(qn)), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def pq_topk_rerank(
+    df: DataFrame,
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    oversample: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ search: ADC shortlist of ``k·oversample`` ids from the
+    compressed codes, then exact cosine over just those rows. The shortlist
+    is tiny, so the rerank join is an explicit broadcast — full-precision
+    vectors are fetched for ~k·oversample rows, not the corpus."""
+    short = pq_topk(codes_df, codebooks, query_vec, k=k * oversample, id_col=id_col)
+    cand = df.join(F.broadcast(short.select(id_col)), id_col)
+    return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)

@@ -284,3 +284,53 @@ def test_persisted_lsh_index_matches_inflight(spark, vecs, tmp_path):
     # the bucket filter must prune at the partition level, not post-scan
     plan = indexed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "bucket" in plan
+
+
+def test_pq_exact_when_codebooks_cover(vecs):
+    from querysight_spark.operators.similarity import pq_encode, pq_topk
+
+    # codebooks that contain every subvector exactly -> encoding is lossless
+    # and ADC must reproduce brute-force cosine to the rounding digit
+    books = [
+        [[1.0, 0.0], [1.0, 0.001], [0.0, 1.0], [0.0, 0.0], [-1.0, 0.0]],
+        [[0.0, 0.0], [1.0, 0.0]],
+    ]
+    q = [1.0, 0.0, 0.0, 0.0]
+    codes = pq_encode(vecs, books)
+    got = [(r.vec_id, r.cosine) for r in pq_topk(codes, books, q, k=5).collect()]
+    want = [(r.vec_id, r.cosine) for r in brute_force_topk(vecs, q, k=5).collect()]
+    assert got == want
+
+
+def test_pq_train_encode_topk_pipeline(vecs):
+    from querysight_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(vecs, dim=4, m=2, k=4, sample_size=5)
+    assert len(books) == 2 and all(len(c) == 2 for b in books for c in b)
+    codes = pq_encode(vecs, books)
+    row = codes.orderBy("vec_id").first()
+    assert len(row.codes) == 2
+    top = pq_topk(codes, books, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert len(top) == 3
+    assert [r.cosine for r in top] == sorted((r.cosine for r in top), reverse=True)
+
+
+def test_pq_rerank_recovers_brute_force(vecs):
+    from querysight_spark.operators.similarity import (
+        pq_encode,
+        pq_topk_rerank,
+        train_pq_codebooks,
+    )
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    books = train_pq_codebooks(vecs, dim=4, m=2, k=4, sample_size=5)
+    # oversample covers the whole fixture -> exact rerank == brute force
+    got = [(r.vec_id, r.cosine)
+           for r in pq_topk_rerank(vecs, pq_encode(vecs, books), books, q,
+                                   k=3, oversample=2).collect()]
+    want = [(r.vec_id, r.cosine) for r in brute_force_topk(vecs, q, k=3).collect()]
+    assert got == want
