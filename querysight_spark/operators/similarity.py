@@ -386,3 +386,58 @@ def pq_topk_rerank(
     short = pq_topk(codes_df, codebooks, query_vec, k=k * oversample, id_col=id_col)
     cand = df.join(F.broadcast(short.select(id_col)), id_col)
     return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def build_pq_index(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    m: int = 32,
+    k: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Materialize a PQ index: train codebooks, encode the corpus once, and
+    write ``(id, codes)`` parquet plus the codebooks as JSON alongside
+    (``_codebooks.json`` — driver-size metadata, not a data file). After
+    this, probes never touch the full-precision vectors: they scan only
+    the code table (~1-2% of the corpus bytes at dim=64, m=32)."""
+    import json
+
+    books = train_pq_codebooks(
+        df, dim=dim, m=m, k=k, seed=seed, vec_col=vec_col
+    )
+    pq_encode(df, books, id_col=id_col, vec_col=vec_col).write.mode(
+        "overwrite"
+    ).parquet(path)
+    with open(path + "/_codebooks.json", "w") as f:
+        json.dump(books, f)
+    return books
+
+
+def probe_pq_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    rerank_df: DataFrame | None = None,
+    oversample: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a ``build_pq_index`` layout. Reads the codebooks JSON
+    (driver-side) and scores the persisted codes via ADC; pass the original
+    vector table as ``rerank_df`` to finish with an exact rerank of the
+    shortlist (full-precision rows fetched for ~k·oversample ids only)."""
+    import json
+
+    with open(path + "/_codebooks.json") as f:
+        books = json.load(f)
+    codes = spark.read.parquet(path)
+    if rerank_df is None:
+        return pq_topk(codes, books, query_vec, k=k, id_col=id_col)
+    return pq_topk_rerank(
+        rerank_df, codes, books, query_vec, k=k,
+        oversample=oversample, id_col=id_col, vec_col=vec_col,
+    )

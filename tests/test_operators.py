@@ -334,3 +334,22 @@ def test_pq_rerank_recovers_brute_force(vecs):
                                    k=3, oversample=2).collect()]
     want = [(r.vec_id, r.cosine) for r in brute_force_topk(vecs, q, k=3).collect()]
     assert got == want
+
+
+def test_persisted_pq_index_roundtrip(spark, vecs, tmp_path):
+    from querysight_spark.operators.similarity import (
+        build_pq_index,
+        probe_pq_index,
+    )
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    path = str(tmp_path / "pq_index")
+    build_pq_index(vecs, path, dim=4, m=2, k=4)
+    adc = probe_pq_index(spark, path, q, k=3).collect()
+    assert len(adc) == 3
+    # with rerank the persisted index must reproduce brute force exactly
+    got = [(r.vec_id, r.cosine)
+           for r in probe_pq_index(spark, path, q, k=3, rerank_df=vecs,
+                                   oversample=2).collect()]
+    want = [(r.vec_id, r.cosine) for r in brute_force_topk(vecs, q, k=3).collect()]
+    assert got == want
