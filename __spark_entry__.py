@@ -79,33 +79,31 @@ def _engine_query(fn) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _registries():
+    """All (name, fn, oracle) rows, ordered so the entries the round-1
+    driver sweep never reached (CORRECTNESS_r01 stops at entry #50, exactly
+    where a time/count budget would truncate a dict-ordered run) come
+    FIRST: extension queries + ql14/ql15/ql15b, then the already-verified
+    probes and pipeline queries."""
     from querysight_spark.extension_queries import EXTENSION_QUERIES
     from querysight_spark.pipeline_queries import PIPELINE_QUERIES
     from querysight_spark.probes import PROBES
 
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name, (spark_sql, _duck) in PROBES.items():
-        out[name] = _sql_query(spark_sql)
-    for name, (fn, _oracle) in PIPELINE_QUERIES.items():
-        out[name] = _engine_query(fn)
-    for name, (fn, _oracle) in EXTENSION_QUERIES.items():
-        out[name] = _engine_query(fn)
-    return out
+    rows: list[tuple[int, str, Callable | None, str | None]] = []
+    for name, (fn, oracle) in EXTENSION_QUERIES.items():
+        rows.append((0, name, _engine_query(fn), oracle))
+    for name, (fn, oracle) in PIPELINE_QUERIES.items():
+        pri = 0 if name.startswith(("ql14", "ql15", "ql16")) else 1
+        rows.append((pri, name, _engine_query(fn), oracle))
+    for name, (spark_sql, duck) in PROBES.items():
+        rows.append((1, name, _sql_query(spark_sql), duck if duck is not None else spark_sql))
+    rows.sort(key=lambda r: r[0])  # stable: in-group registration order kept
+    return [(name, fn, oracle) for _pri, name, fn, oracle in rows]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, fn, _oracle in _registries()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from querysight_spark.extension_queries import EXTENSION_QUERIES
-    from querysight_spark.pipeline_queries import PIPELINE_QUERIES
-    from querysight_spark.probes import PROBES
-
-    out: dict[str, str] = {}
-    for name, (spark_sql, duck) in PROBES.items():
-        out[name] = duck if duck is not None else spark_sql
-    for name, (_fn, oracle) in PIPELINE_QUERIES.items():
-        if oracle is not None:
-            out[name] = oracle
-    for name, (_fn, oracle) in EXTENSION_QUERIES.items():
-        if oracle is not None:
-            out[name] = oracle
-    return out
+    return {name: oracle for name, _fn, oracle in _registries() if oracle is not None}
