@@ -106,6 +106,69 @@ def build_edges(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, schema=DBT_EDGES_SCHEMA)
 
 
+def build_raw_query_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → RAW-text query log: unlike ``build_query_log``, this fixture
+    carries NO ``normalized_query`` and only a partial ``tables`` column, so
+    consuming it forces the engine through the G1 literal-masking normalizer
+    (functions.normalize) and the H1 table-extraction UDF
+    (functions.sqlextract) — the two custom parsing stages the fixture-keyed
+    pipeline queries bypass.
+
+    Eight query shapes (chosen by k % 8) cover the parser surface: plain
+    scan, JOIN + string literal, CTE-name exclusion, quoted identifiers with
+    an escaped quote, dbt ``ref()`` resolution inside a block comment row,
+    FROM comma-lists with aliases + line comments, INSERT..SELECT (only the
+    SELECT's source is a read), and catalog.schema.table 3-part names.
+    Every construct is byte-identical to RAW_QUERY_LOG_CTE below."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    u = (F.col("user_id") % 3).cast("string")
+    a = (k % 12).cast("string")
+    b = ((k + 1) % 12).cast("string")
+    c = ((k + 2) % 12).cast("string")
+    m = ((k + F.col("user_id")) % 8).cast("string")
+    e = ((k + F.col("user_id")) % 4).cast("string")
+    ks = k.cast("string")
+    s = k % 8
+    tbl = F.concat(F.lit("db"), u, F.lit(".t"), a)
+    query = (
+        F.when(s == 0, F.concat(F.lit("SELECT * FROM "), tbl, F.lit(" WHERE k = "), ks))
+        .when(s == 1, F.concat(
+            F.lit("SELECT a, b FROM "), tbl, F.lit(" JOIN db"), u, F.lit(".t"), b,
+            F.lit(" ON a = b WHERE x = 'lit"), ks, F.lit("'")))
+        .when(s == 2, F.concat(
+            F.lit("WITH cte1 AS (SELECT * FROM "), tbl,
+            F.lit(" WHERE v > 10) SELECT * FROM cte1 WHERE y = 2.5")))
+        .when(s == 3, F.concat(
+            F.lit('SELECT * FROM "db'), u, F.lit('"."t'), a,
+            F.lit("\" WHERE name = 'it''s "), ks, F.lit("'")))
+        .when(s == 4, F.concat(
+            F.lit("SELECT count(*) FROM {{ ref('model_"), m,
+            F.lit("') }} /* batch "), ks, F.lit(" */")))
+        .when(s == 5, F.concat(
+            F.lit("SELECT * FROM "), tbl, F.lit(", db"), u, F.lit(".t"), c,
+            F.lit(" x WHERE x.id = "), ks, F.lit(" -- trace "), ks))
+        .when(s == 6, F.concat(
+            F.lit("INSERT INTO "), tbl, F.lit(" SELECT * FROM staging.events_"), e,
+            F.lit(" WHERE ts > '2024-01-01'")))
+        .otherwise(F.concat(
+            F.lit("SELECT x FROM warehouse."), tbl,
+            F.lit(" WHERE val IN (1, 2, "), ks, F.lit(")")))
+    )
+    return ev.select(
+        F.col("event_id").cast("string").alias("query_id"),
+        query.alias("query"),
+        F.lit("SELECT").alias("query_kind"),
+        F.concat(F.lit("user_"), (F.col("user_id") % 8).cast("string")).alias("user"),
+        F.col("ts").alias("query_start_time"),
+        (F.col("value") * 20).alias("query_duration_ms"),
+        F.floor(F.col("value")).cast("long").alias("read_rows"),
+        (F.floor(F.col("value")) * 100).cast("long").alias("read_bytes"),
+        (F.floor(F.col("value") * 10)).cast("long").alias("memory_usage"),
+        F.when(k % 3 == 0, F.array(F.lit("extra.audit"))).alias("tables"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB side: the same analog as CTE SQL (bit-identical transformations)
 # ---------------------------------------------------------------------------
@@ -168,5 +231,79 @@ dbt_edges AS (
   SELECT concat('model_', CAST(i.i AS VARCHAR)) AS model,
          concat('model_', CAST(i.i - 1 AS VARCHAR)) AS depends_on
   FROM (SELECT UNNEST(range(1, 8)) AS i) i
+)
+"""
+
+# Raw-text analog of build_raw_query_log: the same 8 query shapes, the G1
+# masking chain as DuckDB regexp_replace (same RE2-portable regexes as
+# functions/normalize.py, 'g' flag for replace-all), and the H1 extraction
+# result precomputed per shape (expected_tables). $$-quoting keeps the regex
+# and SQL-text fragments free of quote-doubling noise.
+RAW_QUERY_LOG_CTE = """
+raw_base AS (
+  SELECT event_id, ts, value, user_id,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k,
+         CAST(user_id % 3 AS VARCHAR) AS u
+  FROM events
+),
+raw_parts AS (
+  SELECT *,
+         concat('db', u, '.t', CAST(k % 12 AS VARCHAR)) AS tbl,
+         concat('db', u, '.t', CAST((k + 1) % 12 AS VARCHAR)) AS tbl_b,
+         concat('db', u, '.t', CAST((k + 2) % 12 AS VARCHAR)) AS tbl_c,
+         concat('model_', CAST((k + user_id) % 8 AS VARCHAR)) AS ref_m,
+         concat('staging.events_', CAST((k + user_id) % 4 AS VARCHAR)) AS src_e,
+         CAST(k AS VARCHAR) AS ks
+  FROM raw_base
+),
+raw_shaped AS (
+  SELECT *,
+    CASE k % 8
+      WHEN 0 THEN concat('SELECT * FROM ', tbl, ' WHERE k = ', ks)
+      WHEN 1 THEN concat('SELECT a, b FROM ', tbl, ' JOIN ', tbl_b,
+                         $$ ON a = b WHERE x = 'lit$$, ks, $$'$$)
+      WHEN 2 THEN concat('WITH cte1 AS (SELECT * FROM ', tbl,
+                         ' WHERE v > 10) SELECT * FROM cte1 WHERE y = 2.5')
+      WHEN 3 THEN concat($$SELECT * FROM "db$$, u, $$"."t$$,
+                         CAST(k % 12 AS VARCHAR),
+                         $$" WHERE name = 'it''s $$, ks, $$'$$)
+      WHEN 4 THEN concat($$SELECT count(*) FROM {{ ref('model_$$,
+                         CAST((k + user_id) % 8 AS VARCHAR),
+                         $$') }} /* batch $$, ks, ' */')
+      WHEN 5 THEN concat('SELECT * FROM ', tbl, ', ', tbl_c,
+                         ' x WHERE x.id = ', ks, ' -- trace ', ks)
+      WHEN 6 THEN concat('INSERT INTO ', tbl, ' SELECT * FROM ', src_e,
+                         $$ WHERE ts > '2024-01-01'$$)
+      ELSE concat('SELECT x FROM warehouse.', tbl,
+                  ' WHERE val IN (1, 2, ', ks, ')')
+    END AS query,
+    CASE k % 8
+      WHEN 0 THEN [tbl]
+      WHEN 1 THEN [tbl, tbl_b]
+      WHEN 2 THEN [tbl]
+      WHEN 3 THEN [tbl]
+      WHEN 4 THEN [ref_m]
+      WHEN 5 THEN [tbl, tbl_c]
+      WHEN 6 THEN [src_e]
+      ELSE [tbl]
+    END AS expected_tables
+  FROM raw_parts
+),
+raw_norm AS (
+  SELECT
+    lower(trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(query, $$/\\*.*?\\*/$$, ' ', 'g'),
+            $$--[^\\n]*$$, ' ', 'g'),
+          $$'(?:[^']|'')*'$$, '?', 'g'),
+        $$\\b\\d+(?:\\.\\d+)?\\b$$, '?', 'g'),
+      $$\\s+$$, ' ', 'g'))) AS normalized_query,
+    value * 20 AS query_duration_ms,
+    list_distinct(
+      coalesce(CASE WHEN k % 3 = 0 THEN ['extra.audit'] END,
+               CAST([] AS VARCHAR[])) || expected_tables) AS all_tables
+  FROM raw_shaped
 )
 """

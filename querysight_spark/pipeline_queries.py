@@ -23,10 +23,12 @@ from querysight_spark.demo import (
     EDGES_CTE,
     MODEL_MAP_CTE,
     QUERY_LOG_CTE,
+    RAW_QUERY_LOG_CTE,
     SOURCES_CTE,
     build_edges,
     build_model_map,
     build_query_log,
+    build_raw_query_log,
     build_sources_dim,
 )
 from querysight_spark.plans.coverage import (
@@ -493,6 +495,38 @@ def ql15b(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("tables", 1).rlike(r"\.t[0-7]$")
     )
     return _recommendations_over(log, spark)
+
+
+_ORACLES["ql16_normalize_extract"] = (
+    f"WITH {RAW_QUERY_LOG_CTE}"
+    + """
+    SELECT normalized_query,
+           COUNT(*) AS frequency,
+           ROUND(SUM(query_duration_ms), 2) AS total_duration_ms,
+           array_to_string(list_sort(list_distinct(flatten(list(all_tables)))),
+                           ',') AS tables_list
+    FROM raw_norm
+    GROUP BY normalized_query
+    ORDER BY normalized_query"""
+)
+
+
+@_q("ql16_normalize_extract")
+def ql16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1+H1 under the oracle gate: the raw-text fixture has no
+    ``normalized_query`` and only a partial ``tables`` column, so pattern
+    identity comes from functions.normalize's masking chain and
+    ``tables_accessed`` folds in the H1 extractor's output
+    (``extract_from_sql=True``) — any drift in either regex chain or the
+    tokenizer breaks the hash against the precomputed-expectation oracle."""
+    log = build_raw_query_log(spark, sf_dir)
+    pats = aggregate_patterns(log, min_frequency=1, extract_from_sql=True)
+    return pats.select(
+        "normalized_query",
+        "frequency",
+        F.round("total_duration_ms", 2).alias("total_duration_ms"),
+        F.array_join("tables_accessed", ",").alias("tables_list"),
+    ).orderBy("normalized_query")
 
 
 @_q("ql14_speed_buckets")
