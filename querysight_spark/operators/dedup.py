@@ -93,6 +93,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 8,
     shingle_size: int = 3,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of
     num_hashes/bands rows; docs sharing any band key are candidate
@@ -105,7 +106,13 @@ def minhash_lsh_candidates(
     relation (a self-join needs two) and a single consumer, so no
     persist/cache is needed. Bucket posting lists are small by
     construction — banding exists to keep them so — which is what makes
-    the collect_list safe here without a df cap."""
+    the collect_list safe here without a df cap.
+
+    ``max_bucket_size`` drops pathological buckets (a viral boilerplate
+    string hashing thousands of docs into one band key) before pair
+    emission — at 100 TB one unbounded bucket is quadratic inside a single
+    task, so the declared/bench paths set it; pairs whose every shared band
+    is viral are the only ones lost."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
@@ -119,6 +126,19 @@ def minhash_lsh_candidates(
     banded = sig.select(
         F.col(id_col).alias("bid"), F.explode(F.array(*band_cols)).alias("bk")
     ).select("bid", "bk.band", "bk.key")
+    if max_bucket_size is not None:
+        # window-count prefilter on the SAME key as the groupBy below: the
+        # exchange is shared, and a viral bucket is dropped row-wise before
+        # its posting list ever materializes in one task
+        from pyspark.sql.window import Window
+
+        banded = (
+            banded.withColumn(
+                "_bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+            )
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     posting = banded.groupBy("band", "key").agg(
         F.array_sort(F.collect_list("bid")).alias("ids")
     )
@@ -213,11 +233,22 @@ def ngram_jaccard_pairs(
         sh = sh.select(F.col(id_col), F.xxhash64("sh").alias("sh"))
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    posting = sh.groupBy("sh").agg(
+    indexed = sh
+    if max_shingle_df is not None:
+        # prefilter on the same key as the posting-list groupBy (shared
+        # exchange): stop-phrase shingles are dropped row-wise, so the
+        # viral posting list never materializes. Doc sizes stay computed
+        # from the UNCAPPED index (standard prefix-filtering semantics).
+        from pyspark.sql.window import Window
+
+        indexed = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+            .where(F.col("_df") <= max_shingle_df)
+            .drop("_df")
+        )
+    posting = indexed.groupBy("sh").agg(
         F.array_sort(F.collect_list(id_col)).alias("ids")
     )
-    if max_shingle_df is not None:
-        posting = posting.where(F.size("ids") <= max_shingle_df)
     pairs = posting.where(F.size("ids") >= 2).select(
         F.explode(
             F.expr(
@@ -256,9 +287,15 @@ def embedding_cosine_duplicates(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     block_size: int = 2048,
+    expected_n: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: exact cosine similarity over all (a<b)
     pairs, executed as a BLOCK-NESTED-LOOP with numpy GEMM.
+
+    ``expected_n`` sizes the block grid without running a count job — any
+    row-count estimate (parquet footer metadata, catalog stats) works,
+    since a high estimate only makes blocks smaller and a low one larger;
+    when omitted, an exact ``df.count()`` job runs first.
 
     Vectors are hash-assigned to ⌈n/block_size⌉ blocks; blocks self-join on
     ``bid_a <= bid_b`` so every unordered pair of vectors lands in exactly
@@ -283,7 +320,7 @@ def embedding_cosine_duplicates(
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    n = df.count()
+    n = expected_n if expected_n is not None else df.count()
     n_blocks = max(1, math.ceil(n / block_size))
     id_type = df.schema[id_col].dataType
 
@@ -344,6 +381,117 @@ def embedding_cosine_duplicates(
                 )
 
     return pairs.mapInPandas(compute, schema=out_schema)
+
+
+def embedding_cosine_duplicates_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bits: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+    neighbor_flips: bool = True,
+    block_size: int = 2048,
+) -> DataFrame:
+    """Scale-safe embedding near-dup pairs: sign-LSH bucket prefilter, then
+    exact blocked-GEMM cosine WITHIN each bucket — the declared 100 TB path
+    (``embedding_cosine_duplicates`` stays as the exact all-pairs oracle
+    baseline; see VERDICT.md round 1).
+
+    Pair space: each vector lands in its own sign-pattern bucket plus (with
+    ``neighbor_flips``) every 1-bit-flip neighbor bucket, so pairs whose
+    buckets differ by ≤1 hyperplane are always co-located. Verbatim
+    duplicates hash to the SAME bucket by construction → recall 1.0 for
+    them regardless of bits; near-identical pairs (cosine ≥ ~0.95) disagree
+    on a hyperplane with probability ≈ arccos(t)/π per bit (~10% at 0.95),
+    so at bits=4 with 1-bit flips the expected miss rate is the ≥2-bit
+    disagreement tail (<5%). Work drops from O(n²) to
+    O(Σ_b |bucket_b|²·(1+bits)²) — choose ``bits`` so the expected bucket
+    (n/2^bits) stays near ``block_size``; the per-task GEMM tile is bounded
+    by ``block_size²`` doubles either way.
+
+    One shuffle (groupBy bucket), Arrow-batched numpy inside, ``distinct``
+    to collapse pairs found via multiple shared buckets (cosine is rounded
+    at 6 digits before thresholding, so replicas agree bit-for-bit)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from querysight_spark.operators.similarity import bucket_ids, hyperplanes
+
+    if dim is None:
+        first = df.select(vec_col).first()
+        dim = len(first[0]) if first and first[0] is not None else 0
+    planes = hyperplanes(dim, bits, seed)
+    bucketed = bucket_ids(df, planes, id_col, vec_col)
+    id_type = df.schema[id_col].dataType
+
+    probe_cols = [F.col("bucket")]
+    if neighbor_flips:
+        probe_cols += [F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(bits)]
+    rep = bucketed.select(
+        F.col(id_col).alias("_id"),
+        F.col("v").alias("_v"),
+        F.explode(F.array(*probe_cols)).alias("_bkt"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("vec_a", id_type),
+            StructField("vec_b", id_type),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series([], dtype=ids.dtype),
+                    "vec_b": pd.Series([], dtype=ids.dtype),
+                    "cosine": pd.Series([], dtype=np.float64),
+                }
+            )
+        V = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        norms = np.sqrt((V * V).sum(axis=1))
+        frames = []
+        for i0 in range(0, n, block_size):
+            A = V[i0 : i0 + block_size]
+            for j0 in range(i0, n, block_size):
+                B = V[j0 : j0 + block_size]
+                cos = np.round(
+                    (A @ B.T)
+                    / np.outer(norms[i0 : i0 + block_size], norms[j0 : j0 + block_size]),
+                    6,
+                )
+                if i0 == j0:
+                    ii, jj = np.triu_indices(len(A), k=1)
+                else:
+                    ii, jj = np.indices((len(A), len(B)))
+                    ii, jj = ii.ravel(), jj.ravel()
+                keep = cos[ii, jj] >= threshold
+                ii, jj = ii[keep], jj[keep]
+                if len(ii) == 0:
+                    continue
+                ia, ib = ids[i0 + ii], ids[j0 + jj]
+                lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+                frames.append(
+                    pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": cos[ii, jj]})
+                )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series([], dtype=ids.dtype),
+                    "vec_b": pd.Series([], dtype=ids.dtype),
+                    "cosine": pd.Series([], dtype=np.float64),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return rep.groupBy("_bkt").applyInPandas(score, schema=out_schema).distinct()
 
 
 def embedding_cosine_duplicates_expr(

@@ -97,6 +97,49 @@ def test_embedding_cosine_duplicates(vecs):
     assert out[(1, 2)] > 0.999
 
 
+def test_embedding_cosine_duplicates_expected_n_estimate(vecs):
+    # block sizing from a (deliberately wrong) estimate changes the plan,
+    # never the result — and skips the count job
+    for est in (1, 3, 100):
+        out = {
+            (r.vec_a, r.vec_b)
+            for r in embedding_cosine_duplicates(
+                vecs, threshold=0.95, expected_n=est, block_size=2
+            ).collect()
+        }
+        assert out == {(1, 2)}
+
+
+def test_embedding_cosine_duplicates_lsh_matches_exact(vecs):
+    from querysight_spark.operators.dedup import embedding_cosine_duplicates_lsh
+
+    exact = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in embedding_cosine_duplicates(vecs, threshold=0.95).collect()
+    }
+    # the (1,2) near-identical pair may straddle a hyperplane: with 1-bit
+    # flips it must still be found, bit-identical cosine included
+    lsh = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in embedding_cosine_duplicates_lsh(
+            vecs, threshold=0.95, bits=3, block_size=2
+        ).collect()
+    }
+    assert lsh == exact
+
+
+def test_minhash_lsh_bucket_cap_drops_viral_buckets(docs):
+    # cap=1 forbids every bucket with >=2 docs -> no pairs can be emitted
+    assert minhash_lsh_candidates(docs, max_bucket_size=1).count() == 0
+    # a generous cap changes nothing
+    base = {(r.doc_a, r.doc_b) for r in minhash_lsh_candidates(docs).collect()}
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_candidates(docs, max_bucket_size=64).collect()
+    }
+    assert capped == base
+
+
 def test_brute_force_topk(vecs):
     top = brute_force_topk(vecs, [1.0, 0.0, 0.0, 0.0], k=3).collect()
     assert [r.vec_id for r in top] == [1, 2, 3] or [r.vec_id for r in top][:2] == [1, 2]
