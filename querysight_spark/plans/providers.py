@@ -28,6 +28,50 @@ class Recommender(Protocol):
     def recommend(self, patterns: DataFrame, model_map: DataFrame) -> DataFrame: ...
 
 
+def openai_compatible_complete(
+    base_url: str,
+    model: str,
+    api_key: str | None = None,
+    temperature: float = 0.0,
+    max_tokens: int = 512,
+    timeout_s: float = 30.0,
+) -> Callable[[str], str]:
+    """Build a completion callable for any OpenAI-compatible
+    ``/chat/completions`` endpoint (the de-facto public protocol most
+    hosted and self-hosted inference servers speak) — the concrete provider
+    the reference reaches via litellm (utils/ai_suggester.py:224-282).
+
+    Deliberately explicit: the endpoint, model, and key are ARGUMENTS —
+    nothing is read from the environment, no endpoint is hardcoded, and
+    the engine never constructs one of these unless the user asks
+    (``RuleBasedRecommender`` stays the default). stdlib urllib only; the
+    returned callable is driver-side, matching ``LLMRecommender``'s
+    bounded top-k batch."""
+    import json
+    import urllib.request
+
+    url = base_url.rstrip("/") + "/chat/completions"
+
+    def complete(prompt: str) -> str:
+        body = json.dumps(
+            {
+                "model": model,
+                "messages": [{"role": "user", "content": prompt}],
+                "temperature": temperature,
+                "max_tokens": max_tokens,
+            }
+        ).encode()
+        headers = {"Content-Type": "application/json"}
+        if api_key:
+            headers["Authorization"] = f"Bearer {api_key}"
+        req = urllib.request.Request(url, data=body, headers=headers)
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            payload = json.loads(resp.read().decode())
+        return payload["choices"][0]["message"]["content"]
+
+    return complete
+
+
 class RuleBasedRecommender:
     """Default: the deterministic rule cascade (H2's testable stand-in)."""
 

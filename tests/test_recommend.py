@@ -192,3 +192,68 @@ def test_system_tables_never_reported_unmapped(spark, model_map):
     # orders is mapped, system.* excluded → no unmapped → falls to REWRITE_QUERY
     assert rec.rec_type == "REWRITE_QUERY"
     assert rec.unmapped_tables == []
+
+
+def test_openai_compatible_provider_round_trip(spark, model_map):
+    """Drive LLMRecommender through openai_compatible_complete against a
+    local canned-response HTTP server: real request body, auth header,
+    response decode, and H3 parsing — no external network."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from querysight_spark.plans.providers import (
+        LLMRecommender,
+        openai_compatible_complete,
+    )
+
+    seen = {}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            seen["path"] = self.path
+            seen["auth"] = self.headers.get("Authorization")
+            seen["model"] = body["model"]
+            seen["prompt"] = body["messages"][0]["content"]
+            content = (
+                "Type: [INDEX]\nDescription: add an index\n"
+                "Impact: [MEDIUM]\n```sql\nCREATE INDEX i ON t(x)\n```"
+            )
+            out = json.dumps(
+                {"choices": [{"message": {"role": "assistant", "content": content}}]}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    server = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        complete = openai_compatible_complete(
+            base_url=f"http://127.0.0.1:{server.server_port}/v1",
+            model="test-model",
+            api_key="sk-canned",
+        )
+        p = _patterns(
+            spark,
+            [("p1", "n1", "SELECT * FROM unknown_t", 5, 5000.0, ["unknown_t"])],
+        )
+        rec = LLMRecommender(complete=complete).recommend(p, model_map).first()
+    finally:
+        server.shutdown()
+        server.server_close()
+
+    assert seen["path"] == "/v1/chat/completions"
+    assert seen["auth"] == "Bearer sk-canned"
+    assert seen["model"] == "test-model"
+    assert "RESPONSE FORMAT" in seen["prompt"]
+    assert (rec.rec_type, rec.impact, rec.suggested_sql) == (
+        "INDEX", "MEDIUM", "CREATE INDEX i ON t(x)",
+    )
