@@ -228,9 +228,7 @@ def dd06(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact all-pairs oracle."""
     from querysight_spark.operators.dedup import embedding_cosine_duplicates_lsh
 
-    out = embedding_cosine_duplicates_lsh(
-        _vecs_aug(spark, sf_dir), threshold=0.95, bits=4
-    )
+    out = embedding_cosine_duplicates_lsh(_vecs_aug(spark, sf_dir), threshold=0.95)
     return out.orderBy("vec_a", "vec_b")
 
 

@@ -117,12 +117,13 @@ def test_embedding_cosine_duplicates_lsh_matches_exact(vecs):
         (r.vec_a, r.vec_b, r.cosine)
         for r in embedding_cosine_duplicates(vecs, threshold=0.95).collect()
     }
-    # the (1,2) near-identical pair may straddle a hyperplane: with 1-bit
-    # flips it must still be found, bit-identical cosine included
+    # the (1,2) pair is near-identical (cosine ~0.9999995): its per-plane
+    # disagreement probability is ~3e-4, so across 4 seeded tables it
+    # co-buckets deterministically — bit-identical cosine included
     lsh = {
         (r.vec_a, r.vec_b, r.cosine)
         for r in embedding_cosine_duplicates_lsh(
-            vecs, threshold=0.95, bits=3, block_size=2
+            vecs, threshold=0.95, bits=3, n_tables=4, block_size=2
         ).collect()
     }
     assert lsh == exact
