@@ -129,22 +129,41 @@ def main(argv: list[str] | None = None) -> int:
         cache=cache, use_cache=not args.no_cache,
     )
 
-    result.summary.show(truncate=False)
+    from querysight_spark.plans.console import display_dataframe, render_panel
+
+    srow = result.summary.first()
+    print(
+        render_panel(
+            "\n".join(f"{k}: {v}" for k, v in srow.asDict().items()),
+            title="Analysis Summary",
+        )
+    )
     if result.patterns is not None:
         from querysight_spark.plans.report import sort_patterns
 
-        sort_patterns(result.patterns, by=args.sort_by).select(
-            "normalized_query", "frequency",
-            F.round("avg_duration_ms", 2).alias("avg_ms"),
-            F.round("total_duration_ms", 2).alias("total_ms"),
-        ).show(args.page_size, truncate=60)
+        display_dataframe(
+            sort_patterns(result.patterns, by=args.sort_by).select(
+                "normalized_query", "frequency",
+                F.round("avg_duration_ms", 2).alias("avg_ms"),
+                F.round("total_duration_ms", 2).alias("total_ms"),
+            ),
+            page_size=args.page_size,
+            title="Query Patterns",
+        )
     if result.coverage is not None:
-        result.coverage.show()
-        result.uncovered_tables.show(args.page_size, truncate=False)
+        display_dataframe(result.coverage, title="dbt Coverage")
+        display_dataframe(
+            result.uncovered_tables, page_size=args.page_size,
+            title="Uncovered Tables",
+        )
     if result.recommendations is not None:
-        result.recommendations.select(
-            "normalized_query", "rec_type", "impact", "description"
-        ).show(args.page_size, truncate=60)
+        display_dataframe(
+            result.recommendations.select(
+                "normalized_query", "rec_type", "impact", "description"
+            ),
+            page_size=args.page_size,
+            title="Recommendations",
+        )
     if args.export_dir:
         result.export(args.export_dir, single_file=True)
     return 0
