@@ -323,3 +323,139 @@ _p(
               COUNT(*) AS n_events
        FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
 )
+
+# --- window breadth ----------------------------------------------------------
+
+_p(
+    "p37_rank_family",
+    """SELECT event_id,
+              NTILE(4) OVER w AS quartile,
+              DENSE_RANK() OVER w AS drk,
+              PERCENT_RANK() OVER w AS prk,
+              CUME_DIST() OVER w AS cd
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+       ORDER BY event_id""",
+)
+_p(
+    "p38_window_frames",
+    """SELECT event_id,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS run4,
+              CAST(MAX(CAST(value AS DECIMAL(18,2))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE)
+                AS prior_max
+       FROM events ORDER BY event_id""",
+)
+_p(
+    "p39_nth_value",
+    """SELECT event_id,
+              FIRST_VALUE(event_id) OVER w AS fv,
+              LAST_VALUE(event_id) OVER w AS lv,
+              NTH_VALUE(event_id, 2) OVER w AS nv2
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       ORDER BY event_id""",
+)
+
+# --- aggregation breadth -----------------------------------------------------
+
+# variance/stddev via exact DECIMAL sums so both engines divide and sqrt the
+# SAME doubles (direct stddev_samp accumulates doubles in engine-specific
+# order — not bit-stable cross-engine)
+_p(
+    "p40_stats_exact",
+    """SELECT event_type,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+              CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+                   AS DOUBLE) AS sq,
+              ROUND(sqrt((CAST(SUM(CAST(value AS DECIMAL(18,2))
+                                * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  - pow(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                    / COUNT(*)) / (COUNT(*) - 1)), 6) AS sd
+       FROM events GROUP BY event_type ORDER BY event_type""",
+)
+_p(
+    "p41_filtered_agg",
+    """SELECT user_id,
+              COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_buy,
+              COUNT(*) FILTER (WHERE value > 150) AS n_big,
+              CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                   FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS buy_sum
+       FROM events GROUP BY user_id ORDER BY user_id""",
+)
+
+# --- scalar breadth ----------------------------------------------------------
+
+_p(
+    "p42_string_fns2",
+    """SELECT doc_id,
+              lpad(lang, 5, '_') AS lp, rpad(lang, 5, '_') AS rp,
+              replace(substr(text, 1, 20), ' ', '_') AS rep,
+              reverse(lang) AS rev, repeat(lang, 2) AS rpt,
+              left(text, 5) AS l5, right(text, 5) AS r5,
+              instr(text, 'the') AS pos_the
+       FROM documents ORDER BY doc_id""",
+    """SELECT doc_id,
+              lpad(lang, 5, '_') AS lp, rpad(lang, 5, '_') AS rp,
+              replace(substr(text, 1, 20), ' ', '_') AS rep,
+              reverse(lang) AS rev, repeat(lang, 2) AS rpt,
+              left(text, 5) AS l5, right(text, 5) AS r5,
+              CAST(strpos(text, 'the') AS BIGINT) AS pos_the
+       FROM documents ORDER BY doc_id""",
+)
+_p(
+    "p43_date_arith",
+    """SELECT event_id,
+              ts + INTERVAL 7 DAY AS wk_later,
+              CAST(last_day(CAST(ts AS DATE)) AS DATE) AS eom,
+              CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT) AS d_since,
+              CAST(unix_timestamp(ts) AS BIGINT) AS epoch_s
+       FROM events ORDER BY event_id""",
+    """SELECT event_id,
+              ts + INTERVAL 7 DAY AS wk_later,
+              last_day(CAST(ts AS DATE)) AS eom,
+              CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+                AS d_since,
+              CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s
+       FROM events ORDER BY event_id""",
+)
+
+# --- subqueries / generators / pivot ----------------------------------------
+
+_p(
+    "p44_exists_subquery",
+    """SELECT c_custkey FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+         AND c_acctbal > 0
+       ORDER BY c_custkey""",
+)
+_p(
+    "p45_pivot",
+    """SELECT * FROM (SELECT user_id % 4 AS ubucket, event_type FROM events)
+       PIVOT (COUNT(*) AS n FOR event_type IN
+              ('purchase' AS purchase, 'error' AS error, 'signup' AS signup))
+       ORDER BY ubucket""",
+    # DuckDB's PIVOT is a different statement form; the oracle states the
+    # same contingency table as conditional aggregation
+    """SELECT user_id % 4 AS ubucket,
+              CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                AS purchase,
+              CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+              CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup
+       FROM events GROUP BY user_id % 4 ORDER BY ubucket""",
+)
+_p(
+    "p46_explode_wordcount",
+    """SELECT w, COUNT(*) AS n
+       FROM documents LATERAL VIEW explode(split(text, ' ')) t AS w
+       GROUP BY w ORDER BY n DESC, w LIMIT 20""",
+    """SELECT w, COUNT(*) AS n
+       FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+       GROUP BY w ORDER BY n DESC, w LIMIT 20""",
+)
