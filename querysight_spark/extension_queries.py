@@ -232,6 +232,71 @@ def dd06(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("vec_a", "vec_b")
 
 
+@_q(
+    "dd07_dup_clusters",
+    """WITH RECURSIVE aug AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+         UNION ALL
+         SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+       ),
+       hp AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM aug a JOIN aug b
+           ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+       ),
+       chain AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+         WHERE a.doc_id % 50 = 0
+       ),
+       pairs AS (SELECT * FROM hp UNION SELECT * FROM chain),
+       edges AS (
+         SELECT doc_a AS src, doc_b AS dst FROM pairs
+         UNION
+         SELECT doc_b AS src, doc_a AS dst FROM pairs
+       ),
+       reach AS (
+         SELECT src AS id, src AS lab FROM edges
+         UNION
+         SELECT e.src AS id, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+       )
+       SELECT id AS doc_id, MIN(lab) AS cluster_id
+       FROM reach GROUP BY id ORDER BY doc_id""",
+)
+def dd07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERING: pair evidence → connected components → one
+    cluster_id (min reachable doc) per doc. The corpus plants 3-copy
+    cliques (every 5th/10th doc) bridged to a neighbor singleton by chain
+    edges (every 50th), so convergence genuinely needs multi-hop
+    propagation; the oracle is a DuckDB recursive CTE over the same
+    graph."""
+    from querysight_spark.operators.dedup import (
+        duplicate_clusters,
+        exact_duplicate_pairs,
+    )
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    aug = d.unionByName(
+        d.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        d.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text"
+        )
+    )
+    hp = exact_duplicate_pairs(aug)
+    a, b = d.alias("a"), d.alias("b")
+    chain = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .where(F.col("a.doc_id") % 50 == 0)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return duplicate_clusters(hp.unionByName(chain)).orderBy("doc_id")
+
+
 @_q("dd05_simhash", None)  # rows-only: conv()-bit votes not worth porting to SQL
 def dd05(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")

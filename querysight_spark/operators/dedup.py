@@ -65,6 +65,95 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def exact_duplicate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b) with doc_a < doc_b for every pair of rows sharing
+    identical content — the pair-shaped companion to ``exact_duplicates``,
+    emitted from per-hash posting lists (one shuffle, C(L,2) rows per
+    group). ``max_group_size`` caps pathological groups the same way the
+    LSH/shingle caps do."""
+    hashed = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
+    if max_group_size is not None:
+        from pyspark.sql.window import Window
+
+        hashed = (
+            hashed.withColumn("_gs", F.count(F.lit(1)).over(Window.partitionBy("h")))
+            .where(F.col("_gs") <= max_group_size)
+            .drop("_gs")
+        )
+    posting = hashed.groupBy("h").agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids")
+    )
+    return (
+        posting.where(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.doc_a", "pr.doc_b")
+    )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph: every node gets
+    ``cluster_id`` = the minimum id reachable through pairs — the step that
+    turns pairwise near-dup evidence (dd01/dd02/dd03/dd06 outputs) into
+    keep-one-per-cluster decisions.
+
+    Min-label propagation: each round, every node takes the min of its own
+    label and its neighbors' labels; converges in O(graph diameter) rounds.
+    Duplicate graphs are near-cliques (diameter ≲ 3-4 even through chain
+    bridges), so the loop runs a handful of rounds of one join + one
+    groupBy each. Convergence is detected by the monotone label sum (labels
+    only decrease), which the loop reads anyway as its action;
+    ``localCheckpoint`` per round stops lineage/codegen growth, exactly as
+    in the dbt closure fixpoint (plans/coverage.py). At 100 TB this is the
+    textbook iterate-until-fixpoint CC; for adversarial long-path graphs
+    swap in large-star/small-star — dup graphs are not that."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neigh, labels["id"] == neigh["src"], "left")
+            .select(
+                labels["id"],
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur = labels.agg(F.sum("label")).first()[0]
+        if prev_sum is not None and cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -129,6 +129,30 @@ def test_embedding_cosine_duplicates_lsh_matches_exact(vecs):
     assert lsh == exact
 
 
+def test_exact_duplicate_pairs_and_cap(spark):
+    from querysight_spark.operators.dedup import exact_duplicate_pairs
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (4, "y"), (5, "z")], ["doc_id", "text"]
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in exact_duplicate_pairs(df).collect()}
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
+    assert exact_duplicate_pairs(df, max_group_size=2).count() == 0
+
+
+def test_duplicate_clusters_multi_hop(spark):
+    from querysight_spark.operators.dedup import duplicate_clusters
+
+    # chain 1-2-3-4 (diameter 3, needs real propagation), clique {10,11,12},
+    # isolated pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    out = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
 def test_minhash_lsh_bucket_cap_drops_viral_buckets(docs):
     # cap=1 forbids every bucket with >=2 docs -> no pairs can be emitted
     assert minhash_lsh_candidates(docs, max_bucket_size=1).count() == 0
