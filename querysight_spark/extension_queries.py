@@ -522,6 +522,40 @@ def sk01(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "sj01_salted_join",
+    """SELECT c_mktsegment, COUNT(*) AS n,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+)
+def sj01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew toolkit under the hash gate: a hot-key-salted join must be
+    result-identical to the plain equi-join the oracle states. Hot keys
+    come from skewed_keys over the fact side; only those replicate across
+    salts (operators/skew.py)."""
+    from querysight_spark.operators.skew import salted_join, skewed_keys
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    hot = skewed_keys(orders, ["custkey"], min_rows=10)
+    out = salted_join(orders, cust, on=["custkey"], num_salts=8, only_keys=hot)
+    return (
+        out.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # --- as-of join -------------------------------------------------------------
 
 
