@@ -93,7 +93,7 @@ def _registries():
     for name, (fn, oracle) in EXTENSION_QUERIES.items():
         rows.append((0, name, _engine_query(fn), oracle))
     for name, (fn, oracle) in PIPELINE_QUERIES.items():
-        pri = 0 if name.startswith(("ql14", "ql15", "ql16")) else 1
+        pri = 0 if name.startswith("ql") and name[2:4] >= "14" else 1
         rows.append((pri, name, _engine_query(fn), oracle))
     for name, (spark_sql, duck) in PROBES.items():
         rows.append((1, name, _sql_query(spark_sql), duck if duck is not None else spark_sql))

@@ -529,6 +529,165 @@ def ql16(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("normalized_query")
 
 
+_ORACLES["ql17_pattern_postfilters"] = _WITH_QL + """,
+    pat AS (SELECT normalized_query, COUNT(*) AS frequency,
+                   SUM(query_duration_ms) AS total,
+                   list_sort(list_distinct(list(tname))) AS tabs
+            FROM query_log GROUP BY normalized_query HAVING COUNT(*) >= 2)
+    SELECT normalized_query, frequency,
+           ROUND(total, 2) AS total_ms,
+           array_to_string(tabs, ',') AS tables_list
+    FROM pat
+    WHERE total / frequency >= 900.0
+      AND list_has_any(tabs, ['db0.t1', 'db1.t5', 'db2.t7'])
+    ORDER BY normalized_query"""
+
+
+@_q("ql17_pattern_postfilters")
+def ql17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7/F3 post-filters under the gate: avg-duration threshold +
+    set-overlap on tables_accessed (plans.patterns.filter_patterns)."""
+    from querysight_spark.plans.patterns import filter_patterns
+
+    p = filter_patterns(
+        _patterns(spark, sf_dir),
+        min_avg_duration_ms=900.0,
+        tables_any=["db0.t1", "db1.t5", "db2.t7"],
+    )
+    return p.select(
+        "normalized_query",
+        "frequency",
+        F.round("total_duration_ms", 2).alias("total_ms"),
+        F.array_join("tables_accessed", ",").alias("tables_list"),
+    ).orderBy("normalized_query")
+
+
+_ORACLES["ql18_junction_users"] = _WITH_QL + """,
+    pat AS (SELECT normalized_query FROM query_log
+            GROUP BY normalized_query HAVING COUNT(*) >= 2)
+    SELECT DISTINCT normalized_query AS pattern_id, "user"
+    FROM query_log JOIN pat USING (normalized_query)
+    ORDER BY pattern_id, "user" """
+
+
+@_q("ql18_junction_users")
+def ql18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 junction reconstruction: patterns' native array columns exploded
+    back to the reference's pattern_users star shape (keyed here by
+    normalized_query — pattern_id hashes are engine-local by design)."""
+    from querysight_spark.plans.report import to_junction_tables
+
+    p = _patterns(spark, sf_dir).withColumn("pattern_id", F.col("normalized_query"))
+    j = to_junction_tables(p)["pattern_users"]
+    return j.orderBy("pattern_id", "user")
+
+
+_ORACLES["ql19_coverage_metrics"] = _WITH_ALL + """,
+    pat AS (SELECT normalized_query FROM query_log
+            GROUP BY normalized_query HAVING COUNT(*) >= 2),
+    pt AS (SELECT DISTINCT l.tname FROM query_log l JOIN pat USING (normalized_query)),
+    used AS (SELECT DISTINCT m.model_name
+             FROM pt JOIN dbt_model_map m ON m.table_key = pt.tname)
+    SELECT (SELECT CAST(COUNT(DISTINCT model_name) AS BIGINT) FROM dbt_model_map)
+             AS total_models,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM used) AS used_models,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM used) * 100.0
+             / (SELECT COUNT(DISTINCT model_name) FROM dbt_model_map)
+             AS coverage_pct,
+           (SELECT CAST(COUNT(DISTINCT model_name) AS BIGINT) FROM dbt_model_map)
+             - (SELECT CAST(COUNT(*) AS BIGINT) FROM used) AS unused_models"""
+
+
+@_q("ql19_coverage_metrics")
+def ql19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6/F4 coverage summary: used-model semi-join feeding the one-row
+    coverage metrics (plans.coverage.coverage_metrics)."""
+    from querysight_spark.plans.coverage import coverage_metrics, used_models
+
+    p = _patterns(spark, sf_dir)
+    used = used_models(p, build_model_map(spark))
+    return coverage_metrics(build_model_map(spark), used)
+
+
+_ORACLES["ql20_memory_sort_page"] = _WITH_QL + """,
+    pat AS (SELECT normalized_query, COUNT(*) AS frequency,
+                   CAST(SUM(memory_usage) AS BIGINT) AS memory_usage
+            FROM query_log GROUP BY normalized_query HAVING COUNT(*) >= 2)
+    SELECT normalized_query, frequency,
+           memory_usage / frequency AS avg_memory
+    FROM pat
+    ORDER BY avg_memory DESC, normalized_query
+    LIMIT 15 OFFSET 15"""
+
+
+@_q("ql20_memory_sort_page")
+def ql20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/E3/E8: the memory sort key (avg = memory/frequency, fidelity
+    F1/F2) driving a second-page fetch with a total order."""
+    p = _patterns(spark, sf_dir).withColumn(
+        "avg_memory", F.col("memory_usage") / F.col("frequency")
+    )
+    page = paginate(
+        p,
+        [F.col("avg_memory").desc(), F.col("normalized_query")],
+        page=1,
+        page_size=15,
+    )
+    return page.select("normalized_query", "frequency", "avg_memory")
+
+
+_ORACLES["ql21_pattern_summary"] = _WITH_QL + """,
+    pat AS (SELECT normalized_query, COUNT(*) AS frequency,
+                   SUM(query_duration_ms) AS total,
+                   CAST(SUM(memory_usage) AS BIGINT) AS mem
+            FROM query_log GROUP BY normalized_query HAVING COUNT(*) >= 2),
+    qual AS (SELECT l.* FROM query_log l
+             JOIN pat USING (normalized_query))
+    SELECT (SELECT CAST(SUM(frequency) AS BIGINT) FROM pat) AS total_queries,
+           (SELECT ROUND(SUM(total), 2) FROM pat) AS total_duration_ms,
+           (SELECT CAST(SUM(mem) AS BIGINT) FROM pat) AS total_memory,
+           (SELECT CAST(COUNT(DISTINCT "user") AS BIGINT) FROM qual) AS distinct_users,
+           (SELECT CAST(COUNT(DISTINCT tname) AS BIGINT) FROM qual) AS distinct_tables"""
+
+
+@_q("ql21_pattern_summary")
+def ql21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4/D8 over aggregated patterns: cross-pattern totals + distinct
+    users/tables from the array columns (plans.report.pattern_summary)."""
+    from querysight_spark.plans.report import pattern_summary
+
+    out = pattern_summary(_patterns(spark, sf_dir))
+    return out.select(
+        "total_queries",
+        F.round("total_duration_ms", 2).alias("total_duration_ms"),
+        "total_memory",
+        "distinct_users",
+        "distinct_tables",
+    )
+
+
+_ORACLES["ql22_schema_introspection"] = """
+    SELECT * FROM (VALUES
+      ('event_id', 'bigint', true),
+      ('event_type', 'string', true),
+      ('props', 'string', true),
+      ('ts', 'timestamp', true),
+      ('user_id', 'bigint', true),
+      ('value', 'double', true)
+    ) AS t(col_name, data_type, nullable)
+    ORDER BY col_name"""
+
+
+@_q("ql22_schema_introspection")
+def ql22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 schema introspection: DESCRIBE-shaped rows for the events table.
+    The literal oracle pins the load_table schema contract — including the
+    nano-timestamp conversion surfacing ts as a plain timestamp."""
+    from querysight_spark.sources.catalog import get_table_schema, load_table
+
+    return get_table_schema(load_table(spark, "events", sf_dir)).orderBy("col_name")
+
+
 @_q("ql14_speed_buckets")
 def ql14(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _rounded_patterns(spark, sf_dir)
