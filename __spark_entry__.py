@@ -96,7 +96,8 @@ def _registries():
         pri = 0 if name.startswith("ql") and name[2:4] >= "14" else 1
         rows.append((pri, name, _engine_query(fn), oracle))
     for name, (spark_sql, duck) in PROBES.items():
-        rows.append((1, name, _sql_query(spark_sql), duck if duck is not None else spark_sql))
+        pri = 0 if name.startswith("p") and name[1:3] >= "37" else 1
+        rows.append((pri, name, _sql_query(spark_sql), duck if duck is not None else spark_sql))
     rows.sort(key=lambda r: r[0])  # stable: in-group registration order kept
     return [(name, fn, oracle) for _pri, name, fn, oracle in rows]
 

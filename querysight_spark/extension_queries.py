@@ -732,6 +732,40 @@ def mm02(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "mm03_resize_plan",
+    """WITH m AS (
+         SELECT concat('asset-', CAST(doc_id AS VARCHAR)) AS asset_id,
+                CAST(n_chars % 640 AS INT) AS width,
+                CAST(n_chars % 480 AS INT) AS height
+         FROM documents WHERE doc_id % 3 = 0
+       ),
+       s AS (
+         SELECT *, LEAST(1.0, LEAST(256.0 / GREATEST(CAST(width AS DOUBLE), 1.0),
+                                    256.0 / GREATEST(CAST(height AS DOUBLE), 1.0)))
+                     AS scale
+         FROM m
+       )
+       SELECT asset_id, width, height,
+              CAST(FLOOR(width * scale) AS INT) AS target_width,
+              CAST(FLOOR(height * scale) AS INT) AS target_height,
+              scale < 1.0 AS needs_resample
+       FROM s ORDER BY asset_id""",
+)
+def mm03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize PLANNING stage (aspect-preserving target dims from
+    metadata only — payload untouched, so the parquet scan prunes the blob
+    column; the pixel resample itself is the documented library stub)."""
+    from querysight_spark.operators.multimodal import media_from_documents, resize_images
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        resize_images(media_from_documents(docs))
+        .drop("payload")
+        .orderBy("asset_id")
+    )
+
+
 # Inject PII shapes into every 7th doc (both engines identically) so the
 # scrub pass has true positives; untouched docs prove no false positives.
 _PII_SUFFIX = " mail bob@example.com ip 10.0.42.7 call 555-123-4567 ssn 123-45-6789"
