@@ -164,20 +164,25 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Nearest-centroid (max cosine) list assignment, map-side: per-centroid
-    dot products → argmax via array_max over (dot, -cid) structs. At scale,
-    write the output partitioned by ``list_id`` so probes prune partitions."""
+    """Nearest-centroid (max cosine) list assignment, map-side, as ONE
+    Arrow-batched matmul against the centroid matrix. The previous
+    unrolled-expression argmax generated n_centroids·dim-term codegen
+    (~1000 terms at 16×64) that blew past JIT method limits and ran ~10×
+    slower — same lesson as the LSH dedup bucketing. At scale, write the
+    output partitioned by ``list_id`` so probes prune partitions."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("int")
+    def nearest(vs: pd.Series) -> pd.Series:
+        X = np.array(vs.tolist(), dtype=np.float64)
+        sims = X @ Cn.T  # row norms don't change the argmax
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
     v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    norm = F.sqrt(_dot(F.col("v"), F.col("v"), len(centroids[0])))
-    entries = [
-        F.struct(
-            (_dot(F.col("v"), F.array(*[F.lit(float(x)) for x in c]), len(c)) / norm).alias("d"),
-            F.lit(-i).alias("neg_cid"),
-        )
-        for i, c in enumerate(centroids)
-    ]
-    best = F.array_max(F.array(*entries))
-    return v.select(F.col(id_col), F.col("v"), (-best["neg_cid"]).cast("int").alias("list_id"))
+    return v.withColumn("list_id", nearest(F.col("v")))
 
 
 def ivf_topk(
