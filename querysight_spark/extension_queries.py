@@ -834,6 +834,142 @@ def tx06(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupe_keep_best(aug).select("doc_id").orderBy("doc_id")
 
 
+@_q(
+    "tx07_chunking",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       g AS (SELECT doc_id, words,
+                    GREATEST(1, (len(words) - 10 + 39) // 40) AS n_chunks FROM w),
+       c AS (SELECT doc_id, UNNEST(range(n_chunks)) AS chunk_id, words FROM g)
+       SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+              array_to_string(words[chunk_id*40+1 : chunk_id*40+50], ' ')
+                AS chunk_text,
+              CAST(len(words[chunk_id*40+1 : chunk_id*40+50]) AS INT) AS n_tokens
+       FROM c ORDER BY doc_id, chunk_id""",
+)
+def tx07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (50-token windows, 10-token overlap): the
+    map-only prep stage that turns documents into training samples."""
+    from querysight_spark.operators.textstats import chunk_documents
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return chunk_documents(docs, chunk_tokens=50, overlap=10).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+@_q(
+    "tx08_train_val_test_split",
+    """WITH b AS (
+         SELECT doc_id,
+                CAST(list_sum([
+                  (strpos('0123456789abcdef',
+                          substr(md5(concat('split', CAST(doc_id AS VARCHAR))),
+                                 i + 1, 1)) - 1)
+                  * CAST(pow(16, 7 - i) AS BIGINT)
+                  for i in range(8)]) AS BIGINT) % 10000 AS bucket
+         FROM documents)
+       SELECT doc_id, bucket,
+              CASE WHEN bucket < 8000 THEN 'train'
+                   WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+       FROM b ORDER BY doc_id""",
+)
+def tx08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split via md5 buckets — stable under re-runs
+    and repartitioning, reproduced hex-digit-for-hex-digit by the oracle."""
+    from querysight_spark.operators.textstats import assign_split
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return assign_split(docs).select("doc_id", "bucket", "split").orderBy("doc_id")
+
+
+@_q(
+    "st01_stream_window_counts",
+    None,  # placeholder: oracle attached below after the CTE import
+)
+def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming under the driver gate: a real readStream over
+    the events parquet, watermarked tumbling-window aggregation, one
+    availableNow pass into a memory sink, then the finished result as a
+    batch DataFrame — hash-checked against the batch-SQL oracle (complete
+    output mode retains all windows, so stream == batch exactly)."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from querysight_spark.streaming.incremental import windowed_pattern_counts
+
+    # the file source streams a DIRECTORY; expose the single parquet file
+    # through a symlink dir (no testdata writes, no data copy)
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        "qs_stream_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    raw = spark.readStream.schema(schema).parquet(stream_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    log = raw.select(
+        F.timestamp_micros(F.expr("ts div 1000")).alias("query_start_time"),
+        F.concat("event_type", F.lit("_"), (k % 7).cast("string")).alias(
+            "normalized_query"
+        ),
+        (F.col("value") * 20).alias("query_duration_ms"),
+    )
+    win = windowed_pattern_counts(log, "1 hour", watermark="1 day")
+    name = "st01_" + uuid.uuid4().hex[:8]
+    # state-store tasks scale with shuffle partitions; a wide default (200)
+    # is all overhead for one availableNow pass over a small corpus
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            win.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return (
+        spark.table(name)
+        .select(
+            "window_start",
+            "normalized_query",
+            "frequency",
+            F.round("total_duration_ms", 2).alias("total_ms"),
+        )
+        .orderBy("window_start", "normalized_query")
+    )
+
+
+def _attach_st01_oracle() -> None:
+    from querysight_spark.demo import QUERY_LOG_CTE
+
+    fn, _none = EXTENSION_QUERIES["st01_stream_window_counts"]
+    EXTENSION_QUERIES["st01_stream_window_counts"] = (
+        fn,
+        f"WITH {QUERY_LOG_CTE}"
+        + """
+        SELECT date_trunc('hour', query_start_time) AS window_start,
+               normalized_query, COUNT(*) AS frequency,
+               ROUND(SUM(query_duration_ms), 2) AS total_ms
+        FROM query_log GROUP BY 1, 2 ORDER BY 1, 2""",
+    )
+
+
+_attach_st01_oracle()
+
+
 _LANG_SCORE = {
     "de": "('der','die','das','und','zu','in','ein','eine','ist','von')",
     "en": "('the','a','of','and','to','in','is','that','it','for')",

@@ -171,3 +171,69 @@ def dedupe_keep_best(
         .where(F.col("_rn") == 1)
         .drop("_rn", "_score")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split each document into overlapping word-window chunks — the
+    context-window preparation step of an LLM training pipeline. Pure JVM
+    expressions: one let-bound split per row, chunk starts from
+    ``sequence``, each chunk a ``slice`` + ``concat_ws`` (no Python, no
+    shuffle; at 100 TB this is a map-only stage that parallelizes per
+    parquet split).
+
+    Chunk grid: starts at 0, step = chunk_tokens - overlap;
+    n_chunks = max(1, ceil((n_words - overlap) / step)) so the final chunk
+    always reaches the tail and short docs yield exactly one chunk."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    chunks = F.expr(
+        f"transform(array(split(`{text_col}`, ' ')), w -> "
+        f"transform(sequence(0, greatest(1, (size(w) - {overlap} + {step} - 1) div {step}) - 1), "
+        f"i -> struct(i AS chunk_id, "
+        f"concat_ws(' ', slice(w, i * {step} + 1, {chunk_tokens})) AS chunk_text, "
+        f"size(slice(w, i * {step} + 1, {chunk_tokens})) AS n_tokens)))[0]"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(id_col, "c.chunk_id", "c.chunk_text", "c.n_tokens")
+    )
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = the first 8 hex
+    digits of md5(salt || id) mod 10000, thresholded by the cumulative
+    weights. Engine-portable (md5 is identical everywhere — the DuckDB
+    oracle reproduces the same buckets), reshuffle-free, and stable under
+    any repartitioning or re-run — properties rand()-based splits lack.
+    ``salt`` lets different experiments draw independent splits from the
+    same corpus."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    train_cut = int(weights[0] * 10000)
+    val_cut = train_cut + int(weights[1] * 10000)
+    return df.withColumn("bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("bucket") < train_cut, "train")
+        .when(F.col("bucket") < val_cut, "val")
+        .otherwise("test"),
+    )

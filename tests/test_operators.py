@@ -421,3 +421,43 @@ def test_persisted_pq_index_roundtrip(spark, vecs, tmp_path):
                                    oversample=2).collect()]
     want = [(r.vec_id, r.cosine) for r in brute_force_topk(vecs, q, k=3).collect()]
     assert got == want
+
+
+def test_chunk_documents_grid(spark):
+    from querysight_spark.operators.textstats import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(95))), (2, "a b c")],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, chunk_tokens=50, overlap=10).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 95 words, step 40 -> ceil((95-10)/40) = 3 chunks; tail chunk short
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.n_tokens for r in c1] == [50, 50, 15]
+    assert c1[0].chunk_text.startswith("w0 ") and c1[1].chunk_text.startswith("w40 ")
+    assert c1[2].chunk_text.endswith("w94")
+    # short doc -> exactly one whole-doc chunk
+    assert [(r.chunk_id, r.n_tokens, r.chunk_text) for r in by_doc[2]] == [(0, 3, "a b c")]
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=10, overlap=10)
+
+
+def test_assign_split_deterministic_and_weighted(spark):
+    from querysight_spark.operators.textstats import assign_split
+
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id: (r.split, r.bucket) for r in assign_split(docs).collect()}
+    b = {r.doc_id: (r.split, r.bucket) for r in
+         assign_split(docs.repartition(13)).collect()}
+    assert a == b  # stable under repartitioning
+    frac = {s: sum(1 for v in a.values() if v[0] == s) / len(a)
+            for s in ("train", "val", "test")}
+    assert abs(frac["train"] - 0.8) < 0.05
+    assert abs(frac["val"] - 0.1) < 0.03
+    # a different salt draws an independent split
+    c = {r.doc_id: r.split for r in assign_split(docs, salt="other").collect()}
+    assert any(c[d] != a[d][0] for d in c)
