@@ -297,7 +297,33 @@ def dd07(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(hp.unionByName(chain)).orderBy("doc_id")
 
 
-@_q("dd05_simhash", None)  # rows-only: conv()-bit votes not worth porting to SQL
+# SimHash oracle: h(w) = first 8 md5 hex chars as an integer (the same
+# strpos-table hex decode as tx08), per-bit ±1 votes, fingerprint bit b set
+# when the vote sum is positive — the exact computation operators/dedup.py
+# does with conv()/shiftright.
+_DUCK_WORD_HASH = """CAST(list_sum([
+  (strpos('0123456789abcdef', substr(md5(w), i + 1, 1)) - 1)
+  * CAST(pow(16, 7 - i) AS BIGINT) for i in range(8)]) AS BIGINT)"""
+_DUCK_SIMHASH_VOTES = ",\n".join(
+    f"SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+    for b in range(16)
+)
+_DUCK_SIMHASH_FP = " + ".join(
+    f"CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16)
+)
+
+
+@_q(
+    "dd05_simhash",
+    f"""WITH doc_w AS (
+         SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS w
+         FROM documents),
+       hashed AS (SELECT doc_id, {_DUCK_WORD_HASH} AS h FROM doc_w),
+       votes AS (SELECT doc_id, {_DUCK_SIMHASH_VOTES}
+                 FROM hashed GROUP BY doc_id)
+       SELECT doc_id, CAST({_DUCK_SIMHASH_FP} AS BIGINT) AS simhash
+       FROM votes ORDER BY doc_id""",
+)
 def dd05(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     return simhash(docs).orderBy("doc_id")
@@ -892,56 +918,12 @@ def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow pass into a memory sink, then the finished result as a
     batch DataFrame — hash-checked against the batch-SQL oracle (complete
     output mode retains all windows, so stream == batch exactly)."""
-    import hashlib
-    import os
-    import tempfile
-    import uuid
-
     from querysight_spark.streaming.incremental import windowed_pattern_counts
 
-    # the file source streams a DIRECTORY; expose the single parquet file
-    # through a symlink dir (no testdata writes, no data copy)
-    stream_dir = os.path.join(
-        tempfile.gettempdir(),
-        "qs_stream_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, "
-        "event_type string, value double, props string"
-    )
-    raw = spark.readStream.schema(schema).parquet(stream_dir)
-    k = F.get_json_object("props", "$.k").cast("int")
-    log = raw.select(
-        F.timestamp_micros(F.expr("ts div 1000")).alias("query_start_time"),
-        F.concat("event_type", F.lit("_"), (k % 7).cast("string")).alias(
-            "normalized_query"
-        ),
-        (F.col("value") * 20).alias("query_duration_ms"),
-    )
+    log = _stream_events_log(spark, sf_dir)
     win = windowed_pattern_counts(log, "1 hour", watermark="1 day")
-    name = "st01_" + uuid.uuid4().hex[:8]
-    # state-store tasks scale with shuffle partitions; a wide default (200)
-    # is all overhead for one availableNow pass over a small corpus
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            win.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return (
-        spark.table(name)
+        _run_available_now(win, spark, "complete")
         .select(
             "window_start",
             "normalized_query",
@@ -952,7 +934,81 @@ def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _attach_st01_oracle() -> None:
+def _stream_events_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (exposed through a symlink dir —
+    the file source wants a directory) → the query-log analog columns."""
+    import hashlib
+    import os
+    import tempfile
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        "qs_stream_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    raw = spark.readStream.schema(schema).parquet(stream_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return raw.select(
+        F.timestamp_micros(F.expr("ts div 1000")).alias("query_start_time"),
+        F.concat("event_type", F.lit("_"), (k % 7).cast("string")).alias(
+            "normalized_query"
+        ),
+        (F.col("value") * 20).alias("query_duration_ms"),
+    )
+
+
+def _run_available_now(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+    """One availableNow pass into a memory sink; returns the sink table."""
+    import uuid
+
+    name = "st_" + uuid.uuid4().hex[:8]
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name)
+
+
+def st02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState under the driver gate: per-pattern running
+    (frequency, total, first/last seen) maintained in the state store,
+    drained with one availableNow pass. Update mode emits one row per
+    pattern per batch it saw data in; the monotone final-state aggregation
+    below collapses multi-batch runs, so the result equals the batch
+    aggregation the oracle states regardless of micro-batching."""
+    from querysight_spark.streaming.stateful import stateful_pattern_counts
+
+    log = _stream_events_log(spark, sf_dir)
+    out = _run_available_now(stateful_pattern_counts(log), spark, "update")
+    return (
+        out.groupBy("normalized_query")
+        .agg(
+            F.max("frequency").alias("frequency"),
+            F.round(F.max("total_duration_ms"), 2).alias("total_ms"),
+            F.min("first_seen").alias("first_seen"),
+            F.max("last_seen").alias("last_seen"),
+        )
+        .orderBy("normalized_query")
+    )
+
+
+def _attach_streaming_oracles() -> None:
     from querysight_spark.demo import QUERY_LOG_CTE
 
     fn, _none = EXTENSION_QUERIES["st01_stream_window_counts"]
@@ -965,9 +1021,19 @@ def _attach_st01_oracle() -> None:
                ROUND(SUM(query_duration_ms), 2) AS total_ms
         FROM query_log GROUP BY 1, 2 ORDER BY 1, 2""",
     )
+    EXTENSION_QUERIES["st02_stateful_pattern_counts"] = (
+        st02,
+        f"WITH {QUERY_LOG_CTE}"
+        + """
+        SELECT normalized_query, COUNT(*) AS frequency,
+               ROUND(SUM(query_duration_ms), 2) AS total_ms,
+               MIN(query_start_time) AS first_seen,
+               MAX(query_start_time) AS last_seen
+        FROM query_log GROUP BY normalized_query ORDER BY normalized_query""",
+    )
 
 
-_attach_st01_oracle()
+_attach_streaming_oracles()
 
 
 _LANG_SCORE = {
