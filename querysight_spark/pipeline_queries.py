@@ -688,6 +688,82 @@ def ql22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return get_table_schema(load_table(spark, "events", sf_dir)).orderBy("col_name")
 
 
+_ORACLES["ql23_dbt_catalog_parse"] = """
+    SELECT * FROM (VALUES
+      ('analytics.orders_clean', 'orders_clean', 'analytics', CAST(NULL AS VARCHAR), 1),
+      ('daily_sales', 'daily_sales', 'marts', 'table', 0),
+      ('marts.daily_sales', 'daily_sales', 'marts', 'table', 1),
+      ('orders_clean', 'orders_clean', 'analytics', CAST(NULL AS VARCHAR), 0)
+    ) AS t(table_key, model_name, "schema", materialized, match_rank)
+    ORDER BY table_key, match_rank"""
+
+
+@_q("ql23_dbt_catalog_parse")
+def ql23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/A9/G8 under the gate: write a deterministic dbt project (config
+    blocks, ref()/source() macros, schema defaults, sources.yml), parse it
+    with sources.dbt_catalog, and hash the exploded model map against a
+    literal expectation — yml/sql parsing and key explosion are pinned."""
+    import os
+    import tempfile
+
+    from querysight_spark.sources.dbt_catalog import catalog_frames, parse_dbt_project
+
+    root = os.path.join(tempfile.gettempdir(), "qs_dbt_ql23")
+
+    def w(path: str, content: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(content)
+
+    w(f"{root}/dbt_project.yml", "name: demo\nmodels:\n  schema: analytics\n")
+    w(
+        f"{root}/models/daily_sales.sql",
+        "{{ config(materialized='table', schema='marts') }}\n"
+        "SELECT * FROM {{ ref('orders_clean') }} "
+        "JOIN {{ source('raw', 'events') }} USING (id)",
+    )
+    w(f"{root}/models/orders_clean.sql", "SELECT * FROM {{ source('raw', 'orders') }}")
+    w(
+        f"{root}/models/sources.yml",
+        "\nsources:\n  - name: raw\n    schema: raw_schema\n"
+        "    database: rawdb\n    tables:\n      - name: events\n"
+        "      - name: orders\n",
+    )
+    model_map, _sources, _edges = catalog_frames(spark, parse_dbt_project(root))
+    return model_map.orderBy("table_key", "match_rank")
+
+
+# a lossless cache round-trip must reproduce ql02's result exactly
+_ORACLES["ql24_cache_roundtrip"] = _ORACLES["ql02_patterns"]
+
+
+@_q("ql24_cache_roundtrip")
+def ql24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6/G3/I3 under the gate: the ql02 pattern table written through
+    SnapshotCache (parquet snapshot + TTL manifest keyed by sha256 level
+    key) and read back within TTL — the round-trip must be lossless, so
+    the oracle is ql02's own SQL. Explicit ``now`` values keep the TTL
+    check wall-clock-free."""
+    import hashlib
+    import os
+    import tempfile
+
+    from querysight_spark.sources.snapshot_cache import SnapshotCache, level_key
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "qs_cache_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
+    cache = SnapshotCache(root)
+    pats = ql02(spark, sf_dir)
+    key = level_key("ql24", os.path.abspath(sf_dir))
+    cache.put(pats, "pattern_analysis", key, now=1_000.0)
+    got = cache.get(spark, "pattern_analysis", key, now=2_000.0)
+    assert got is not None, "cache read-back within TTL must hit"
+    return got.orderBy("normalized_query")
+
+
 @_q("ql14_speed_buckets")
 def ql14(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _rounded_patterns(spark, sf_dir)
