@@ -48,3 +48,27 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table)
+
+
+def co_located_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two bucketed catalog tables on their bucket columns. When both
+    sides were written with ``write_bucketed`` on ``on``, the planned join
+    has no Exchange (verify with ``has_shuffle``)."""
+    return spark.table(left_table).join(spark.table(right_table), list(on), how)
+
+
+def has_shuffle(df: DataFrame) -> bool:
+    """True when the physical plan contains a shuffle Exchange — the
+    assertable core of every "this layout avoids the shuffle" claim in
+    SCALE.md (broadcast exchanges don't count; they're the point)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return any(
+        line.lstrip("+-* (0123456789) ").startswith("Exchange")
+        for line in plan.splitlines()
+    )

@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from querysight_spark.sources.bucketed import (
+from querysight_spark.sources.layout import (
     co_located_join,
     has_shuffle,
     write_bucketed,
@@ -15,10 +15,10 @@ from querysight_spark.sources.bucketed import (
 
 @pytest.fixture(scope="module")
 def bucket_db(spark, tmp_path_factory):
-    loc = tmp_path_factory.mktemp("bucketdb")
+    loc = tmp_path_factory.mktemp("bucketdb2")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{loc}'")
-    yield "bucketdb"
-    spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
+    yield "bucketdb2"
+    spark.sql("DROP DATABASE IF EXISTS bucketdb2 CASCADE")
 
 
 def test_bucketed_join_has_no_shuffle(spark, bucket_db):
