@@ -16,7 +16,7 @@ from querysight_spark.sources.layout import (
 @pytest.fixture(scope="module")
 def bucket_db(spark, tmp_path_factory):
     loc = tmp_path_factory.mktemp("bucketdb2")
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{loc}'")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb2 LOCATION '{loc}'")
     yield "bucketdb2"
     spark.sql("DROP DATABASE IF EXISTS bucketdb2 CASCADE")
 
