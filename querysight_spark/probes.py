@@ -459,3 +459,14 @@ _p(
        FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
        GROUP BY w ORDER BY n DESC, w LIMIT 20""",
 )
+_p(
+    "p47_broadcast_hint",
+    """SELECT /*+ BROADCAST(c) */ c_mktsegment, COUNT(*) AS n
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+)
+_p(
+    "p48_repartition_hint",
+    """SELECT /*+ REPARTITION(8, user_id) */ user_id, COUNT(*) AS n
+       FROM events GROUP BY user_id ORDER BY user_id""",
+)
