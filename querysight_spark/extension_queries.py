@@ -1036,6 +1036,43 @@ def _attach_streaming_oracles() -> None:
 _attach_streaming_oracles()
 
 
+# md5-bucket expression shared by the tx09 oracle (strpos hex decode, same
+# scheme as tx08's)
+def _duck_mix_bucket(name: str) -> str:
+    return f"""CAST(list_sum([
+      (strpos('0123456789abcdef',
+              substr(md5(concat('mix', '{name}', CAST(doc_id AS VARCHAR))),
+                     i + 1, 1)) - 1)
+      * CAST(pow(16, 7 - i) AS BIGINT) for i in range(8)]) AS BIGINT) % 10000"""
+
+
+@_q(
+    "tx09_corpus_mix",
+    f"""WITH a AS (
+         SELECT doc_id, 'web' AS source FROM documents
+         WHERE {_duck_mix_bucket('web')} < 7000),
+       b AS (
+         SELECT doc_id + 100000 AS doc_id, 'books' AS source FROM documents
+         WHERE {_duck_mix_bucket('books').replace("CAST(doc_id AS VARCHAR)",
+                                                  "CAST(doc_id + 100000 AS VARCHAR)")} < 3000)
+       SELECT doc_id, source FROM a
+       UNION ALL SELECT doc_id, source FROM b
+       ORDER BY doc_id""",
+)
+def tx09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing (70 % 'web', 30 % 'books'): deterministic
+    md5-bucket sampling per source + tagged union, reproduced
+    digit-for-digit by the oracle."""
+    from querysight_spark.operators.textstats import interleave_corpora
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    books = docs.select((F.col("doc_id") + 100000).alias("doc_id"))
+    out = interleave_corpora(
+        [("web", docs, 0.7), ("books", books, 0.3)], id_col="doc_id"
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
 _LANG_SCORE = {
     "de": "('der','die','das','und','zu','in','ein','eine','ist','von')",
     "en": "('the','a','of','and','to','in','is','that','it','for')",

@@ -237,3 +237,38 @@ def assign_split(
         .when(F.col("bucket") < val_cut, "val")
         .otherwise("test"),
     )
+
+
+def interleave_corpora(
+    sources: list[tuple[str, DataFrame, float]],
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted dataset mixing: union of per-source deterministic samples —
+    the step that blends corpora at fixed proportions for a training run.
+    Each source keeps rows whose md5 bucket (same scheme as
+    ``assign_split``) falls under its sampling fraction, and rows carry a
+    ``source`` tag. Deterministic and engine-portable: the mix is
+    reproducible row-for-row across runs, partitionings, and engines —
+    properties a rand()-based sampler lacks. ``sources`` is
+    ``[(name, df, keep_fraction)]`` with fractions in [0, 1]."""
+    out = None
+    for name, df, fraction in sources:
+        cut = int(fraction * 10000)
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(salt), F.lit(name), F.col(id_col).cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10000
+        )
+        part = df.where(bucket < cut).withColumn("source", F.lit(name))
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -461,3 +461,20 @@ def test_assign_split_deterministic_and_weighted(spark):
     # a different salt draws an independent split
     c = {r.doc_id: r.split for r in assign_split(docs, salt="other").collect()}
     assert any(c[d] != a[d][0] for d in c)
+
+
+def test_interleave_corpora_deterministic_weights(spark):
+    from querysight_spark.operators.textstats import interleave_corpora
+
+    a = spark.range(3000).select(F.col("id").alias("doc_id"))
+    b = spark.range(3000, 6000).select(F.col("id").alias("doc_id"))
+    mix = interleave_corpora([("a", a, 0.5), ("b", b, 0.25)])
+    rows = {(r.doc_id, r.source) for r in mix.collect()}
+    again = {(r.doc_id, r.source) for r in mix.collect()}
+    assert rows == again  # reproducible
+    n_a = sum(1 for _, s in rows if s == "a")
+    n_b = sum(1 for _, s in rows if s == "b")
+    assert abs(n_a / 3000 - 0.5) < 0.05 and abs(n_b / 3000 - 0.25) < 0.05
+    # a source's membership doesn't depend on the other sources
+    solo = {(r.doc_id, r.source) for r in interleave_corpora([("a", a, 0.5)]).collect()}
+    assert solo == {x for x in rows if x[1] == "a"}
