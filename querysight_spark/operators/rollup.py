@@ -83,3 +83,38 @@ def with_avg(rollup: DataFrame) -> DataFrame:
     """Derived average at read time (avg = sum/n; stored averages would
     not re-aggregate)."""
     return rollup.withColumn("avg", F.col("sum") / F.col("n"))
+
+
+def write_rollup_tier(
+    rollup: DataFrame,
+    path: str,
+    partition_granularity: str = "day",
+    mode: str = "overwrite",
+) -> None:
+    """Persist a rollup tier partitioned by a coarser calendar unit of its
+    bucket (hypertable chunk layout): time-range queries against the tier
+    prune whole ``p_date=`` directories before any IO, and appending a new
+    day of data touches only that day's partition. The bucket column
+    itself stays at full resolution inside the files."""
+    out = rollup.withColumn(
+        "p_date", F.date_trunc(partition_granularity, F.col("bucket_start")).cast("date")
+    )
+    out.write.mode(mode).partitionBy("p_date").parquet(path)
+
+
+def read_rollup_tier(spark, path: str, start=None, end=None) -> DataFrame:
+    """Read a persisted tier with partition-pruned time-range filters: the
+    ``p_date`` predicates hit the partition column (PartitionFilters in the
+    scan), the ``bucket_start`` predicates refine within files."""
+    df = spark.read.parquet(path)
+    if start is not None:
+        df = df.where(
+            (F.col("p_date") >= F.to_date(F.lit(start)))
+            & (F.col("bucket_start") >= F.lit(start))
+        )
+    if end is not None:
+        df = df.where(
+            (F.col("p_date") <= F.to_date(F.lit(end)))
+            & (F.col("bucket_start") < F.lit(end))
+        )
+    return df.drop("p_date")

@@ -478,3 +478,38 @@ def test_interleave_corpora_deterministic_weights(spark):
     # a source's membership doesn't depend on the other sources
     solo = {(r.doc_id, r.source) for r in interleave_corpora([("a", a, 0.5)]).collect()}
     assert solo == {x for x in rows if x[1] == "a"}
+
+
+def test_rollup_tier_partition_pruning(spark, tmp_path):
+    import datetime as dt
+
+    from querysight_spark.operators.rollup import (
+        read_rollup_tier,
+        reaggregate,
+        time_rollup,
+        write_rollup_tier,
+    )
+    from querysight_spark.sources.catalog import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").withColumn(
+        "value", F.col("value").cast("decimal(18,2)")
+    )
+    hourly = time_rollup(ev, "ts", "value", every="1 hour")
+    path = str(tmp_path / "tier_hourly")
+    write_rollup_tier(hourly, path)
+
+    start, end = dt.datetime(2024, 1, 3), dt.datetime(2024, 1, 5)
+    ranged = read_rollup_tier(spark, path, start=start, end=end)
+    # the p_date predicate must prune partitions at planning time
+    plan = ranged._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "p_date" in plan
+    # pruned read re-aggregates to the same daily tier as the raw scan
+    direct = (
+        ev.where((F.col("ts") >= start) & (F.col("ts") < end))
+        .groupBy(F.date_trunc("day", "ts").alias("bucket_start"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum"))
+    )
+    via_tier = reaggregate(ranged, "1 day").select("bucket_start", "n", "sum")
+    got = {tuple(r) for r in via_tier.collect()}
+    want = {tuple(r) for r in direct.collect()}
+    assert got == want
