@@ -470,3 +470,43 @@ _p(
     """SELECT /*+ REPARTITION(8, user_id) */ user_id, COUNT(*) AS n
        FROM events GROUP BY user_id ORDER BY user_id""",
 )
+_p(
+    "p49_null_semantics",
+    """SELECT t.k, t.v,
+              t.v <=> NULL AS v_is_null_safe,
+              nullif(t.v, 7) AS nn,
+              nvl(t.v, -1) AS filled,
+              coalesce(t.v, t.k, -9) AS first_set
+       FROM (SELECT user_id % 5 AS k,
+                    CASE WHEN user_id % 3 = 0 THEN NULL
+                         ELSE user_id % 10 END AS v
+             FROM events) t
+       ORDER BY t.k NULLS FIRST, t.v NULLS LAST, filled""",
+    """SELECT t.k, t.v,
+              t.v IS NOT DISTINCT FROM NULL AS v_is_null_safe,
+              nullif(t.v, 7) AS nn,
+              coalesce(t.v, -1) AS filled,
+              coalesce(t.v, t.k, -9) AS first_set
+       FROM (SELECT user_id % 5 AS k,
+                    CASE WHEN user_id % 3 = 0 THEN NULL
+                         ELSE user_id % 10 END AS v
+             FROM events) t
+       ORDER BY t.k NULLS FIRST, t.v NULLS LAST, filled""",
+)
+_p(
+    "p50_null_safe_join",
+    """SELECT a.k AS ka, b.k AS kb, COUNT(*) AS n
+       FROM (SELECT CASE WHEN user_id % 4 = 0 THEN NULL
+                         ELSE user_id % 3 END AS k FROM events) a
+       JOIN (SELECT CASE WHEN user_id % 5 = 0 THEN NULL
+                         ELSE user_id % 3 END AS k FROM events) b
+         ON a.k <=> b.k
+       GROUP BY a.k, b.k ORDER BY ka NULLS FIRST, kb NULLS FIRST""",
+    """SELECT a.k AS ka, b.k AS kb, COUNT(*) AS n
+       FROM (SELECT CASE WHEN user_id % 4 = 0 THEN NULL
+                         ELSE user_id % 3 END AS k FROM events) a
+       JOIN (SELECT CASE WHEN user_id % 5 = 0 THEN NULL
+                         ELSE user_id % 3 END AS k FROM events) b
+         ON a.k IS NOT DISTINCT FROM b.k
+       GROUP BY a.k, b.k ORDER BY ka NULLS FIRST, kb NULLS FIRST""",
+)
