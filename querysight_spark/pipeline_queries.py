@@ -764,6 +764,58 @@ def ql24(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.orderBy("normalized_query")
 
 
+# the end-to-end lifecycle must land on exactly the recommendations the
+# standalone ql15 path computes
+_ORACLES["ql25_analyze_lifecycle"] = _ORACLES["ql15_recommendations"]
+
+
+@_q("ql25_analyze_lifecycle")
+def ql25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 lifecycle under the gate: run_analysis at level=optimization,
+    TWICE through a cold snapshot cache — the second run must be served
+    from the level snapshots (B11 ordinal gating + A5/A6 cache + every
+    plan stage integrated), and its recommendations must hash-match the
+    standalone ql15 oracle."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from querysight_spark.analyze import run_analysis
+    from querysight_spark.sources.snapshot_cache import SnapshotCache
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "qs_an_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)  # deterministic cold start
+    cache = SnapshotCache(root)
+    log = build_query_log(spark, sf_dir)
+    dims = (build_model_map(spark), build_sources_dim(spark), build_edges(spark))
+    kwargs = dict(
+        level="optimization",
+        min_frequency=2,
+        extract_from_sql=False,
+        cache=cache,
+        now=1_000.0,
+    )
+    run_analysis(spark, log, *dims, **kwargs)
+    res = run_analysis(spark, log, *dims, **kwargs)
+    assert res.cache_hits, "second run must be served from the level cache"
+    return (
+        res.recommendations.select(
+            "normalized_query",
+            "rec_type",
+            "impact",
+            F.array_join("pattern_types", ",").alias("pattern_types_list"),
+            F.array_join("unmapped_tables", ",").alias("unmapped_list"),
+            "frequency",
+            F.round("avg_duration_ms", 4).alias("avg_ms"),
+            "description",
+        ).orderBy("normalized_query")
+    )
+
+
 @_q("ql14_speed_buckets")
 def ql14(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _rounded_patterns(spark, sf_dir)
