@@ -427,6 +427,31 @@ def ss05(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_rerank(vecs, pq_encode(vecs, books), books, q, k=10)
 
 
+@_q("ss06_pq_persisted_topk", None)  # rows-only: same approximate ANN as ss05
+def ss06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index variant of ss05: train + encode once into a PQ code
+    table (plus codebooks JSON), probe via broadcast-LUT ADC + exact
+    rerank. Index reuse mirrors ss04 — codebooks are seed-deterministic
+    and the corpus immutable per sf_dir, so an existing index is current;
+    probes read ~1-2 % of the corpus bytes."""
+    import hashlib
+    import os
+    import tempfile
+
+    from querysight_spark.operators.similarity import build_pq_index, probe_pq_index
+
+    q = _query_vec(spark, sf_dir)
+    path = (
+        tempfile.gettempdir()
+        + "/qs_pq_index_"
+        + hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    )
+    vecs = load_table(spark, "embeddings", sf_dir)
+    if not os.path.exists(os.path.join(path, "_codebooks.json")):
+        build_pq_index(vecs, path, dim=len(q), m=32, k=64)
+    return probe_pq_index(spark, path, q, k=10, rerank_df=vecs)
+
+
 # --- text analysis ----------------------------------------------------------
 
 
