@@ -29,12 +29,21 @@ HEADLINE = [
     "p30_rollup",
     "ql02_patterns",
     "ql04_models_per_pattern",
+    "ql05_uncovered_tables",
     "ql07_merge_runs",
+    "ql16_normalize_extract",
     "dd02_minhash_lsh",
     "dd03_ngram_jaccard",
     "dd04_embedding_cosine_dups",
+    "dd06_cosine_dups_lsh",
     "ss01_brute_topk",
+    "ss04_bucketed_storage_topk",
+    "ss05_pq_topk",
     "tx02_quality_scores",
+    "tx04_language_id",
+    "tx05_scrub_pii",
+    "tx06_dedupe_keep_best",
+    "tr02_daily_from_hourly",
     "p31_session_window",
     "aj01_asof_join",
 ]
