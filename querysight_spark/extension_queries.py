@@ -1098,6 +1098,49 @@ def tx09(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source").orderBy("doc_id")
 
 
+@_q(
+    "tx10_clean_text",
+    r"""SELECT doc_id,
+              trim(regexp_replace(
+                regexp_replace(lower(text), $$[^\w\s']$$, ' ', 'g'),
+                $$\s+$$, ' ', 'g')) AS clean_text
+       FROM documents ORDER BY doc_id""",
+)
+def tx10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from querysight_spark.operators.textstats import clean_text
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return clean_text(docs).orderBy("doc_id")
+
+
+@_q(
+    "tx11_repetition_flags",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       s AS (SELECT doc_id,
+                    len(words) AS n_words,
+                    len(list_distinct(words)) AS n_distinct,
+                    list_max([len([x for x in words if x = d])
+                              for d in list_distinct(words)]) AS top_word_freq
+             FROM w)
+       SELECT doc_id, n_words, n_distinct, top_word_freq,
+              ROUND(top_word_freq / GREATEST(n_words, 1), 6) AS top_word_ratio,
+              ROUND(n_distinct / GREATEST(n_words, 1), 6) AS distinct_ratio,
+              ROUND(top_word_freq / GREATEST(n_words, 1), 6) <= 0.2
+                AND ROUND(n_distinct / GREATEST(n_words, 1), 6) >= 0.5
+                AS pass_repetition
+       FROM s ORDER BY doc_id""",
+)
+def tx11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals. The per-doc frequency scan
+    is O(words · distinct) inside one task — fine at document scale
+    (10⁴-10⁶ ops/doc); for book-length docs switch to the explode +
+    groupBy formulation, trading a shuffle for linearity."""
+    from querysight_spark.operators.textstats import repetition_flags
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return repetition_flags(docs).orderBy("doc_id")
+
+
 _LANG_SCORE = {
     "de": "('der','die','das','und','zu','in','ein','eine','ist','von')",
     "en": "('the','a','of','and','to','in','is','that','it','for')",

@@ -272,3 +272,55 @@ def interleave_corpora(
         part = df.where(bucket < cut).withColumn("source", F.lit(name))
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def clean_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Standard text-cleaning stage: lowercase, strip non-word punctuation
+    (keeping word-internal apostrophes), collapse whitespace, trim. Pure
+    regexp_replace chain — same codegen-friendly shape as the G1 query
+    normalizer."""
+    c = F.col(text_col)
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[^\w\s']", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return df.select(F.col(id_col), F.trim(c).alias("clean_text"))
+
+
+def repetition_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_top_word_ratio: float = 0.2,
+    min_distinct_ratio: float = 0.5,
+) -> DataFrame:
+    """Gopher-style repetition quality signals, all JVM expressions over
+    one let-bound split: top-word dominance (most frequent word's share)
+    and distinct-word ratio, plus pass/fail flags at the standard
+    thresholds. Docs failing either flag are the boilerplate/spam shapes
+    repetition filters exist to drop."""
+    expr = F.expr(
+        f"transform(array(split(`{text_col}`, ' ')), w -> struct("
+        "size(w) AS n_words, "
+        "size(array_distinct(w)) AS n_distinct, "
+        "array_max(transform(array_distinct(w), "
+        "d -> size(filter(w, x -> x = d)))) AS top_word_freq))[0]"
+    )
+    out = df.select(F.col(id_col), expr.alias("s")).select(
+        id_col,
+        "s.n_words",
+        "s.n_distinct",
+        "s.top_word_freq",
+        F.round(F.col("s.top_word_freq") / F.greatest("s.n_words", F.lit(1)), 6).alias(
+            "top_word_ratio"
+        ),
+        F.round(F.col("s.n_distinct") / F.greatest("s.n_words", F.lit(1)), 6).alias(
+            "distinct_ratio"
+        ),
+    )
+    return out.withColumn(
+        "pass_repetition",
+        (F.col("top_word_ratio") <= max_top_word_ratio)
+        & (F.col("distinct_ratio") >= min_distinct_ratio),
+    )
