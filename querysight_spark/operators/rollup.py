@@ -118,3 +118,27 @@ def read_rollup_tier(spark, path: str, start=None, end=None) -> DataFrame:
             & (F.col("bucket_start") < F.lit(end))
         )
     return df.drop("p_date")
+
+
+def upsert_rollup_tier(
+    new_rollup: DataFrame,
+    path: str,
+    partition_granularity: str = "day",
+) -> None:
+    """Incremental tier maintenance: overwrite ONLY the calendar partitions
+    present in ``new_rollup`` (dynamic partition overwrite), leaving every
+    other chunk's files untouched. This is how a 100 TB tier absorbs a new
+    day of data — recompute the affected day(s) from raw, upsert those
+    partitions, never rewrite history. Re-running the same day is
+    idempotent (same input → same partition contents)."""
+    spark = new_rollup.sparkSession
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out = new_rollup.withColumn(
+            "p_date",
+            F.date_trunc(partition_granularity, F.col("bucket_start")).cast("date"),
+        )
+        out.write.mode("overwrite").partitionBy("p_date").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)

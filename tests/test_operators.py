@@ -513,3 +513,51 @@ def test_rollup_tier_partition_pruning(spark, tmp_path):
     got = {tuple(r) for r in via_tier.collect()}
     want = {tuple(r) for r in direct.collect()}
     assert got == want
+
+
+def test_rollup_tier_incremental_upsert(spark, tmp_path):
+    import datetime as dt
+    import glob
+    import os
+
+    from querysight_spark.operators.rollup import (
+        read_rollup_tier,
+        time_rollup,
+        upsert_rollup_tier,
+        write_rollup_tier,
+    )
+    from querysight_spark.sources.catalog import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").withColumn(
+        "value", F.col("value").cast("decimal(18,2)")
+    )
+    day3 = dt.datetime(2024, 1, 3)
+    day4 = dt.datetime(2024, 1, 4)
+    path = str(tmp_path / "tier")
+    # backfill everything BEFORE day 3, then absorb day 3 incrementally
+    write_rollup_tier(time_rollup(ev.where(F.col("ts") < day3), "ts", "value"), path)
+    files_before = {
+        p: os.path.getmtime(p) for p in glob.glob(f"{path}/p_date=*/*.parquet")
+    }
+    day3_rollup = time_rollup(
+        ev.where((F.col("ts") >= day3) & (F.col("ts") < day4)), "ts", "value"
+    )
+    upsert_rollup_tier(day3_rollup, path)
+    # old partitions' files untouched, new day present
+    for p, mtime in files_before.items():
+        assert os.path.getmtime(p) == mtime, f"{p} was rewritten"
+    assert glob.glob(f"{path}/p_date=2024-01-03/*.parquet")
+    # tier now equals a from-scratch rollup over the combined range
+    got = {
+        tuple(r)
+        for r in read_rollup_tier(spark, path, end=day4)
+        .select("bucket_start", "n")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in time_rollup(ev.where(F.col("ts") < day4), "ts", "value")
+        .select("bucket_start", "n")
+        .collect()
+    }
+    assert got == want
