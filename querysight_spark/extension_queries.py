@@ -452,6 +452,25 @@ def ss06(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_pq_index(spark, path, q, k=10, rerank_df=vecs)
 
 
+@_q("ss07_opq_topk", None)  # rows-only: learned-rotation ANN is approximate
+def ss07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ path: learn an orthonormal rotation minimizing PQ quantization
+    error (alternating Procrustes/k-means on a bounded sample), encode the
+    rotated corpus, probe with the rotated query (rotation preserves dot
+    products), rerank exactly on the original vectors."""
+    from querysight_spark.operators.similarity import (
+        opq_encode,
+        opq_topk_rerank,
+        train_opq,
+    )
+
+    q = _query_vec(spark, sf_dir)
+    vecs = load_table(spark, "embeddings", sf_dir)
+    R, books = train_opq(vecs, dim=len(q), m=32, k=64, outer_iters=3)
+    codes = opq_encode(vecs, R, books)
+    return opq_topk_rerank(vecs, codes, R, books, q, k=10)
+
+
 # --- text analysis ----------------------------------------------------------
 
 

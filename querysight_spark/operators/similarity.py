@@ -472,3 +472,126 @@ def probe_pq_index(
         rerank_df, codes, books, query_vec, k=k,
         oversample=oversample, id_col=id_col, vec_col=vec_col,
     )
+
+
+def train_opq(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    sample_size: int = 4096,
+    outer_iters: int = 5,
+    pq_iters: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """OPQ: learn an orthonormal rotation R that minimizes PQ quantization
+    error before the subspace split (the classic alternating scheme —
+    fix R, train codebooks on X·R; fix codebooks, solve R by orthogonal
+    Procrustes on X vs its reconstruction). Plain PQ assumes the natural
+    coordinate split balances variance across subspaces; OPQ removes that
+    assumption, and its sample quantization error is never worse.
+
+    Driver-side on the same bounded seeded sample as PQ training; returns
+    ``(R, codebooks)`` with R as ``dim × dim`` nested lists. Corpus-side
+    encoding just rotates each Arrow batch (one matmul) before the normal
+    PQ encode — see ``opq_encode`` / ``opq_topk_rerank``."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    rows = df.select(vec_col).sample(False, 0.5, seed).limit(sample_size).collect()
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    R = np.linalg.qr(rng.randn(dim, dim))[0]
+
+    def _train_books(Z: np.ndarray) -> list[np.ndarray]:
+        books = []
+        for s in range(m):
+            Zs = Z[:, s * dsub : (s + 1) * dsub]
+            C = Zs[rng.choice(len(Zs), size=min(k, len(Zs)), replace=False)].copy()
+            for _ in range(pq_iters):
+                d2 = (
+                    (Zs * Zs).sum(axis=1)[:, None]
+                    + (C * C).sum(axis=1)[None, :]
+                    - 2.0 * (Zs @ C.T)
+                )
+                assign = np.argmin(d2, axis=1)
+                for j in range(len(C)):
+                    members = Zs[assign == j]
+                    if len(members):
+                        C[j] = members.mean(axis=0)
+            books.append(C)
+        return books
+
+    def _reconstruct(Z: np.ndarray, books: list[np.ndarray]) -> np.ndarray:
+        out = np.empty_like(Z)
+        for s, C in enumerate(books):
+            Zs = Z[:, s * dsub : (s + 1) * dsub]
+            d2 = (
+                (Zs * Zs).sum(axis=1)[:, None]
+                + (C * C).sum(axis=1)[None, :]
+                - 2.0 * (Zs @ C.T)
+            )
+            out[:, s * dsub : (s + 1) * dsub] = C[np.argmin(d2, axis=1)]
+        return out
+
+    books = _train_books(X @ R)
+    for _ in range(outer_iters):
+        Xhat = _reconstruct(X @ R, books)
+        U, _sv, Vt = np.linalg.svd(X.T @ Xhat)
+        R = U @ Vt
+        books = _train_books(X @ R)
+    return R.tolist(), [b.tolist() for b in books]
+
+
+def opq_encode(
+    df: DataFrame,
+    rotation: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode under the learned rotation: one extra Arrow-batched matmul
+    per batch, then the standard nearest-centroid coding."""
+    from pyspark.sql.functions import pandas_udf
+
+    R = np.array(rotation, dtype=np.float64)
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    dsub = books[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def encode(vs: pd.Series) -> pd.Series:
+        X = np.array(vs.tolist(), dtype=np.float64) @ R
+        codes = np.empty((len(X), len(books)), dtype=np.int32)
+        for s, C in enumerate(books):
+            Xs = X[:, s * dsub : (s + 1) * dsub]
+            d2 = (
+                (Xs * Xs).sum(axis=1)[:, None]
+                + (C * C).sum(axis=1)[None, :]
+                - 2.0 * (Xs @ C.T)
+            )
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return df.select(F.col(id_col), encode(_as_double(F.col(vec_col))).alias("codes"))
+
+
+def opq_topk_rerank(
+    df: DataFrame,
+    codes_df: DataFrame,
+    rotation: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    oversample: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OPQ search: rotate the query driver-side (rotation preserves dot
+    products, so ADC over rotated codes scores the original cosine), take
+    the ADC shortlist, rerank exactly on the ORIGINAL vectors."""
+    q = np.array([float(x) for x in query_vec], dtype=np.float64)
+    qr = (q @ np.array(rotation, dtype=np.float64)).tolist()
+    short = pq_topk(codes_df, codebooks, qr, k=k * oversample, id_col=id_col)
+    cand = df.join(F.broadcast(short.select(id_col)), id_col)
+    return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)

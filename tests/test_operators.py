@@ -561,3 +561,51 @@ def test_rollup_tier_incremental_upsert(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_opq_reduces_quantization_error_and_reranks_exact(spark):
+    import numpy as np
+
+    from querysight_spark.operators.similarity import (
+        brute_force_topk,
+        opq_encode,
+        opq_topk_rerank,
+        train_opq,
+        train_pq_codebooks,
+    )
+    from querysight_spark.sources.catalog import load_table
+
+    vecs = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    sample = np.array(
+        [list(r.embedding) for r in vecs.limit(256).collect()], dtype=np.float64
+    )
+    dim, m, k = sample.shape[1], 8, 16
+
+    def recon_err(X, R, books):
+        Z = X @ np.array(R)
+        dsub = dim // m
+        err = 0.0
+        for s, C in enumerate(np.array(b) for b in books):
+            Zs = Z[:, s * dsub : (s + 1) * dsub]
+            d2 = ((Zs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            err += d2.min(axis=1).sum()
+        return err
+
+    R, opq_books = train_opq(vecs, dim=dim, m=m, k=k, sample_size=256)
+    pq_books = train_pq_codebooks(vecs, dim=dim, m=m, k=k, sample_size=256)
+    identity = np.eye(dim).tolist()
+    assert recon_err(sample, R, opq_books) <= recon_err(sample, identity, pq_books)
+    # rotation is orthonormal
+    Rm = np.array(R)
+    assert np.allclose(Rm @ Rm.T, np.eye(dim), atol=1e-8)
+
+    q = [float(x) for x in vecs.where("vec_id = 0").first().embedding]
+    codes = opq_encode(vecs, R, opq_books)
+    # oversample covering the corpus -> exact rerank == brute force
+    n = vecs.count()
+    got = [
+        (r.vec_id, r.cosine)
+        for r in opq_topk_rerank(vecs, codes, R, opq_books, q, k=5, oversample=n).collect()
+    ]
+    want = [(r.vec_id, r.cosine) for r in brute_force_topk(vecs, q, k=5).collect()]
+    assert got == want
