@@ -471,6 +471,25 @@ def ss07(spark: SparkSession, sf_dir: str) -> DataFrame:
     return opq_topk_rerank(vecs, codes, R, books, q, k=10)
 
 
+@_q("ss08_ivfpq_topk", None)  # rows-only: composed approximate index
+def ss08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed index: euclidean coarse lists + shared residual
+    codebooks, per-list broadcast LUT ADC (the query residual differs per
+    list), exact rerank of the shortlist — the architecture that serves
+    billion-vector corpora."""
+    from querysight_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk_rerank,
+        train_ivfpq,
+    )
+
+    q = _query_vec(spark, sf_dir)
+    vecs = load_table(spark, "embeddings", sf_dir)
+    cents, books = train_ivfpq(vecs, dim=len(q), n_centroids=16, m=32, k=64)
+    codes = ivfpq_encode(vecs, cents, books)
+    return ivfpq_topk_rerank(vecs, codes, cents, books, q, k=10, n_probes=4)
+
+
 # --- text analysis ----------------------------------------------------------
 
 

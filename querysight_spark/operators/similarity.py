@@ -595,3 +595,217 @@ def opq_topk_rerank(
     short = pq_topk(codes_df, codebooks, qr, k=k * oversample, id_col=id_col)
     cand = df.join(F.broadcast(short.select(id_col)), id_col)
     return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def train_ivfpq(
+    df: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    m: int = 8,
+    k: int = 16,
+    sample_size: int = 4096,
+    coarse_iters: int = 8,
+    pq_iters: int = 6,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """IVF+PQ training (the composed index every large-scale ANN system
+    ships): a euclidean coarse quantizer partitions the space into
+    ``n_centroids`` lists, and ONE shared set of PQ codebooks is trained on
+    the RESIDUALS ``v − c(v)`` — residuals are centered and far smaller in
+    norm than raw vectors, so the same code budget quantizes them much more
+    accurately. Driver-side on the usual bounded seeded sample; returns
+    ``(coarse_centroids, residual_codebooks)``."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    rows = df.select(vec_col).sample(False, 0.5, seed).limit(sample_size).collect()
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
+    for _ in range(coarse_iters):
+        d2 = (
+            (X * X).sum(axis=1)[:, None]
+            + (C * C).sum(axis=1)[None, :]
+            - 2.0 * (X @ C.T)
+        )
+        assign = np.argmin(d2, axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    d2 = (
+        (X * X).sum(axis=1)[:, None] + (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+    )
+    Rres = X - C[np.argmin(d2, axis=1)]
+    books = []
+    for s in range(m):
+        Rs = Rres[:, s * dsub : (s + 1) * dsub]
+        B = Rs[rng.choice(len(Rs), size=min(k, len(Rs)), replace=False)].copy()
+        for _ in range(pq_iters):
+            bd2 = (
+                (Rs * Rs).sum(axis=1)[:, None]
+                + (B * B).sum(axis=1)[None, :]
+                - 2.0 * (Rs @ B.T)
+            )
+            a = np.argmin(bd2, axis=1)
+            for j in range(len(B)):
+                members = Rs[a == j]
+                if len(members):
+                    B[j] = members.mean(axis=0)
+        books.append(B.tolist())
+    return C.tolist(), books
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, list_id, codes): coarse-assign each vector, PQ-encode its
+    residual. One Arrow batch = two matmuls + per-subspace argmins; at
+    scale, write the output partitioned by ``list_id`` so probes prune to
+    the visited lists' files."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.float64)
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    dsub = books[0].shape[1]
+
+    @pandas_udf("struct<list_id:int, codes:array<int>>")
+    def encode(vs: pd.Series) -> pd.DataFrame:
+        X = np.array(vs.tolist(), dtype=np.float64)
+        d2 = (
+            (X * X).sum(axis=1)[:, None]
+            + (C * C).sum(axis=1)[None, :]
+            - 2.0 * (X @ C.T)
+        )
+        assign = np.argmin(d2, axis=1)
+        R = X - C[assign]
+        codes = np.empty((len(X), len(books)), dtype=np.int32)
+        for s, B in enumerate(books):
+            Rs = R[:, s * dsub : (s + 1) * dsub]
+            bd2 = (
+                (Rs * Rs).sum(axis=1)[:, None]
+                + (B * B).sum(axis=1)[None, :]
+                - 2.0 * (Rs @ B.T)
+            )
+            codes[:, s] = np.argmin(bd2, axis=1)
+        return pd.DataFrame(
+            {"list_id": assign.astype(np.int32), "codes": list(codes)}
+        )
+
+    return df.select(
+        F.col(id_col), encode(_as_double(F.col(vec_col))).alias("e")
+    ).select(id_col, "e.list_id", "e.codes")
+
+
+def ivfpq_topk(
+    codes_df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over an IVF+PQ index. Driver side: pick the ``n_probes``
+    nearest coarse lists and build PER-LIST lookup tables (the query
+    residual differs per list); executor side: filter codes to the probed
+    lists, broadcast-join the tiny LUT table on ``list_id``, and fold
+
+      cos ≈ (q·c_l + Σ_s ld[code_s]) /
+            (‖q‖ · sqrt(‖c_l‖² + 2·Σ_s lcd[code_s] + Σ_s lsq[code_s]))
+
+    where ld = q_res·B, lcd = c_slice·B, lsq = ‖B‖² — exact given the code
+    approximation (subspace blocks are orthogonal coordinates). The probe
+    plan is scan(codes, list-pruned) → broadcast join → codegen fold →
+    TakeOrderedAndProject: no Python, and with list-partitioned storage
+    the scan never opens unprobed lists."""
+    q = np.array([float(x) for x in query_vec], dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+    C = np.array(centroids, dtype=np.float64)
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    dsub = books[0].shape[1]
+    m = len(books)
+    kk = books[0].shape[0]
+    d2 = ((q - C) ** 2).sum(axis=1)
+    probe_ids = [int(i) for i in np.argsort(d2)[:n_probes]]
+
+    lut_rows = []
+    for lid in probe_ids:
+        c = C[lid]
+        qr = q - c
+        ld = np.concatenate(
+            [B @ qr[s * dsub : (s + 1) * dsub] for s, B in enumerate(books)]
+        )
+        lcd = np.concatenate(
+            [B @ c[s * dsub : (s + 1) * dsub] for s, B in enumerate(books)]
+        )
+        lsq = np.concatenate([(B * B).sum(axis=1) for B in books])
+        lut_rows.append(
+            (
+                lid,
+                float(q @ c),
+                float(c @ c),
+                [float(x) for x in ld],
+                [float(x) for x in lcd],
+                [float(x) for x in lsq],
+            )
+        )
+    spark = codes_df.sparkSession
+    lut = spark.createDataFrame(
+        lut_rows,
+        "list_id int, qc double, cc double, "
+        "ld array<double>, lcd array<double>, lsq array<double>",
+    )
+
+    def _pick(arr: str):
+        return lambda acc, s: acc + F.element_at(
+            F.col(arr), (s * kk + F.element_at(F.col("codes"), s + 1) + 1).cast("int")
+        )
+
+    seq = F.sequence(F.lit(0), F.lit(m - 1))
+    scored = (
+        codes_df.where(F.col("list_id").isin(probe_ids))
+        .join(F.broadcast(lut), "list_id")
+        .select(
+            F.col(id_col),
+            F.round(
+                (F.col("qc") + F.aggregate(seq, F.lit(0.0), _pick("ld")))
+                / (
+                    F.lit(qn)
+                    * F.sqrt(
+                        F.col("cc")
+                        + 2.0 * F.aggregate(seq, F.lit(0.0), _pick("lcd"))
+                        + F.aggregate(seq, F.lit(0.0), _pick("lsq"))
+                    )
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def ivfpq_topk_rerank(
+    df: DataFrame,
+    codes_df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 4,
+    oversample: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ shortlist → exact cosine rerank on the original vectors."""
+    short = ivfpq_topk(
+        codes_df, centroids, codebooks, query_vec,
+        k=k * oversample, n_probes=n_probes, id_col=id_col,
+    )
+    cand = df.join(F.broadcast(short.select(id_col)), id_col)
+    return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)

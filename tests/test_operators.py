@@ -609,3 +609,48 @@ def test_opq_reduces_quantization_error_and_reranks_exact(spark):
     ]
     want = [(r.vec_id, r.cosine) for r in brute_force_topk(vecs, q, k=5).collect()]
     assert got == want
+
+
+def test_ivfpq_residual_coding_and_exact_rerank(spark):
+    import numpy as np
+
+    from querysight_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_topk_rerank,
+        train_ivfpq,
+        train_pq_codebooks,
+    )
+    from querysight_spark.sources.catalog import load_table
+
+    vecs = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    dim = len(vecs.first().embedding)
+    cents, books = train_ivfpq(vecs, dim=dim, n_centroids=8, m=8, k=16,
+                               sample_size=256)
+    codes = ivfpq_encode(vecs, cents, books)
+    n = vecs.count()
+    assert codes.count() == n
+    assert codes.select("list_id").distinct().count() > 1  # really partitioned
+
+    q = [float(x) for x in vecs.where("vec_id = 0").first().embedding]
+    # probing EVERY list with corpus-sized oversample -> exact == brute force
+    got = [
+        (r.vec_id, r.cosine)
+        for r in ivfpq_topk_rerank(
+            vecs, codes, cents, books, q, k=5, n_probes=8, oversample=n
+        ).collect()
+    ]
+    want = [(r.vec_id, r.cosine) for r in brute_force_topk(vecs, q, k=5).collect()]
+    assert got == want
+
+    # residual coding reconstructs better than raw PQ with the same budget:
+    # compare ADC cosine of the query against itself (vec 0 in the corpus)
+    adc = {r.vec_id: r.cosine
+           for r in ivfpq_topk(codes, cents, books, q, k=n, n_probes=8).collect()}
+    pq_books = train_pq_codebooks(vecs, dim=dim, m=8, k=16, sample_size=256)
+    from querysight_spark.operators.similarity import pq_encode, pq_topk
+
+    pq_adc = {r.vec_id: r.cosine
+              for r in pq_topk(pq_encode(vecs, pq_books), pq_books, q, k=n).collect()}
+    assert abs(adc[0] - 1.0) <= abs(pq_adc[0] - 1.0)
