@@ -816,6 +816,46 @@ def ql25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORACLES["ql26_schema_evolution"] = """
+    SELECT * FROM (VALUES
+      (1, 10, CAST(NULL AS VARCHAR)),
+      (2, 20, CAST(NULL AS VARCHAR)),
+      (3, CAST(NULL AS INT), 'x'),
+      (4, CAST(NULL AS INT), 'y')
+    ) AS t(a, b, c) ORDER BY a"""
+
+
+@_q("ql26_schema_evolution")
+def ql26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet batches written with different
+    schemas ((a,b) then (a,c) — a column added over time, the normal life
+    of a long-lived log directory) read back with mergeSchema, absent
+    columns surfacing as NULLs. The literal oracle pins the union schema
+    and the NULL fill."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "qs_evo_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    spark.createDataFrame([(1, 10), (2, 20)], "a int, b int").write.parquet(
+        f"{root}/batch=1"
+    )
+    spark.createDataFrame([(3, "x"), (4, "y")], "a int, c string").write.parquet(
+        f"{root}/batch=2"
+    )
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{root}/batch=1", f"{root}/batch=2")
+        .select("a", "b", "c")
+        .orderBy("a")
+    )
+
+
 @_q("ql14_speed_buckets")
 def ql14(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _rounded_patterns(spark, sf_dir)
