@@ -510,3 +510,20 @@ _p(
          ON a.k IS NOT DISTINCT FROM b.k
        GROUP BY a.k, b.k ORDER BY ka NULLS FIRST, kb NULLS FIRST""",
 )
+_p(
+    "p51_higher_order_fns",
+    """SELECT doc_id,
+              CAST(aggregate(transform(split(text, ' '), w -> length(w)),
+                             0, (a, x) -> a + x) AS BIGINT) AS total_chars,
+              CAST(size(filter(split(text, ' '), w -> length(w) > 4)) AS BIGINT)
+                AS n_long,
+              exists(split(text, ' '), w -> w = 'the') AS has_the
+       FROM documents ORDER BY doc_id""",
+    """SELECT doc_id,
+              CAST(list_sum([length(w) for w in string_split(text, ' ')]) AS BIGINT)
+                AS total_chars,
+              CAST(len([w for w in string_split(text, ' ') if length(w) > 4])
+                   AS BIGINT) AS n_long,
+              list_contains(string_split(text, ' '), 'the') AS has_the
+       FROM documents ORDER BY doc_id""",
+)
