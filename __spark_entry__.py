@@ -79,16 +79,20 @@ def _engine_query(fn) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
-def _driver_verified() -> set[str]:
-    """Names with a green row in ANY prior round's CORRECTNESS file. The
-    round-1 sweep stopped at entry #50 (a time/count budget over the dict
-    order), so ordering matters: entries without a green row yet must run
-    first. Reading the actual files keeps the rule self-maintaining — each
-    round, whatever the driver confirmed drops to the back of the line."""
+def _driver_verified() -> tuple[set[str], set[str]]:
+    """(green, rows_only_seen): names with a green hash-matched row in ANY
+    prior round's CORRECTNESS file, and names whose only record is a
+    rows-only check (``err == 'no_oracle'`` with spark_rows recorded — the
+    query RAN, it just had no oracle that round). The ~50-entry per-round
+    sweep stops on a time/count budget over the dict order, so ordering
+    matters: never-run entries go first, rows-only-seen second, greens
+    last — a permanently-oracle-less entry must not burn front slots every
+    round. Reading the actual files keeps the rule self-maintaining."""
     import glob
     import json
 
-    seen: set[str] = set()
+    green: set[str] = set()
+    rows_only: set[str] = set()
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         try:
@@ -97,9 +101,13 @@ def _driver_verified() -> set[str]:
         except Exception:
             continue
         for name, row in rows.items():
-            if isinstance(row, dict) and not row.get("err") and row.get("rows_match", True):
-                seen.add(name)
-    return seen
+            if not isinstance(row, dict):
+                continue
+            if not row.get("err") and row.get("rows_match", True):
+                green.add(name)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                rows_only.add(name)
+    return green, rows_only - green
 
 
 def _registries():
@@ -109,16 +117,22 @@ def _registries():
     from querysight_spark.pipeline_queries import PIPELINE_QUERIES
     from querysight_spark.probes import PROBES
 
-    verified = _driver_verified()
+    green, rows_only = _driver_verified()
+
+    def _pri(name: str) -> int:
+        # 0 = never driver-run, 1 = ran rows-only (no oracle that round,
+        #     re-check once it gains one), 2 = hash-matched green
+        return 2 if name in green else (1 if name in rows_only else 0)
+
     rows: list[tuple[int, str, Callable | None, str | None]] = []
     for name, (fn, oracle) in EXTENSION_QUERIES.items():
-        rows.append((int(name in verified), name, _engine_query(fn), oracle))
+        rows.append((_pri(name), name, _engine_query(fn), oracle))
     for name, (fn, oracle) in PIPELINE_QUERIES.items():
-        rows.append((int(name in verified), name, _engine_query(fn), oracle))
+        rows.append((_pri(name), name, _engine_query(fn), oracle))
     for name, (spark_sql, duck) in PROBES.items():
         rows.append(
             (
-                int(name in verified),
+                _pri(name),
                 name,
                 _sql_query(spark_sql),
                 duck if duck is not None else spark_sql,

@@ -342,9 +342,15 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     return [float(x) for x in row.embedding]
 
 
-@_q(
-    "ss01_brute_topk",
-    """WITH q AS (
+# One brute-force oracle backs ss01 AND every ANN variant's exact-mode
+# declaration (VERDICT r2 item 1, the dd06 pattern): each index is invoked
+# with parameters that make it exhaustive BY CONSTRUCTION — all buckets /
+# all lists probed, shortlist >= corpus before the exact rerank — so its
+# result provably equals brute force and the driver can hash-match it.
+# The approximate defaults (the production recall/latency trade) stay
+# pinned by pytest recall tests (tests/test_operators.py) and are what
+# bench.py measures.
+_BRUTE_TOPK_ORACLE = """WITH q AS (
          SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
        )
        SELECT vec_id,
@@ -353,27 +359,47 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
                                              CAST(embedding AS DOUBLE[])))
                        * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
        FROM embeddings CROSS JOIN q
-       ORDER BY cosine DESC, vec_id LIMIT 10""",
-)
+       ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+
+def _corpus_n(sf_dir: str) -> int:
+    """Embedding corpus row count from the parquet footer (driver-side
+    metadata read, no Spark job) — sizes the exact-mode oversample so the
+    ADC shortlist covers the whole corpus."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+
+
+def _full_oversample(sf_dir: str, k: int = 10) -> int:
+    return -(-_corpus_n(sf_dir) // k)  # ceil(n / k)
+
+
+@_q("ss01_brute_topk", _BRUTE_TOPK_ORACLE)
 def ss01(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, "embeddings", sf_dir)
     return brute_force_topk(vecs, _query_vec(spark, sf_dir), k=10)
 
 
-@_q("ss02_lsh_topk", None)  # rows-only: seeded-hyperplane ANN is approximate
+@_q("ss02_lsh_topk", _BRUTE_TOPK_ORACLE)
 def ss02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-mode LSH: n_probes = 2**bits probes every bucket, so the
+    candidate set is the whole corpus and the result equals brute force —
+    hash-checkable. Approximate defaults (n_probes=2) are recall-tested
+    in pytest."""
     vecs = load_table(spark, "embeddings", sf_dir)
     return lsh_bucketed_topk(
-        vecs, _query_vec(spark, sf_dir), k=10, bits=4, n_probes=2
+        vecs, _query_vec(spark, sf_dir), k=10, bits=4, n_probes=16
     )
 
 
-@_q("ss04_bucketed_storage_topk", None)  # rows-only: same ANN as ss02
+@_q("ss04_bucketed_storage_topk", _BRUTE_TOPK_ORACLE)
 def ss04(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-index variant of ss02: write once partitioned by LSH
-    bucket, probe with partition pruning. Same (bits, seed, n_probes) as
-    ss02, so results are identical — what changes is the scan, which
-    reads only the probed ``bucket=`` directories."""
+    bucket, probe with partition pruning. Exact mode probes all 2**bits
+    partitions, so results hash-match brute force; the pruned probe
+    (n_probes=2 reading 2/16ths of the files) is the production path,
+    recall- and plan-asserted in pytest."""
     import hashlib
     import tempfile
 
@@ -395,26 +421,30 @@ def ss04(spark: SparkSession, sf_dir: str) -> DataFrame:
         # index once, probe many: planes are seed-deterministic and the
         # corpus is immutable per sf_dir, so an existing index is current
         build_lsh_index(vecs, path, dim=len(q), bits=4)
-    return probe_lsh_index(spark, path, q, k=10, bits=4, n_probes=2)
+    return probe_lsh_index(spark, path, q, k=10, bits=4, n_probes=16)
 
 
-@_q("ss03_ivf_topk", None)  # rows-only: k-means quantizer ANN is approximate
+@_q("ss03_ivf_topk", _BRUTE_TOPK_ORACLE)
 def ss03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-mode IVF: n_probes = n_centroids visits every inverted list,
+    so the exact-cosine scoring covers the whole corpus and equals brute
+    force. The n_probes=4 operating point is recall-tested in pytest."""
     from querysight_spark.operators.similarity import ivf_topk
 
     vecs = load_table(spark, "embeddings", sf_dir)
     return ivf_topk(
-        vecs, _query_vec(spark, sf_dir), k=10, n_centroids=16, n_probes=4
+        vecs, _query_vec(spark, sf_dir), k=10, n_centroids=16, n_probes=16
     )
 
 
-@_q("ss05_pq_topk", None)  # rows-only: product-quantized ADC is approximate
+@_q("ss05_pq_topk", _BRUTE_TOPK_ORACLE)
 def ss05(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ index path: train m-subspace codebooks on a bounded sample,
-    encode the corpus once (Arrow-batched, map-side), then score the
-    query against codes with driver-built literal lookup tables — the
-    probe plan is scan(codes) -> codegen project -> TakeOrderedAndProject,
-    no Python and no shuffle."""
+    encode the corpus once (Arrow-batched, map-side), score codes via the
+    broadcast-LUT ADC fold. Exact mode: oversample = ceil(n/k) puts the
+    ENTIRE corpus in the rerank shortlist, so the exact rerank equals
+    brute force regardless of ADC ranking — hash-checkable; ADC fidelity
+    itself is pinned by a numpy-equivalence pytest."""
     from querysight_spark.operators.similarity import (
         pq_encode,
         pq_topk_rerank,
@@ -424,16 +454,21 @@ def ss05(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vec(spark, sf_dir)
     vecs = load_table(spark, "embeddings", sf_dir)
     books = train_pq_codebooks(vecs, dim=len(q), m=32, k=64)
-    return pq_topk_rerank(vecs, pq_encode(vecs, books), books, q, k=10)
+    return pq_topk_rerank(
+        vecs, pq_encode(vecs, books), books, q, k=10,
+        oversample=_full_oversample(sf_dir),
+    )
 
 
-@_q("ss06_pq_persisted_topk", None)  # rows-only: same approximate ANN as ss05
+@_q("ss06_pq_persisted_topk", _BRUTE_TOPK_ORACLE)
 def ss06(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-index variant of ss05: train + encode once into a PQ code
     table (plus codebooks JSON), probe via broadcast-LUT ADC + exact
     rerank. Index reuse mirrors ss04 — codebooks are seed-deterministic
-    and the corpus immutable per sf_dir, so an existing index is current;
-    probes read ~1-2 % of the corpus bytes."""
+    and the corpus immutable per sf_dir, so an existing index is current.
+    Exact mode reranks a corpus-wide shortlist; the production probe
+    (oversample=10, reading ~1-2 % of corpus bytes) is what bench.py
+    times."""
     import hashlib
     import os
     import tempfile
@@ -449,15 +484,19 @@ def ss06(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, "embeddings", sf_dir)
     if not os.path.exists(os.path.join(path, "_codebooks.json")):
         build_pq_index(vecs, path, dim=len(q), m=32, k=64)
-    return probe_pq_index(spark, path, q, k=10, rerank_df=vecs)
+    return probe_pq_index(
+        spark, path, q, k=10, rerank_df=vecs,
+        oversample=_full_oversample(sf_dir),
+    )
 
 
-@_q("ss07_opq_topk", None)  # rows-only: learned-rotation ANN is approximate
+@_q("ss07_opq_topk", _BRUTE_TOPK_ORACLE)
 def ss07(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ path: learn an orthonormal rotation minimizing PQ quantization
     error (alternating Procrustes/k-means on a bounded sample), encode the
     rotated corpus, probe with the rotated query (rotation preserves dot
-    products), rerank exactly on the original vectors."""
+    products), rerank exactly on the original vectors. Exact mode:
+    corpus-wide shortlist -> rerank == brute force."""
     from querysight_spark.operators.similarity import (
         opq_encode,
         opq_topk_rerank,
@@ -468,15 +507,20 @@ def ss07(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, "embeddings", sf_dir)
     R, books = train_opq(vecs, dim=len(q), m=32, k=64, outer_iters=3)
     codes = opq_encode(vecs, R, books)
-    return opq_topk_rerank(vecs, codes, R, books, q, k=10)
+    return opq_topk_rerank(
+        vecs, codes, R, books, q, k=10, oversample=_full_oversample(sf_dir)
+    )
 
 
-@_q("ss08_ivfpq_topk", None)  # rows-only: composed approximate index
+@_q("ss08_ivfpq_topk", _BRUTE_TOPK_ORACLE)
 def ss08(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ composed index: euclidean coarse lists + shared residual
     codebooks, per-list broadcast LUT ADC (the query residual differs per
     list), exact rerank of the shortlist — the architecture that serves
-    billion-vector corpora."""
+    billion-vector corpora. Exact mode probes all lists with a corpus-wide
+    shortlist; the (n_probes=4, oversample=10) operating point is
+    recall-tested in pytest and timed by bench.py via the persisted
+    index."""
     from querysight_spark.operators.similarity import (
         ivfpq_encode,
         ivfpq_topk_rerank,
@@ -487,7 +531,10 @@ def ss08(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, "embeddings", sf_dir)
     cents, books = train_ivfpq(vecs, dim=len(q), n_centroids=16, m=32, k=64)
     codes = ivfpq_encode(vecs, cents, books)
-    return ivfpq_topk_rerank(vecs, codes, cents, books, q, k=10, n_probes=4)
+    return ivfpq_topk_rerank(
+        vecs, codes, cents, books, q, k=10, n_probes=16,
+        oversample=_full_oversample(sf_dir),
+    )
 
 
 # --- text analysis ----------------------------------------------------------
@@ -601,18 +648,46 @@ def tr02(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- sketches ---------------------------------------------------------------
 
 
-@_q("sk01_sketches", None)  # rows-only: sketch internals differ across engines
+@_q(
+    "sk01_sketches",
+    """SELECT COUNT(DISTINCT user_id) AS exact_users,
+              COUNT(DISTINCT event_type) AS exact_types,
+              TRUE AS users_ok, TRUE AS types_ok,
+              TRUE AS p50_ok, TRUE AS p99_ok
+       FROM events""",
+)
 def sk01(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (SURVEY §2.D "absent" list, supported as
     built-ins): HyperLogLog++ distinct counts and approximate quantiles.
-    Deliberately NOT oracle-hashed — sketch estimates are engine-specific;
-    the driver records the rows-only check."""
+    Sketch ESTIMATES are engine-specific, so the declaration is
+    SELF-CHECKING (VERDICT r2 item 2): it computes approx and exact in the
+    same query and returns the exact counts plus within-tolerance booleans
+    — HLL++ at rsd=0.01 vs exact distinct (|Δ|/exact <= 0.05) and
+    percentile_approx at accuracy=10000 vs exact percentile (|Δ| <= 5 %
+    of the exact value). The oracle states the exact counts and TRUE for
+    every check, so a drifting sketch hash-mismatches."""
     ev = load_table(spark, "events", sf_dir)
-    return ev.agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.approx_count_distinct("event_type").alias("approx_types"),
-        F.percentile_approx("value", 0.5).alias("p50_value"),
-        F.percentile_approx("value", 0.99).alias("p99_value"),
+    agg = ev.agg(
+        F.approx_count_distinct("user_id", 0.01).alias("au"),
+        F.countDistinct("user_id").alias("eu"),
+        F.approx_count_distinct("event_type", 0.01).alias("at"),
+        F.countDistinct("event_type").alias("et"),
+        F.percentile_approx("value", 0.5, 10000).alias("ap50"),
+        F.expr("percentile(value, 0.5)").alias("ep50"),
+        F.percentile_approx("value", 0.99, 10000).alias("ap99"),
+        F.expr("percentile(value, 0.99)").alias("ep99"),
+    )
+
+    def _ok(approx, exact):
+        return F.abs(F.col(approx) - F.col(exact)) <= 0.05 * F.abs(F.col(exact))
+
+    return agg.select(
+        F.col("eu").alias("exact_users"),
+        F.col("et").alias("exact_types"),
+        _ok("au", "eu").alias("users_ok"),
+        _ok("at", "et").alias("types_ok"),
+        _ok("ap50", "ep50").alias("p50_ok"),
+        _ok("ap99", "ep99").alias("p99_ok"),
     )
 
 

@@ -118,8 +118,9 @@ def duplicate_clusters(
     label and its neighbors' labels; converges in O(graph diameter) rounds.
     Duplicate graphs are near-cliques (diameter ≲ 3-4 even through chain
     bridges), so the loop runs a handful of rounds of one join + one
-    groupBy each. Convergence is detected by the monotone label sum (labels
-    only decrease), which the loop reads anyway as its action;
+    groupBy each. Convergence is detected by counting rows whose label
+    changed this round — type-agnostic (string or numeric ids; a sum-based
+    signal returns NULL for non-numeric ids and can overflow long);
     ``localCheckpoint`` per round stops lineage/codegen growth, exactly as
     in the dbt closure fixpoint (plans/coverage.py). At 100 TB this is the
     textbook iterate-until-fixpoint CC; for adversarial long-path graphs
@@ -132,25 +133,25 @@ def duplicate_clusters(
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     )
-    prev_sum = None
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        new_label = F.least(F.col("label"), F.coalesce("nlabel", "label"))
         labels = (
             labels.join(neigh, labels["id"] == neigh["src"], "left")
             .select(
                 labels["id"],
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+                new_label.alias("label"),
+                (new_label != F.col("label")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        cur = labels.agg(F.sum("label")).first()[0]
-        if prev_sum is not None and cur == prev_sum:
+        changed = labels.agg(F.count(F.when(F.col("chg"), 1))).first()[0]
+        if changed == 0:
             break
-        prev_sum = cur
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -102,14 +102,28 @@ def write_rollup_tier(
     out.write.mode(mode).partitionBy("p_date").parquet(path)
 
 
-def read_rollup_tier(spark, path: str, start=None, end=None) -> DataFrame:
+def read_rollup_tier(
+    spark, path: str, start=None, end=None, partition_granularity: str = "day"
+) -> DataFrame:
     """Read a persisted tier with partition-pruned time-range filters: the
     ``p_date`` predicates hit the partition column (PartitionFilters in the
-    scan), the ``bucket_start`` predicates refine within files."""
+    scan), the ``bucket_start`` predicates refine within files.
+
+    ``partition_granularity`` must match the value the tier was written
+    with: a week/month chunk's ``p_date`` is truncated BELOW an
+    intra-chunk ``start``, so the start-side partition bound compares
+    against ``date_trunc(granularity, start)`` — otherwise the partial
+    first chunk (rows with ``bucket_start >= start``) would be pruned
+    away entirely. The end side needs no such adjustment: truncation
+    only lowers ``p_date``, so ``p_date <= end`` never drops a live
+    chunk."""
     df = spark.read.parquet(path)
     if start is not None:
         df = df.where(
-            (F.col("p_date") >= F.to_date(F.lit(start)))
+            (
+                F.col("p_date")
+                >= F.date_trunc(partition_granularity, F.lit(start)).cast("date")
+            )
             & (F.col("bucket_start") >= F.lit(start))
         )
     if end is not None:

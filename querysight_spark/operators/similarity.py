@@ -89,18 +89,34 @@ def lsh_probe_buckets(
     query_vec: list[float], bits: int = 8, seed: int = 42, n_probes: int = 1
 ) -> list[int]:
     """Driver-side multiprobe bucket set for a query: its own sign-pattern
-    bucket, then buckets reached by flipping lowest-|margin| bits first."""
+    bucket, then buckets in increasing total flip cost (sum of |margin|
+    over flipped hyperplanes — the standard multiprobe ordering). With
+    ``n_probes >= 2**bits`` every bucket is probed, which makes the ANN
+    EXACT by construction (candidate set = whole corpus) — the oracle-mode
+    invocation the driver gate hash-checks against brute force.
+
+    Single-bit flips cover ``n_probes <= bits + 1`` (the common recall
+    knob) without enumeration; beyond that the full 2**bits mask set is
+    ranked driver-side (bits is small — <= 16ish — by design; buckets
+    multiply storage partitions, not quality, past that)."""
     q = [float(x) for x in query_vec]
     planes = hyperplanes(len(q), bits, seed)
     margins = [sum(a * b for a, b in zip(q, p)) for p in planes]
     qbucket = sum(1 << i for i, m in enumerate(margins) if m >= 0)
-    flip_order = sorted(range(bits), key=lambda i: abs(margins[i]))
-    probes = [qbucket]
-    for i in flip_order:
-        if len(probes) >= n_probes:
-            break
-        probes.append(qbucket ^ (1 << i))
-    return probes
+    if n_probes <= bits + 1:
+        flip_order = sorted(range(bits), key=lambda i: abs(margins[i]))
+        probes = [qbucket]
+        for i in flip_order:
+            if len(probes) >= n_probes:
+                break
+            probes.append(qbucket ^ (1 << i))
+        return probes
+    cost = [
+        (sum(abs(margins[i]) for i in range(bits) if mask >> i & 1), mask)
+        for mask in range(1 << bits)
+    ]
+    cost.sort()
+    return [qbucket ^ mask for _c, mask in cost[:n_probes]]
 
 
 def lsh_bucketed_topk(
@@ -716,11 +732,13 @@ def ivfpq_topk(
     residual differs per list); executor side: filter codes to the probed
     lists, broadcast-join the tiny LUT table on ``list_id``, and fold
 
-      cos ≈ (q·c_l + Σ_s ld[code_s]) /
+      cos ≈ (q·c_l + Σ_s ld[code_s] + Σ_s lcd[code_s]) /
             (‖q‖ · sqrt(‖c_l‖² + 2·Σ_s lcd[code_s] + Σ_s lsq[code_s]))
 
-    where ld = q_res·B, lcd = c_slice·B, lsq = ‖B‖² — exact given the code
-    approximation (subspace blocks are orthogonal coordinates). The probe
+    where ld = (q−c_l)·B, lcd = c_slice·B, lsq = ‖B‖². The numerator needs
+    BOTH folds: Σ ld = q·r̂ − c·r̂ (ld is against the query RESIDUAL), so
+    q·v̂ = q·c + Σ ld + Σ lcd — exact given the code approximation (subspace
+    blocks are orthogonal coordinates). The probe
     plan is scan(codes, list-pruned) → broadcast join → codegen fold →
     TakeOrderedAndProject: no Python, and with list-partitioned storage
     the scan never opens unprobed lists."""
@@ -774,7 +792,11 @@ def ivfpq_topk(
         .select(
             F.col(id_col),
             F.round(
-                (F.col("qc") + F.aggregate(seq, F.lit(0.0), _pick("ld")))
+                (
+                    F.col("qc")
+                    + F.aggregate(seq, F.lit(0.0), _pick("ld"))
+                    + F.aggregate(seq, F.lit(0.0), _pick("lcd"))
+                )
                 / (
                     F.lit(qn)
                     * F.sqrt(

@@ -654,3 +654,41 @@ def test_ivfpq_residual_coding_and_exact_rerank(spark):
     pq_adc = {r.vec_id: r.cosine
               for r in pq_topk(pq_encode(vecs, pq_books), pq_books, q, k=n).collect()}
     assert abs(adc[0] - 1.0) <= abs(pq_adc[0] - 1.0)
+
+
+def test_ivfpq_adc_matches_numpy_reconstruction(spark):
+    """ADVICE r2 (high): the ADC numerator must carry BOTH folds — ld is
+    built against the query RESIDUAL (q − c), so Σ ld = q·r̂ − c·r̂ and the
+    c·r̂ cross term (Σ lcd) has to be added back to recover q·v̂. Assert the
+    Spark-side ADC cosine equals cos(q, c + r̂) computed in numpy from the
+    same centroids/codebooks/codes, per vector."""
+    import numpy as np
+
+    from querysight_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+        train_ivfpq,
+    )
+    from querysight_spark.sources.catalog import load_table
+
+    vecs = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    dim = len(vecs.first().embedding)
+    cents, books = train_ivfpq(vecs, dim=dim, n_centroids=8, m=8, k=16,
+                               sample_size=256)
+    codes = ivfpq_encode(vecs, cents, books)
+    q = np.array([float(x) for x in vecs.where("vec_id = 0").first().embedding])
+    n = vecs.count()
+    adc = {r.vec_id: r.cosine
+           for r in ivfpq_topk(codes, cents, books, list(q), k=n, n_probes=8).collect()}
+
+    C = np.array(cents)
+    B = [np.array(b) for b in books]
+    dsub = B[0].shape[1]
+    for row in codes.collect():
+        c = C[row.list_id]
+        rhat = np.concatenate([B[s][code][:dsub] for s, code in enumerate(row.codes)])
+        vhat = c + rhat
+        want = float(q @ vhat) / (np.linalg.norm(q) * np.linalg.norm(vhat))
+        assert abs(adc[row.vec_id] - round(want, 6)) <= 1e-5, (
+            f"vec {row.vec_id}: ADC {adc[row.vec_id]} != numpy {want}"
+        )
