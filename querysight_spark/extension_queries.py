@@ -375,6 +375,22 @@ def _full_oversample(sf_dir: str, k: int = 10) -> int:
     return -(-_corpus_n(sf_dir) // k)  # ceil(n / k)
 
 
+def _index_path(prefix: str, sf_dir: str) -> str:
+    """Stable per-corpus index location: index once, probe many. All index
+    parameters are seed-deterministic and the corpus is immutable per
+    sf_dir, so an existing index is always current; the declared queries
+    and bench.py share the same paths (the bench's untimed prepare step
+    is what makes its probe timings warm-index numbers)."""
+    import hashlib
+    import tempfile
+
+    return (
+        tempfile.gettempdir()
+        + f"/qs_{prefix}_index_"
+        + hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    )
+
+
 @_q("ss01_brute_topk", _BRUTE_TOPK_ORACLE)
 def ss01(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, "embeddings", sf_dir)
@@ -400,26 +416,17 @@ def ss04(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions, so results hash-match brute force; the pruned probe
     (n_probes=2 reading 2/16ths of the files) is the production path,
     recall- and plan-asserted in pytest."""
-    import hashlib
-    import tempfile
+    import os
 
     from querysight_spark.operators.similarity import (
         build_lsh_index,
         probe_lsh_index,
     )
 
-    import os
-
     q = _query_vec(spark, sf_dir)
-    path = (
-        tempfile.gettempdir()
-        + "/qs_lsh_index_"
-        + hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
-    )
+    path = _index_path("lsh", sf_dir)
     vecs = load_table(spark, "embeddings", sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        # index once, probe many: planes are seed-deterministic and the
-        # corpus is immutable per sf_dir, so an existing index is current
         build_lsh_index(vecs, path, dim=len(q), bits=4)
     return probe_lsh_index(spark, path, q, k=10, bits=4, n_probes=16)
 
@@ -469,18 +476,12 @@ def ss06(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact mode reranks a corpus-wide shortlist; the production probe
     (oversample=10, reading ~1-2 % of corpus bytes) is what bench.py
     times."""
-    import hashlib
     import os
-    import tempfile
 
     from querysight_spark.operators.similarity import build_pq_index, probe_pq_index
 
     q = _query_vec(spark, sf_dir)
-    path = (
-        tempfile.gettempdir()
-        + "/qs_pq_index_"
-        + hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
-    )
+    path = _index_path("pq", sf_dir)
     vecs = load_table(spark, "embeddings", sf_dir)
     if not os.path.exists(os.path.join(path, "_codebooks.json")):
         build_pq_index(vecs, path, dim=len(q), m=32, k=64)
@@ -535,6 +536,117 @@ def ss08(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs, codes, cents, books, q, k=10, n_probes=16,
         oversample=_full_oversample(sf_dir),
     )
+
+
+@_q("ss09_ivfpq_persisted_topk", _BRUTE_TOPK_ORACLE)
+def ss09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index variant of ss08 (VERDICT r2 item 5): train + encode
+    once into a ``list_id``-partitioned code table (build_ivfpq_index), so
+    a probe's ``list_id IN (...)`` filter prunes whole partition
+    directories before any IO — the billion-vector serving layout. Exact
+    mode probes all lists with a corpus-wide shortlist; the production
+    probe (n_probes=4, oversample=10) is what bench.py times and pytest
+    plan-asserts for partition pruning."""
+    import os
+
+    from querysight_spark.operators.similarity import (
+        build_ivfpq_index,
+        probe_ivfpq_index,
+    )
+
+    q = _query_vec(spark, sf_dir)
+    path = _index_path("ivfpq", sf_dir)
+    vecs = load_table(spark, "embeddings", sf_dir)
+    if not os.path.exists(os.path.join(path, "_ivfpq.json")):
+        build_ivfpq_index(vecs, path, dim=len(q), n_centroids=16, m=32, k=64)
+    return probe_ivfpq_index(
+        spark, path, q, k=10, n_probes=16, rerank_df=vecs,
+        oversample=_full_oversample(sf_dir),
+    )
+
+
+# --- production-operating-point ANN probes (bench.py) -----------------------
+#
+# The DECLARED ss* queries above run exact mode so the driver gate can
+# hash-match them against brute force. The bench must measure the other
+# side of the trade — the approximate operating points a production
+# pipeline would run — so it times these variants instead (VERDICT r2
+# item 4). Each entry is (prepare, probe): prepare builds the persisted
+# index if missing (untimed — amortized over many queries in production;
+# bench.py reports it separately as ann_index_build_sec), probe is the
+# warm per-query path.
+
+
+def _ann_bench_lsh_prepare(spark: SparkSession, sf_dir: str) -> None:
+    import os
+
+    from querysight_spark.operators.similarity import build_lsh_index
+
+    q = _query_vec(spark, sf_dir)
+    path = _index_path("lsh", sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_lsh_index(load_table(spark, "embeddings", sf_dir), path,
+                        dim=len(q), bits=4)
+
+
+def _ann_bench_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from querysight_spark.operators.similarity import probe_lsh_index
+
+    return probe_lsh_index(
+        spark, _index_path("lsh", sf_dir), _query_vec(spark, sf_dir),
+        k=10, bits=4, n_probes=2,
+    )
+
+
+def _ann_bench_pq_prepare(spark: SparkSession, sf_dir: str) -> None:
+    import os
+
+    from querysight_spark.operators.similarity import build_pq_index
+
+    q = _query_vec(spark, sf_dir)
+    path = _index_path("pq", sf_dir)
+    if not os.path.exists(os.path.join(path, "_codebooks.json")):
+        build_pq_index(load_table(spark, "embeddings", sf_dir), path,
+                       dim=len(q), m=32, k=64)
+
+
+def _ann_bench_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from querysight_spark.operators.similarity import probe_pq_index
+
+    return probe_pq_index(
+        spark, _index_path("pq", sf_dir), _query_vec(spark, sf_dir),
+        k=10, rerank_df=load_table(spark, "embeddings", sf_dir),
+        oversample=10,
+    )
+
+
+def _ann_bench_ivfpq_prepare(spark: SparkSession, sf_dir: str) -> None:
+    import os
+
+    from querysight_spark.operators.similarity import build_ivfpq_index
+
+    q = _query_vec(spark, sf_dir)
+    path = _index_path("ivfpq", sf_dir)
+    if not os.path.exists(os.path.join(path, "_ivfpq.json")):
+        build_ivfpq_index(load_table(spark, "embeddings", sf_dir), path,
+                          dim=len(q), n_centroids=16, m=32, k=64)
+
+
+def _ann_bench_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from querysight_spark.operators.similarity import probe_ivfpq_index
+
+    return probe_ivfpq_index(
+        spark, _index_path("ivfpq", sf_dir), _query_vec(spark, sf_dir),
+        k=10, n_probes=4, rerank_df=load_table(spark, "embeddings", sf_dir),
+        oversample=10,
+    )
+
+
+ANN_BENCH = {
+    "ss04_lsh_probe_prod": (_ann_bench_lsh_prepare, _ann_bench_lsh_probe),
+    "ss06_pq_probe_prod": (_ann_bench_pq_prepare, _ann_bench_pq_probe),
+    "ss09_ivfpq_probe_prod": (_ann_bench_ivfpq_prepare, _ann_bench_ivfpq_probe),
+}
 
 
 # --- text analysis ----------------------------------------------------------

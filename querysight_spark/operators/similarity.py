@@ -831,3 +831,68 @@ def ivfpq_topk_rerank(
     )
     cand = df.join(F.broadcast(short.select(id_col)), id_col)
     return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    n_centroids: int = 16,
+    m: int = 32,
+    k: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Materialize the composed IVF+PQ index (the billion-vector layout):
+    train coarse centroids + shared residual codebooks, encode the corpus
+    once, and write ``(id, codes)`` parquet PARTITIONED BY ``list_id``,
+    with the centroids/codebooks as driver-size JSON alongside. A probe
+    visiting ``n_probes`` of ``n_centroids`` lists then reads only those
+    ``list_id=`` directories (PartitionFilters, no footer reads of the
+    rest) — the scan cost scales with the probed fraction of an already
+    ~1-2%-of-corpus code table, independent of total corpus size."""
+    import json
+
+    cents, books = train_ivfpq(
+        df, dim=dim, n_centroids=n_centroids, m=m, k=k, seed=seed,
+        vec_col=vec_col,
+    )
+    ivfpq_encode(df, cents, books, id_col=id_col, vec_col=vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(path)
+    with open(path + "/_ivfpq.json", "w") as f:
+        json.dump({"centroids": cents, "codebooks": books}, f)
+    return cents, books
+
+
+def probe_ivfpq_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    rerank_df: DataFrame | None = None,
+    oversample: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a ``build_ivfpq_index`` layout: load centroids and
+    codebooks driver-side, ADC-score the persisted codes (the ``list_id
+    IN (probes)`` filter prunes whole partition directories before IO),
+    optionally exact-rerank the shortlist against ``rerank_df``."""
+    import json
+
+    with open(path + "/_ivfpq.json") as f:
+        meta = json.load(f)
+    codes = spark.read.parquet(path)
+    if rerank_df is None:
+        return ivfpq_topk(
+            codes, meta["centroids"], meta["codebooks"], query_vec,
+            k=k, n_probes=n_probes, id_col=id_col,
+        )
+    return ivfpq_topk_rerank(
+        rerank_df, codes, meta["centroids"], meta["codebooks"], query_vec,
+        k=k, n_probes=n_probes, oversample=oversample,
+        id_col=id_col, vec_col=vec_col,
+    )

@@ -692,3 +692,30 @@ def test_ivfpq_adc_matches_numpy_reconstruction(spark):
         assert abs(adc[row.vec_id] - round(want, 6)) <= 1e-5, (
             f"vec {row.vec_id}: ADC {adc[row.vec_id]} != numpy {want}"
         )
+
+
+def test_persisted_ivfpq_index_exact_mode_and_pruning(spark, vecs, tmp_path):
+    """build_ivfpq_index / probe_ivfpq_index: exact mode (all lists probed,
+    corpus-wide shortlist + exact rerank) must equal brute force, and the
+    production probe's list_id filter must prune at the PARTITION level —
+    unprobed lists' directories are never opened."""
+    from querysight_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivfpq_index,
+        probe_ivfpq_index,
+    )
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    path = str(tmp_path / "ivfpq_index")
+    build_ivfpq_index(vecs, path, dim=4, n_centroids=2, m=2, k=4)
+    exact = probe_ivfpq_index(
+        spark, path, q, k=5, n_probes=2, rerank_df=vecs, oversample=5
+    )
+    brute = brute_force_topk(vecs, q, k=5)
+    got = [(r.vec_id, r.cosine) for r in exact.collect()]
+    want = [(r.vec_id, r.cosine) for r in brute.collect()]
+    assert got == want and len(got) == 5
+
+    pruned = probe_ivfpq_index(spark, path, q, k=2, n_probes=1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "list_id" in plan
