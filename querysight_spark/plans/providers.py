@@ -21,7 +21,14 @@ from typing import Protocol
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from querysight_spark.plans.recommend import parse_llm_response, recommendations
+from querysight_spark.plans.recommend import (
+    HIGH_FREQUENCY,
+    LONG_RUNNING_MS,
+    parse_llm_response,
+    recommendations,
+    with_pattern_types,
+    with_table_classes,
+)
 
 
 class Recommender(Protocol):
@@ -84,9 +91,25 @@ class LLMRecommender:
     response text (the caller owns auth/retries/model choice). Top-K
     patterns by impact are collected (bounded driver work — mirrors the
     reference, which iterates patterns serially), completed, and parsed
-    into the same structured output columns."""
+    into the same structured output columns.
 
-    def __init__(self, complete: Callable[[str], str] | None = None, top_k: int = 20):
+    The prompt carries the reference's full H4 context
+    (utils/ai_suggester.py:56-206): a JSON block with per-table schemas
+    (A3, via the optional ``describe`` hook — the analog of the
+    reference's live DESCRIBE per referenced table), G10 pattern-type
+    tags, B8 user/system table classification, performance + usage
+    metrics with the high-frequency / long-running flags, and a dbt
+    coverage section (mapped models, unmapped tables, coverage ratio)
+    computed with the same C1 resolution join the rule cascade uses.
+    Everything except the bounded top-k collect and the per-table
+    ``describe`` calls is column work."""
+
+    def __init__(
+        self,
+        complete: Callable[[str], str] | None = None,
+        top_k: int = 20,
+        describe: Callable[[str], list[tuple[str, str]]] | None = None,
+    ):
         if complete is None:
             raise ValueError(
                 "LLMRecommender needs a completion callable; use "
@@ -94,21 +117,113 @@ class LLMRecommender:
             )
         self.complete = complete
         self.top_k = top_k
+        # table name -> [(col_name, data_type)], e.g. built from A3
+        # sources.catalog.get_table_schema; None -> schemas omitted
+        self.describe = describe
+
+    def _schemas(self, tables: list[str]) -> dict:
+        out = {}
+        for t in tables:
+            if self.describe is None:
+                continue
+            try:
+                cols = self.describe(t)
+            except Exception:
+                continue  # reference logs + skips unreachable tables too
+            out[t] = {
+                "columns": [{"name": c, "type": ty} for c, ty in cols],
+                "column_count": len(cols),
+                "data_types": sorted({ty for _c, ty in cols}),
+            }
+        return out
 
     def _prompt(self, row) -> str:
-        # H4 prompt-context analog (utils/ai_suggester.py:98-206), minimal
+        # H4 prompt-context analog (utils/ai_suggester.py:56-206)
+        import json
+
+        d = row.asDict()
+        user_tables = list(d.get("user_tables") or [])
+        system_tables = list(d.get("system_tables") or [])
+        mapped_models = list(d.get("dbt_models_used") or [])
+        unmapped = list(d.get("unmapped_tables") or [])
+        freq = d.get("frequency") or 0
+        dur = d.get("avg_duration_ms") or 0.0
+        mem_mb = (d.get("memory_usage") or 0) / (1024 * 1024)
+        first_seen = d.get("first_seen")
+        last_seen = d.get("last_seen")
+        context = {
+            "accessed_table_schemas": self._schemas(user_tables),
+            "query_analysis": {
+                "pattern_types": list(d.get("pattern_types") or []),
+                "table_classification": {
+                    "user_tables": user_tables,
+                    "system_tables": system_tables,
+                    "has_system_joins": bool(system_tables),
+                },
+                "performance_metrics": {
+                    "frequency": freq,
+                    "avg_duration_ms": dur,
+                    "memory_usage_mb": round(mem_mb, 2),
+                    "total_read_rows": d.get("total_read_rows"),
+                    "total_read_bytes": d.get("total_read_bytes"),
+                },
+                "usage_patterns": {
+                    "is_high_frequency": freq > HIGH_FREQUENCY,
+                    "is_long_running": dur > LONG_RUNNING_MS,
+                    "first_seen": first_seen.isoformat() if first_seen else None,
+                    "last_seen": last_seen.isoformat() if last_seen else None,
+                    "users": list(d.get("users") or []),
+                },
+                "sql_pattern": d.get("sql_pattern"),
+            },
+            "dbt_context": {
+                "mapped_models": mapped_models,
+                "unmapped_tables": unmapped,
+                "total_user_tables": len(user_tables),
+                "mapping_coverage": (
+                    len(mapped_models) / len(user_tables) if user_tables else 0
+                ),
+            },
+        }
         return (
-            f"Query pattern: {row.sql_pattern}\n"
-            f"Frequency: {row.frequency}, avg duration ms: {row.avg_duration_ms}\n"
-            f"Tables: {','.join(row.tables_accessed)}\n"
+            "## QUERY PATTERN ANALYSIS REQUEST\n\n"
+            "Analyze the following query pattern and provide optimization "
+            "recommendations.\n\n"
+            f"```json\n{json.dumps(context, indent=2)}\n```\n\n"
+            "IMPORTANT: System tables (system.*, information_schema.*, "
+            "pg_catalog.*) are part of the database engine and MUST NOT be "
+            "targets for dbt modeling or optimization. Focus only on user "
+            "tables. If there are unmapped user tables with known schema, "
+            "prioritize creating a new dbt model for them.\n\n"
             "## RESPONSE FORMAT\nType: [INDEX|REWRITE_QUERY|NEW_DBT_MODEL|NEW_DBT_MACRO]\n"
             "Description: ...\nImpact: [HIGH|MEDIUM|LOW]\nSQL: ..."
         )
 
+    def _enrich(self, patterns: DataFrame, model_map: DataFrame) -> DataFrame:
+        """Column-built prompt context: G10 tags, B8 classification, and the
+        C1-resolved mapped/unmapped split, attached per pattern."""
+        from querysight_spark.plans.coverage import resolve_models
+
+        pats = with_pattern_types(with_table_classes(patterns))
+        user_tabs = pats.select(
+            "pattern_id", F.explode("user_tables").alias("tname")
+        ).where(F.col("tname") != "")
+        resolved = resolve_models(user_tabs, model_map)
+        cov = resolved.groupBy("pattern_id").agg(
+            F.sort_array(
+                F.collect_set(F.when(F.col("model_name").isNotNull(), F.col("model_name")))
+            ).alias("dbt_models_used"),
+            F.sort_array(
+                F.collect_set(F.when(F.col("model_name").isNull(), F.col("tname")))
+            ).alias("unmapped_tables"),
+        )
+        return pats.join(cov, "pattern_id", "left")
+
     def recommend(self, patterns: DataFrame, model_map: DataFrame) -> DataFrame:
         spark = patterns.sparkSession
         top = (
-            patterns.orderBy(
+            self._enrich(patterns, model_map)
+            .orderBy(
                 (F.col("frequency") * F.col("avg_duration_ms")).desc(), "pattern_id"
             )
             .limit(self.top_k)

@@ -257,3 +257,54 @@ def test_openai_compatible_provider_round_trip(spark, model_map):
     assert (rec.rec_type, rec.impact, rec.suggested_sql) == (
         "INDEX", "MEDIUM", "CREATE INDEX i ON t(x)",
     )
+
+
+def test_llm_prompt_context_h4_parity(spark, model_map):
+    """VERDICT r2 item 6: the prompt must carry the reference's full H4
+    context (utils/ai_suggester.py:56-206) — table schemas via the A3
+    describe hook, G10 pattern types, B8 user/system classification,
+    performance + usage flags, and the dbt mapped/unmapped coverage
+    section — as a parseable JSON block."""
+    import json
+    import re
+
+    from querysight_spark.plans.providers import LLMRecommender
+
+    p = _patterns(
+        spark,
+        [("p1", "n1",
+          "SELECT * FROM orders JOIN unknown_t GROUP BY 1 ORDER BY 1",
+          500, 5000.0, ["orders", "unknown_t", "system.query_log"])],
+    )
+    prompts = []
+
+    def fake_complete(prompt):
+        prompts.append(prompt)
+        return "Type: [INDEX]\nDescription: d\nImpact: [LOW]"
+
+    def describe(table):
+        assert table in ("orders", "unknown_t")  # never system tables
+        return [("id", "bigint"), ("amount", "double")]
+
+    rec = LLMRecommender(complete=fake_complete, describe=describe).recommend(
+        p, model_map
+    ).first()
+    assert rec.rec_type == "INDEX"
+
+    ctx = json.loads(re.search(r"```json\n(.*?)\n```", prompts[0], re.S).group(1))
+    qa = ctx["query_analysis"]
+    assert set(qa["pattern_types"]) >= {"Aggregation", "Join", "Sorting"}
+    assert qa["table_classification"]["user_tables"] == ["orders", "unknown_t"]
+    assert qa["table_classification"]["system_tables"] == ["system.query_log"]
+    assert qa["table_classification"]["has_system_joins"] is True
+    assert qa["performance_metrics"]["frequency"] == 500
+    assert qa["usage_patterns"]["is_high_frequency"] is True
+    assert qa["usage_patterns"]["is_long_running"] is True
+    assert ctx["dbt_context"]["mapped_models"] == ["stg_orders"]
+    assert ctx["dbt_context"]["unmapped_tables"] == ["unknown_t"]
+    assert ctx["dbt_context"]["total_user_tables"] == 2
+    assert ctx["dbt_context"]["mapping_coverage"] == 0.5
+    schemas = ctx["accessed_table_schemas"]
+    assert schemas["orders"]["column_count"] == 2
+    assert schemas["orders"]["data_types"] == ["bigint", "double"]
+    assert "System tables" in prompts[0] and "RESPONSE FORMAT" in prompts[0]
