@@ -1,7 +1,13 @@
 """Measure recall@k and warm latency of every ANN variant against brute
-force on the driver testdata.
+force, on the driver testdata AND on a clustered synthetic corpus.
 
-Usage: python tools/ann_recall.py [sf_dir] [k] [n_queries]
+Usage: python tools/ann_recall.py [sf_dir|clustered] [k] [n_queries]
+
+Pass ``clustered`` as the first argument to evaluate on
+querysight_spark.testing.make_clustered_embeddings instead of a testdata
+dir: the driver corpus is i.i.d.-random (near-orthogonal — coarse-probe
+recall there is an adversarial floor), the clustered fixture models real
+embedding corpora where neighbors share a cluster (VERDICT r2 item 7).
 
 Each of n_queries seed vectors (drawn from the corpus) is searched with
 every variant; recall@k = |variant ∩ brute| / k averaged over queries.
@@ -29,7 +35,12 @@ def main() -> int:
     from querysight_spark.sources import load_table
 
     spark = get_spark(app_name="ann-recall")
-    vecs = load_table(spark, "embeddings", sf_dir).cache()
+    if sf_dir == "clustered":
+        from querysight_spark.testing import make_clustered_embeddings
+
+        vecs = make_clustered_embeddings(spark).cache()
+    else:
+        vecs = load_table(spark, "embeddings", sf_dir).cache()
     n = vecs.count()
     dim = len(vecs.first().embedding)
     qrows = vecs.where(f"vec_id % {max(1, n // n_queries)} = 1").limit(n_queries).collect()
