@@ -43,6 +43,7 @@ from querysight_spark.plans.patterns import (
 )
 from querysight_spark.plans.report import (
     latest_version_per_key,
+    page_after,
     paginate,
     summary_stats,
 )
@@ -209,6 +210,12 @@ _ORACLES: dict[str, str] = {
           FROM query_log GROUP BY normalized_query HAVING COUNT(*) >= 2)
     SELECT normalized_query, impact FROM p
     ORDER BY impact DESC, normalized_query LIMIT 10""",
+    "ql26_keyset_page": _WITH_QL
+    + """,
+    p AS (SELECT normalized_query, COUNT(*) AS frequency
+          FROM query_log GROUP BY normalized_query HAVING COUNT(*) >= 2)
+    SELECT normalized_query, frequency FROM p
+    ORDER BY frequency DESC, normalized_query LIMIT 15 OFFSET 15""",
     "ql14_speed_buckets": _WITH_QL
     + """,
     p AS (SELECT normalized_query, COUNT(*) AS frequency,
@@ -450,6 +457,25 @@ def ql12(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _patterns(spark, sf_dir).select("normalized_query", "frequency")
     return paginate(
         p, [F.col("frequency").desc(), F.col("normalized_query")], page=1, page_size=20
+    )
+
+
+@_q("ql26_keyset_page")
+def ql26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 keyset pagination (VERDICT r2 item 8): page 2 via the
+    (frequency, normalized_query) cursor taken from page 1 (a bounded
+    page_size-row collect — exactly what a paging client holds). The
+    oracle is the equivalent OFFSET page, so the green row proves
+    keyset == offset under the total order while costing O(page) instead
+    of O(depth) at depth. LIMIT/OFFSET (ql12/ql20) stays the shallow
+    interactive path."""
+    p = _patterns(spark, sf_dir).select("normalized_query", "frequency")
+    order = [F.col("frequency").desc(), F.col("normalized_query")]
+    last = paginate(p, order, page=0, page_size=15).collect()[-1]
+    return page_after(
+        p, "frequency", "normalized_query",
+        last.frequency, last.normalized_query,
+        page_size=15, descending=True,
     )
 
 

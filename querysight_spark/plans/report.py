@@ -66,8 +66,42 @@ def sort_patterns(patterns: DataFrame, by: str = "frequency") -> DataFrame:
 
 def paginate(df: DataFrame, order_cols: Sequence[Column], page: int, page_size: int = 20) -> DataFrame:
     """E3 pagination as ORDER BY + LIMIT/OFFSET (querysight.py:77-84).
-    ``order_cols`` must impose a total order for determinism."""
+    ``order_cols`` must impose a total order for determinism. Right for
+    shallow pages; for deep pages OFFSET materializes-and-discards
+    ``page·page_size`` rows per request — use ``page_after``."""
     return df.orderBy(*order_cols).offset(page * page_size).limit(page_size)
+
+
+def page_after(
+    df: DataFrame,
+    order_col: str,
+    key_col: str,
+    last_order,
+    last_key,
+    page_size: int = 20,
+    descending: bool = False,
+) -> DataFrame:
+    """E3 keyset pagination (VERDICT r2 item 8): the page AFTER the row
+    whose (order_col, key_col) was ``(last_order, last_key)``, under
+    ORDER BY order_col [DESC], key_col. ``key_col`` must be unique so the
+    composite key totally orders the data and pages never skip/repeat
+    rows even with duplicate order values.
+
+    Scale rationale: OFFSET n costs O(n + page) per request — at page
+    10,000 every request re-sorts and discards 200k rows. The keyset
+    predicate costs O(page): it is a plain filter, so against a persisted
+    source it PUSHES INTO THE SCAN (parquet min/max row-group pruning on
+    ``order_col``) and the sort only ranks the rows that survive. Keep
+    LIMIT/OFFSET for shallow interactive pages; cursors/exports use this.
+    """
+    o, k = F.col(order_col), F.col(key_col)
+    if descending:
+        after = (o < F.lit(last_order)) | ((o == F.lit(last_order)) & (k > F.lit(last_key)))
+        order = [o.desc(), k]
+    else:
+        after = (o > F.lit(last_order)) | ((o == F.lit(last_order)) & (k > F.lit(last_key)))
+        order = [o, k]
+    return df.where(after).orderBy(*order).limit(page_size)
 
 
 def latest_version_per_key(

@@ -45,3 +45,42 @@ def test_sort_patterns_keys(patterns):
     assert order("memory") == ["p3", "p2", "p1"]
     # impact = freq·avg: p2=5000, p1=1000, p3=100
     assert order("impact") == ["p2", "p1", "p3"]
+
+def test_keyset_pagination_matches_offset_and_pushes_down(spark, tmp_path):
+    """page_after: every keyset page must equal the OFFSET page under the
+    same total order (including duplicate order values straddling a page
+    boundary), and against a persisted source the cursor predicate must
+    reach the parquet scan as a pushed filter instead of sorting and
+    discarding the skipped depth."""
+    from pyspark.sql import functions as F
+
+    from querysight_spark.plans.report import page_after, paginate
+
+    rows = [(f"k{i:03d}", i // 3) for i in range(100)]  # duplicate freqs
+    df = spark.createDataFrame(rows, "normalized_query string, frequency long")
+    path = str(tmp_path / "patterns")
+    df.write.parquet(path)
+    persisted = spark.read.parquet(path)
+
+    order = [F.col("frequency").desc(), F.col("normalized_query")]
+    size = 7
+    last = None
+    for page in range(14):
+        want = [tuple(r) for r in paginate(persisted, order, page, size).collect()]
+        if page == 0:
+            got = want
+        else:
+            out = page_after(
+                persisted, "frequency", "normalized_query",
+                last[1], last[0], page_size=size, descending=True,
+            )
+            got = [tuple(r) for r in out.collect()]
+        assert got == want, f"page {page}"
+        if not want:
+            break
+        last = want[-1]
+
+    probe = page_after(persisted, "frequency", "normalized_query",
+                       20, "k062", page_size=size, descending=True)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "frequency" in plan.split("PushedFilters")[1][:200]
