@@ -1191,6 +1191,9 @@ def _stream_events_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "events.parquet")
     stream_dir = os.path.join(
         tempfile.gettempdir(),
         "qs_stream_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
@@ -1198,15 +1201,23 @@ def _stream_events_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        os.symlink(src, link)
+    # Footer-driven ts handling, mirroring sources.catalog.load_table (the
+    # stream source needs an explicit schema, so the contract is applied
+    # here by hand): nanos read as long + integer div, micros read as
+    # timestamp directly (UTC session ⇒ NTZ values are preserved).
+    ts_is_nanos = str(pq.read_schema(src).field("ts").type) == "timestamp[ns]"
     schema = (
-        "event_id bigint, ts bigint, user_id bigint, "
-        "event_type string, value double, props string"
+        f"event_id bigint, ts {'bigint' if ts_is_nanos else 'timestamp'}, "
+        "user_id bigint, event_type string, value double, props string"
     )
     raw = spark.readStream.schema(schema).parquet(stream_dir)
+    ts = (
+        F.timestamp_micros(F.expr("ts div 1000")) if ts_is_nanos else F.col("ts")
+    )
     k = F.get_json_object("props", "$.k").cast("int")
     return raw.select(
-        F.timestamp_micros(F.expr("ts div 1000")).alias("query_start_time"),
+        ts.alias("query_start_time"),
         F.concat("event_type", F.lit("_"), (k % 7).cast("string")).alias(
             "normalized_query"
         ),

@@ -42,13 +42,26 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     vectorized reader uses the file footer schema; column pruning and filter
     pushdown happen in whatever plan the caller builds on top.
 
-    Nano-timestamp columns are converted back to TimestampType via integer
-    `div 1000` (float division would lose precision: epoch-nanos ≈ 1.7e18
-    exceeds a double's 53-bit mantissa)."""
+    The schema CONTRACT (pinned by ql22's oracle) is that timestamps
+    surface as plain TimestampType, whatever the file stored:
+    - TIMESTAMP(NANOS) (round-2 testdata): surfaces as an epoch-nano long
+      under spark.sql.legacy.parquet.nanosAsLong; converted back via
+      integer `div 1000` (float division would lose precision — epoch
+      nanos ≈ 1.7e18 exceeds a double's 53-bit mantissa).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) (round-3 testdata): Spark
+      infers TIMESTAMP_NTZ; cast to TimestampType, value-preserving
+      because the session timezone is pinned to UTC (session.get_spark).
+    Both detections are footer/schema driven, so either vintage of the
+    data reads identically."""
+    from pyspark.sql.types import TimestampNTZType
+
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for col in _nano_timestamp_columns(path):
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 
