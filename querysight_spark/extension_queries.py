@@ -272,10 +272,16 @@ def dd07(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges (every 50th), so convergence genuinely needs multi-hop
     propagation; the oracle is a DuckDB recursive CTE over the same
     graph."""
-    from querysight_spark.operators.dedup import (
-        duplicate_clusters,
-        exact_duplicate_pairs,
-    )
+    from querysight_spark.operators.dedup import duplicate_clusters
+
+    _aug, pairs = _cluster_corpus(spark, sf_dir)
+    return duplicate_clusters(pairs).orderBy("doc_id")
+
+
+def _cluster_corpus(spark: SparkSession, sf_dir: str):
+    """dd07/dd08 shared fixture: the clique+chain augmented corpus and its
+    duplicate-pair evidence (exact-hash pairs plus bridge edges)."""
+    from querysight_spark.operators.dedup import exact_duplicate_pairs
 
     d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     aug = d.unionByName(
@@ -294,7 +300,64 @@ def dd07(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a.doc_id") % 50 == 0)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
-    return duplicate_clusters(hp.unionByName(chain)).orderBy("doc_id")
+    return aug, hp.unionByName(chain)
+
+
+@_q(
+    "dd08_cluster_keep_best",
+    """WITH RECURSIVE aug AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+         UNION ALL
+         SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+       ),
+       hp AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM aug a JOIN aug b
+           ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+       ),
+       chain AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+         WHERE a.doc_id % 50 = 0
+       ),
+       pairs AS (SELECT * FROM hp UNION SELECT * FROM chain),
+       edges AS (
+         SELECT doc_a AS src, doc_b AS dst FROM pairs
+         UNION
+         SELECT doc_b AS src, doc_a AS dst FROM pairs
+       ),
+       reach AS (
+         SELECT src AS id, src AS lab FROM edges
+         UNION
+         SELECT e.src AS id, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+       ),
+       cl AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+       lab AS (
+         SELECT a.doc_id, a.text, COALESCE(cl.cluster_id, a.doc_id) AS cluster_id
+         FROM aug a LEFT JOIN cl USING (doc_id)
+       ),
+       rk AS (
+         SELECT doc_id, cluster_id,
+                ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                   ORDER BY length(text) DESC, doc_id) AS rn
+         FROM lab
+       )
+       SELECT doc_id, cluster_id FROM rk WHERE rn = 1 ORDER BY doc_id""",
+)
+def dd08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-keep-best: the full dedup ENDGAME a training pipeline
+    runs — pair evidence → connected components (dd07) → one surviving
+    doc per cluster (longest text, id tie-break), docs without pair
+    evidence surviving as their own cluster. Composes duplicate_clusters
+    with cluster_keep_best; the oracle replays the same recursive-CTE
+    graph and window pick."""
+    from querysight_spark.operators.dedup import cluster_keep_best, duplicate_clusters
+
+    aug, pairs = _cluster_corpus(spark, sf_dir)
+    keep = cluster_keep_best(aug, duplicate_clusters(pairs))
+    return keep.select("doc_id", "cluster_id").orderBy("doc_id")
 
 
 # SimHash oracle: h(w) = first 8 md5 hex chars as an integer (the same
@@ -1159,6 +1222,49 @@ def tx08(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "tx12_contamination",
+    """WITH b AS (
+         SELECT doc_id, text,
+                CAST(list_sum([
+                  (strpos('0123456789abcdef',
+                          substr(md5(concat('split', CAST(doc_id AS VARCHAR))),
+                                 i + 1, 1)) - 1)
+                  * CAST(pow(16, 7 - i) AS BIGINT)
+                  for i in range(8)]) AS BIGINT) % 10000 AS bucket
+         FROM documents),
+       sh AS (
+         SELECT doc_id, bucket,
+                list_distinct([array_to_string(words[i:i+2], ' ')
+                               for i in range(1, len(words) - 1)]) AS shingles
+         FROM (SELECT doc_id, bucket, string_split(text, ' ') AS words FROM b)
+       ),
+       tr AS (SELECT DISTINCT UNNEST(shingles) AS s FROM sh WHERE bucket < 8000),
+       te AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh WHERE bucket >= 9000),
+       sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM te GROUP BY doc_id),
+       hits AS (SELECT doc_id, COUNT(*) AS n_cont
+                FROM te JOIN tr USING (s) GROUP BY doc_id)
+       SELECT s.doc_id, s.n_shingles,
+              COALESCE(h.n_cont, 0) AS n_contaminated,
+              ROUND(COALESCE(h.n_cont, 0) / s.n_shingles, 6) AS contamination_rate
+       FROM sizes s LEFT JOIN hits h USING (doc_id) ORDER BY s.doc_id""",
+)
+def tx12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination under the gate: split the corpus with the
+    tx08 md5 buckets, then measure per-test-doc 3-gram coverage by the
+    train vocabulary (operators.textstats.contamination_check). The
+    decontamination pass every eval set needs before benchmarking a model
+    trained on the corpus; the oracle reproduces buckets digit-for-digit
+    and shingles slice-for-slice."""
+    from querysight_spark.operators.textstats import assign_split, contamination_check
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    labeled = docs.join(assign_split(docs.select("doc_id")), "doc_id")
+    train = labeled.where(F.col("split") == "train")
+    test = labeled.where(F.col("split") == "test")
+    return contamination_check(train, test).orderBy("doc_id")
+
+
+@_q(
     "st01_stream_window_counts",
     None,  # placeholder: oracle attached below after the CTE import
 )
@@ -1184,9 +1290,19 @@ def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _stream_events_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stream_events_log(
+    spark: SparkSession,
+    sf_dir: str,
+    copies: int = 1,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """readStream over the events parquet (exposed through a symlink dir —
-    the file source wants a directory) → the query-log analog columns."""
+    the file source wants a directory) → the query-log analog columns.
+
+    ``copies`` symlinks the same file N times — deterministic duplicate
+    delivery for dedup tests; with ``max_files_per_trigger=1`` each copy
+    arrives in its OWN micro-batch, so cross-batch state is genuinely
+    exercised."""
     import hashlib
     import os
     import tempfile
@@ -1196,12 +1312,14 @@ def _stream_events_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "events.parquet")
     stream_dir = os.path.join(
         tempfile.gettempdir(),
-        "qs_stream_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
+        "qs_stream_"
+        + hashlib.sha256(f"{sf_dir}:{copies}".encode()).hexdigest()[:12],
     )
     os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    for i in range(copies):
+        link = os.path.join(stream_dir, f"events_{i}.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
     # Footer-driven ts handling, mirroring sources.catalog.load_table (the
     # stream source needs an explicit schema, so the contract is applied
     # here by hand): nanos read as long + integer div, micros read as
@@ -1211,12 +1329,16 @@ def _stream_events_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"event_id bigint, ts {'bigint' if ts_is_nanos else 'timestamp'}, "
         "user_id bigint, event_type string, value double, props string"
     )
-    raw = spark.readStream.schema(schema).parquet(stream_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(stream_dir)
     ts = (
         F.timestamp_micros(F.expr("ts div 1000")) if ts_is_nanos else F.col("ts")
     )
     k = F.get_json_object("props", "$.k").cast("int")
     return raw.select(
+        F.col("event_id").cast("string").alias("query_id"),
         ts.alias("query_start_time"),
         F.concat("event_type", F.lit("_"), (k % 7).cast("string")).alias(
             "normalized_query"
@@ -1269,9 +1391,43 @@ def st02(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under the gate: the SAME events file is
+    delivered TWICE in separate micro-batches (maxFilesPerTrigger=1), and
+    ``dropDuplicatesWithinWatermark`` on query_id must suppress the
+    second delivery from cross-batch state — so the drained aggregate
+    equals the single-copy batch oracle. The watermark horizon exceeds
+    the data's time span, so no state is evicted mid-run (the bounded-
+    state eviction behavior itself is what the operator exists for at
+    scale; here the horizon is sized to make the result exact)."""
+    from querysight_spark.streaming.incremental import streaming_exact_dedup
+
+    log = _stream_events_log(spark, sf_dir, copies=2, max_files_per_trigger=1)
+    deduped = streaming_exact_dedup(
+        log, key_cols=["query_id"], watermark="90 days"
+    )
+    out = _run_available_now(deduped, spark, "append")
+    return (
+        out.groupBy("normalized_query")
+        .agg(
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("query_duration_ms"), 2).alias("total_ms"),
+        )
+        .orderBy("normalized_query")
+    )
+
+
 def _attach_streaming_oracles() -> None:
     from querysight_spark.demo import QUERY_LOG_CTE
 
+    EXTENSION_QUERIES["st03_stream_exact_dedup"] = (
+        st03,
+        f"WITH {QUERY_LOG_CTE}"
+        + """
+        SELECT normalized_query, COUNT(*) AS frequency,
+               ROUND(SUM(query_duration_ms), 2) AS total_ms
+        FROM query_log GROUP BY normalized_query ORDER BY normalized_query""",
+    )
     fn, _none = EXTENSION_QUERIES["st01_stream_window_counts"]
     EXTENSION_QUERIES["st01_stream_window_counts"] = (
         fn,

@@ -634,3 +634,31 @@ def embedding_cosine_duplicates_expr(
         .where(F.col("cosine") >= threshold)
         .select(F.col("ida").alias("vec_a"), F.col("idb").alias("vec_b"), "cosine")
     )
+
+
+def cluster_keep_best(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    score_col=None,
+    text_col: str = "text",
+) -> DataFrame:
+    """One keeper per duplicate CLUSTER (the multi-hop companion to
+    textstats.dedupe_keep_best, which keys on exact content): join docs to
+    their ``duplicate_clusters`` labels — docs with no pair evidence keep
+    themselves — and keep the highest-scoring member per cluster
+    (default score: text length; id as the deterministic tie-break).
+    One broadcast-or-shuffled join + one window over cluster_id; cluster
+    count ≪ corpus, so the window partitions are the small side."""
+    from pyspark.sql.window import Window
+
+    score = score_col if score_col is not None else F.length(F.col(text_col))
+    labeled = df.join(clusters, id_col, "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col(id_col))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(score.desc(), F.col(id_col))
+    return (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -324,3 +324,53 @@ def repetition_flags(
         (F.col("top_word_ratio") <= max_top_word_ratio)
         & (F.col("distinct_ratio") >= min_distinct_ratio),
     )
+
+
+def contamination_check(
+    train: DataFrame,
+    test: DataFrame,
+    shingle_size: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """Train/test contamination detection: for every test document, how
+    many of its distinct word n-grams also occur anywhere in the train
+    corpus. The eval-integrity pass every training pipeline needs — a
+    test doc whose n-grams are largely covered by train data leaks the
+    benchmark (the reference has no analog; standard decontamination
+    practice, cf. n-gram overlap checks in public LM training reports).
+
+    Output: (id, n_shingles, n_contaminated, contamination_rate) per test
+    doc, including zero-overlap docs.
+
+    Scale shape: test shingles explode map-side; the train VOCABULARY is
+    one distinct (its own aggregation exchange) and the overlap is a
+    shuffled equi-join on the shingle — no pairwise doc×doc work, cost ∝
+    corpus shingle count, skew bounded because vocab rows are distinct.
+    ``hash_shingles`` joins on xxhash64(shingle) to halve shuffle width
+    at a ~d²/2⁶⁵ collision risk, same trade as ngram_jaccard_pairs."""
+    from querysight_spark.operators.dedup import _shingles
+
+    t_sh = test.select(
+        F.col(id_col), F.explode(_shingles(text_col, shingle_size)).alias("sh")
+    )
+    vocab = train.select(
+        F.explode(_shingles(text_col, shingle_size)).alias("sh")
+    ).distinct()
+    if hash_shingles:
+        t_sh = t_sh.select(id_col, F.xxhash64("sh").alias("sh"))
+        vocab = vocab.select(F.xxhash64("sh").alias("sh")).distinct()
+    per = t_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        t_sh.join(vocab, "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    n_cont = F.coalesce("n_contaminated", F.lit(0))
+    return per.join(hits, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        n_cont.alias("n_contaminated"),
+        F.round(n_cont / F.col("n_shingles"), 6).alias("contamination_rate"),
+    )

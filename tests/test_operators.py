@@ -758,3 +758,43 @@ def test_ann_recall_floor_on_clustered_fixture(spark):
         vecs, codes, cents, books, q, k=k, n_probes=2))
     assert r_ivf >= 0.6, r_ivf
     assert r_ivfpq >= 0.6, r_ivfpq
+
+
+def test_contamination_check(spark):
+    from querysight_spark.operators.textstats import contamination_check
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "pack my box with jugs")],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(10, "the quick brown fox sleeps"),   # shares 'the quick brown' + 'quick brown fox'
+         (11, "entirely novel words here now")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in contamination_check(train, test, shingle_size=3).collect()}
+    assert rows[10].n_shingles == 3
+    assert rows[10].n_contaminated == 2
+    assert rows[10].contamination_rate == round(2 / 3, 6)
+    assert rows[11].n_contaminated == 0 and rows[11].contamination_rate == 0.0
+    # hashed join path agrees with the exact string join
+    hashed = {r.doc_id: r.n_contaminated
+              for r in contamination_check(train, test, shingle_size=3,
+                                           hash_shingles=True).collect()}
+    assert hashed == {10: 2, 11: 0}
+
+
+def test_cluster_keep_best(spark):
+    from querysight_spark.operators.dedup import cluster_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "the longest text"), (3, "mid text"), (9, "lonely")],
+        "doc_id long, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster_id long"
+    )
+    keep = {r.doc_id: r.cluster_id
+            for r in cluster_keep_best(docs, clusters).collect()}
+    # longest member wins the cluster; unlabeled doc survives as itself
+    assert keep == {2: 1, 9: 9}
