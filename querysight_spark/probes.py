@@ -527,3 +527,121 @@ _p(
               list_contains(string_split(text, ' '), 'the') AS has_the
        FROM documents ORDER BY doc_id""",
 )
+
+
+# --- round-3 surface widening: lateral / unpivot / intervals / maps --------
+
+_p(
+    "p52_lateral_topk_per_row",
+    """SELECT n.n_name, t.okey, t.total
+       FROM nation n,
+       LATERAL (
+         SELECT o.o_orderkey AS okey,
+                CAST(o.o_totalprice AS DOUBLE) AS total
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE c.c_nationkey = n.n_nationkey
+         ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2
+       ) t
+       ORDER BY n.n_name, t.okey""",
+)
+_p(
+    "p53_unpivot",
+    """SELECT event_type, metric, val FROM (
+         SELECT event_type,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                CAST(COUNT(*) AS DOUBLE) AS cnt
+         FROM events GROUP BY event_type
+       ) UNPIVOT (val FOR metric IN (total, cnt))
+       ORDER BY event_type, metric""",
+    """WITH base AS (
+         SELECT event_type,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                CAST(COUNT(*) AS DOUBLE) AS cnt
+         FROM events GROUP BY event_type
+       )
+       SELECT event_type, metric, CAST(val AS DOUBLE) AS val
+       FROM (UNPIVOT base ON total, cnt INTO NAME metric VALUE val)
+       ORDER BY event_type, metric""",
+)
+_p(
+    "p54_interval_arith",
+    """SELECT event_id,
+              ts + INTERVAL '90' MINUTE AS later,
+              CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)
+                AS days_in
+       FROM events WHERE event_id < 50 ORDER BY event_id""",
+    """SELECT event_id,
+              ts + INTERVAL 90 MINUTE AS later,
+              CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS days_in
+       FROM events WHERE event_id < 50 ORDER BY event_id""",
+)
+_p(
+    "p55_map_fns",
+    """SELECT event_id,
+              element_at(map('type', event_type, 'user',
+                             CAST(user_id AS STRING)), 'type') AS m_type,
+              size(map('a', 1, 'b', 2)) AS m_size
+       FROM events WHERE event_id < 20 ORDER BY event_id""",
+    """SELECT event_id,
+              MAP(['type', 'user'],
+                  [event_type, CAST(user_id AS VARCHAR)])['type'][1] AS m_type,
+              CAST(cardinality(MAP(['a', 'b'], [1, 2])) AS INT) AS m_size
+       FROM events WHERE event_id < 20 ORDER BY event_id""",
+)
+_p(
+    "p56_range_interval_window",
+    """SELECT event_id,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW
+              ) AS DOUBLE) AS v_1h
+       FROM events ORDER BY event_id""",
+    """SELECT event_id,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+              ) AS DOUBLE) AS v_1h
+       FROM events ORDER BY event_id""",
+)
+_p(
+    "p57_exact_median_group",
+    """SELECT event_type,
+              ROUND(percentile(value, 0.5), 6) AS p50,
+              ROUND(percentile(value, 0.9), 6) AS p90
+       FROM events GROUP BY event_type ORDER BY event_type""",
+    """SELECT event_type,
+              ROUND(quantile_cont(value, 0.5), 6) AS p50,
+              ROUND(quantile_cont(value, 0.9), 6) AS p90
+       FROM events GROUP BY event_type ORDER BY event_type""",
+)
+_p(
+    "p58_bitwise",
+    """SELECT user_id,
+              CAST(user_id & 255 AS BIGINT) AS b_and,
+              CAST(user_id | 16 AS BIGINT) AS b_or,
+              CAST(user_id ^ 85 AS BIGINT) AS b_xor,
+              CAST(shiftleft(user_id, 2) AS BIGINT) AS b_shl
+       FROM (SELECT DISTINCT user_id FROM events) ORDER BY user_id""",
+    """SELECT user_id,
+              CAST(user_id & 255 AS BIGINT) AS b_and,
+              CAST(user_id | 16 AS BIGINT) AS b_or,
+              CAST(xor(user_id, 85) AS BIGINT) AS b_xor,
+              CAST(user_id << 2 AS BIGINT) AS b_shl
+       FROM (SELECT DISTINCT user_id FROM events) ORDER BY user_id""",
+)
+_p(
+    "p59_scalar_subquery",
+    """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+       FROM orders
+       WHERE CAST(o_totalprice AS DECIMAL(18,2)) > (
+         SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+         FROM orders)
+       ORDER BY o_orderkey LIMIT 50""",
+)
+_p(
+    "p60_correlated_scalar_subquery",
+    """SELECT c_custkey,
+              CAST((SELECT COUNT(*) FROM orders o
+                    WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders
+       FROM customer c ORDER BY c_custkey LIMIT 100""",
+)
