@@ -1257,8 +1257,10 @@ def tx12(spark: SparkSession, sf_dir: str) -> DataFrame:
     and shingles slice-for-slice."""
     from querysight_spark.operators.textstats import assign_split, contamination_check
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    labeled = docs.join(assign_split(docs.select("doc_id")), "doc_id")
+    # assign_split APPENDS the split column — the labeling is map-only on
+    # the scan, no self-join (plan: 2 scans, the shingle SMJ is the only
+    # big-big join)
+    labeled = assign_split(load_table(spark, "documents", sf_dir).select("doc_id", "text"))
     train = labeled.where(F.col("split") == "train")
     test = labeled.where(F.col("split") == "test")
     return contamination_check(train, test).orderBy("doc_id")
