@@ -1341,6 +1341,7 @@ def _stream_events_log(
     k = F.get_json_object("props", "$.k").cast("int")
     return raw.select(
         F.col("event_id").cast("string").alias("query_id"),
+        F.col("user_id"),
         ts.alias("query_start_time"),
         F.concat("event_type", F.lit("_"), (k % 7).cast("string")).alias(
             "normalized_query"
@@ -1419,9 +1420,61 @@ def st03(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION windows (the I4 companion to p31's batch
+    session_window): per-user 30-minute-gap sessions aggregated in the
+    state store, drained with one availableNow pass in complete mode
+    (session-window streaming aggregations reject update mode; complete
+    retains and emits every session, which is exactly the drained-batch
+    semantics the oracle states). The oracle is the batch
+    island-detection SQL over the same events; cross-batch session
+    MERGING is the state store's job in production, and the multi-batch
+    state story is covered by st02/st03."""
+    log = _stream_events_log(spark, sf_dir)
+    sess = (
+        log.withWatermark("query_start_time", "90 days")
+        .groupBy(
+            F.col("user_id"),
+            F.session_window("query_start_time", "30 minutes").alias("sw"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_available_now(sess, spark, "complete").orderBy(
+        "user_id", "session_start"
+    )
+
+
+_ST04_ORACLE = """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
+
+
 def _attach_streaming_oracles() -> None:
     from querysight_spark.demo import QUERY_LOG_CTE
 
+    EXTENSION_QUERIES["st04_stream_session_windows"] = (st04, _ST04_ORACLE)
     EXTENSION_QUERIES["st03_stream_exact_dedup"] = (
         st03,
         f"WITH {QUERY_LOG_CTE}"
