@@ -867,6 +867,39 @@ def sk01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sk02_sketches_grouped",
+    """SELECT event_type,
+              COUNT(DISTINCT user_id) AS exact_users,
+              TRUE AS users_ok, TRUE AS p50_ok
+       FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def sk02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped sketches: HLL++ and percentile_approx per event_type —
+    unlike sk01's single global row, grouped sketches exercise the
+    PARTIAL-MERGE path (per-partition sketch states merged in the final
+    aggregation), which is the property that matters at cluster scale.
+    Self-checking like sk01: exact values returned, approx within 5 %
+    asserted as hashed booleans."""
+    ev = load_table(spark, "events", sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("au"),
+        F.countDistinct("user_id").alias("eu"),
+        F.percentile_approx("value", 0.5, 10000).alias("ap50"),
+        F.expr("percentile(value, 0.5)").alias("ep50"),
+    )
+
+    def _ok(approx, exact):
+        return F.abs(F.col(approx) - F.col(exact)) <= 0.05 * F.abs(F.col(exact))
+
+    return agg.select(
+        "event_type",
+        F.col("eu").alias("exact_users"),
+        _ok("au", "eu").alias("users_ok"),
+        _ok("ap50", "ep50").alias("p50_ok"),
+    ).orderBy("event_type")
+
+
+@_q(
     "sj01_salted_join",
     """SELECT c_mktsegment, COUNT(*) AS n,
               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
@@ -1342,6 +1375,7 @@ def _stream_events_log(
     return raw.select(
         F.col("event_id").cast("string").alias("query_id"),
         F.col("user_id"),
+        F.col("event_type"),
         ts.alias("query_start_time"),
         F.concat("event_type", F.lit("_"), (k % 7).cast("string")).alias(
             "normalized_query"
@@ -1471,10 +1505,59 @@ _ST04_ORACLE = """
     FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
 
 
+def st05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join (I-family capstone): signup events
+    joined to the purchases the same user makes within the next hour,
+    both sides genuine readStreams with event-time watermarks (the time-
+    range predicate is what lets the state store expire unmatched rows at
+    scale; the gate run sizes the horizon above the data span so the
+    drained result is the complete inner join). Oracle: the equivalent
+    batch self-join."""
+    base = _stream_events_log(spark, sf_dir)
+    a = (
+        base.where(F.col("event_type") == "signup")
+        .select(
+            F.col("query_id").alias("signup_id"),
+            F.col("user_id").alias("signup_user"),
+            F.col("query_start_time").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "90 days")
+    )
+    b = (
+        base.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("query_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("query_start_time").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "90 days")
+    )
+    j = a.join(
+        b,
+        (F.col("signup_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    out = _run_available_now(
+        j.select("signup_id", "purchase_id"), spark, "append"
+    )
+    return out.orderBy("signup_id", "purchase_id")
+
+
+_ST05_ORACLE = """
+    SELECT CAST(a.event_id AS VARCHAR) AS signup_id,
+           CAST(b.event_id AS VARCHAR) AS purchase_id
+    FROM events a JOIN events b ON a.user_id = b.user_id
+    WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
+      AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    ORDER BY signup_id, purchase_id"""
+
+
 def _attach_streaming_oracles() -> None:
     from querysight_spark.demo import QUERY_LOG_CTE
 
     EXTENSION_QUERIES["st04_stream_session_windows"] = (st04, _ST04_ORACLE)
+    EXTENSION_QUERIES["st05_stream_stream_join"] = (st05, _ST05_ORACLE)
     EXTENSION_QUERIES["st03_stream_exact_dedup"] = (
         st03,
         f"WITH {QUERY_LOG_CTE}"
