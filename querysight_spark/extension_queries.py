@@ -820,6 +820,76 @@ def tr02(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket_start")
 
 
+@_q(
+    "tr03_streaming_tier_absorb",
+    """SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+              COUNT(*) AS n,
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_v,
+              MIN(value) AS min_v, MAX(value) AS max_v
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def tr03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming absorption into the persisted hourly tier (I2 × X24):
+    the events are delivered in TWO disjoint micro-batches (even/odd
+    event ids as separate files, maxFilesPerTrigger=1); each batch rolls
+    up, MERGES with the existing state of only the chunks it touches
+    (partition-pruned read, additive recombination), and dynamic-
+    partition-overwrites them. The final tier must equal the one-shot
+    batch rollup (tr01's oracle) — proving absorb-merge loses nothing.
+    Cold start per run (tier + checkpoint wiped) keeps it deterministic."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from querysight_spark.streaming.incremental import start_rollup_absorb
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"qs_absorb_{tag}")
+    stream_dir = os.path.join(base, "in")
+    if not os.path.exists(os.path.join(stream_dir, "_ready")):
+        ev = load_table(spark, "events", sf_dir)
+        for name, half in (
+            ("even", ev.where(F.col("event_id") % 2 == 0)),
+            ("odd", ev.where(F.col("event_id") % 2 == 1)),
+        ):
+            tmp = os.path.join(base, f"_stage_{name}")
+            half.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            os.makedirs(stream_dir, exist_ok=True)
+            shutil.move(os.path.join(tmp, part), os.path.join(stream_dir, f"{name}.parquet"))
+            shutil.rmtree(tmp)
+        open(os.path.join(stream_dir, "_ready"), "w").close()
+
+    tier = os.path.join(base, "tier")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(tier, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    ev_schema = spark.read.parquet(stream_dir + "/even.parquet").schema
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .withColumn("value", F.col("value").cast("decimal(18,2)"))
+    )
+    q = start_rollup_absorb(
+        stream, tier, ckpt, time_col="ts", value_col="value",
+        every="1 hour", group_cols=["event_type"],
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(tier)
+        .select(
+            "bucket_start", "event_type", "n",
+            F.round(F.col("sum").cast("double"), 2).alias("sum_v"),
+            F.col("min").cast("double").alias("min_v"),
+            F.col("max").cast("double").alias("max_v"),
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+
+
 # --- sketches ---------------------------------------------------------------
 
 

@@ -134,6 +134,26 @@ def read_rollup_tier(
     return df.drop("p_date")
 
 
+def merge_rollups(*rollups: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+    """Merge same-granularity rollups (e.g. an existing tier chunk and a
+    new batch's partial): additive metrics re-combine exactly — sum of
+    n/sum, min of min, max of max — per (bucket_start, groups). This is
+    the read-modify-write step of streaming absorption; cost ∝ state
+    size of the touched chunks, never raw history."""
+    df = rollups[0]
+    for r in rollups[1:]:
+        df = df.unionByName(r)
+    return (
+        df.groupBy("bucket_start", *group_cols)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum").alias("sum"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+        )
+    )
+
+
 def upsert_rollup_tier(
     new_rollup: DataFrame,
     path: str,

@@ -142,3 +142,71 @@ def compact_pattern_state(spark: SparkSession, state_dir: str, out_dir: str) -> 
     """Compact N batch partitions into one snapshot (run periodically so
     the read-side union stays bounded)."""
     read_pattern_state(spark, state_dir).write.mode("overwrite").parquet(out_dir)
+
+
+def start_rollup_absorb(
+    events: DataFrame,
+    tier_path: str,
+    checkpoint_dir: str,
+    time_col: str,
+    value_col: str,
+    every: str = "1 hour",
+    group_cols: list[str] | None = None,
+    partition_granularity: str = "day",
+):
+    """Streaming absorption into a persisted rollup tier (the hypertable
+    maintenance loop at 100 TB): each micro-batch is rolled up to the tier
+    granularity, MERGED with the existing state of only the calendar
+    chunks it touches (partition-pruned read — additive metrics recombine
+    exactly), and written back with dynamic partition overwrite. History
+    chunks the batch doesn't touch are never read or rewritten; re-running
+    an epoch is idempotent because the merge re-derives the same chunk
+    contents. Returns the started StreamingQuery."""
+    import os
+
+    from querysight_spark.operators.rollup import (
+        merge_rollups,
+        time_rollup,
+        upsert_rollup_tier,
+    )
+
+    groups = list(group_cols or [])
+
+    def _tier_exists() -> bool:
+        # dynamic partition overwrite emits no top-level _SUCCESS; the
+        # tier exists iff it has partition directories
+        return os.path.isdir(tier_path) and any(
+            e.startswith("p_date=") for e in os.listdir(tier_path)
+        )
+
+    def _absorb(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = time_rollup(batch_df, time_col, value_col, every, groups)
+        if _tier_exists():
+            touched = new.select(
+                F.date_trunc(partition_granularity, F.col("bucket_start"))
+                .cast("date")
+                .alias("p_date")
+            ).distinct()
+            existing = (
+                spark.read.parquet(tier_path)
+                .join(F.broadcast(touched), "p_date")  # partition-pruned
+                .drop("p_date")
+            )
+            # materialize BEFORE the overwrite: the merged plan reads the
+            # same path the upsert rewrites (Spark rejects read-and-
+            # overwrite lineage; and lazy evaluation would read half-
+            # deleted files). Chunk state is small (patterns × buckets),
+            # so localCheckpoint is cheap; a petabyte deploy would stage
+            # to a temp prefix and swap instead.
+            new = merge_rollups(existing, new, group_cols=groups).localCheckpoint(
+                eager=True
+            )
+        upsert_rollup_tier(new, tier_path, partition_granularity)
+
+    return (
+        events.writeStream.foreachBatch(_absorb)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

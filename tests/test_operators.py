@@ -798,3 +798,20 @@ def test_cluster_keep_best(spark):
             for r in cluster_keep_best(docs, clusters).collect()}
     # longest member wins the cluster; unlabeled doc survives as itself
     assert keep == {2: 1, 9: 9}
+
+
+def test_merge_rollups_recombines_exactly(spark):
+    import datetime as dt
+
+    from querysight_spark.operators.rollup import merge_rollups, time_rollup
+
+    rows = [(dt.datetime(2024, 1, 1, h, m), float(h * 10 + m), f"t{h % 2}")
+            for h in range(3) for m in (0, 30)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double, g string")
+    full = time_rollup(df, "ts", "value", "1 hour", ["g"])
+    a = time_rollup(df.where("minute(ts) = 0"), "ts", "value", "1 hour", ["g"])
+    b = time_rollup(df.where("minute(ts) = 30"), "ts", "value", "1 hour", ["g"])
+    merged = merge_rollups(a, b, group_cols=["g"])
+    want = {(r.bucket_start, r.g): (r.n, r.sum, r.min, r.max) for r in full.collect()}
+    got = {(r.bucket_start, r.g): (r.n, r.sum, r.min, r.max) for r in merged.collect()}
+    assert got == want and len(got) == 3
