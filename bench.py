@@ -7,10 +7,11 @@ Headline set = the heaviest representative of each operator family:
 5-way join, pattern hash-agg pipeline, window running-sum, MinHash LSH
 dedup, n-gram Jaccard, cosine top-k, quality scoring.
 
-Timing discipline (round 3 change): each query runs TWICE — the first,
+Timing discipline (round 3 change): each query runs THREE times — one
 untimed execution compiles its whole-stage-codegen classes and lets the
-JIT warm them; the second, timed execution is the steady-state latency
-reported in "queries"/"value". Measured first-run spikes on this host
+JIT warm them, then two timed executions whose MINIMUM is the
+steady-state latency reported in "queries"/"value". Measured first-run
+spikes on this host
 are 4-25x the steady state AND vary 5x run-to-run (the same query: 10 s,
 34 s, 50 s across runs — C2 compile contention across 32 task threads),
 so cold timings drown the signal the bench exists to track. Cold cost is

@@ -454,6 +454,63 @@ def _index_path(prefix: str, sf_dir: str) -> str:
     )
 
 
+# One ensure-helper per index family — the SINGLE owner of each family's
+# build parameters. The declared exact-mode queries (ss04/ss06/ss09) and
+# the bench's production-probe prepares both go through these, so the
+# build params can never drift between the two call sites while the
+# existence check reuses a stale differently-parameterized index
+# (code-review r3 finding).
+LSH_INDEX_BITS = 4
+PQ_INDEX_M, PQ_INDEX_K = 32, 64
+IVFPQ_INDEX_CENTROIDS = 16
+
+
+def _ensure_lsh_index(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from querysight_spark.operators.similarity import build_lsh_index
+
+    path = _index_path("lsh", sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        q = _query_vec(spark, sf_dir)
+        build_lsh_index(
+            load_table(spark, "embeddings", sf_dir), path,
+            dim=len(q), bits=LSH_INDEX_BITS,
+        )
+    return path
+
+
+def _ensure_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from querysight_spark.operators.similarity import build_pq_index
+
+    path = _index_path("pq", sf_dir)
+    if not os.path.exists(os.path.join(path, "_codebooks.json")):
+        q = _query_vec(spark, sf_dir)
+        build_pq_index(
+            load_table(spark, "embeddings", sf_dir), path,
+            dim=len(q), m=PQ_INDEX_M, k=PQ_INDEX_K,
+        )
+    return path
+
+
+def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from querysight_spark.operators.similarity import build_ivfpq_index
+
+    path = _index_path("ivfpq", sf_dir)
+    if not os.path.exists(os.path.join(path, "_ivfpq.json")):
+        q = _query_vec(spark, sf_dir)
+        build_ivfpq_index(
+            load_table(spark, "embeddings", sf_dir), path,
+            dim=len(q), n_centroids=IVFPQ_INDEX_CENTROIDS,
+            m=PQ_INDEX_M, k=PQ_INDEX_K,
+        )
+    return path
+
+
 @_q("ss01_brute_topk", _BRUTE_TOPK_ORACLE)
 def ss01(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, "embeddings", sf_dir)
@@ -479,19 +536,13 @@ def ss04(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions, so results hash-match brute force; the pruned probe
     (n_probes=2 reading 2/16ths of the files) is the production path,
     recall- and plan-asserted in pytest."""
-    import os
+    from querysight_spark.operators.similarity import probe_lsh_index
 
-    from querysight_spark.operators.similarity import (
-        build_lsh_index,
-        probe_lsh_index,
+    path = _ensure_lsh_index(spark, sf_dir)
+    return probe_lsh_index(
+        spark, path, _query_vec(spark, sf_dir),
+        k=10, bits=LSH_INDEX_BITS, n_probes=2 ** LSH_INDEX_BITS,
     )
-
-    q = _query_vec(spark, sf_dir)
-    path = _index_path("lsh", sf_dir)
-    vecs = load_table(spark, "embeddings", sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        build_lsh_index(vecs, path, dim=len(q), bits=4)
-    return probe_lsh_index(spark, path, q, k=10, bits=4, n_probes=16)
 
 
 @_q("ss03_ivf_topk", _BRUTE_TOPK_ORACLE)
@@ -539,17 +590,12 @@ def ss06(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact mode reranks a corpus-wide shortlist; the production probe
     (oversample=10, reading ~1-2 % of corpus bytes) is what bench.py
     times."""
-    import os
+    from querysight_spark.operators.similarity import probe_pq_index
 
-    from querysight_spark.operators.similarity import build_pq_index, probe_pq_index
-
-    q = _query_vec(spark, sf_dir)
-    path = _index_path("pq", sf_dir)
-    vecs = load_table(spark, "embeddings", sf_dir)
-    if not os.path.exists(os.path.join(path, "_codebooks.json")):
-        build_pq_index(vecs, path, dim=len(q), m=32, k=64)
+    path = _ensure_pq_index(spark, sf_dir)
     return probe_pq_index(
-        spark, path, q, k=10, rerank_df=vecs,
+        spark, path, _query_vec(spark, sf_dir), k=10,
+        rerank_df=load_table(spark, "embeddings", sf_dir),
         oversample=_full_oversample(sf_dir),
     )
 
@@ -610,20 +656,13 @@ def ss09(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode probes all lists with a corpus-wide shortlist; the production
     probe (n_probes=4, oversample=10) is what bench.py times and pytest
     plan-asserts for partition pruning."""
-    import os
+    from querysight_spark.operators.similarity import probe_ivfpq_index
 
-    from querysight_spark.operators.similarity import (
-        build_ivfpq_index,
-        probe_ivfpq_index,
-    )
-
-    q = _query_vec(spark, sf_dir)
-    path = _index_path("ivfpq", sf_dir)
-    vecs = load_table(spark, "embeddings", sf_dir)
-    if not os.path.exists(os.path.join(path, "_ivfpq.json")):
-        build_ivfpq_index(vecs, path, dim=len(q), n_centroids=16, m=32, k=64)
+    path = _ensure_ivfpq_index(spark, sf_dir)
     return probe_ivfpq_index(
-        spark, path, q, k=10, n_probes=16, rerank_df=vecs,
+        spark, path, _query_vec(spark, sf_dir), k=10,
+        n_probes=IVFPQ_INDEX_CENTROIDS,
+        rerank_df=load_table(spark, "embeddings", sf_dir),
         oversample=_full_oversample(sf_dir),
     )
 
@@ -640,37 +679,13 @@ def ss09(spark: SparkSession, sf_dir: str) -> DataFrame:
 # warm per-query path.
 
 
-def _ann_bench_lsh_prepare(spark: SparkSession, sf_dir: str) -> None:
-    import os
-
-    from querysight_spark.operators.similarity import build_lsh_index
-
-    q = _query_vec(spark, sf_dir)
-    path = _index_path("lsh", sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        build_lsh_index(load_table(spark, "embeddings", sf_dir), path,
-                        dim=len(q), bits=4)
-
-
 def _ann_bench_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from querysight_spark.operators.similarity import probe_lsh_index
 
     return probe_lsh_index(
         spark, _index_path("lsh", sf_dir), _query_vec(spark, sf_dir),
-        k=10, bits=4, n_probes=2,
+        k=10, bits=LSH_INDEX_BITS, n_probes=2,
     )
-
-
-def _ann_bench_pq_prepare(spark: SparkSession, sf_dir: str) -> None:
-    import os
-
-    from querysight_spark.operators.similarity import build_pq_index
-
-    q = _query_vec(spark, sf_dir)
-    path = _index_path("pq", sf_dir)
-    if not os.path.exists(os.path.join(path, "_codebooks.json")):
-        build_pq_index(load_table(spark, "embeddings", sf_dir), path,
-                       dim=len(q), m=32, k=64)
 
 
 def _ann_bench_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -683,18 +698,6 @@ def _ann_bench_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_bench_ivfpq_prepare(spark: SparkSession, sf_dir: str) -> None:
-    import os
-
-    from querysight_spark.operators.similarity import build_ivfpq_index
-
-    q = _query_vec(spark, sf_dir)
-    path = _index_path("ivfpq", sf_dir)
-    if not os.path.exists(os.path.join(path, "_ivfpq.json")):
-        build_ivfpq_index(load_table(spark, "embeddings", sf_dir), path,
-                          dim=len(q), n_centroids=16, m=32, k=64)
-
-
 def _ann_bench_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from querysight_spark.operators.similarity import probe_ivfpq_index
 
@@ -705,10 +708,12 @@ def _ann_bench_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# prepare = the shared ensure-helper (same build params as the declared
+# queries BY CONSTRUCTION); probe = the production operating point
 ANN_BENCH = {
-    "ss04_lsh_probe_prod": (_ann_bench_lsh_prepare, _ann_bench_lsh_probe),
-    "ss06_pq_probe_prod": (_ann_bench_pq_prepare, _ann_bench_pq_probe),
-    "ss09_ivfpq_probe_prod": (_ann_bench_ivfpq_prepare, _ann_bench_ivfpq_probe),
+    "ss04_lsh_probe_prod": (_ensure_lsh_index, _ann_bench_lsh_probe),
+    "ss06_pq_probe_prod": (_ensure_pq_index, _ann_bench_pq_probe),
+    "ss09_ivfpq_probe_prod": (_ensure_ivfpq_index, _ann_bench_ivfpq_probe),
 }
 
 
@@ -893,6 +898,12 @@ def tr03(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- sketches ---------------------------------------------------------------
 
 
+def _sketch_ok(approx: str, exact: str, rel: float = 0.05):
+    """Self-check predicate shared by the sketch declarations: the
+    approximate column is within ``rel`` of the exact one."""
+    return F.abs(F.col(approx) - F.col(exact)) <= rel * F.abs(F.col(exact))
+
+
 @_q(
     "sk01_sketches",
     """SELECT COUNT(DISTINCT user_id) AS exact_users,
@@ -923,16 +934,13 @@ def sk01(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.99)").alias("ep99"),
     )
 
-    def _ok(approx, exact):
-        return F.abs(F.col(approx) - F.col(exact)) <= 0.05 * F.abs(F.col(exact))
-
     return agg.select(
         F.col("eu").alias("exact_users"),
         F.col("et").alias("exact_types"),
-        _ok("au", "eu").alias("users_ok"),
-        _ok("at", "et").alias("types_ok"),
-        _ok("ap50", "ep50").alias("p50_ok"),
-        _ok("ap99", "ep99").alias("p99_ok"),
+        _sketch_ok("au", "eu").alias("users_ok"),
+        _sketch_ok("at", "et").alias("types_ok"),
+        _sketch_ok("ap50", "ep50").alias("p50_ok"),
+        _sketch_ok("ap99", "ep99").alias("p99_ok"),
     )
 
 
@@ -948,8 +956,12 @@ def sk02(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlike sk01's single global row, grouped sketches exercise the
     PARTIAL-MERGE path (per-partition sketch states merged in the final
     aggregation), which is the property that matters at cluster scale.
-    Self-checking like sk01: exact values returned, approx within 5 %
-    asserted as hashed booleans."""
+    Self-checking like sk01: exact values returned, approx within
+    tolerance asserted as hashed booleans. The percentile tolerance is
+    10 % (vs sk01's global 5 %): percentile_approx returns a real data
+    value while the exact percentile interpolates, and a per-group check
+    has no group-size floor — a small group with a value gap around the
+    median needs the wider band (code-review r3 finding)."""
     ev = load_table(spark, "events", sf_dir)
     agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("au"),
@@ -957,15 +969,11 @@ def sk02(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 10000).alias("ap50"),
         F.expr("percentile(value, 0.5)").alias("ep50"),
     )
-
-    def _ok(approx, exact):
-        return F.abs(F.col(approx) - F.col(exact)) <= 0.05 * F.abs(F.col(exact))
-
     return agg.select(
         "event_type",
         F.col("eu").alias("exact_users"),
-        _ok("au", "eu").alias("users_ok"),
-        _ok("ap50", "ep50").alias("p50_ok"),
+        _sketch_ok("au", "eu").alias("users_ok"),
+        _sketch_ok("ap50", "ep50", rel=0.10).alias("p50_ok"),
     ).orderBy("event_type")
 
 

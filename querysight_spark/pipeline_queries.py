@@ -471,7 +471,10 @@ def ql26(spark: SparkSession, sf_dir: str) -> DataFrame:
     interactive path."""
     p = _patterns(spark, sf_dir).select("normalized_query", "frequency")
     order = [F.col("frequency").desc(), F.col("normalized_query")]
-    last = paginate(p, order, page=0, page_size=15).collect()[-1]
+    first = paginate(p, order, page=0, page_size=15).collect()
+    if not first:  # no full first page -> page 2 is empty, like OFFSET
+        return p.where(F.lit(False))
+    last = first[-1]
     return page_after(
         p, "frequency", "normalized_query",
         last.frequency, last.normalized_query,

@@ -221,12 +221,18 @@ class LLMRecommender:
 
     def recommend(self, patterns: DataFrame, model_map: DataFrame) -> DataFrame:
         spark = patterns.sparkSession
+        # rank + limit FIRST (the impact key needs no enrichment columns),
+        # then run the explode/resolve/coverage joins over only the
+        # top_k-row frame — the enrichment cost is page-sized, not
+        # corpus-sized
+        top_patterns = patterns.orderBy(
+            (F.col("frequency") * F.col("avg_duration_ms")).desc(), "pattern_id"
+        ).limit(self.top_k)
         top = (
-            self._enrich(patterns, model_map)
+            self._enrich(top_patterns, model_map)
             .orderBy(
                 (F.col("frequency") * F.col("avg_duration_ms")).desc(), "pattern_id"
             )
-            .limit(self.top_k)
             .collect()
         )
         rows = [(r.pattern_id, r.normalized_query, self.complete(self._prompt(r)))

@@ -93,7 +93,18 @@ def page_after(
     source it PUSHES INTO THE SCAN (parquet min/max row-group pruning on
     ``order_col``) and the sort only ranks the rows that survive. Keep
     LIMIT/OFFSET for shallow interactive pages; cursors/exports use this.
-    """
+
+    PRECONDITION: ``order_col`` must be non-null (the standard keyset
+    contract — a NULL order value compares as NULL and the cursor filter
+    would silently drop the row from every page, diverging from OFFSET's
+    NULLS-LAST behavior). Coalesce nullable sort keys to a sentinel
+    before paging; ``last_order``/``last_key`` must come from a real
+    prior-page row, hence non-null."""
+    if last_order is None or last_key is None:
+        raise ValueError(
+            "page_after cursor values must be non-null (taken from the "
+            "last row of a previous page)"
+        )
     o, k = F.col(order_col), F.col(key_col)
     if descending:
         after = (o < F.lit(last_order)) | ((o == F.lit(last_order)) & (k > F.lit(last_key)))

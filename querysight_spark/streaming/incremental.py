@@ -155,54 +155,38 @@ def start_rollup_absorb(
     partition_granularity: str = "day",
 ):
     """Streaming absorption into a persisted rollup tier (the hypertable
-    maintenance loop at 100 TB): each micro-batch is rolled up to the tier
-    granularity, MERGED with the existing state of only the calendar
-    chunks it touches (partition-pruned read — additive metrics recombine
-    exactly), and written back with dynamic partition overwrite. History
-    chunks the batch doesn't touch are never read or rewritten; re-running
-    an epoch is idempotent because the merge re-derives the same chunk
-    contents. Returns the started StreamingQuery."""
+    maintenance loop at 100 TB), journal-style so micro-batch REPLAY is
+    safe: each batch's partial rollup is first staged to
+    ``tier_path/_partials/batch_id=<epoch>`` (dynamic partition overwrite
+    keyed by the epoch — re-running the epoch rewrites the SAME partition
+    with the same content, never appends), then the calendar chunks the
+    batch touches are REBUILT from all staged partials overlapping those
+    dates and upserted into the tier. The tier is thus a pure function of
+    the journal: a crash between stage and rebuild, or a foreachBatch
+    re-invocation (at-least-once semantics), re-derives identical chunk
+    contents instead of double-counting — the same reason
+    ``start_incremental_merge`` keys its state by epoch. A naive
+    read-tier-merge-write here would add the replayed batch twice.
+
+    History chunks the batch doesn't touch are never read or rewritten;
+    the rebuild reads partials partition-pruned to the touched dates.
+    Partials accumulate one small file set per (epoch, chunk) — the
+    journal a compaction job can fold once its epochs are final (the
+    ``compact_pattern_state`` analog), bounded by batches × patterns,
+    not raw rows. The underscore prefix keeps Spark's readers from
+    treating the journal as tier data. Returns the started
+    StreamingQuery."""
     import os
 
-    from querysight_spark.operators.rollup import (
-        merge_rollups,
-        time_rollup,
-        upsert_rollup_tier,
-    )
+    from querysight_spark.operators.rollup import time_rollup, upsert_rollup_tier
 
     groups = list(group_cols or [])
 
-    def _tier_exists() -> bool:
-        # dynamic partition overwrite emits no top-level _SUCCESS; the
-        # tier exists iff it has partition directories
-        return os.path.isdir(tier_path) and any(
-            e.startswith("p_date=") for e in os.listdir(tier_path)
-        )
-
     def _absorb(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        new = time_rollup(batch_df, time_col, value_col, every, groups)
-        if _tier_exists():
-            touched = new.select(
-                F.date_trunc(partition_granularity, F.col("bucket_start"))
-                .cast("date")
-                .alias("p_date")
-            ).distinct()
-            existing = (
-                spark.read.parquet(tier_path)
-                .join(F.broadcast(touched), "p_date")  # partition-pruned
-                .drop("p_date")
-            )
-            # materialize BEFORE the overwrite: the merged plan reads the
-            # same path the upsert rewrites (Spark rejects read-and-
-            # overwrite lineage; and lazy evaluation would read half-
-            # deleted files). Chunk state is small (patterns × buckets),
-            # so localCheckpoint is cheap; a petabyte deploy would stage
-            # to a temp prefix and swap instead.
-            new = merge_rollups(existing, new, group_cols=groups).localCheckpoint(
-                eager=True
-            )
-        upsert_rollup_tier(new, tier_path, partition_granularity)
+        absorb_rollup_batch(
+            batch_df, epoch_id, tier_path, time_col, value_col,
+            every, groups, partition_granularity,
+        )
 
     return (
         events.writeStream.foreachBatch(_absorb)
@@ -210,3 +194,59 @@ def start_rollup_absorb(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def absorb_rollup_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    tier_path: str,
+    time_col: str,
+    value_col: str,
+    every: str = "1 hour",
+    group_cols: list[str] | None = None,
+    partition_granularity: str = "day",
+) -> None:
+    """One epoch of the journal-style absorb (module-level so replay
+    semantics are directly testable). Idempotency is per (checkpoint,
+    epoch): Spark's contract is that a re-invoked epoch carries the same
+    data, and the stage step rewrites exactly that epoch's partitions.
+    Pointing a NEW stream (fresh checkpoint, epoch ids restarting at 0)
+    at an existing journal is operator error, as with any journal."""
+    import os
+
+    from querysight_spark.operators.rollup import time_rollup, upsert_rollup_tier
+
+    groups = list(group_cols or [])
+    partials_path = os.path.join(tier_path, "_partials")
+    spark = batch_df.sparkSession
+    new = time_rollup(batch_df, time_col, value_col, every, groups)
+    staged = new.withColumn(
+        "p_date",
+        F.date_trunc(partition_granularity, F.col("bucket_start")).cast("date"),
+    ).withColumn("batch_id", F.lit(int(epoch_id)))
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        staged.write.mode("overwrite").partitionBy("batch_id", "p_date").parquet(
+            partials_path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    touched = new.select(
+        F.date_trunc(partition_granularity, F.col("bucket_start"))
+        .cast("date")
+        .alias("p_date")
+    ).distinct()
+    rebuilt = (
+        spark.read.parquet(partials_path)
+        .join(F.broadcast(touched), "p_date")  # partition-pruned journal read
+        .groupBy("bucket_start", *groups)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum").alias("sum"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+        )
+    )
+    upsert_rollup_tier(rebuilt, tier_path, partition_granularity)

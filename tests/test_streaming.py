@@ -195,3 +195,40 @@ def test_windowed_counts_with_watermark(spark, dirs):
     assert len(out) == 3  # one tumbling 1h window per event in the fixture
     assert all(r.frequency == 1 for r in out)
     assert all((r.window_end - r.window_start).total_seconds() == 3600 for r in out)
+
+
+def test_rollup_absorb_replay_is_idempotent(spark, tmp_path):
+    """Code-review r3 finding: foreachBatch is at-least-once — a replayed
+    epoch must NOT double-count. The journal design stages each epoch's
+    partial into its own batch_id partition (overwrite) and rebuilds
+    touched chunks from the journal, so re-running an epoch re-derives
+    identical tier contents."""
+    import datetime as dt
+
+    from querysight_spark.operators.rollup import time_rollup
+    from querysight_spark.streaming.incremental import absorb_rollup_batch
+
+    rows = [(dt.datetime(2024, 1, 1 + d, h), float(d * 100 + h), f"t{h % 2}")
+            for d in range(2) for h in range(4)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double, g string")
+    b0 = df.where("day(ts) = 1")
+    b1 = df.where("day(ts) = 2")
+    tier = str(tmp_path / "tier")
+
+    def snap():
+        return sorted(
+            tuple(r) for r in spark.read.parquet(tier)
+            .select("bucket_start", "g", "n", "sum", "min", "max").collect()
+        )
+
+    absorb_rollup_batch(b0, 0, tier, "ts", "value", "1 hour", ["g"])
+    absorb_rollup_batch(b1, 1, tier, "ts", "value", "1 hour", ["g"])
+    once = snap()
+    absorb_rollup_batch(b1, 1, tier, "ts", "value", "1 hour", ["g"])  # replay
+    absorb_rollup_batch(b0, 0, tier, "ts", "value", "1 hour", ["g"])  # replay
+    assert snap() == once
+    want = sorted(
+        tuple(r) for r in time_rollup(df, "ts", "value", "1 hour", ["g"])
+        .select("bucket_start", "g", "n", "sum", "min", "max").collect()
+    )
+    assert once == want
