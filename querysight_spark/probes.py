@@ -645,3 +645,18 @@ _p(
                     WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders
        FROM customer c ORDER BY c_custkey LIMIT 100""",
 )
+_p(
+    "p61_group_by_all",
+    """SELECT event_type, user_id % 4 AS ubucket, COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+       FROM events GROUP BY ALL ORDER BY event_type, ubucket""",
+)
+_p(
+    "p62_ordered_string_agg",
+    """SELECT user_id,
+              concat_ws(',', sort_array(collect_set(event_type))) AS types
+       FROM events GROUP BY user_id ORDER BY user_id""",
+    """SELECT user_id,
+              string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+       FROM events GROUP BY user_id ORDER BY user_id""",
+)
