@@ -72,3 +72,78 @@ def has_shuffle(df: DataFrame) -> bool:
         line.lstrip("+-* (0123456789) ").startswith("Exchange")
         for line in plan.splitlines()
     )
+
+
+def zorder_value(cols: Sequence[str], mins: Sequence[float],
+                 maxs: Sequence[float], bits: int = 8):
+    """Morton (Z-order) interleave expression over ``cols``: each column
+    is uniform-bucketized to ``bits`` bits inside its [min, max] range,
+    and the bucket bits are interleaved into one sortable long. Pure
+    column arithmetic — no UDF, no shuffle of its own."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    parts = []
+    for ci, (c, lo, hi) in enumerate(zip(cols, mins, maxs)):
+        span = float(hi) - float(lo) or 1.0
+        bucket = F.least(
+            F.lit((1 << bits) - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(c).cast("double") - F.lit(float(lo)))
+                        / F.lit(span) * F.lit(float(1 << bits))).cast("long"),
+            ),
+        )
+        for b in range(bits):
+            # bit b of this column lands at interleaved position b*n + ci
+            parts.append(
+                F.shiftleft(F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
+                            b * n + ci)
+            )
+    z = parts[0]
+    for p in parts[1:]:
+        z = z.bitwiseOR(p)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 8,
+    num_files: int = 8,
+    mode: str = "overwrite",
+    parquet_block_bytes: int | None = None,
+) -> None:
+    """Z-order-clustered write: range-repartition + sort by the Morton
+    value of ``cols``, so parquet row-group min/max stats become TIGHT on
+    EVERY clustering column at once — a point/range predicate on any of
+    them prunes most row groups at scan time. This is the multi-column
+    complement to ``write_partitioned`` (one column, directory-level) and
+    the standard lakehouse layout for "filter by either user or time"
+    fact tables at 100 TB: sort by one column and the other's stats are
+    useless; Z-order degrades each column's clustering only by bits/n.
+
+    Column min/max for the bucketization come from one tiny agg (driver
+    reads 2·n scalars). ``parquet_block_bytes`` shrinks row groups in
+    tests so pruning is observable on small data; leave None (128 MB
+    default) in production."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"lo{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"hi{i}") for i, c in enumerate(cols)],
+    ).first()
+    mins = [stats[f"lo{i}"] for i in range(len(cols))]
+    maxs = [stats[f"hi{i}"] for i in range(len(cols))]
+    z = zorder_value(cols, mins, maxs, bits).alias("_z")
+    out = (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    writer = out.write.mode(mode)
+    if parquet_block_bytes is not None:
+        writer = writer.option("parquet.block.size", str(parquet_block_bytes))
+    writer.parquet(path)
