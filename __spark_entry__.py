@@ -1,17 +1,30 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``queries()`` exposes every implemented operator family (SURVEY.md §2):
-  * p01-p30  — general-operator probes (scan/filter/agg/join/window/setop/
-               scalar fns) run via spark.sql over the testdata views, i.e.
-               straight through Catalyst.
-  * ql01-ql14 — querysight pipeline parity (pattern hash-agg, merge,
-               coverage joins, closure, summaries, pagination) computed by
-               the ENGINE's DataFrame plans (querysight_spark.plans.*) over
-               a deterministic query-log analog derived from `events`.
-  * dd/ss/tx — training-data operators (dedup, similarity search, text
-               analysis) over documents/embeddings.
+  * p01-p62   — general-operator probes (scan/filter/agg/join/window/
+                setop/scalar/lateral/unpivot/interval/map/subquery) run
+                via spark.sql over the testdata views, i.e. straight
+                through Catalyst.
+  * ql01-ql26 — querysight pipeline parity (pattern hash-agg, merge,
+                coverage joins, closure, summaries, pagination incl.
+                keyset, caching, lifecycle, dbt catalog) computed by the
+                ENGINE's DataFrame plans (querysight_spark.plans.*) over
+                a deterministic query-log analog derived from `events`.
+  * dd01-dd08 — dedup family (exact, MinHash-LSH, n-gram Jaccard,
+                SimHash, cosine exact/LSH, clustering, keep-best).
+  * ss01-ss09 — similarity search (brute force through persisted IVF+PQ);
+                declared in EXACT MODE (exhaustive probes, corpus-wide
+                rerank) so every entry hash-matches the brute-force
+                oracle; production operating points live in pytest
+                recall tests and bench.py's ANN_BENCH probes.
+  * tx/tr/sk  — text analysis + splits + contamination, rollup tiers
+                incl. streaming absorption, self-checking sketches.
+  * st01-st05 — Structured Streaming under the gate (windows, stateful
+                counts, cross-batch dedup, session windows, stream-
+                stream join), drained availableNow vs batch oracles.
+  * aj/rj/sj/mm — as-of join, range join, salted join, multimodal.
 
-``oracle_sql()`` carries the DuckDB-dialect equivalent for every entry
+``oracle_sql()`` carries the DuckDB-dialect equivalent for EVERY entry
 (CTE-reconstructed analog tables where needed), so the driver's
 row-count + schema + value-hash gate covers the full inventory.
 """
