@@ -92,22 +92,29 @@ def _engine_query(fn) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
-def _driver_verified() -> tuple[set[str], set[str]]:
-    """(green, rows_only_seen): names with a green hash-matched row in ANY
-    prior round's CORRECTNESS file, and names whose only record is a
-    rows-only check (``err == 'no_oracle'`` with spark_rows recorded — the
-    query RAN, it just had no oracle that round). The ~50-entry per-round
-    sweep stops on a time/count budget over the dict order, so ordering
-    matters: never-run entries go first, rows-only-seen second, greens
-    last — a permanently-oracle-less entry must not burn front slots every
-    round. Reading the actual files keeps the rule self-maintaining."""
+def _driver_verified() -> tuple[dict[str, int], set[str]]:
+    """(green, rows_only_seen): ``green`` maps each name with a
+    hash-matched row in any prior round's CORRECTNESS file to the LATEST
+    round that verified it; ``rows_only_seen`` holds names whose only
+    record is a rows-only check (``err == 'no_oracle'`` with spark_rows
+    recorded — the query RAN, it just had no oracle that round). The
+    ~50-entry per-round sweep stops on a time/count budget over the dict
+    order, so ordering matters: never-run entries go first, rows-only-seen
+    second, then greens OLDEST-VERIFIED-FIRST — the testdata tree is
+    regenerated between rounds, so with the whole inventory green the
+    sweep's job is refreshing the stalest evidence onto the current
+    corpus vintage (~50/round rotation). Reading the actual files keeps
+    the rule self-maintaining."""
     import glob
     import json
+    import re
 
-    green: set[str] = set()
+    green: dict[str, int] = {}
     rows_only: set[str] = set()
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -117,10 +124,10 @@ def _driver_verified() -> tuple[set[str], set[str]]:
             if not isinstance(row, dict):
                 continue
             if not row.get("err") and row.get("rows_match", True):
-                green.add(name)
+                green[name] = max(green.get(name, 0), rnd)
             elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
                 rows_only.add(name)
-    return green, rows_only - green
+    return green, rows_only - set(green)
 
 
 def _registries():
@@ -132,12 +139,15 @@ def _registries():
 
     green, rows_only = _driver_verified()
 
-    def _pri(name: str) -> int:
-        # 0 = never driver-run, 1 = ran rows-only (no oracle that round,
-        #     re-check once it gains one), 2 = hash-matched green
-        return 2 if name in green else (1 if name in rows_only else 0)
+    def _pri(name: str) -> tuple[int, int]:
+        # (0,_) = never driver-run, (1,_) = ran rows-only (no oracle that
+        # round, re-check once it gains one), (2, round) = hash-matched
+        # green, stalest evidence first
+        if name in green:
+            return (2, green[name])
+        return (1, 0) if name in rows_only else (0, 0)
 
-    rows: list[tuple[int, str, Callable | None, str | None]] = []
+    rows: list[tuple[tuple[int, int], str, Callable | None, str | None]] = []
     for name, (fn, oracle) in EXTENSION_QUERIES.items():
         rows.append((_pri(name), name, _engine_query(fn), oracle))
     for name, (fn, oracle) in PIPELINE_QUERIES.items():

@@ -7,10 +7,12 @@ duplicated (exact dedup), every 10th doc copied with 3 extra tokens
 (near-dup), every 25th embedding copied verbatim (cosine dup). All hashing
 is md5-hex (engine-portable); minhash = min over md5(j:shingle) strings.
 
-ss02 (LSH ANN) and dd05 (SimHash) are rows-only: the LSH bucketing uses
-seeded random hyperplanes and SimHash uses conv()-based bit votes — neither
-is worth contorting into portable SQL; their semantics are pinned by unit
-tests instead.
+Every entry here carries a DuckDB oracle (nothing is rows-only since r3):
+approximate operators (LSH ANN, PQ/IVF probes, SimHash, banded MinHash) are
+declared in EXACT MODE — exhaustive probes / corpus-wide rerank / portable
+md5-based hashing — so each provably equals the brute-force or windowed SQL
+it is checked against; production operating points are recall-tested in
+pytest and timed in bench.py instead.
 """
 
 from __future__ import annotations
@@ -438,19 +440,36 @@ def _full_oversample(sf_dir: str, k: int = 10) -> int:
     return -(-_corpus_n(sf_dir) // k)  # ceil(n / k)
 
 
+def _corpus_tag(sf_dir: str, table: str) -> str:
+    """Cache tag binding a /tmp fixture to the source parquet's IDENTITY
+    (path + mtime_ns + size), not just its path: the testdata tree is
+    regenerated between driver rounds, so a path-only tag would silently
+    reuse indexes/staged files built from a prior vintage of the corpus
+    and mismatch the oracle computed on the fresh one (ADVICE r3)."""
+    import hashlib
+    import os
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(p)
+    return hashlib.sha256(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+
+
 def _index_path(prefix: str, sf_dir: str) -> str:
     """Stable per-corpus index location: index once, probe many. All index
-    parameters are seed-deterministic and the corpus is immutable per
-    sf_dir, so an existing index is always current; the declared queries
-    and bench.py share the same paths (the bench's untimed prepare step
-    is what makes its probe timings warm-index numbers)."""
-    import hashlib
+    parameters are seed-deterministic and the tag fingerprints the source
+    parquet (see _corpus_tag), so an existing index is always current for
+    THIS corpus vintage and rebuilds automatically after regeneration;
+    the declared queries and bench.py share the same paths (the bench's
+    untimed prepare step is what makes its probe timings warm-index
+    numbers)."""
     import tempfile
 
     return (
         tempfile.gettempdir()
         + f"/qs_{prefix}_index_"
-        + hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+        + _corpus_tag(sf_dir, "embeddings")
     )
 
 
@@ -783,7 +802,8 @@ def tx03(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT date_trunc('hour', ts) AS bucket_start, event_type,
               COUNT(*) AS n,
               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_v,
-              MIN(value) AS min_v, MAX(value) AS max_v
+              CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+              CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v
        FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 )
 def tr01(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -830,7 +850,8 @@ def tr02(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT date_trunc('hour', ts) AS bucket_start, event_type,
               COUNT(*) AS n,
               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_v,
-              MIN(value) AS min_v, MAX(value) AS max_v
+              CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+              CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v
        FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 )
 def tr03(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -842,14 +863,13 @@ def tr03(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-overwrites them. The final tier must equal the one-shot
     batch rollup (tr01's oracle) — proving absorb-merge loses nothing.
     Cold start per run (tier + checkpoint wiped) keeps it deterministic."""
-    import hashlib
     import os
     import shutil
     import tempfile
 
     from querysight_spark.streaming.incremental import start_rollup_absorb
 
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    tag = _corpus_tag(sf_dir, "events")
     base = os.path.join(tempfile.gettempdir(), f"qs_absorb_{tag}")
     stream_dir = os.path.join(base, "in")
     if not os.path.exists(os.path.join(stream_dir, "_ready")):
@@ -1564,7 +1584,7 @@ def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ST04_ORACLE = """
     WITH o AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
                     OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
@@ -1572,8 +1592,11 @@ _ST04_ORACLE = """
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s AS (
+      -- same (ts, event_id) total order as window w: with duplicate
+      -- timestamps at a session boundary, a ts-only running sum could
+      -- enumerate tied rows differently and assign a wrong sid
       SELECT user_id, ts,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM o
     )

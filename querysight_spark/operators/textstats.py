@@ -335,8 +335,11 @@ def contamination_check(
     hash_shingles: bool = False,
 ) -> DataFrame:
     """Train/test contamination detection: for every test document, how
-    many of its distinct word n-grams also occur anywhere in the train
-    corpus. The eval-integrity pass every training pipeline needs — a
+    many of its word n-gram OCCURRENCES also occur anywhere in the train
+    corpus (occurrence-weighted: a shingle repeated in the test doc
+    counts each time, so verbatim-repeated leaked spans weigh more; the
+    train side IS deduped to a distinct vocabulary). The
+    eval-integrity pass every training pipeline needs — a
     test doc whose n-grams are largely covered by train data leaks the
     benchmark (the reference has no analog; standard decontamination
     practice, cf. n-gram overlap checks in public LM training reports).

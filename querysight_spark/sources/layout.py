@@ -79,7 +79,11 @@ def zorder_value(cols: Sequence[str], mins: Sequence[float],
     """Morton (Z-order) interleave expression over ``cols``: each column
     is uniform-bucketized to ``bits`` bits inside its [min, max] range,
     and the bucket bits are interleaved into one sortable long. Pure
-    column arithmetic — no UDF, no shuffle of its own."""
+    column arithmetic — no UDF, no shuffle of its own. NULL values land
+    in bucket 0 (the column minimum) by construction of the
+    greatest/least clamp — callers with meaningfully-null clustering
+    columns should filter or fill first (``write_zordered`` rejects
+    all-null columns outright)."""
     from pyspark.sql import functions as F
 
     n = len(cols)
@@ -136,6 +140,13 @@ def write_zordered(
     ).first()
     mins = [stats[f"lo{i}"] for i in range(len(cols))]
     maxs = [stats[f"hi{i}"] for i in range(len(cols))]
+    empty = [c for c, lo, hi in zip(cols, mins, maxs) if lo is None or hi is None]
+    if empty:
+        raise ValueError(
+            f"write_zordered: clustering column(s) {empty} are empty or "
+            "all-NULL — no min/max to bucketize on. Drop them from `cols` "
+            "(NULL rows in a partially-null column interleave at bucket 0)."
+        )
     z = zorder_value(cols, mins, maxs, bits).alias("_z")
     out = (
         df.withColumn("_z", z)
