@@ -1,14 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas stages.
 
-The decode step is STUBBED (no image/audio libraries in this container —
-``decode_image`` raises NotImplementedError unless a deterministic fake is
-requested), but everything Spark-side is real and tested: the MEDIA_SCHEMA
-contract, mapInPandas batch iteration, feature-vector schema, and the
-partitioning story.
+The decode step is REAL for uncompressed formats: netpbm images (P5
+grayscale / P6 RGB) through a pure-Python parser and PCM16 WAV audio
+through the stdlib ``wave`` module — both actual on-disk formats, parsed
+byte-for-byte, no image/audio library required. When PIL is installed it
+becomes the fast path behind the SAME interface (``decode_image``) and
+additionally handles compressed formats (JPEG/PNG); without it those
+raise the documented NotImplementedError. ``synth_media_corpus`` +
+``payload_stats`` close the loop: real-codec payloads generated from a
+closed-form integer formula, decoded back by the real parser, and reduced
+to integer-exact stats an engine-independent SQL oracle can verify
+(mm04) — a broken encoder OR decoder fails the formula check.
 
-Scale design: payloads are large blobs — the feature extractor runs
-``mapInPandas`` so each task streams record batches (bounded memory,
+Scale design: payloads are large blobs — every payload-touching stage
+runs ``mapInPandas`` so each task streams record batches (bounded memory,
 spark.sql.execution.arrow.maxRecordsPerBatch controls batch height);
 metadata-only transformations (filtering by width, duration) are column
 expressions on the struct and never touch the payload bytes thanks to
@@ -18,8 +24,11 @@ parquet column pruning of nested fields.
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -31,6 +40,14 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+try:  # optional fast path — absent in this container, used when installed
+    from PIL import Image as _PILImage
+
+    _HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    _HAS_PIL = False
 
 FEATURE_DIM = 16
 
@@ -44,14 +61,116 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real decode requires an image library (PIL/cv2) not present in this
-    container. The Spark plumbing around it (schema, batching) is tested
-    with ``_fake_features``."""
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv — not available in this environment; "
-        "use extract_features(..., fake=True) for the deterministic test path"
-    )
+# --- real codecs ------------------------------------------------------------
+
+
+def encode_pgm(width: int, height: int, raster: bytes) -> bytes:
+    """Binary netpbm grayscale (P5, maxval 255): the standard uncompressed
+    image format — ``raster`` is width*height bytes, row-major."""
+    if len(raster) != width * height:
+        raise ValueError(
+            f"raster is {len(raster)} bytes, expected {width}*{height}"
+        )
+    return b"P5\n%d %d\n255\n" % (width, height) + raster
+
+
+def _pnm_token(buf: bytes, pos: int) -> tuple[bytes, int]:
+    """Next netpbm header token: skips whitespace and '#' comment lines
+    (the spec allows comments anywhere in the header)."""
+    n = len(buf)
+    while pos < n:
+        if buf[pos : pos + 1].isspace():
+            pos += 1
+        elif buf[pos : pos + 1] == b"#":
+            while pos < n and buf[pos : pos + 1] not in (b"\n", b"\r"):
+                pos += 1
+        else:
+            break
+    start = pos
+    while pos < n and not buf[pos : pos + 1].isspace():
+        pos += 1
+    if start == pos:
+        raise ValueError("truncated netpbm header")
+    return buf[start:pos], pos
+
+
+def decode_netpbm(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Pure-Python binary netpbm parser (P5 grayscale / P6 RGB, maxval ≤
+    255). Returns (width, height, channels, uint8 array of shape (h, w)
+    or (h, w, 3)). Raises ValueError for anything that is not binary
+    netpbm — compressed formats go through PIL (see decode_image)."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not binary netpbm (magic {magic!r})")
+    pos = 2
+    w_tok, pos = _pnm_token(payload, pos)
+    h_tok, pos = _pnm_token(payload, pos)
+    max_tok, pos = _pnm_token(payload, pos)
+    w, h, maxval = int(w_tok), int(h_tok), int(max_tok)
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported netpbm maxval {maxval}")
+    pos += 1  # spec: exactly ONE whitespace byte between maxval and raster
+    channels = 1 if magic == b"P5" else 3
+    need = w * h * channels
+    raster = payload[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError(f"netpbm raster truncated: {len(raster)}/{need} bytes")
+    arr = np.frombuffer(raster, dtype=np.uint8)
+    return w, h, channels, arr.reshape((h, w) if channels == 1 else (h, w, 3))
+
+
+def encode_wav_pcm16(samples, rate: int = 8000) -> bytes:
+    """Mono PCM16 RIFF/WAVE via the stdlib ``wave`` writer — a real
+    audio container, parseable by any tool."""
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return bio.getvalue()
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
+    """Stdlib ``wave`` decode of a mono PCM16 clip → (sample_rate, int16
+    samples). A genuinely real decode path — the RIFF chunks are parsed
+    by the standard library, not trusted from metadata."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            if wf.getnchannels() != 1 or wf.getsampwidth() != 2:
+                raise ValueError(
+                    f"expected mono PCM16, got {wf.getnchannels()}ch "
+                    f"{wf.getsampwidth() * 8}-bit"
+                )
+            rate = wf.getframerate()
+            data = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"not a decodable RIFF/WAVE payload: {e!r}") from e
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def decode_image(payload: bytes, prefer_pil: bool = True) -> tuple[int, int, np.ndarray]:
+    """Decode an image payload to (width, height, uint8 pixel array —
+    (h, w) grayscale or (h, w, c)). PIL is the fast path when installed
+    (and the only path for compressed formats); binary netpbm always
+    decodes through the pure-Python parser, so the interface works in
+    library-free containers and both paths are pixel-identical on netpbm
+    (pinned by pytest when PIL is present)."""
+    if _HAS_PIL and prefer_pil:
+        try:
+            arr = np.asarray(_PILImage.open(io.BytesIO(payload)))
+            return arr.shape[1], arr.shape[0], arr
+        except Exception:
+            pass  # fall through — maybe netpbm variant PIL dislikes
+    try:
+        w, h, _channels, arr = decode_netpbm(payload)
+        return w, h, arr
+    except ValueError as e:
+        raise NotImplementedError(
+            "compressed image formats (JPEG/PNG/...) require PIL, which is "
+            f"not available in this environment ({e}); binary netpbm (P5/P6) "
+            "decodes natively, or use extract_features(..., fake=True)"
+        ) from e
 
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -62,18 +181,42 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return [float(h[i % 16]) / 255.0 for i in range(dim)]
 
 
+def _real_features(
+    payload: bytes, media_type: str, dim: int = FEATURE_DIM
+) -> list[float]:
+    """REAL feature compute, dispatched on media_type: images decode
+    (netpbm natively, anything else via PIL) to a ``dim``-bin normalized
+    luminance histogram; audio decodes (stdlib wave) to a ``dim``-bin
+    normalized amplitude histogram over the int16 range. Deterministic and
+    engine-independent — a faithful stand-in for the embed step of a
+    media pipeline."""
+    if media_type == "audio":
+        _rate, samples = decode_wav_pcm16(payload)
+        idx = ((samples.astype(np.int64) + 32768) // (65536 // dim)).clip(0, dim - 1)
+        counts = np.bincount(idx, minlength=dim)
+        return (counts / float(max(samples.size, 1))).astype(np.float32).tolist()
+    w, h, arr = decode_image(payload)
+    gray = arr if arr.ndim == 2 else arr.astype(np.uint16).mean(axis=2).astype(np.uint8)
+    counts = np.bincount((gray.ravel() // (256 // dim)).clip(0, dim - 1), minlength=dim)
+    return (counts / float(gray.size)).astype(np.float32).tolist()
+
+
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """mapInPandas feature extraction over MEDIA_SCHEMA rows.
 
     Batch shape: input record batches with (asset_id, media_type, payload,
-    meta); output FEATURE_SCHEMA. With ``fake=False`` this calls
-    ``decode_image`` and raises — the documented stub behavior."""
+    meta); output FEATURE_SCHEMA. ``fake=True`` uses the md5-seeded
+    stand-in (works on arbitrary payload bytes — mm01's deterministic
+    fixture); ``fake=False`` REALLY decodes (netpbm/WAV-era payloads from
+    ``synth_media_corpus``, or any format PIL handles when installed) and
+    histograms the pixels — non-decodable payloads raise the documented
+    NotImplementedError."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _fake_features(p) if fake else decode_image(p)
-                for p in pdf["payload"]
+                _fake_features(p) if fake else _real_features(p, mt)
+                for p, mt in zip(pdf["payload"], pdf["media_type"])
             ]
             yield pd.DataFrame(
                 {
@@ -132,6 +275,133 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("frame_ts_ms"),
     )
+
+
+# formulas shared by synth_media_corpus (encode side) and the mm04 oracle
+# (SQL side): pixel_i = (doc_id*31 + 7i) mod 256 over a doc_id-sized image;
+# sample_i = ((doc_id*131 + 17i) mod 2048) - 1024 at 8 kHz. Integer-exact on
+# both sides, so the round-trip check has no float tolerance.
+SYNTH_RATE = 8000
+
+
+def synth_media_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic real-codec media corpus from the documents table: even
+    doc_ids become P5 PGM images (doc_id-dependent dims), odd doc_ids
+    become mono PCM16 WAV clips, with pixel/sample values from the
+    closed-form formulas above. The payloads are REAL files (any netpbm/
+    WAV tool opens them); generation runs distributed in mapInPandas, so
+    the corpus scales with the doc table instead of the driver."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, payloads = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    w, h = 16 + did % 17, 8 + did % 13
+                    i = np.arange(w * h, dtype=np.int64)
+                    px = ((did * 31 + 7 * i) % 256).astype(np.uint8)
+                    payloads.append(encode_pgm(w, h, px.tobytes()))
+                    types.append("image")
+                else:
+                    n = 500 + did % 300
+                    i = np.arange(n, dtype=np.int64)
+                    s = ((did * 131 + 17 * i) % 2048) - 1024
+                    payloads.append(encode_wav_pcm16(s, rate=SYNTH_RATE))
+                    types.append("audio")
+                ids.append(f"asset-{did}")
+            yield pd.DataFrame(
+                {"asset_id": ids, "media_type": types, "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="asset_id string, media_type string, payload binary"
+    )
+
+
+_STATS_COLS = ["asset_id", "n_units", "sum_v", "sumsq_v", "min_v", "max_v"]
+_IMG_STATS_SCHEMA = (
+    "asset_id string, width int, height int, "
+    "n_units long, sum_v long, sumsq_v long, min_v long, max_v long"
+)
+_AUD_STATS_SCHEMA = (
+    "asset_id string, sample_rate int, "
+    "n_units long, sum_v long, sumsq_v long, min_v long, max_v long"
+)
+
+
+def _int_stats(v: np.ndarray) -> tuple[int, int, int, int, int]:
+    v = v.astype(np.int64)
+    return (
+        int(v.size),
+        int(v.sum()),
+        int((v * v).sum()),
+        int(v.min()),
+        int(v.max()),
+    )
+
+
+def payload_stats(media: DataFrame) -> DataFrame:
+    """REAL payload decode → integer-exact stats, the mm04 operator: each
+    payload is parsed by the actual codec for its media_type (netpbm
+    parser / stdlib wave — PIL transparently when installed) and reduced
+    to (n, Σv, Σv², min, max) over the decoded pixels/samples. All-integer
+    outputs make the decode verifiable digit-for-digit against an
+    engine-independent oracle — any header, raster, or sample-width bug
+    shows up as a value mismatch, not a tolerance blur.
+
+    Plan shape: one mapInPandas per modality over a payload-pruned
+    filter, unioned JVM-side with typed null fill — no pandas nullable-int
+    round-trip, no shuffle (union is narrow; any downstream agg shuffles
+    on its own keys)."""
+
+    def run_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, arr = decode_image(bytes(payload))
+                rows.append((aid, w, h) + _int_stats(arr.ravel()))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "width", "height"] + _STATS_COLS[1:]
+            )
+
+    def run_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                rate, samples = decode_wav_pcm16(bytes(payload))
+                rows.append((aid, rate) + _int_stats(samples))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "sample_rate"] + _STATS_COLS[1:]
+            )
+
+    img = (
+        media.where(F.col("media_type") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(run_images, schema=_IMG_STATS_SCHEMA)
+        .select(
+            "asset_id",
+            F.lit("image").alias("media_type"),
+            "width",
+            "height",
+            F.lit(None).cast("int").alias("sample_rate"),
+            *_STATS_COLS[1:],
+        )
+    )
+    aud = (
+        media.where(F.col("media_type") == "audio")
+        .select("asset_id", "payload")
+        .mapInPandas(run_audio, schema=_AUD_STATS_SCHEMA)
+        .select(
+            "asset_id",
+            F.lit("audio").alias("media_type"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            "sample_rate",
+            *_STATS_COLS[1:],
+        )
+    )
+    return img.unionByName(aud)
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:

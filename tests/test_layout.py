@@ -120,3 +120,13 @@ def test_zorder_write_prunes_on_both_columns(spark, tmp_path):
     zf_value = match_fraction(zpath, "value", 100.0)
     assert zf_user < 0.6, zf_user
     assert zf_value < 0.6, zf_value
+
+
+def test_zorder_rejects_all_null_column(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "a int, b int"
+    )
+    from querysight_spark.sources.layout import write_zordered
+
+    with pytest.raises(ValueError, match="empty or all-NULL"):
+        write_zordered(df, str(tmp_path / "z"), ["a", "b"], num_files=1)

@@ -306,13 +306,24 @@ def test_multimodal_resize_plan(spark):
     assert not out["a2"].needs_resample
 
 
-def test_multimodal_decode_stub_raises(spark):
-    docs = spark.createDataFrame([(1, "x", "en", "s", 1)], ["doc_id", "text", "lang", "source", "n_chars"])
-    media = media_from_documents(docs)
+def test_multimodal_real_path_rejects_undecodable(spark):
+    """fake=False is the REAL decode path: payloads that aren't actual
+    media files (here: raw utf-8 text bytes) must fail loudly with the
+    codec's error, never silently produce features."""
+    docs = spark.createDataFrame(
+        [(0, "x", "en", "s", 1), (1, "x", "en", "s", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    media = media_from_documents(docs)  # text payloads: not PGM, not WAV
     import pytest as _pytest
 
-    with _pytest.raises(Exception, match="NotImplementedError|image decoding"):
-        extract_features(media, fake=False).collect()
+    for doc in (0, 1):  # doc 0 → image branch, doc 1 → audio branch
+        with _pytest.raises(
+            Exception, match="NotImplementedError|require PIL|not a decodable"
+        ):
+            extract_features(
+                media.where(F.col("asset_id") == f"asset-{doc}"), fake=False
+            ).collect()
 
 
 def test_time_rollup_reaggregation(spark):
