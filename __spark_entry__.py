@@ -19,10 +19,13 @@
                 recall tests and bench.py's ANN_BENCH probes.
   * tx/tr/sk  — text analysis + splits + contamination, rollup tiers
                 incl. streaming absorption, self-checking sketches.
-  * st01-st05 — Structured Streaming under the gate (windows, stateful
+  * st01-st06 — Structured Streaming under the gate (windows, stateful
                 counts, cross-batch dedup, session windows, stream-
-                stream join), drained availableNow vs batch oracles.
-  * aj/rj/sj/mm — as-of join, range join, salted join, multimodal.
+                stream join, session-state absorption into a persisted
+                tier), drained availableNow vs batch oracles.
+  * aj/rj/sj/mm — as-of join, range join, salted join, multimodal
+                (mm04: REAL payload decode — netpbm/WAV codecs round-
+                tripped digit-for-digit against a formula oracle).
 
 ``oracle_sql()`` carries the DuckDB-dialect equivalent for EVERY entry
 (CTE-reconstructed analog tables where needed), so the driver's

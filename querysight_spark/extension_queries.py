@@ -845,6 +845,38 @@ def tr02(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket_start")
 
 
+def _staged_two_batch_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table as TWO disjoint single-file halves (even/odd
+    event ids) in a /tmp dir so a file-source stream with
+    ``maxFilesPerTrigger=1`` delivers them as separate micro-batches —
+    the interleaved split means nearly every hour/session has rows in
+    BOTH batches, the hardest merge case for absorb operators (tr03,
+    st06). Tagged to the corpus vintage; rebuilt automatically after
+    testdata regeneration."""
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"qs_evsplit_{_corpus_tag(sf_dir, 'events')}"
+    )
+    stream_dir = os.path.join(base, "in")
+    if not os.path.exists(os.path.join(stream_dir, "_ready")):
+        ev = load_table(spark, "events", sf_dir)
+        for name, half in (
+            ("even", ev.where(F.col("event_id") % 2 == 0)),
+            ("odd", ev.where(F.col("event_id") % 2 == 1)),
+        ):
+            tmp = os.path.join(base, f"_stage_{name}")
+            half.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            os.makedirs(stream_dir, exist_ok=True)
+            shutil.move(os.path.join(tmp, part), os.path.join(stream_dir, f"{name}.parquet"))
+            shutil.rmtree(tmp)
+        open(os.path.join(stream_dir, "_ready"), "w").close()
+    return stream_dir
+
+
 @_q(
     "tr03_streaming_tier_absorb",
     """SELECT date_trunc('hour', ts) AS bucket_start, event_type,
@@ -869,23 +901,10 @@ def tr03(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from querysight_spark.streaming.incremental import start_rollup_absorb
 
-    tag = _corpus_tag(sf_dir, "events")
-    base = os.path.join(tempfile.gettempdir(), f"qs_absorb_{tag}")
-    stream_dir = os.path.join(base, "in")
-    if not os.path.exists(os.path.join(stream_dir, "_ready")):
-        ev = load_table(spark, "events", sf_dir)
-        for name, half in (
-            ("even", ev.where(F.col("event_id") % 2 == 0)),
-            ("odd", ev.where(F.col("event_id") % 2 == 1)),
-        ):
-            tmp = os.path.join(base, f"_stage_{name}")
-            half.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-            os.makedirs(stream_dir, exist_ok=True)
-            shutil.move(os.path.join(tmp, part), os.path.join(stream_dir, f"{name}.parquet"))
-            shutil.rmtree(tmp)
-        open(os.path.join(stream_dir, "_ready"), "w").close()
-
+    stream_dir = _staged_two_batch_events(spark, sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), f"qs_absorb_{_corpus_tag(sf_dir, 'events')}"
+    )
     tier = os.path.join(base, "tier")
     ckpt = os.path.join(base, "ckpt")
     shutil.rmtree(tier, ignore_errors=True)
@@ -1715,11 +1734,56 @@ _ST05_ORACLE = """
     ORDER BY signup_id, purchase_id"""
 
 
+def st06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION-STATE ABSORPTION into a persisted per-user tier
+    (VERDICT r3 ask #3 — st04's session windows × tr03's journal absorb):
+    events arrive in TWO interleaved micro-batches, each batch stages its
+    session fragments to the journal and interval-merges the touched user
+    buckets into the tier (``absorb_session_batch``). Nearly every
+    session has rows in BOTH batches, so the final tier only matches the
+    one-shot batch sessionization (st04's oracle) if cross-batch merging
+    is exact — a restart between batches can neither split nor
+    double-count a session. Cold start per run (tier + checkpoint wiped)
+    keeps it deterministic; replay idempotency is pinned in pytest."""
+    import os
+    import shutil
+    import tempfile
+
+    from querysight_spark.streaming.incremental import start_session_absorb
+
+    stream_dir = _staged_two_batch_events(spark, sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), f"qs_sessabs_{_corpus_tag(sf_dir, 'events')}"
+    )
+    tier = os.path.join(base, "tier")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(tier, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    ev_schema = spark.read.parquet(stream_dir + "/even.parquet").schema
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = start_session_absorb(
+        stream, tier, ckpt, time_col="ts", user_col="user_id", gap="30 minutes"
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(tier)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
 def _attach_streaming_oracles() -> None:
     from querysight_spark.demo import QUERY_LOG_CTE
 
     EXTENSION_QUERIES["st04_stream_session_windows"] = (st04, _ST04_ORACLE)
     EXTENSION_QUERIES["st05_stream_stream_join"] = (st05, _ST05_ORACLE)
+    # same batch-sessionization truth: the absorbed tier must equal it
+    EXTENSION_QUERIES["st06_session_state_absorb"] = (st06, _ST04_ORACLE)
     EXTENSION_QUERIES["st03_stream_exact_dedup"] = (
         st03,
         f"WITH {QUERY_LOG_CTE}"

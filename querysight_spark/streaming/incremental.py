@@ -250,3 +250,140 @@ def absorb_rollup_batch(
         )
     )
     upsert_rollup_tier(rebuilt, tier_path, partition_granularity)
+
+
+def merge_session_fragments(frags: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Interval-union of per-batch session FRAGMENTS into final sessions.
+
+    A fragment is (user, session_start, session_end = last_event + gap,
+    n_events) with no internal gap ≥ the session gap — exactly what a
+    batch ``session_window`` aggregation emits for one micro-batch. Two
+    fragments belong to the same session iff the later one STARTS before
+    the earlier one ENDS (its first event is within ``gap`` of the
+    other's last event — the end already carries the gap), so the classic
+    gaps-and-islands interval merge over (start, running-max end per
+    user) reconstructs exactly the sessions a single-pass sessionization
+    of ALL the events would produce; counts add because fragments
+    partition the events. One shuffle on the user key; per-user state is
+    the fragment list, bounded by batches × active users, never raw
+    events."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy("session_start", "session_end")
+    prev_end = F.max("session_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sid = F.sum(
+        F.when(prev_end.isNull() | (F.col("session_start") >= prev_end), 1)
+        .otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        frags.withColumn("sid", sid)
+        .groupBy(user_col, "sid")
+        .agg(
+            F.min("session_start").alias("session_start"),
+            F.max("session_end").alias("session_end"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .drop("sid")
+    )
+
+
+def absorb_session_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    tier_path: str,
+    time_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    n_buckets: int = 16,
+) -> None:
+    """One epoch of journal-style SESSION absorption (the st06 core,
+    module-level so replay semantics are directly testable — the
+    ``absorb_rollup_batch`` analog for non-additive session state).
+
+    Sessions can MERGE across micro-batches (a user active across the
+    boundary), so unlike the rollup tier the chunks are keyed by USER
+    bucket, not calendar date, and the rebuild is an interval merge, not
+    a sum. Steps: (1) sessionize just this batch with a batch
+    ``session_window`` agg → fragments; (2) stage them to
+    ``tier/_frags/batch_id=<epoch>/u_bucket=…`` via dynamic partition
+    overwrite — epoch replay rewrites the SAME journal partitions with
+    the same content, never appends; (3) re-merge ALL staged fragments
+    for only the user buckets this batch touched
+    (``merge_session_fragments``) and dynamic-overwrite those tier
+    partitions. The tier stays a pure function of the journal — a crash
+    or at-least-once re-invocation re-derives identical bucket contents
+    instead of double-counting, and untouched user buckets are never
+    read or rewritten."""
+    import os
+
+    frags_path = os.path.join(tier_path, "_frags")
+    spark = batch_df.sparkSession
+    bucket = F.pmod(F.hash(F.col(user_col)), F.lit(n_buckets))
+    frags = (
+        batch_df.groupBy(
+            F.col(user_col), F.session_window(F.col(time_col), gap).alias("sw")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+        .withColumn("u_bucket", bucket)
+        .withColumn("batch_id", F.lit(int(epoch_id)))
+    )
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        frags.write.mode("overwrite").partitionBy("batch_id", "u_bucket").parquet(
+            frags_path
+        )
+        touched = (
+            spark.read.parquet(frags_path)
+            .where(F.col("batch_id") == int(epoch_id))
+            .select("u_bucket")
+            .distinct()
+        )
+        merged = merge_session_fragments(
+            spark.read.parquet(frags_path)
+            .join(F.broadcast(touched), "u_bucket")  # partition-pruned journal read
+            .select(user_col, "session_start", "session_end", "n_events"),
+            user_col,
+        ).withColumn("u_bucket", bucket)
+        merged.write.mode("overwrite").partitionBy("u_bucket").parquet(tier_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
+def start_session_absorb(
+    events: DataFrame,
+    tier_path: str,
+    checkpoint_dir: str,
+    time_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    n_buckets: int = 16,
+):
+    """Streaming absorption of session state into a persisted per-user
+    tier (st04's session windows × tr03's journal absorb): each
+    micro-batch stages its session fragments and interval-merges the
+    touched user buckets — restart-safe and replay-idempotent like the
+    rollup tier, but correct for the NON-additive session semantics
+    (cross-batch session merging happens in the rebuild, so a restart
+    between batches cannot split or double-count a session). Returns the
+    started StreamingQuery."""
+
+    def _absorb(batch_df: DataFrame, epoch_id: int) -> None:
+        absorb_session_batch(
+            batch_df, epoch_id, tier_path, time_col, user_col, gap, n_buckets
+        )
+
+    return (
+        events.writeStream.foreachBatch(_absorb)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -8,6 +8,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from querysight_spark.plans.patterns import aggregate_patterns
 from querysight_spark.schemas import QUERY_LOG_SCHEMA
@@ -232,3 +233,70 @@ def test_rollup_absorb_replay_is_idempotent(spark, tmp_path):
         .select("bucket_start", "g", "n", "sum", "min", "max").collect()
     )
     assert once == want
+
+
+def test_session_absorb_merges_cross_batch_and_replay_idempotent(spark, tmp_path):
+    """st06's core (VERDICT r3 ask #3): session state absorbed into a
+    persisted tier must (a) MERGE sessions whose events straddle the
+    micro-batch boundary — sessions are not additive, so the rebuild is
+    an interval merge, not a sum — and (b) survive epoch replay without
+    splitting or double-counting, mirroring the rollup-absorb case."""
+    import datetime as dt
+
+    from querysight_spark.streaming.incremental import absorb_session_batch
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: events alternate between batches, 10 min apart — ONE
+        # session only if cross-batch merging works (gap 30 min)
+        (1, t0 + 0 * m, 0), (1, t0 + 10 * m, 1), (1, t0 + 20 * m, 0),
+        (1, t0 + 30 * m, 1),
+        # user 1 again ≥30 min later: second session, single-batch
+        (1, t0 + 90 * m, 0),
+        # user 2: one event per batch, 40 min apart — must stay TWO sessions
+        (2, t0 + 0 * m, 0), (2, t0 + 40 * m, 1),
+    ]
+    df = spark.createDataFrame(
+        [(u, ts) for u, ts, _b in rows], "user_id bigint, ts timestamp"
+    )
+    b0 = spark.createDataFrame(
+        [(u, ts) for u, ts, b in rows if b == 0], "user_id bigint, ts timestamp"
+    )
+    b1 = spark.createDataFrame(
+        [(u, ts) for u, ts, b in rows if b == 1], "user_id bigint, ts timestamp"
+    )
+    tier = str(tmp_path / "tier")
+
+    def snap():
+        return sorted(
+            tuple(r) for r in spark.read.parquet(tier)
+            .select("user_id", "session_start", "session_end", "n_events")
+            .collect()
+        )
+
+    absorb_session_batch(b0, 0, tier, "ts", "user_id", "30 minutes")
+    absorb_session_batch(b1, 1, tier, "ts", "user_id", "30 minutes")
+    once = snap()
+    # one-shot batch sessionization is the truth
+    want = sorted(
+        tuple(r) for r in df.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+        .collect()
+    )
+    assert once == want
+    assert [r[:1] + r[3:] for r in once] == [
+        (1, 4), (1, 1), (2, 1), (2, 1)  # merged 4-event session + 3 others
+    ]
+    # at-least-once replay, out of order — tier must not change
+    absorb_session_batch(b1, 1, tier, "ts", "user_id", "30 minutes")
+    absorb_session_batch(b0, 0, tier, "ts", "user_id", "30 minutes")
+    assert snap() == once
