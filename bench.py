@@ -36,6 +36,10 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# FROZEN as of round 3 (VERDICT r3 ask #8): this list + the three
+# ANN_BENCH probes is the canonical 24-query headline set, kept
+# member-identical across rounds so BENCH_r{N} vs BENCH_r{N-1} is a clean
+# per-query diff. Add new operators to the oracle gate, not here.
 HEADLINE = [
     "p10_join_agg",
     "p15_five_way_join",

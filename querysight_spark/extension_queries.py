@@ -701,9 +701,12 @@ def ss09(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_bench_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from querysight_spark.operators.similarity import probe_lsh_index
 
+    # n_probes lifted 2→4 in r4: recall@10 0.40→0.61 on the clustered
+    # fixture for ~no latency (the pruned read's fixed overhead dominates
+    # at this corpus size) — measured in tools/ann_recall.py, SCALE.md
     return probe_lsh_index(
         spark, _index_path("lsh", sf_dir), _query_vec(spark, sf_dir),
-        k=10, bits=LSH_INDEX_BITS, n_probes=2,
+        k=10, bits=LSH_INDEX_BITS, n_probes=4,
     )
 
 
@@ -720,9 +723,11 @@ def _ann_bench_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_bench_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from querysight_spark.operators.similarity import probe_ivfpq_index
 
+    # n_probes lifted 4→8 in r4: recall@10 0.74→0.91 on the clustered
+    # fixture for ~no latency (see SCALE.md recall columns)
     return probe_ivfpq_index(
         spark, _index_path("ivfpq", sf_dir), _query_vec(spark, sf_dir),
-        k=10, n_probes=4, rerank_df=load_table(spark, "embeddings", sf_dir),
+        k=10, n_probes=8, rerank_df=load_table(spark, "embeddings", sf_dir),
         oversample=10,
     )
 

@@ -58,9 +58,35 @@ def main() -> int:
     opq_codes.count()
     ivf_cents = S.train_ivf_centroids(vecs, n_centroids=16)
 
+    # persisted-index probes at the EXACT operating points bench.py times
+    # (ss04: bits=4 n_probes=4; ss06: oversample=10; ss09: n_probes=8,
+    # oversample=10 — both lifted in r4 for recall at ~no latency) so
+    # SCALE.md can carry recall next to each probe latency (VERDICT r3
+    # ask #7). Same build params as the ensure helpers in
+    # extension_queries; indexes built fresh per run.
+    import shutil
+    import tempfile
+
+    idx_root = tempfile.mkdtemp(prefix="qs_recall_idx_")
+    S.build_lsh_index(vecs, f"{idx_root}/lsh", dim=dim, bits=4)
+    S.build_pq_index(vecs, f"{idx_root}/pq", dim=dim, m=32, k=64)
+    S.build_ivfpq_index(
+        vecs, f"{idx_root}/ivfpq", dim=dim, n_centroids=16, m=32, k=64
+    )
+
     variants = {
         "lsh_multiprobe": lambda q: S.lsh_bucketed_topk(
             vecs, q, k=k, bits=4, n_probes=4
+        ),
+        "ss04_lsh_probe_prod": lambda q: S.probe_lsh_index(
+            spark, f"{idx_root}/lsh", q, k=k, bits=4, n_probes=4
+        ),
+        "ss06_pq_probe_prod": lambda q: S.probe_pq_index(
+            spark, f"{idx_root}/pq", q, k=k, rerank_df=vecs, oversample=10
+        ),
+        "ss09_ivfpq_probe_prod": lambda q: S.probe_ivfpq_index(
+            spark, f"{idx_root}/ivfpq", q, k=k, n_probes=8,
+            rerank_df=vecs, oversample=10,
         ),
         "ivf_nprobe4": lambda q: S.ivf_topk(
             vecs, q, k=k, n_centroids=16, n_probes=4, centroids=ivf_cents
@@ -91,6 +117,7 @@ def main() -> int:
         }
     print(json.dumps({"sf_dir": sf_dir, "n": n, "k": k,
                       "n_queries": len(queries), "variants": out}))
+    shutil.rmtree(idx_root, ignore_errors=True)
     spark.stop()
     return 0
 
