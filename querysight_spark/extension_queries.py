@@ -1931,3 +1931,98 @@ _LANG_SCORE_COLS = ",\n".join(
 def tx04(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return language_id(docs).orderBy("doc_id")
+
+
+# --- information retrieval (operators/search.py) ---------------------------
+#
+# Float determinism contract: the per-term contribution expression trees
+# below are written IDENTICALLY in Spark and SQL (same literals, same
+# association), and the per-doc sum is an ordered left fold on both sides
+# (F.aggregate over the term-sorted list vs list_reduce(list(... ORDER BY
+# term))) — so the doubles are bit-identical before the display round.
+
+_IR_TERMS = ["vector", "spark", "stream", "slow"]
+_IR_TERMS_SQL = "('vector','spark','stream','slow')"
+
+_IR_POSTINGS_CTE = f"""
+toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+lens AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+post AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks
+         WHERE term IN {_IR_TERMS_SQL} GROUP BY term, doc_id),
+postd AS (SELECT *, COUNT(*) OVER (PARTITION BY term) AS df_t FROM post)
+"""
+
+
+@_q(
+    "ir01_bm25_topk",
+    f"""WITH {_IR_POSTINGS_CTE},
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM lens),
+    scored AS (
+      SELECT p.doc_id, p.term,
+             ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+               * (tf * (1.2 + 1.0))
+               / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS contrib
+      FROM postd p CROSS JOIN stats JOIN lens USING (doc_id)
+    )
+    SELECT doc_id,
+           ROUND(list_reduce(list(contrib ORDER BY term), (a, x) -> a + x), 6)
+             AS score,
+           COUNT(*) AS n_terms_matched
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 10""",
+)
+def ir01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from querysight_spark.operators.search import bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bm25_topk(docs, _IR_TERMS, k=10, k1=1.2, b=0.75)
+
+
+@_q(
+    "ir02_tfidf_scores",
+    f"""WITH {_IR_POSTINGS_CTE},
+    stats AS (SELECT COUNT(*) AS n_docs FROM lens),
+    scored AS (
+      SELECT doc_id, term, tf, tf * ln(n_docs / df_t) AS contrib
+      FROM postd CROSS JOIN stats
+    )
+    SELECT doc_id,
+           ROUND(list_reduce(list(contrib ORDER BY term), (a, x) -> a + x), 6)
+             AS tfidf,
+           COUNT(*) AS n_terms_matched,
+           CAST(SUM(tf) AS BIGINT) AS total_tf
+    FROM scored GROUP BY doc_id ORDER BY doc_id""",
+)
+def ir02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from querysight_spark.operators.search import tfidf_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    return tfidf_scores(docs, _IR_TERMS).orderBy("doc_id")
+
+
+@_q(
+    "ir03_unigram_lm",
+    """WITH
+    toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+    lens AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    doc_tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    vocab AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+    total AS (SELECT COUNT(*) AS total_toks FROM toks),
+    contrib AS (
+      SELECT doc_id, term, tf * ln(cnt / total_toks) AS contrib
+      FROM doc_tf JOIN vocab USING (term) CROSS JOIN total
+    ),
+    lp AS (
+      SELECT doc_id,
+             list_reduce(list(contrib ORDER BY term), (a, x) -> a + x) AS lp_sum
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, dl AS n_tokens, ROUND(lp_sum / dl, 6) AS mean_logprob
+    FROM lp JOIN lens USING (doc_id) ORDER BY doc_id""",
+)
+def ir03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from querysight_spark.operators.search import unigram_lm_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    return unigram_lm_scores(docs).orderBy("doc_id")

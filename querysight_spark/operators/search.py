@@ -1,0 +1,191 @@
+"""Full-text relevance scoring over the documents table: inverted index,
+BM25 top-k, TF-IDF scoring, and a corpus unigram language-model score.
+
+All pure DataFrame ops — explode → groupBy builds the postings (one
+shuffle), query terms are filtered BEFORE the shuffle so a k-term query
+touches only k posting lists, and corpus stats (N, avgdl, vocab counts)
+are single-row or vocab-sized aggregates joined back via broadcast. At
+100 TB the postings build is a one-time indexing pass; a query is a
+k-posting-list lookup + tiny agg — the classic search-engine shape.
+
+Float determinism: per-term score contributions are identical expression
+trees in Spark and DuckDB, and the per-doc sum is a left fold over the
+term-sorted contribution list (``F.aggregate`` here, ``list_reduce`` in
+the oracle) — bit-identical IEEE sequences, so results hash-match after a
+final display round. (Same strategy as ``operators/vectors.py``.)
+
+The reference has no search operator (its closest surface is the LIKE /
+keyword-tag filters, ``utils/models.py`` pattern matching); this family
+is part of the training-data-pipeline extension mandated by the brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _doc_lengths(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("dl")
+    )
+
+
+def term_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Inverted-index postings: one row per (term, doc) with the term
+    frequency. One explode + one groupBy shuffle, partitioned by
+    (term, doc) — the build step for every scorer below."""
+    return (
+        df.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+        )
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _fold_sum(contrib_struct_col, value_field: str):
+    """Left-fold sum over an array of (term, value) structs sorted by term —
+    deterministic addition order shared with the DuckDB oracle's
+    ``list_reduce(list(value ORDER BY term), ...)``."""
+    ordered = F.transform(
+        F.array_sort(contrib_struct_col), lambda s: s[value_field]
+    )
+    return F.aggregate(ordered, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-k: idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    tf-part = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+
+    Plan shape: postings filtered to the query's terms before the shuffle
+    (a k-term query aggregates k posting lists, not the corpus), corpus
+    stats as a 1×1 broadcast, doc lengths joined on the doc key, global
+    top-k via TakeOrderedAndProject (sort key = rounded score, ties by
+    id — fully deterministic). No driver-side collect anywhere."""
+    lens = _doc_lengths(df, id_col, text_col)
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    # df_t: docs containing the term, counted over the filtered postings
+    # (window on term shares the postings exchange — no extra shuffle)
+    from pyspark.sql.window import Window
+
+    post = (
+        term_postings(df, id_col, text_col)
+        .where(F.col("term").isin(query_terms))
+        .withColumn("df_t", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    )
+    scored = (
+        post.crossJoin(F.broadcast(stats))
+        .join(lens, id_col)
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+                / (F.col("df_t") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.round(
+            _fold_sum(F.collect_list(F.struct("term", "contrib")), "contrib"), 6
+        ).alias("score"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+    return per_doc.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def tfidf_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Classic tf-idf accumulation for every doc matching ≥1 query term:
+    score = Σ_t tf(t,d) · ln(N / df(t)). Same filtered-postings plan as
+    BM25 minus the length normalization."""
+    from pyspark.sql.window import Window
+
+    lens = _doc_lengths(df, id_col, text_col)
+    n_docs = lens.agg(F.count(F.lit(1)).alias("n_docs"))
+    post = (
+        term_postings(df, id_col, text_col)
+        .where(F.col("term").isin(query_terms))
+        .withColumn("df_t", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    )
+    scored = post.crossJoin(F.broadcast(n_docs)).withColumn(
+        "contrib",
+        F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")),
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(
+            _fold_sum(F.collect_list(F.struct("term", "contrib")), "contrib"), 6
+        ).alias("tfidf"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
+        F.sum("tf").alias("total_tf"),
+    )
+
+
+def unigram_lm_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc mean log-probability under the corpus unigram model — the
+    cheap stand-in for perplexity-based quality filtering (KenLM-style):
+    mean_lp(d) = (Σ_w tf(w,d) · ln(cnt(w)/T)) / dl(d).
+
+    cnt(w) is the corpus-wide count, T the total token count. The vocab
+    table is one groupBy over the exploded corpus (vocab ≪ corpus, so at
+    scale the doc-term → vocab join broadcasts or shuffles on a small
+    relation). Deterministic fold over word-sorted contributions."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    doc_tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("total_toks"))
+    lens = _doc_lengths(df, id_col, text_col)
+    contrib = (
+        doc_tf.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "contrib",
+            F.col("tf") * F.log(F.col("cnt") / F.col("total_toks")),
+        )
+    )
+    return (
+        contrib.groupBy(id_col)
+        .agg(
+            _fold_sum(
+                F.collect_list(F.struct("term", "contrib")), "contrib"
+            ).alias("lp_sum")
+        )
+        .join(lens, id_col)
+        .select(
+            F.col(id_col),
+            F.col("dl").alias("n_tokens"),
+            F.round(F.col("lp_sum") / F.col("dl"), 6).alias("mean_logprob"),
+        )
+    )

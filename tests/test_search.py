@@ -1,0 +1,92 @@
+"""Unit tests for operators/search.py (BM25 / tf-idf / unigram LM).
+
+The driver-contract oracle equivalence (ir01–ir03 vs DuckDB) is covered by
+test_oracle_gate.py; these tests pin the IR semantics themselves on a tiny
+hand-checkable fixture.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from querysight_spark.operators.search import (
+    bm25_topk,
+    term_postings,
+    tfidf_scores,
+    unigram_lm_scores,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "spark query engine runs spark jobs"),
+        (2, "query planner and query optimizer"),
+        (3, "distributed engine shuffles data"),
+        (4, "spark spark spark spark spark spark"),
+        (5, "totally unrelated words here now"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_term_postings(corpus):
+    rows = {(r.term, r.doc_id): r.tf for r in term_postings(corpus).collect()}
+    assert rows[("spark", 1)] == 2
+    assert rows[("spark", 4)] == 6
+    assert rows[("query", 2)] == 2
+    assert ("spark", 2) not in rows
+
+
+def test_bm25_ranks_and_saturates(corpus):
+    got = bm25_topk(corpus, ["spark", "query"], k=5).collect()
+    ids = [r.doc_id for r in got]
+    # docs 1, 2, 4 match; doc 1 matches BOTH terms so it outranks the
+    # single-term docs; tf saturation keeps doc 4's six 'spark's from
+    # dominating doc 2's two 'query's by 3x
+    assert set(ids) == {1, 2, 4}
+    assert ids[0] == 1
+    scores = {r.doc_id: r.score for r in got}
+    assert scores[4] < 3 * scores[2]
+    matched = {r.doc_id: r.n_terms_matched for r in got}
+    assert matched == {1: 2, 2: 1, 4: 1}
+
+
+def test_bm25_hand_value(spark):
+    # single doc matching one term once: score = idf * (k1+1)/(1 + k1)
+    # with dl == avgdl (all docs same length)
+    rows = [(1, "a b c"), (2, "d e f"), (3, "g h i")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = bm25_topk(df, ["a"], k=1, k1=1.2, b=0.75).collect()[0]
+    idf = math.log(1.0 + (3 - 1 + 0.5) / (1 + 0.5))
+    expect = idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 1.0))
+    assert got.doc_id == 1
+    assert got.score == pytest.approx(expect, abs=1e-6)
+
+
+def test_tfidf_scores(corpus):
+    got = {r.doc_id: r for r in tfidf_scores(corpus, ["spark", "query"]).collect()}
+    assert set(got) == {1, 2, 4}
+    # 'spark' appears in 2 of 5 docs -> idf ln(5/2); 'query' in 2 of 5
+    idf = math.log(5 / 2)
+    assert got[4].tfidf == pytest.approx(6 * idf, abs=1e-6)
+    assert got[1].tfidf == pytest.approx(2 * idf + 1 * idf, abs=1e-6)
+    assert got[1].total_tf == 3
+
+
+def test_unigram_lm_prefers_common_words(spark):
+    rows = [
+        (1, "common common common common"),
+        (2, "common common common rare"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in unigram_lm_scores(df).collect()}
+    # doc 2 contains the rare token, so its mean logprob is lower
+    assert got[1].mean_logprob > got[2].mean_logprob
+    # hand value: p(common) = 7/8, p(rare) = 1/8
+    lp1 = 4 * math.log(7 / 8) / 4
+    lp2 = (3 * math.log(7 / 8) + math.log(1 / 8)) / 4
+    assert got[1].mean_logprob == pytest.approx(lp1, abs=1e-6)
+    assert got[2].mean_logprob == pytest.approx(lp2, abs=1e-6)
+    assert got[1].n_tokens == 4
