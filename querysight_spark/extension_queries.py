@@ -362,6 +362,69 @@ def dd08(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep.select("doc_id", "cluster_id").orderBy("doc_id")
 
 
+@_q(
+    "dd09_delta_dedup",
+    f"""WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, concat(text, ' zz9 zz8 zz7') AS text
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    {_DUCK_SHINGLES},
+    sig AS (
+      SELECT doc_id, j, MIN(md5(concat(CAST(j AS VARCHAR), ':', sh))) AS mh
+      FROM doc_sh CROSS JOIN (SELECT UNNEST(range(8)) AS j) hashes
+      GROUP BY doc_id, j
+    ),
+    bands AS (
+      SELECT doc_id, j // 2 AS band,
+             md5(string_agg(mh, '|' ORDER BY j)) AS key
+      FROM sig GROUP BY doc_id, j // 2
+    ),
+    base AS (SELECT * FROM bands WHERE doc_id < 100000),
+    delta AS (SELECT * FROM bands WHERE doc_id >= 100000),
+    capped_base AS (
+      SELECT b.* FROM base b
+      JOIN (SELECT band, key FROM base GROUP BY band, key
+            HAVING COUNT(*) <= 64) ok USING (band, key)
+    )
+    SELECT DISTINCT b.doc_id AS doc_base, d.doc_id AS doc_new
+    FROM capped_base b JOIN delta d ON b.band = d.band AND b.key = d.key
+    ORDER BY doc_base, doc_new""",
+)
+def dd09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the base corpus's band index is persisted
+    ONCE (viral buckets capped at build time), then the new batch — every
+    10th doc with a 3-token suffix, the dd02 near-dup fixture — probes it
+    via a broadcast equi-join on (band, key). The production shape for a
+    growing corpus: per-batch cost is O(delta), never O(corpus)."""
+    import os
+
+    from querysight_spark.operators.dedup import (
+        build_minhash_band_index,
+        probe_minhash_band_index,
+    )
+
+    base = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    path = (
+        __import__("tempfile").gettempdir()
+        + "/qs_band_index_"
+        + _corpus_tag(sf_dir, "documents")
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_minhash_band_index(
+            base, path, num_hashes=8, shingle_size=3, bands=4, max_bucket_size=64
+        )
+    delta = base.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz9 zz8 zz7")).alias("text"),
+    )
+    out = probe_minhash_band_index(
+        spark, delta, path, num_hashes=8, shingle_size=3, bands=4
+    )
+    return out.orderBy("doc_base", "doc_new")
+
+
 # SimHash oracle: h(w) = first 8 md5 hex chars as an integer (the same
 # strpos-table hex decode as tx08), per-bit ±1 votes, fingerprint bit b set
 # when the vote sum is positive — the exact computation operators/dedup.py

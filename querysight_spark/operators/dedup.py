@@ -178,6 +178,34 @@ def minhash_signatures(
     )
 
 
+def banded_keys(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_size: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH band keys (bid, band, key): the signature split into ``bands``
+    bands of num_hashes/bands rows, each hashed to one key. Shared by the
+    in-flight candidate generator and the persisted band index below —
+    one construction, so index build and probe can never disagree on the
+    hashing scheme."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", F.slice("sig", b * r + 1, r))).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col).alias("bid"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("bid", "bk.band", "bk.key")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -205,19 +233,7 @@ def minhash_lsh_candidates(
     emission — at 100 TB one unbounded bucket is quadratic inside a single
     task, so the declared/bench paths set it; pairs whose every shared band
     is viral are the only ones lost."""
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", F.slice("sig", b * r + 1, r))).alias("key"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        F.col(id_col).alias("bid"), F.explode(F.array(*band_cols)).alias("bk")
-    ).select("bid", "bk.band", "bk.key")
+    banded = banded_keys(df, id_col, text_col, num_hashes, shingle_size, bands)
     if max_bucket_size is not None:
         # window-count prefilter on the SAME key as the groupBy below: the
         # exchange is shared, and a viral bucket is dropped row-wise before
@@ -246,6 +262,74 @@ def minhash_lsh_candidates(
             ).alias("pr")
         )
         .select("pr.doc_a", "pr.doc_b")
+        .distinct()
+    )
+
+
+def build_minhash_band_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_size: int = 3,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> None:
+    """Persist the base corpus's LSH band keys as a parquet posting-list
+    index. This is the INCREMENTAL-dedup shape for a
+    growing 100 TB corpus: signature the existing corpus once, then each
+    ingest batch probes the index (see probe_minhash_band_index) instead of
+    re-deduplicating the whole corpus — per-batch cost is O(delta), the
+    corpus is touched only by the columnar index scan.
+
+    ``max_bucket_size`` drops viral buckets at BUILD time (window count on
+    the groupBy key, same trick as minhash_lsh_candidates), so every later
+    probe inherits the cap without re-counting."""
+    banded = banded_keys(df, id_col, text_col, num_hashes, shingle_size, bands)
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        banded = (
+            banded.withColumn(
+                "_bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+            )
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    # NOT partitioned by band: probes always touch every band, so band
+    # dirs would buy no pruning — and an all-rows-capped (empty) index
+    # must still write a schema-bearing file for later probes to read.
+    banded.write.mode("overwrite").parquet(path)
+
+
+def probe_minhash_band_index(
+    spark,
+    new_df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_size: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate duplicate pairs (doc_base, doc_new) between a persisted
+    base-corpus band index and a new ingest batch: the delta's band keys
+    (computed with the SAME banded_keys construction the index was built
+    with) equi-join the posting lists on (band, key). The delta side is
+    explicitly broadcast — a probe never shuffles the corpus-sized index,
+    it streams it map-side against the in-memory batch keys. Intra-batch
+    duplicates are minhash_lsh_candidates on the batch alone (compose the
+    two for full coverage)."""
+    idx = spark.read.parquet(path).select(
+        F.col("bid").alias("doc_base"), "band", "key"
+    )
+    delta = banded_keys(
+        new_df, id_col, text_col, num_hashes, shingle_size, bands
+    ).select(F.col("bid").alias("doc_new"), "band", "key")
+    return (
+        idx.join(F.broadcast(delta), ["band", "key"])
+        .select("doc_base", "doc_new")
         .distinct()
     )
 

@@ -165,6 +165,63 @@ def test_minhash_lsh_bucket_cap_drops_viral_buckets(docs):
     assert capped == base
 
 
+def test_band_index_build_probe(docs, spark, tmp_path):
+    from querysight_spark.operators.dedup import (
+        banded_keys,
+        build_minhash_band_index,
+        probe_minhash_band_index,
+    )
+
+    path = str(tmp_path / "band_index")
+    build_minhash_band_index(docs, path, max_bucket_size=64)
+    # delta: one near-dup of doc 1 and one novel doc
+    delta = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (102, "nothing like anything in the base corpus whatsoever at all ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.doc_base, r.doc_new)
+        for r in probe_minhash_band_index(spark, delta, path).collect()
+    }
+    # the exact-copy delta doc collides with docs 1, 2 (identical) and
+    # likely 3 (near); the novel doc matches nothing
+    assert (1, 101) in pairs and (2, 101) in pairs
+    assert all(n != 102 for _, n in pairs)
+    # probing with the in-flight construction is identical to the
+    # persisted index (same banded_keys path)
+    inflight = banded_keys(docs)
+    dk = banded_keys(delta)
+    expect = {
+        (r.doc_base, r.doc_new)
+        for r in inflight.withColumnRenamed("bid", "doc_base")
+        .join(dk.withColumnRenamed("bid", "doc_new"), ["band", "key"])
+        .select("doc_base", "doc_new")
+        .distinct()
+        .collect()
+    }
+    assert pairs == expect
+
+
+def test_band_index_build_cap(spark, tmp_path):
+    from querysight_spark.operators.dedup import (
+        build_minhash_band_index,
+        probe_minhash_band_index,
+    )
+
+    # 3 identical base docs -> every bucket holds 3; cap=2 empties the index
+    base = spark.createDataFrame(
+        [(i, "same words repeated all over this document body") for i in range(3)],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "capped_index")
+    build_minhash_band_index(base, path, max_bucket_size=2)
+    delta = base.select((F.col("doc_id") + 10).alias("doc_id"), "text")
+    assert probe_minhash_band_index(spark, delta, path).count() == 0
+
+
 def test_brute_force_topk(vecs):
     top = brute_force_topk(vecs, [1.0, 0.0, 0.0, 0.0], k=3).collect()
     assert [r.vec_id for r in top] == [1, 2, 3] or [r.vec_id for r in top][:2] == [1, 2]
