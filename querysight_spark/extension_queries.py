@@ -2089,3 +2089,84 @@ def ir03(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return unigram_lm_scores(docs).orderBy("doc_id")
+
+
+# --- clustering / semantic dedup (operators/clustering.py) ------------------
+#
+# Declared with FIXED centroids (every 50th embedding) so assignment is a
+# pure function of the corpus — the seeded-sample k-means TRAINER is
+# covered by the IVF pytest suite (similarity.py), mirroring the X29
+# exact-mode pattern: declaration proves the dataflow, pytest covers the
+# stochastic training. Cosines are computed with the ordered-fold dot
+# product (operators/vectors.py) so Spark and DuckDB round identical bits.
+
+_CENTS_CTE = """
+cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id % 50 = 7)"""
+
+_COS_SQL = (
+    "ROUND(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    return e.where(F.col("vec_id") % 50 == 7).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+
+
+@_q(
+    "cl01_cluster_assign",
+    f"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    {_CENTS_CTE},
+    scored AS (
+      SELECT v.vec_id, c.cid, {_COS_SQL.format(a='v.v', b='c.cv')} AS cos
+      FROM vv v CROSS JOIN cents c),
+    best AS (SELECT vec_id, cid, cos,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY cos DESC, cid) AS rn
+             FROM scored)
+    SELECT vec_id, cid AS cluster_id, cos AS cosine
+    FROM best WHERE rn = 1 ORDER BY vec_id""",
+)
+def cl01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from querysight_spark.operators.clustering import cluster_assign
+
+    vecs = load_table(spark, "embeddings", sf_dir)
+    return cluster_assign(vecs, _centroids(spark, sf_dir), dim=64).orderBy("vec_id")
+
+
+@_q(
+    "cl02_semantic_dedup",
+    f"""WITH {_VECS_AUG_CTE},
+    {_CENTS_CTE},
+    scored AS (
+      SELECT v.vec_id, c.cid, {_COS_SQL.format(a='v.v', b='c.cv')} AS cos
+      FROM vaug v CROSS JOIN cents c),
+    best AS (SELECT vec_id, cid, cos,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY cos DESC, cid) AS rn
+             FROM scored),
+    mem AS (SELECT b.vec_id, b.cid AS cluster_id, v.v
+            FROM best b JOIN vaug v USING (vec_id) WHERE b.rn = 1),
+    dups AS (
+      SELECT DISTINCT a.vec_id FROM mem a
+      JOIN mem b ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+      WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= 0.95
+    )
+    SELECT m.vec_id, m.cluster_id, d.vec_id IS NOT NULL AS is_dup
+    FROM mem m LEFT JOIN dups d USING (vec_id) ORDER BY m.vec_id""",
+)
+def cl02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the verbatim-dup augmented corpus: every +100000 copy
+    shares its original's cluster (identical vector, identical tie-break)
+    and cosine 1.0, so is_dup marks exactly the copies plus any natural
+    within-cluster near-identicals."""
+    from querysight_spark.operators.clustering import semantic_dedup
+
+    return semantic_dedup(
+        _vecs_aug(spark, sf_dir), _centroids(spark, sf_dir),
+        threshold=0.95, dim=64,
+    ).orderBy("vec_id")

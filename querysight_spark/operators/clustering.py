@@ -1,0 +1,113 @@
+"""Embedding-space clustering and SemDeDup-style semantic deduplication.
+
+The TRAINING path (seeded spherical k-means on a bounded sample, numpy
+GEMM assignment) already lives in ``operators/similarity.py``
+(train_ivf_centroids / ivf_assign) — these operators are the ANALYTICS
+face of clustering: oracle-exact nearest-centroid assignment built from
+pure JVM fold expressions (bit-identical to DuckDB's list_dot_product,
+see ``operators/vectors.py``), and the SemDeDup pipeline that prunes
+near-identical embeddings WITHIN clusters instead of across the corpus.
+
+Scale shape (100 TB): centroids are a k-row broadcast; assignment is a
+map-side broadcast nested-loop + one partial-agg argmax shuffle on the
+vector id; the SemDeDup pair join shuffles on cluster_id only — all-pairs
+work is confined to single clusters (the entire point of SemDeDup,
+arXiv:2303.09540) and never crosses them. A skewed giant cluster is the
+hazard; cap or sub-split via salting (operators/skew.py) if one emerges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from querysight_spark.operators.vectors import as_double, dot, norm
+
+
+def _cos(a, b, dim: int | None):
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+
+
+def cluster_assign(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
+    dim: int | None = None,
+) -> DataFrame:
+    """Nearest-centroid assignment by max cosine, ties to the smallest
+    centroid id: (vec_id, cluster_id, cosine).
+
+    Argmax = one partial-aggregated ``max(struct(cos, -cid))`` — no
+    window, so the broadcast product reduces map-side and the only
+    shuffle is the final per-vector combine. Cosines are rounded to 6
+    before the argmax so the choice is identical in any engine."""
+    v = vecs.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    c = centroids.select(
+        F.col(cid_col).alias("_cid"), as_double(F.col(cvec_col)).alias("cv")
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
+        F.col(id_col),
+        F.col("_cid"),
+        F.round(_cos(F.col("v"), F.col("cv"), dim), 6).alias("cos"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("cos"), (-F.col("_cid")).alias("ncid"))).alias("m")
+    )
+    return best.select(
+        F.col(id_col),
+        (-F.col("m.ncid")).alias("cluster_id"),
+        F.col("m.cos").alias("cosine"),
+    )
+
+
+def semantic_dedup(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup: assign every embedding to its nearest centroid, then mark
+    as duplicate any vector with a SAME-CLUSTER partner of smaller id
+    whose pairwise cosine (rounded to 6) is ≥ threshold. Returns
+    (vec_id, cluster_id, is_dup) — keepers are the cluster-local minimal
+    ids of each near-identical group.
+
+    The pair join is per-cluster: both sides shuffle on cluster_id and the
+    quadratic term is bounded by the largest cluster, not the corpus."""
+    assign = cluster_assign(
+        vecs, centroids, id_col, vec_col, cid_col, cvec_col, dim
+    )
+    v = vecs.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    members = assign.join(v, id_col).select(
+        F.col(id_col), "cluster_id", "v"
+    )
+    a = members.select(
+        F.col(id_col).alias("ia"), F.col("cluster_id").alias("ca"),
+        F.col("v").alias("va"),
+    )
+    b = members.select(
+        F.col(id_col).alias("ib"), F.col("cluster_id").alias("cb"),
+        F.col("v").alias("vb"),
+    )
+    dup_ids = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("ib") < F.col("ia")))
+        .where(F.round(_cos(F.col("va"), F.col("vb"), dim), 6) >= F.lit(threshold))
+        .select(F.col("ia").alias(id_col))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        assign.join(dup_ids, id_col, "left")
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )
