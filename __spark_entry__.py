@@ -10,8 +10,13 @@
                 keyset, caching, lifecycle, dbt catalog) computed by the
                 ENGINE's DataFrame plans (querysight_spark.plans.*) over
                 a deterministic query-log analog derived from `events`.
-  * dd01-dd08 — dedup family (exact, MinHash-LSH, n-gram Jaccard,
-                SimHash, cosine exact/LSH, clustering, keep-best).
+  * dd01-dd09 — dedup family (exact, MinHash-LSH, n-gram Jaccard,
+                SimHash, cosine exact/LSH, clustering, keep-best,
+                incremental delta-dedup vs a persisted band index).
+  * ir01-ir03 — full-text relevance (BM25 top-k, tf-idf, corpus
+                unigram-LM quality score) over inverted-index postings.
+  * cl01-cl02 — embedding clustering (nearest-centroid assignment) and
+                SemDeDup within-cluster semantic dedup.
   * ss01-ss09 — similarity search (brute force through persisted IVF+PQ);
                 declared in EXACT MODE (exhaustive probes, corpus-wide
                 rerank) so every entry hash-matches the brute-force

@@ -2170,3 +2170,56 @@ def cl02(spark: SparkSession, sf_dir: str) -> DataFrame:
         _vecs_aug(spark, sf_dir), _centroids(spark, sf_dir),
         threshold=0.95, dim=64,
     ).orderBy("vec_id")
+
+
+# --- training-mix curation (exact-quota sampling + epoch weighting) --------
+
+_DUCK_SALT_BUCKET = """CAST(list_sum([
+  (strpos('0123456789abcdef',
+          substr(md5(concat('{salt}', CAST(doc_id AS VARCHAR))), i + 1, 1)) - 1)
+  * CAST(pow(16, 7 - i) AS BIGINT)
+  for i in range(8)]) AS BIGINT) % 10000"""
+
+
+@_q(
+    "tx13_stratified_sample",
+    """WITH ranked AS (
+         SELECT doc_id, source, lang,
+                ROW_NUMBER() OVER (
+                  PARTITION BY source
+                  ORDER BY md5(concat('strat', CAST(doc_id AS VARCHAR))), doc_id
+                ) AS rn
+         FROM documents)
+       SELECT doc_id, source, lang FROM ranked
+       WHERE rn <= 20 ORDER BY doc_id""",
+)
+def tx13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 docs per source stratum, drawn by md5 rank: the
+    balanced-mix primitive (exact quotas, not expected fractions).
+    Deterministic and portable — the oracle replays the same ranking."""
+    from querysight_spark.operators.textstats import stratified_sample
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source", "lang")
+    return stratified_sample(docs, ["source"], 20).orderBy("doc_id")
+
+
+@_q(
+    "tx14_epoch_upsample",
+    f"""SELECT doc_id, source, e AS epoch
+    FROM documents CROSS JOIN (SELECT UNNEST(range(2)) AS e)
+    UNION ALL
+    SELECT doc_id, source, 2 AS epoch FROM documents
+    WHERE {_DUCK_SALT_BUCKET.format(salt='epoch')} < 7000
+    ORDER BY doc_id, epoch""",
+)
+def tx14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2.7-epoch source weighting: two full passes + a deterministic 70%
+    md5-bucket draw as epoch 2 — how training recipes oversample a
+    high-quality source. (doc_id, epoch) unique by construction."""
+    from querysight_spark.operators.textstats import upsample_epochs
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    out = upsample_epochs(docs, 2.7)
+    return out.select(
+        "doc_id", "source", F.col("epoch").cast("long").alias("epoch")
+    ).orderBy("doc_id", "epoch")

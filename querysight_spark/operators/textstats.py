@@ -274,6 +274,71 @@ def interleave_corpora(
     return out
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """EXACT-quota stratified sampling: precisely ``n_per_stratum`` rows
+    from every stratum (fewer only if the stratum is smaller), chosen by
+    md5 rank so the draw is deterministic, engine-portable, and
+    independent of row order — the balanced-mix primitive fraction-based
+    sampling (``interleave_corpora``) can't provide. One row_number
+    window per stratum = a single shuffle on the strata key."""
+    from pyspark.sql.window import Window
+
+    rk = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*strata_cols).orderBy(rk, F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
+def upsample_epochs(
+    df: DataFrame,
+    epochs: float,
+    id_col: str = "doc_id",
+    salt: str = "epoch",
+) -> DataFrame:
+    """Fractional-epoch upsampling: replicate the corpus ``floor(epochs)``
+    times and draw the fractional remainder as a deterministic md5-bucket
+    sample — how training recipes weight a source at e.g. 2.7 epochs.
+    Rows carry an ``epoch`` index (0-based); (id, epoch) stays unique so
+    downstream shuffles see distinct keys rather than a hot duplicate.
+    Map-side only: one sequence-explode, no shuffle, no rand()."""
+    k = int(epochs)
+    frac_cut = int(round((epochs - k) * 10000))
+    full = df.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+    ) if k > 0 else None
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    frac = (
+        df.where(bucket < frac_cut).withColumn("epoch", F.lit(k))
+        if frac_cut > 0
+        else None
+    )
+    if full is not None and frac is not None:
+        return full.unionByName(frac)
+    if full is not None:
+        return full
+    if frac is not None:
+        return frac
+    return df.withColumn("epoch", F.lit(0)).where(F.lit(False))
+
+
 def clean_text(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

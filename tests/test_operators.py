@@ -325,6 +325,43 @@ def test_dedupe_keep_best_default_quality(spark):
     assert kept == [5, 7]  # equal text ⇒ equal score ⇒ min id kept
 
 
+def test_stratified_sample_exact_quotas(spark):
+    from querysight_spark.operators.textstats import stratified_sample
+
+    rows = [(i, "a" if i < 30 else "b") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = stratified_sample(df, ["source"], 5).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by_src["a"]) == 5 and len(by_src["b"]) == 5
+    # deterministic: same draw twice
+    again = {r.doc_id for r in stratified_sample(df, ["source"], 5).collect()}
+    assert again == by_src["a"] | by_src["b"]
+    # small stratum returns all of itself
+    tiny = stratified_sample(df.where(F.col("doc_id") < 3), ["source"], 5)
+    assert tiny.count() == 3
+
+
+def test_upsample_epochs(spark):
+    from querysight_spark.operators.textstats import upsample_epochs
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    out = upsample_epochs(df, 2.7).collect()
+    per_epoch = {}
+    for r in out:
+        per_epoch[r.epoch] = per_epoch.get(r.epoch, 0) + 1
+    assert per_epoch[0] == 200 and per_epoch[1] == 200
+    # fractional epoch ~70% (md5 buckets, not exact)
+    assert 100 < per_epoch[2] < 180
+    assert len({(r.doc_id, r.epoch) for r in out}) == len(out)  # unique keys
+    # integer epochs -> full copies only; pure fraction -> sample only
+    assert upsample_epochs(df, 2.0).count() == 400
+    frac_only = upsample_epochs(df, 0.5)
+    assert 0 < frac_only.count() < 200
+    assert {r.epoch for r in frac_only.collect()} == {0}
+
+
 def test_multimodal_pipeline(spark):
     docs = spark.createDataFrame(
         [(i, "word " * (i + 3), "en", "src", 5 * (i + 3)) for i in range(6)],
