@@ -899,3 +899,49 @@ def ql14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_patterns"))
         .orderBy("bucket")
     )
+
+
+_ORACLES["ql27_jsonl_roundtrip"] = """
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source, lang ORDER BY source, lang"""
+
+
+@_q("ql27_jsonl_roundtrip")
+def ql27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL edge-format round-trip under the gate: documents exported as
+    newline-delimited JSON (the interchange format every LLM-pipeline
+    ingest/export speaks), read back through the schema-enforced
+    PERMISSIVE reader with corrupt-line audit, and aggregated — the
+    round-trip must be lossless, so the oracle aggregates the original
+    parquet directly (same staging-free pattern as ql24)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from querysight_spark.sources.text_corpus import (
+        DOCUMENTS_SCHEMA,
+        assert_clean,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    from querysight_spark.sources.catalog import load_table
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"qs_jsonl_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_jsonl(load_table(spark, "documents", sf_dir), path)
+    docs = assert_clean(read_jsonl(spark, path, DOCUMENTS_SCHEMA))
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -158,3 +158,51 @@ def write_zordered(
     if parquet_block_bytes is not None:
         writer = writer.option("parquet.block.size", str(parquet_block_bytes))
     writer.parquet(path)
+
+
+def dataset_file_stats(path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) for a local parquet dataset — the
+    local-FS stand-in for the Hadoop FileSystem listing a cluster
+    deployment would use (listing is metadata-only either way; the data
+    is never read)."""
+    import os
+
+    n, total = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += 1
+                total += os.path.getsize(os.path.join(root, f))
+    return n, total
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: Sequence[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ceil(total_bytes / target) evenly-sized files. Returns the output
+    file count.
+
+    The small-files problem is THE silent killer of long-lived 100 TB
+    tables (streaming sinks and per-batch ingests leave thousands of
+    KB-sized files; every query then pays per-file open/footer costs and
+    the driver pays listing memory). Compaction is metadata-sized
+    planning (one local/FS listing, no data read) + one even
+    ``repartition`` rewrite. Round-robin repartition keeps output sizes
+    uniform — ``coalesce`` would skip the shuffle but glues ADJACENT
+    input files, preserving any size skew. With ``partition_cols`` the
+    rewrite keeps the Hive directory layout (file count then applies
+    per partition directory on average)."""
+    _n, total = dataset_file_stats(path)
+    n_out = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(path)
+    out = df.repartition(n_out)
+    w = out.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(out_path)
+    return n_out

@@ -1,0 +1,84 @@
+"""Tests for the JSONL corpus source/sink and small-files compaction."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from querysight_spark.sources.layout import compact_files, dataset_file_stats
+from querysight_spark.sources.text_corpus import (
+    DOCUMENTS_SCHEMA,
+    assert_clean,
+    read_jsonl,
+    write_jsonl,
+)
+
+
+def test_jsonl_roundtrip_lossless(spark, tmp_path):
+    rows = [
+        (1, "hello world", "en", "web", 11),
+        (2, 'quotes " and \\ specials\nnewline', "en", "books", 30),
+        (3, None, None, "web", None),  # nulls survive
+    ]
+    df = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, path)
+    back = assert_clean(read_jsonl(spark, path))
+    assert sorted(back.collect(), key=lambda r: r.doc_id) == sorted(
+        df.collect(), key=lambda r: r.doc_id
+    )
+
+
+def test_jsonl_corrupt_lines_surface(spark, tmp_path):
+    path = tmp_path / "bad_jsonl"
+    path.mkdir()
+    (path / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "web", "n_chars": 2}\n'
+        "this is not json at all\n"
+    )
+    df = read_jsonl(spark, str(path))
+    bad = df.where(F.col("_corrupt_record").isNotNull())
+    # count() would prune the projection back down to the internal column
+    # alone (disallowed) - collect the tiny audit rows instead
+    assert len(bad.select("doc_id", "_corrupt_record").collect()) == 1
+    with pytest.raises(ValueError, match="corrupt JSONL"):
+        assert_clean(df)
+    # good line still parses
+    ok = df.where(F.col("_corrupt_record").isNull())
+    assert ok.select("doc_id").collect()[0][0] == 1
+
+
+def test_compact_files(spark, tmp_path):
+    src = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    df = spark.range(0, 10000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), F.md5(F.col("id").cast("string")).alias("pad")
+    )
+    df.repartition(64).write.parquet(src)
+    n_before, total = dataset_file_stats(src)
+    assert n_before == 64
+    n_out = compact_files(spark, src, out, target_file_bytes=total)
+    assert n_out == 1
+    n_after, _ = dataset_file_stats(out)
+    assert n_after == 1
+    # data identical
+    a = sorted(spark.read.parquet(src).collect())
+    b = sorted(spark.read.parquet(out).collect())
+    assert a == b
+
+
+def test_compact_files_partitioned_layout(spark, tmp_path):
+    src = str(tmp_path / "frag_part")
+    out = str(tmp_path / "comp_part")
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 3).alias("k")
+    )
+    df.repartition(16).write.parquet(src)
+    _, total = dataset_file_stats(src)
+    compact_files(spark, src, out, target_file_bytes=total, partition_cols=["k"])
+    assert sorted(os.listdir(out))[:1] == ["_SUCCESS"] or any(
+        d.startswith("k=") for d in os.listdir(out)
+    )
+    assert spark.read.parquet(out).count() == 2000
