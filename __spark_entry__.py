@@ -5,9 +5,10 @@
                 setop/scalar/lateral/unpivot/interval/map/subquery) run
                 via spark.sql over the testdata views, i.e. straight
                 through Catalyst.
-  * ql01-ql26 — querysight pipeline parity (pattern hash-agg, merge,
+  * ql01-ql27 — querysight pipeline parity (pattern hash-agg, merge,
                 coverage joins, closure, summaries, pagination incl.
-                keyset, caching, lifecycle, dbt catalog) computed by the
+                keyset, caching, lifecycle, dbt catalog, JSONL
+                round-trip) computed by the
                 ENGINE's DataFrame plans (querysight_spark.plans.*) over
                 a deterministic query-log analog derived from `events`.
   * dd01-dd09 — dedup family (exact, MinHash-LSH, n-gram Jaccard,
@@ -22,8 +23,9 @@
                 rerank) so every entry hash-matches the brute-force
                 oracle; production operating points live in pytest
                 recall tests and bench.py's ANN_BENCH probes.
-  * tx/tr/sk  — text analysis + splits + contamination, rollup tiers
-                incl. streaming absorption, self-checking sketches.
+  * tx/tr/sk  — text analysis + splits + stratified sampling + epoch
+                upsampling + contamination, rollup tiers incl. streaming
+                absorption, self-checking sketches.
   * st01-st06 — Structured Streaming under the gate (windows, stateful
                 counts, cross-batch dedup, session windows, stream-
                 stream join, session-state absorption into a persisted
