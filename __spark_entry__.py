@@ -14,8 +14,9 @@
   * dd01-dd09 — dedup family (exact, MinHash-LSH, n-gram Jaccard,
                 SimHash, cosine exact/LSH, clustering, keep-best,
                 incremental delta-dedup vs a persisted band index).
-  * ir01-ir03 — full-text relevance (BM25 top-k, tf-idf, corpus
-                unigram-LM quality score) over inverted-index postings.
+  * ir01-ir04 — full-text relevance (BM25 top-k in-flight and over a
+                persisted term-sorted inverted index, tf-idf, corpus
+                unigram-LM quality score).
   * cl01-cl02 — embedding clustering (nearest-centroid assignment) and
                 SemDeDup within-cluster semantic dedup.
   * ss01-ss09 — similarity search (brute force through persisted IVF+PQ);
@@ -26,10 +27,11 @@
   * tx/tr/sk  — text analysis + splits + stratified sampling + epoch
                 upsampling + contamination, rollup tiers incl. streaming
                 absorption, self-checking sketches.
-  * st01-st06 — Structured Streaming under the gate (windows, stateful
+  * st01-st07 — Structured Streaming under the gate (windows, stateful
                 counts, cross-batch dedup, session windows, stream-
                 stream join, session-state absorption into a persisted
-                tier), drained availableNow vs batch oracles.
+                tier, JSONL ingest with re-delivery suppression),
+                drained availableNow vs batch oracles.
   * aj/rj/sj/mm — as-of join, range join, salted join, multimodal
                 (mm04: REAL payload decode — netpbm/WAV codecs round-
                 tripped digit-for-digit against a formula oracle).

@@ -1845,6 +1845,65 @@ def st06(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "st07_stream_jsonl_ingest",
+    """SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source, lang ORDER BY source, lang""",
+)
+def st07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest of the JSONL edge format with re-delivery
+    suppression: the SAME documents export is delivered TWICE in separate
+    micro-batches (every part file symlinked under two names,
+    maxFilesPerTrigger=1), read through the schema-enforced streaming
+    JSON source, deduplicated on doc_id across batches, and aggregated —
+    the drained result must equal the single-copy batch truth. This is
+    the real ingest failure mode (a re-pushed dump) for pipelines whose
+    feeds arrive as JSONL. Documents carry no event time, so dedup state
+    here is availableNow-bounded; the watermark-bounded variant for keyed
+    time data is st03."""
+    import hashlib
+    import os
+    import tempfile
+
+    from querysight_spark.sources.text_corpus import DOCUMENTS_SCHEMA, write_jsonl
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    export = os.path.join(tempfile.gettempdir(), f"qs_jsonl_{tag}")
+    if not os.path.exists(os.path.join(export, "_SUCCESS")):
+        write_jsonl(load_table(spark, "documents", sf_dir), export)
+    stream_dir = os.path.join(tempfile.gettempdir(), f"qs_jsonl_stream_{tag}")
+    os.makedirs(stream_dir, exist_ok=True)
+    parts = [
+        f for f in os.listdir(export)
+        if not f.startswith(("_", ".")) and not f.endswith(".crc")
+    ]
+    for copy in range(2):
+        for p in parts:
+            link = os.path.join(stream_dir, f"b{copy}_{p}")
+            if not os.path.exists(link):
+                os.symlink(os.path.join(export, p), link)
+    raw = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(stream_dir)
+    )
+    deduped = raw.dropDuplicates(["doc_id"])
+    out = _run_available_now(deduped, spark, "append")
+    return (
+        out.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
 def _attach_streaming_oracles() -> None:
     from querysight_spark.demo import QUERY_LOG_CTE
 
@@ -2016,9 +2075,8 @@ postd AS (SELECT *, COUNT(*) OVER (PARTITION BY term) AS df_t FROM post)
 """
 
 
-@_q(
-    "ir01_bm25_topk",
-    f"""WITH {_IR_POSTINGS_CTE},
+def _bm25_oracle(k: int) -> str:
+    return f"""WITH {_IR_POSTINGS_CTE},
     stats AS (SELECT COUNT(*) AS n_docs,
                      CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM lens),
     scored AS (
@@ -2033,8 +2091,10 @@ postd AS (SELECT *, COUNT(*) OVER (PARTITION BY term) AS df_t FROM post)
              AS score,
            COUNT(*) AS n_terms_matched
     FROM scored GROUP BY doc_id
-    ORDER BY score DESC, doc_id LIMIT 10""",
-)
+    ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+@_q("ir01_bm25_topk", _bm25_oracle(10))
 def ir01(spark: SparkSession, sf_dir: str) -> DataFrame:
     from querysight_spark.operators.search import bm25_topk
 
@@ -2089,6 +2149,30 @@ def ir03(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return unigram_lm_scores(docs).orderBy("doc_id")
+
+
+@_q("ir04_bm25_indexed", _bm25_oracle(15))
+def ir04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 probe over the PERSISTED inverted index (index once / query
+    many — the search-engine counterpart of ss04/ss06/ss09): postings
+    scan pruned by the term-IN pushdown on the term-sorted layout, then
+    the exact scoring tail shared with ir01, so the oracle is the same
+    SQL at k=15."""
+    import os
+
+    from querysight_spark.operators.search import (
+        bm25_topk_indexed,
+        build_text_index,
+    )
+
+    path = (
+        __import__("tempfile").gettempdir()
+        + "/qs_text_index_"
+        + _corpus_tag(sf_dir, "documents")
+    )
+    if not os.path.exists(os.path.join(path, "stats", "_SUCCESS")):
+        build_text_index(load_table(spark, "documents", sf_dir), path)
+    return bm25_topk_indexed(spark, path, _IR_TERMS, k=15, k1=1.2, b=0.75)
 
 
 # --- clustering / semantic dedup (operators/clustering.py) ------------------

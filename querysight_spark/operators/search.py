@@ -56,6 +56,50 @@ def _fold_sum(contrib_struct_col, value_field: str):
     return F.aggregate(ordered, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _bm25_from_parts(
+    post: DataFrame,
+    lens: DataFrame,
+    stats: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+) -> DataFrame:
+    """Shared BM25 scoring tail: ``post`` carries (term, id, tf, df_t),
+    ``lens`` (id, dl), ``stats`` one row (n_docs, avgdl). One expression
+    tree — the in-flight and persisted-index paths both end here, so
+    their scores are bit-identical by construction."""
+    scored = (
+        post.crossJoin(F.broadcast(stats))
+        .join(lens, id_col)
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+                / (F.col("df_t") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.round(
+            _fold_sum(F.collect_list(F.struct("term", "contrib")), "contrib"), 6
+        ).alias("score"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+    return per_doc.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],
@@ -87,35 +131,60 @@ def bm25_topk(
         .where(F.col("term").isin(query_terms))
         .withColumn("df_t", F.count(F.lit(1)).over(Window.partitionBy("term")))
     )
-    scored = (
-        post.crossJoin(F.broadcast(stats))
-        .join(lens, id_col)
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
-                / (F.col("df_t") + F.lit(0.5))
-            ),
-        )
-        .withColumn(
-            "contrib",
-            F.col("idf")
-            * (F.col("tf") * F.lit(k1 + 1.0))
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-            ),
-        )
+    return _bm25_from_parts(post, lens, stats, k, k1, b, id_col)
+
+
+def build_text_index(
+    df: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Persist the inverted index: postings (term, id, tf, df_t —
+    document frequency denormalized at build so probes never re-count),
+    doc lengths, and the 1-row corpus stats. Index once, query many —
+    the search-engine counterpart of the persisted ANN indexes. Postings
+    land sorted/clustered by term so a term-IN predicate prunes row
+    groups via footer min/max stats."""
+    from pyspark.sql.window import Window
+
+    lens = _doc_lengths(df, id_col, text_col)
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     )
-    per_doc = scored.groupBy(id_col).agg(
-        F.round(
-            _fold_sum(F.collect_list(F.struct("term", "contrib")), "contrib"), 6
-        ).alias("score"),
-        F.count(F.lit(1)).alias("n_terms_matched"),
+    post = term_postings(df, id_col, text_col).withColumn(
+        "df_t", F.count(F.lit(1)).over(Window.partitionBy("term"))
     )
-    return per_doc.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+    (
+        post.repartitionByRange(8, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    lens.write.mode("overwrite").parquet(f"{path}/lens")
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 probe over a persisted index: a term-IN filtered postings
+    scan (pushed to parquet, row groups pruned by the term-sorted
+    layout), the tiny stats broadcast, and the SAME scoring tail as the
+    in-flight path — scores are bit-identical to bm25_topk on the corpus
+    the index was built from. Probe cost is O(matched postings), not
+    O(corpus)."""
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .where(F.col("term").isin(query_terms))
+    )
+    lens = spark.read.parquet(f"{path}/lens")
+    stats = spark.read.parquet(f"{path}/stats")
+    return _bm25_from_parts(post, lens, stats, k, k1, b, id_col)
 
 
 def tfidf_scores(

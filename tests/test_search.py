@@ -10,6 +10,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from querysight_spark.operators.search import (
     bm25_topk,
@@ -73,6 +74,31 @@ def test_tfidf_scores(corpus):
     assert got[4].tfidf == pytest.approx(6 * idf, abs=1e-6)
     assert got[1].tfidf == pytest.approx(2 * idf + 1 * idf, abs=1e-6)
     assert got[1].total_tf == 3
+
+
+def test_bm25_indexed_matches_inflight(corpus, spark, tmp_path):
+    from querysight_spark.operators.search import (
+        bm25_topk_indexed,
+        build_text_index,
+    )
+
+    path = str(tmp_path / "text_index")
+    build_text_index(corpus, path)
+    terms = ["spark", "query", "engine"]
+    inflight = bm25_topk(corpus, terms, k=5).collect()
+    indexed = bm25_topk_indexed(spark, path, terms, k=5).collect()
+    assert [(r.doc_id, r.score, r.n_terms_matched) for r in indexed] == [
+        (r.doc_id, r.score, r.n_terms_matched) for r in inflight
+    ]
+    # the probe's postings scan pushes the term filter to parquet
+    plan = (
+        spark.read.parquet(f"{path}/postings")
+        .where(F.col("term").isin(terms))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [In(term" in plan
 
 
 def test_unigram_lm_prefers_common_words(spark):
