@@ -2307,3 +2307,150 @@ def tx14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "source", F.col("epoch").cast("long").alias("epoch")
     ).orderBy("doc_id", "epoch")
+
+
+@_q(
+    "tx15_dup_span_coverage",
+    f"""WITH {_DOCS_NEAR_AUG_CTE},
+    w AS (SELECT doc_id, string_split(text, ' ') AS words FROM aug),
+    sh AS (
+      SELECT doc_id, u.pos AS pos, u.h AS h
+      FROM (SELECT doc_id,
+                   UNNEST([{{'pos': i,
+                            'h': md5(array_to_string(words[i:i+7], ' '))}}
+                           for i in range(1, len(words) - 6)]) AS u
+            FROM w)
+    ),
+    dup_h AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    cov AS (
+      SELECT DISTINCT s.doc_id, t.p
+      FROM sh s JOIN dup_h USING (h), UNNEST(range(s.pos, s.pos + 8)) AS t(p)
+    ),
+    covered AS (SELECT doc_id, COUNT(*) AS covered_tokens FROM cov GROUP BY doc_id),
+    lens AS (SELECT doc_id, len(words) AS n_tokens FROM w)
+    SELECT l.doc_id, l.n_tokens,
+           COALESCE(c.covered_tokens, 0) AS covered_tokens,
+           ROUND(COALESCE(c.covered_tokens, 0) / l.n_tokens, 6) AS dup_coverage
+    FROM lens l LEFT JOIN covered c USING (doc_id) ORDER BY l.doc_id""",
+)
+def tx15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage over the near-dup augmented
+    corpus: originals of every 10th doc and their suffixed copies share
+    all interior 8-grams, so both ends of each pair light up near-1.0
+    coverage while untouched docs stay at 0."""
+    from querysight_spark.operators.textstats import dup_span_coverage
+
+    return dup_span_coverage(_docs_near_aug(spark, sf_dir), n=8).orderBy("doc_id")
+
+
+@_q(
+    "ir05_vocab_stats",
+    """WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS term FROM documents),
+    freq AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term)
+    SELECT COUNT(*) AS vocab_size,
+           CAST(SUM(c) AS BIGINT) AS total_tokens,
+           COUNT(*) FILTER (WHERE c = 1) AS hapax_count,
+           CAST(MAX(c) AS BIGINT) AS top_term_freq,
+           ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS type_token_ratio
+    FROM freq""",
+)
+def ir05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics (vocab size, hapax count, type-token
+    ratio) — the fingerprint a curation run logs to catch tokenizer or
+    corpus drift. One explode + one vocab-sized groupBy + a scalar agg."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    return freq.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("c").alias("total_tokens"),
+        F.count(F.when(F.col("c") == 1, 1)).alias("hapax_count"),
+        F.max("c").alias("top_term_freq"),
+        F.round(F.count(F.lit(1)) / F.sum("c").cast("double"), 6).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+@_q(
+    "px01_curation_pipeline",
+    r"""WITH cleaned AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(lower(text), $$[^\w\s']$$, ' ', 'g'),
+               $$\s+$$, ' ', 'g')) AS ct
+      FROM documents),
+    f AS (
+      SELECT doc_id, ct,
+             length(ct) AS n_chars,
+             len(string_split(ct, ' ')) AS n_words,
+             len(regexp_extract_all(ct, '[^\w\s]')) AS n_punct,
+             len([w for w in string_split(ct, ' ')
+                  if w IN ('the','a','of','and','to','in','is','that','it','for')]) AS n_stop
+      FROM cleaned),
+    q AS (
+      SELECT doc_id, ct, n_words,
+             ROUND(0.4 * LEAST(n_words / 100.0, 1.0)
+                 + 0.3 * (1.0 - LEAST(ROUND(n_punct / GREATEST(n_chars, 1), 6) * 10.0, 1.0))
+                 + 0.3 * LEAST(ROUND(n_stop / GREATEST(n_words, 1), 6) * 5.0, 1.0), 7)
+               AS quality_score
+      FROM f),
+    filtered AS (SELECT * FROM q WHERE n_words >= 20 AND quality_score >= 0.5),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY md5(ct)) AS keeper
+        FROM filtered)
+      WHERE doc_id = keeper),
+    split AS (
+      SELECT *,
+             CASE WHEN b < 8000 THEN 'train'
+                  WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT *,
+                   CAST(list_sum([
+                     (strpos('0123456789abcdef',
+                             substr(md5(concat('split', CAST(doc_id AS VARCHAR))),
+                                    i + 1, 1)) - 1)
+                     * CAST(pow(16, 7 - i) AS BIGINT)
+                     for i in range(8)]) AS BIGINT) % 10000 AS b
+            FROM deduped))
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+           ROUND(AVG(quality_score), 6) AS avg_quality
+    FROM split GROUP BY split ORDER BY split""",
+)
+def px01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline a training-data team actually
+    runs, composed from the declared operators: clean (tx10) → quality
+    features + score over the CLEANED text (tx02) → length/quality
+    filter → exact dedup keep-min-id (dd01's hash) → deterministic
+    train/val/test split (tx08) → per-split corpus accounting. Every
+    stage is individually gated; this entry gates their COMPOSITION —
+    column handoffs, filter pushdown through the chain, and the final
+    aggregate — against one SQL replay of the whole pipeline."""
+    from querysight_spark.operators.textstats import (
+        assign_split,
+        clean_text,
+        quality_scores,
+    )
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    cleaned = clean_text(docs).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    q = quality_scores(cleaned).join(cleaned, "doc_id")
+    filtered = q.where((F.col("n_words") >= 20) & (F.col("quality_score") >= 0.5))
+    keeper = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    deduped = filtered.withColumn("keeper", keeper).where(
+        F.col("doc_id") == F.col("keeper")
+    )
+    split = assign_split(deduped)
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        )
+        .orderBy("split")
+    )

@@ -274,6 +274,66 @@ def interleave_corpora(
     return out
 
 
+def dup_span_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Exact-substring duplication rate per document — the
+    train-set-hygiene metric of Lee et al. 2021 ("Deduplicating Training
+    Data Makes Language Models Better"): the fraction of a doc's tokens
+    covered by some word n-gram that also appears in ANOTHER doc.
+
+    Positional n-gram hashes (md5, engine-portable) → duplicated-hash set
+    (COUNT(DISTINCT doc) ≥ 2, one groupBy on the hash) → covered token
+    positions via a bounded sequence-explode (each hit covers exactly n
+    positions) → distinct-position count per doc. All work is linear in
+    corpus tokens plus the duplicated-posting join; the full
+    suffix-array construction this approximates is unnecessary when
+    spans are measured at n-gram resolution."""
+    w = F.split(F.col(text_col), " ")
+    # CASE guard: sequence(1, 0) counts DOWN (same trap _shingles in
+    # operators/dedup.py documents), so short docs yield an empty array
+    sh = F.expr(
+        f"transform(array(split(`{text_col}`, ' ')), w -> "
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"transform(sequence(1, size(w) - {n} + 1), "
+        f"i -> struct(i AS pos, md5(concat_ws(' ', slice(w, i, {n}))) AS h)) "
+        f"ELSE array() END)[0]"
+    )
+    posed = df.select(F.col(id_col), F.explode(sh).alias("s")).select(
+        F.col(id_col), F.col("s.pos").alias("pos"), F.col("s.h").alias("h")
+    )
+    dup_h = (
+        posed.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    covered = (
+        posed.join(dup_h, "h")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias(
+                "p"
+            ),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    lens = df.select(F.col(id_col), F.size(w).alias("n_tokens"))
+    return lens.join(covered, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+        F.round(
+            F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens"), 6
+        ).alias("dup_coverage"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: list[str],

@@ -325,6 +325,33 @@ def test_dedupe_keep_best_default_quality(spark):
     assert kept == [5, 7]  # equal text ⇒ equal score ⇒ min id kept
 
 
+def test_dup_span_coverage(spark):
+    from querysight_spark.operators.textstats import dup_span_coverage
+
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, shared + " tail a b c"),                  # shares a 10-token prefix with 2
+        (2, shared + " other x y z"),
+        (3, "totally unique words making up a doc without repeats here ok"),
+        (4, "tiny doc"),                               # shorter than n -> no shingles
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in dup_span_coverage(df, n=8).collect()}
+    # docs 1/2 share 10 leading tokens -> 3 shared 8-grams covering
+    # positions 1..10 of each
+    assert got[1].covered_tokens == 10 and got[2].covered_tokens == 10
+    assert got[1].n_tokens == 14  # 10 shared + 'tail a b c'
+    assert got[1].dup_coverage == pytest.approx(10 / 14, abs=1e-6)
+    assert got[3].covered_tokens == 0 and got[3].dup_coverage == 0.0
+    assert got[4].covered_tokens == 0 and got[4].n_tokens == 2
+    # a doc duplicated verbatim is fully covered
+    dup = spark.createDataFrame(
+        [(1, shared), (2, shared)], ["doc_id", "text"]
+    )
+    full = {r.doc_id: r.dup_coverage for r in dup_span_coverage(dup, n=8).collect()}
+    assert full == {1: 1.0, 2: 1.0}
+
+
 def test_stratified_sample_exact_quotas(spark):
     from querysight_spark.operators.textstats import stratified_sample
 
