@@ -116,3 +116,49 @@ def test_unigram_lm_prefers_common_words(spark):
     assert got[1].mean_logprob == pytest.approx(lp1, abs=1e-6)
     assert got[2].mean_logprob == pytest.approx(lp2, abs=1e-6)
     assert got[1].n_tokens == 4
+
+
+def _py_bm25(docs: dict[int, str], terms: list[str], k1=1.2, b=0.75):
+    """Reference BM25 implementation, straight from the formula."""
+    toks = {d: t.split(" ") for d, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    out = {}
+    for d, words in toks.items():
+        s, matched = 0.0, 0
+        for t in sorted(terms):
+            tf = words.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(words) / avgdl)
+            )
+            matched += 1
+        if matched:
+            out[d] = (round(s, 6), matched)
+    return out
+
+
+def test_bm25_differential_random_corpora(spark):
+    """Seeded random corpora vs the pure-Python reference — guards the
+    whole plan (postings, df window, stats broadcast, fold) against the
+    formula, not just the hand-built fixtures."""
+    import random
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(30)]
+        docs = {
+            d: " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40)))
+            for d in range(1, 26)
+        }
+        terms = rng.sample(vocab, 4)
+        expect = _py_bm25(docs, terms)
+        df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+        got = {
+            r.doc_id: (r.score, r.n_terms_matched)
+            for r in bm25_topk(df, terms, k=100).collect()
+        }
+        assert got == expect, f"seed {seed}"
