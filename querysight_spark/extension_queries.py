@@ -2454,3 +2454,50 @@ def px01(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@_q(
+    "cl03_kmeans_refine",
+    f"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    {_CENTS_CTE},
+    s1 AS (
+      SELECT v.vec_id, c.cid, {_COS_SQL.format(a='v.v', b='c.cv')} AS cos
+      FROM vv v CROSS JOIN cents c),
+    a1 AS (
+      SELECT vec_id, cid AS cluster_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, cid) AS rn FROM s1)
+      WHERE rn = 1),
+    el AS (
+      SELECT a.cluster_id, v.vec_id, unnest(v.v) AS val,
+             generate_subscripts(v.v, 1) AS idx
+      FROM a1 a JOIN vv v USING (vec_id)),
+    pe AS (
+      SELECT cluster_id, idx,
+             list_reduce(list(val ORDER BY vec_id), (x, y) -> x + y)
+               / COUNT(*) AS mv
+      FROM el GROUP BY cluster_id, idx),
+    m1 AS (SELECT cluster_id AS cid, list(mv ORDER BY idx) AS cv
+           FROM pe GROUP BY cluster_id),
+    s2 AS (
+      SELECT v.vec_id, c.cid, {_COS_SQL.format(a='v.v', b='c.cv')} AS cos
+      FROM vv v CROSS JOIN m1 c),
+    best AS (
+      SELECT vec_id, cid, cos,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cid) AS rn FROM s2)
+    SELECT vec_id, cid AS cluster_id, cos AS cosine
+    FROM best WHERE rn = 1 ORDER BY vec_id""",
+)
+def cl03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO Lloyd iterations under the EXACT gate: fixed starting
+    centroids → rounded-cosine argmax assignment → ordered-fold
+    element-wise means → re-assignment, all bit-identical to the
+    unrolled SQL replay. Iterative ML refinement as pure dataflow — no
+    driver state, centroids live as a k-row DataFrame throughout."""
+    from querysight_spark.operators.clustering import kmeans_refine
+
+    vecs = load_table(spark, "embeddings", sf_dir)
+    return kmeans_refine(
+        vecs, _centroids(spark, sf_dir), n_iter=2, dim=64
+    ).orderBy("vec_id")

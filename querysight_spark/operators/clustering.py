@@ -63,6 +63,74 @@ def cluster_assign(
     )
 
 
+def centroid_means(
+    assign: DataFrame,
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Element-wise mean of each cluster's member vectors, computed as an
+    ordered fold (members sorted by id, elements left-fold-summed) so the
+    result is bit-identical across engines — what lets a k-means
+    ITERATION sit under the exact oracle gate, not just one assignment.
+    Shape: posexplode members → one (cluster, element) agg → re-assemble
+    sorted arrays. Clusters that lost all members drop out (inner join
+    semantics, mirrored by the SQL replay)."""
+    v = vecs.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    members = assign.select(id_col, "cluster_id").join(v, id_col)
+    elems = members.select(
+        F.col(id_col),
+        "cluster_id",
+        F.posexplode("v").alias("idx", "val"),
+    )
+    per_elem = elems.groupBy("cluster_id", "idx").agg(
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(id_col, "val"))),
+                    lambda s: s["val"],
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.count(F.lit(1))
+        ).alias("mv")
+    )
+    return per_elem.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "mv"))), lambda s: s["mv"]
+        ).alias("cvec")
+    ).select(F.col("cluster_id").alias("cid"), "cvec")
+
+
+def kmeans_refine(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
+    dim: int | None = None,
+) -> DataFrame:
+    """``n_iter`` Lloyd iterations from FIXED starting centroids, fully
+    deterministic (rounded-cosine argmax, ordered-fold means): returns
+    the final (vec_id, cluster_id, cosine) assignment. Each iteration is
+    one broadcast-assign + one element-wise agg — no driver-side state at
+    all, centroids stay a k-row DataFrame end to end. The seeded-sample
+    TRAINER for production (bounded collect, numpy Lloyd) remains
+    similarity.py's train_ivf_centroids; this is the all-distributed,
+    oracle-exact refinement path."""
+    cents = centroids.select(
+        F.col(cid_col).alias("cid"), as_double(F.col(cvec_col)).alias("cvec")
+    )
+    assign = cluster_assign(vecs, cents, id_col, vec_col, "cid", "cvec", dim)
+    for _ in range(n_iter - 1):
+        cents = centroid_means(assign, vecs, id_col, vec_col)
+        assign = cluster_assign(vecs, cents, id_col, vec_col, "cid", "cvec", dim)
+    return assign
+
+
 def semantic_dedup(
     vecs: DataFrame,
     centroids: DataFrame,

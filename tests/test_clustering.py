@@ -66,3 +66,32 @@ def test_semantic_dedup_never_crosses_clusters(spark):
     ).select("cid", F.transform("raw", lambda x: x.cast("float")).alias("cvec"))
     got = {r.vec_id: r.is_dup for r in semantic_dedup(vecs, cents, 0.0).collect()}
     assert got == {1: False, 2: False}
+
+
+def test_kmeans_refine_moves_centroids(space, spark):
+    from querysight_spark.operators.clustering import (
+        centroid_means,
+        cluster_assign,
+        kmeans_refine,
+    )
+
+    # start both centroids inside the x-cluster: iteration 1 splits the
+    # space on the tiny difference, iteration 2's means pull one centroid
+    # to the y-cluster
+    cents = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (200, [0.9, 0.3, 0.0])], ["cid", "raw"]
+    ).select("cid", F.transform("raw", lambda x: x.cast("float")).alias("cvec"))
+    refined = {r.vec_id: r for r in kmeans_refine(space, cents, n_iter=2).collect()}
+    assert {i: refined[i].cluster_id for i in refined} == {
+        1: 100, 2: 100, 3: 100, 10: 200, 11: 200, 20: 100,
+    }
+    # refined assignment cosine should not regress vs the first pass
+    first = {r.vec_id: r.cosine for r in cluster_assign(space, cents).collect()}
+    assert sum(r.cosine for r in refined.values()) >= sum(first.values()) - 1e-9
+    # centroid means: a cluster's mean is the element-wise member average
+    assign = cluster_assign(space, cents)
+    means = {r.cid: list(r.cvec) for r in centroid_means(assign, space).collect()}
+    members_200 = [[0.0, 1.0, 0.0], [0.1, 0.99, 0.0]]
+    expect = [sum(c) / 2 for c in zip(*members_200)]
+    got = means[200]
+    assert all(abs(a - b) < 1e-6 for a, b in zip(got, expect))
