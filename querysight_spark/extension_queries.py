@@ -2501,3 +2501,59 @@ def cl03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_refine(
         vecs, _centroids(spark, sf_dir), n_iter=2, dim=64
     ).orderBy("vec_id")
+
+
+@_q(
+    "ss10_filtered_topk",
+    """WITH q AS (
+         SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+       )
+       SELECT vec_id,
+              ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+                    / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[])))
+                       * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+       FROM embeddings CROSS JOIN q
+       WHERE label % 3 = 1
+       ORDER BY cosine DESC, vec_id LIMIT 10""",
+)
+def ss10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered similarity search (the vector-DB staple): the
+    label predicate is applied BEFORE any distance math, so it reaches
+    the parquet scan and the ranking works on the qualifying subset
+    only."""
+    from querysight_spark.operators.similarity import filtered_topk
+
+    vecs = load_table(spark, "embeddings", sf_dir)
+    return filtered_topk(
+        vecs, _query_vec(spark, sf_dir), F.col("label") % 3 == 1, k=10
+    )
+
+
+@_q(
+    "ss11_grouped_topk",
+    """WITH q AS (
+         SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+       ),
+       scored AS (
+         SELECT vec_id, label,
+                ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+                      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(embedding AS DOUBLE[])))
+                         * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+         FROM embeddings CROSS JOIN q)
+       SELECT label, rk, vec_id, cosine FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                      ORDER BY cosine DESC, vec_id) AS rk
+         FROM scored)
+       WHERE rk <= 3 ORDER BY label, rk""",
+)
+def ss11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group nearest neighbours (diversified retrieval): top-3 per
+    label from one scan + one group-keyed window — no global sort."""
+    from querysight_spark.operators.similarity import grouped_topk
+
+    vecs = load_table(spark, "embeddings", sf_dir)
+    return grouped_topk(
+        vecs, _query_vec(spark, sf_dir), "label", k_per_group=3
+    ).orderBy("label", "rk")

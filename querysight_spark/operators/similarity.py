@@ -896,3 +896,59 @@ def probe_ivfpq_index(
         k=k, n_probes=n_probes, oversample=oversample,
         id_col=id_col, vec_col=vec_col,
     )
+
+
+def filtered_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    predicate,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Metadata-filtered exact top-k — THE vector-database feature
+    (search only rows passing a predicate). The filter lands BEFORE any
+    distance math, so Catalyst pushes it to the scan and the GEMM/rank
+    work shrinks to the qualifying subset; with a persisted index the
+    same pre-filter applies to the code table before ADC."""
+    return brute_force_topk(df.where(predicate), query_vec, k, id_col, vec_col)
+
+
+def grouped_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    group_col: str,
+    k_per_group: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k nearest per GROUP (per-label / per-source diversification):
+    one scan scores every row, one window per group ranks — the shuffle
+    is on the group key, never a global sort. Cosine rounded before
+    ranking (id tie-break) for cross-engine-stable frontiers."""
+    from pyspark.sql.window import Window
+
+    q = [float(x) for x in query_vec]
+    qn = float(np.sqrt(sum(x * x for x in q)))
+    qcol = F.array(*[F.lit(x) for x in q])
+    d = len(q)
+    v = df.select(
+        F.col(id_col), F.col(group_col), _as_double(F.col(vec_col)).alias("v")
+    )
+    scored = v.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.round(
+            _dot(F.col("v"), qcol, d)
+            / (F.sqrt(_dot(F.col("v"), F.col("v"), d)) * F.lit(qn)),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k_per_group)
+        .select(group_col, "rk", id_col, "cosine")
+    )

@@ -660,3 +660,22 @@ _p(
               string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
        FROM events GROUP BY user_id ORDER BY user_id""",
 )
+_p(
+    "p63_width_bucket_histogram",
+    """SELECT width_bucket(CAST(o_totalprice AS DOUBLE), 0.0, 600000.0, 12)
+             AS bucket,
+              COUNT(*) AS n,
+              CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+              CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi
+       FROM orders GROUP BY 1 ORDER BY 1""",
+    # DuckDB has no width_bucket — replay Spark's formula: bucket =
+    # floor((v - min) / ((max - min) / n)) + 1, clamped to [0, n+1]
+    """SELECT CASE WHEN v < 0.0 THEN 0 WHEN v >= 600000.0 THEN 13
+                   ELSE CAST(FLOOR((v - 0.0) / ((600000.0 - 0.0) / 12))
+                             AS BIGINT) + 1 END AS bucket,
+              COUNT(*) AS n,
+              CAST(MIN(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+              CAST(MAX(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS hi
+       FROM (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders)
+       GROUP BY 1 ORDER BY 1""",
+)

@@ -947,3 +947,21 @@ def test_merge_rollups_recombines_exactly(spark):
     want = {(r.bucket_start, r.g): (r.n, r.sum, r.min, r.max) for r in full.collect()}
     got = {(r.bucket_start, r.g): (r.n, r.sum, r.min, r.max) for r in merged.collect()}
     assert got == want and len(got) == 3
+
+
+def test_filtered_and_grouped_topk(vecs, spark):
+    from querysight_spark.operators.similarity import filtered_topk, grouped_topk
+
+    # filter removes the exact match (vec 1): best among the rest is vec 2
+    got = filtered_topk(
+        vecs, [1.0, 0.0, 0.0, 0.0], F.col("vec_id") != 1, k=2
+    ).collect()
+    assert [r.vec_id for r in got][0] == 2
+    assert all(r.vec_id != 1 for r in got)
+
+    labeled = vecs.withColumn("grp", (F.col("vec_id") % 2).cast("int"))
+    per = grouped_topk(labeled, [1.0, 0.0, 0.0, 0.0], "grp", k_per_group=1).collect()
+    best = {r.grp: r.vec_id for r in per}
+    # odd group: vec 1 (exact match); even group: vec 2 (near dup)
+    assert best == {1: 1, 0: 2}
+    assert all(r.rk == 1 for r in per)
