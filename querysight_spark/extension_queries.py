@@ -1175,6 +1175,70 @@ def aj01(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+@_q(
+    "aj02_asof_forward_tolerance",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase'),
+         e AS (SELECT user_id, ts, event_id, value FROM (
+                 SELECT user_id, ts, event_id, value,
+                        ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                           ORDER BY event_id DESC) AS rn
+                 FROM events WHERE event_type = 'error') WHERE rn = 1),
+         cand AS (
+           SELECT p.event_id, e.event_id AS err_event_id, e.value AS err_value,
+                  ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                     ORDER BY e.ts, e.event_id) AS rn
+           FROM p JOIN e
+             ON p.user_id = e.user_id
+            AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 30 MINUTE)
+       SELECT p.event_id, p.user_id, c.err_event_id, c.err_value
+       FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (event_id)
+       ORDER BY p.event_id""",
+)
+def aj02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of with tolerance (pandas merge_asof parity): each
+    purchase matched to the user's NEXT error within 30 minutes, NULLs
+    beyond the horizon. Same union-marker window plan as aj01 with the
+    frame reversed and a payload-timestamp post-filter — still one
+    shuffle + one sort, no range-join blowup; the oracle replays it as a
+    bounded range join + first-match window."""
+    from pyspark.sql.window import Window
+
+    from querysight_spark.operators.asof import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    out = asof_join(
+        purchases,
+        errors,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        right_values=["event_id", "value"],
+        direction="forward",
+        tolerance="30 minutes",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_asof").alias("err_event_id"),
+        F.col("value_asof").alias("err_value"),
+    ).orderBy("event_id")
+
+
 # --- range join -------------------------------------------------------------
 
 

@@ -36,21 +36,35 @@ def asof_join(
     right_values: Sequence[str],
     tiebreak: str | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: str | float | None = None,
 ) -> DataFrame:
-    """Backward as-of join: left columns + each ``right_values`` column as
-    ``<name><suffix>`` from the latest right row at-or-before the left
-    row's time (per ``on`` key).
+    """As-of join: left columns + each ``right_values`` column as
+    ``<name><suffix>`` from the matched right row (per ``on`` key).
 
-    At equal timestamps the right row SORTS FIRST (is visible to the left
-    row) — i.e. ``right_time <= left_time`` inclusive, matching DuckDB's
-    ASOF JOIN ``ON l.t >= r.t``."""
+    ``direction="backward"`` (default): latest right at-or-before the
+    left time; at equal timestamps the right row IS visible — inclusive
+    ``right_time <= left_time``, matching DuckDB's ASOF ``ON l.t >= r.t``.
+    ``direction="forward"``: earliest right at-or-after (inclusive) the
+    left time; the same union-marker plan with the frame reversed
+    (current → following, ``first`` instead of ``last``).
+    ``tolerance`` bounds the match distance (pandas merge_asof parity):
+    an INTERVAL string for timestamps (e.g. ``"10 minutes"``) or a
+    number for numeric time columns; out-of-tolerance matches become
+    NULLs, applied as a post-filter on the matched payload (the window
+    math is unchanged, so the plan stays one shuffle + one sort)."""
+    assert direction in ("backward", "forward"), direction
     on = list(on)
     rv = list(right_values)
 
     # the right payload travels as ONE struct: last_value(ignorenulls) then
     # selects a whole right ROW, so a legitimately-NULL payload field can't
     # fall back to an older right row for just that column
-    payload = F.struct(*[F.col(c).alias(c) for c in rv])
+    # the right time rides IN the payload (as __rt) so tolerance can be
+    # checked after the window without a second join
+    payload = F.struct(
+        *[F.col(c).alias(c) for c in rv], F.col(right_time).alias("__rt")
+    )
     payload_type = right.select(payload.alias("_rv")).schema["_rv"].dataType
 
     lmark = left.select(
@@ -78,14 +92,41 @@ def asof_join(
     ).select(*lmark.columns)  # align column order for the union
 
     u = lmark.unionByName(rmark)
-    # right rows first at equal time (inclusive <=); among equal-time right
-    # rows the largest tiebreak sorts last and therefore wins
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("_t"), F.col("_is_left"), F.col("_tb").asc_nulls_first())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = u.withColumn("_m", F.last(F.col("_rv"), ignorenulls=True).over(w))
+    if direction == "backward":
+        # right rows first at equal time (inclusive <=); among equal-time
+        # right rows the largest tiebreak sorts last and therefore wins
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_t"), F.col("_is_left"), F.col("_tb").asc_nulls_first())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = u.withColumn("_m", F.last(F.col("_rv"), ignorenulls=True).over(w))
+    else:
+        # left rows first at equal time (inclusive >=); among equal-time
+        # right rows the smallest tiebreak sorts first and therefore wins
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(
+                F.col("_t"),
+                F.col("_is_left").desc(),
+                F.col("_tb").asc_nulls_first(),
+            )
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        matched = u.withColumn("_m", F.first(F.col("_rv"), ignorenulls=True).over(w))
+    if tolerance is not None:
+        tol = (
+            F.expr(f"INTERVAL {tolerance}")
+            if isinstance(tolerance, str)
+            else F.lit(tolerance)
+        )
+        rt = F.col("_m.__rt")
+        ok = (
+            rt >= F.col("_t") - tol
+            if direction == "backward"
+            else rt <= F.col("_t") + tol
+        )
+        matched = matched.withColumn("_m", F.when(ok, F.col("_m")))
     return (
         matched.where(F.col("_is_left") == 1)
         .select(

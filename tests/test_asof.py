@@ -72,3 +72,74 @@ def test_null_payload_fields_stay_row_consistent(spark):
     ).first()
     # the matched row is R2; its NULL v must NOT fall back to R1's 1.0
     assert row.rid_asof == "R2" and row.v_asof is None
+
+
+def test_forward_inclusive_and_nulls(spark):
+    left, right = _frames(spark)
+    out = {
+        r.lid: (r.rid_asof, r.v_asof)
+        for r in asof_join(
+            left, right, on=["key"], left_time="lt", right_time="rt",
+            right_values=["rid", "v"], direction="forward",
+        ).collect()
+    }
+    assert out["L1"] == ("R1", 1.0)   # rt == lt is visible forward too
+    assert out["L2"] == (None, None)  # nothing at-or-after minute 30
+    assert out["L3"] == ("R3", 3.0)   # next right row after L3
+    assert out["L4"] == (None, None)
+
+
+def test_forward_tiebreak_picks_smallest(spark):
+    left = spark.createDataFrame(
+        [("L1", "u1", _ts(1))], "lid string, key string, lt timestamp"
+    )
+    right = spark.createDataFrame(
+        [("Ra", "u1", _ts(5), 1.0), ("Rb", "u1", _ts(5), 2.0)],
+        "rid string, key string, rt timestamp, v double",
+    )
+    row = asof_join(
+        left, right, on=["key"], left_time="lt", right_time="rt",
+        right_values=["rid", "v"], tiebreak="rid", direction="forward",
+    ).collect()[0]
+    assert (row.rid_asof, row.v_asof) == ("Ra", 1.0)
+
+
+def test_tolerance_nulls_out_of_range(spark):
+    left, right = _frames(spark)
+    back = {
+        r.lid: r.rid_asof
+        for r in asof_join(
+            left, right, on=["key"], left_time="lt", right_time="rt",
+            right_values=["rid", "v"], tolerance="5 minutes",
+        ).collect()
+    }
+    # L2 (min 30) vs latest right R2 (min 20): 10 min gap > 5 min horizon
+    assert back["L1"] == "R1" and back["L2"] is None
+    fwd = {
+        r.lid: r.rid_asof
+        for r in asof_join(
+            left, right, on=["key"], left_time="lt", right_time="rt",
+            right_values=["rid", "v"], direction="forward",
+            tolerance="30 seconds",
+        ).collect()
+    }
+    # L3 (min 5) -> R3 (min 6): 60 s gap > 30 s horizon; L1 exact match stays
+    assert fwd["L1"] == "R1" and fwd["L3"] is None
+
+
+def test_tolerance_numeric_times(spark):
+    left = spark.createDataFrame(
+        [("L1", "k", 100.0), ("L2", "k", 200.0)],
+        "lid string, key string, lt double",
+    )
+    right = spark.createDataFrame(
+        [("R1", "k", 95.0, 1.0)], "rid string, key string, rt double, v double"
+    )
+    out = {
+        r.lid: r.rid_asof
+        for r in asof_join(
+            left, right, on=["key"], left_time="lt", right_time="rt",
+            right_values=["rid", "v"], tolerance=10.0,
+        ).collect()
+    }
+    assert out == {"L1": "R1", "L2": None}
