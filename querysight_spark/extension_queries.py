@@ -2621,3 +2621,83 @@ def ss11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_topk(
         vecs, _query_vec(spark, sf_dir), "label", k_per_group=3
     ).orderBy("label", "rk")
+
+
+@_q(
+    "rj02_interval_overlap",
+    """WITH a AS (SELECT event_id AS a_id, user_id, ts AS a_start,
+                         ts + INTERVAL 30 MINUTE AS a_end
+                  FROM events WHERE event_type = 'purchase'),
+         b AS (SELECT event_id AS b_id, user_id, ts AS b_start,
+                      ts + INTERVAL 30 MINUTE AS b_end
+               FROM events WHERE event_type = 'error')
+       SELECT a.user_id, a.a_id, b.b_id
+       FROM a JOIN b ON a.user_id = b.user_id
+        AND a.a_start <= b.b_end AND b.b_start <= a.a_end
+       ORDER BY a.a_id, b.b_id""",
+)
+def rj02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (purchase windows × error windows per user):
+    bucketized equi-join with the first-shared-bucket dedup — no
+    broadcast-nested-loop, no DISTINCT over candidate duplicates. The
+    oracle is the plain theta join."""
+    from querysight_spark.operators.rangejoin import interval_overlap_join
+
+    ev = load_table(spark, "events", sf_dir)
+    half_hour = F.expr("INTERVAL 30 MINUTES")
+    a = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("a_id"),
+        "user_id",
+        F.col("ts").alias("a_start"),
+        (F.col("ts") + half_hour).alias("a_end"),
+    )
+    b = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("b_id"),
+        "user_id",
+        F.col("ts").alias("b_start"),
+        (F.col("ts") + half_hour).alias("b_end"),
+    )
+    out = interval_overlap_join(
+        a, b, on=["user_id"], a_start="a_start", a_end="a_end",
+        b_start="b_start", b_end="b_end", bucket_width_s=3600,
+    )
+    return out.select("user_id", "a_id", "b_id").orderBy("a_id", "b_id")
+
+
+@_q(
+    "sk03_datasketches",
+    """SELECT COUNT(DISTINCT user_id) AS exact_users,
+              TRUE AS kll_within, TRUE AS hll_within, TRUE AS theta_within
+       FROM events""",
+)
+def sk03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches built-ins (Spark 3.5+/4.x) — the third sketch
+    surface after HLL++ (sk01/sk02's approx_count_distinct) and
+    percentile_approx: HllSketch and ThetaSketch distinct-user estimates
+    and a KLL quantile, each self-checked against the exact value in the
+    same query (sk01 pattern: exact columns + within-tolerance booleans
+    hashed; estimates themselves are engine-specific). Theta is the one
+    that matters operationally at 100 TB: its sketches support set
+    OPERATIONS (union/intersection/difference across partitioned
+    aggregations), which HLL++ cannot."""
+    ev = load_table(spark, "events", sf_dir)
+    agg = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("hll_u"),
+        F.theta_sketch_estimate(F.theta_sketch_agg("user_id")).alias("th_u"),
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("value"), F.lit(0.5)
+        ).alias("kll_p50"),
+        F.countDistinct("user_id").alias("eu"),
+        F.expr("percentile(value, 0.5)").alias("ep50"),
+    )
+    return agg.select(
+        F.col("eu").alias("exact_users"),
+        # KLL at default k: rank error ~1.3%; value-space check vs exact
+        # median within 5% of the exact value
+        (
+            F.abs(F.col("kll_p50") - F.col("ep50"))
+            <= 0.05 * F.abs(F.col("ep50"))
+        ).alias("kll_within"),
+        _sketch_ok("hll_u", "eu").alias("hll_within"),
+        _sketch_ok("th_u", "eu").alias("theta_within"),
+    )

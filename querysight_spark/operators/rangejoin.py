@@ -58,3 +58,53 @@ def range_join(
         t <= F.col(interval_end) if inclusive_end else t < F.col(interval_end)
     )
     return joined.where((t >= F.col(interval_start)) & end_ok).drop("_b")
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    on: list[str],
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bucket_width_s: int = 3600,
+) -> DataFrame:
+    """Interval×interval OVERLAP join (sessions vs incidents, downtime vs
+    deploys): pairs with ``a_start <= b_end AND b_start <= a_end``
+    (inclusive) per key. Same bucketize-then-equi-join strategy as
+    range_join, plus the FIRST-SHARED-BUCKET trick: a qualifying pair
+    shares every bucket in the overlap region, so the join keeps only
+    the bucket equal to ``greatest(bucket(a_start), bucket(b_start))`` —
+    exactly one surviving row per pair, no DISTINCT pass over the
+    candidate blowup. Output: all a columns + all b columns (names must
+    not collide apart from the keys)."""
+    on = list(on)
+    av = a.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                _bucket(F.col(a_start), bucket_width_s),
+                _bucket(F.col(a_end), bucket_width_s),
+            )
+        ),
+    )
+    bv = b.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                _bucket(F.col(b_start), bucket_width_s),
+                _bucket(F.col(b_end), bucket_width_s),
+            )
+        ),
+    )
+    joined = av.join(bv, on + ["_b"])
+    first_shared = F.greatest(
+        _bucket(F.col(a_start), bucket_width_s),
+        _bucket(F.col(b_start), bucket_width_s),
+    )
+    return joined.where(
+        (F.col("_b") == first_shared)
+        & (F.col(a_start) <= F.col(b_end))
+        & (F.col(b_start) <= F.col(a_end))
+    ).drop("_b")
