@@ -2479,7 +2479,8 @@ def ir05(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM deduped))
     SELECT split, COUNT(*) AS n_docs,
            CAST(SUM(n_words) AS BIGINT) AS total_tokens,
-           ROUND(AVG(quality_score), 6) AS avg_quality
+           ROUND(list_reduce(list(quality_score ORDER BY doc_id),
+                             (a, x) -> a + x) / COUNT(*), 6) AS avg_quality
     FROM split GROUP BY split ORDER BY split""",
 )
 def px01(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2509,12 +2510,27 @@ def px01(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") == F.col("keeper")
     )
     split = assign_split(deduped)
+    # ordered-fold mean, not AVG: plain double AVG is summation-order
+    # nondeterministic across engines/partitionings and the rounded value
+    # sits close enough to a tie boundary to flip (seen at sf0.001)
+    ordered_mean = F.round(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "quality_score"))),
+                lambda s: s["quality_score"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / F.count(F.lit(1)),
+        6,
+    )
     return (
         split.groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_words").alias("total_tokens"),
-            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+            ordered_mean.alias("avg_quality"),
         )
         .orderBy("split")
     )
