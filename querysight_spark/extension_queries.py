@@ -2717,3 +2717,38 @@ def sk03(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sketch_ok("hll_u", "eu").alias("hll_within"),
         _sketch_ok("th_u", "eu").alias("theta_within"),
     )
+
+
+@_q(
+    "ir06_bigram_lm",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    bi AS (SELECT doc_id, u AS bg FROM (
+             SELECT doc_id,
+                    UNNEST([words[i] || ' ' || words[i+1]
+                            for i in range(1, len(words))]) AS u
+             FROM w)),
+    doc_tf AS (SELECT doc_id, bg, COUNT(*) AS tf FROM bi GROUP BY doc_id, bg),
+    model AS (SELECT bg, COUNT(*) AS cnt FROM bi GROUP BY bg),
+    lft AS (SELECT string_split(bg, ' ')[1] AS w1, COUNT(*) AS lcnt
+            FROM bi GROUP BY 1),
+    contrib AS (
+      SELECT d.doc_id, d.bg, d.tf * ln(cnt / lcnt) AS contrib
+      FROM doc_tf d JOIN model USING (bg)
+      JOIN lft ON string_split(d.bg, ' ')[1] = lft.w1),
+    lp AS (SELECT doc_id,
+                  list_reduce(list(contrib ORDER BY bg), (a, x) -> a + x)
+                    AS lp_sum
+           FROM contrib GROUP BY doc_id),
+    lens AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents)
+    SELECT doc_id, dl AS n_tokens,
+           ROUND(lp_sum / (dl - 1), 6) AS mean_bigram_logprob
+    FROM lp JOIN lens USING (doc_id) ORDER BY doc_id""",
+)
+def ir06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional LM quality score — the contextual upgrade of
+    ir03's unigram score (the cheap stand-in for perplexity filters):
+    mean ln(c(w1 w2)/c_left(w1)) per transition."""
+    from querysight_spark.operators.search import bigram_lm_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bigram_lm_scores(docs).orderBy("doc_id")

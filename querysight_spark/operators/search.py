@@ -218,6 +218,62 @@ def tfidf_scores(
     )
 
 
+def bigram_lm_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc mean CONDITIONAL log-probability under the corpus bigram
+    model — one step closer to real perplexity filtering than the
+    unigram score: mean_lp(d) = (Σ_bigrams ln(c(w1 w2) / c_left(w1)))
+    / (n_tokens − 1), where c(w1 w2) is the corpus bigram count and
+    c_left(w1) counts w1 as a bigram left-context. Docs shorter than 2
+    tokens are excluded (no bigrams to condition on).
+
+    Same plan family as the unigram scorer: one bigram explode, a
+    vocab-sized groupBy for the model, an equi-join back, ordered-fold
+    sums. The bigram vocabulary is larger than the unigram one but still
+    ≪ corpus at scale; sharded by the groupBy like any shuffle."""
+    bi = F.expr(
+        f"transform(array(split(`{text_col}`, ' ')), w -> "
+        "CASE WHEN size(w) >= 2 THEN "
+        "transform(sequence(1, size(w) - 1), "
+        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) "
+        "ELSE array() END)[0]"
+    )
+    toks = df.select(F.col(id_col), F.explode(bi).alias("bg"))
+    doc_tf = toks.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("tf"))
+    model = toks.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    left = (
+        toks.select(F.split("bg", " ")[0].alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("lcnt"))
+    )
+    contrib = (
+        doc_tf.join(model, "bg")
+        .withColumn("w1", F.split("bg", " ")[0])
+        .join(left, "w1")
+        .withColumn(
+            "contrib", F.col("tf") * F.log(F.col("cnt") / F.col("lcnt"))
+        )
+    )
+    lens = _doc_lengths(df, id_col, text_col)
+    return (
+        contrib.groupBy(id_col)
+        .agg(
+            _fold_sum(F.collect_list(F.struct("bg", "contrib")), "contrib").alias(
+                "lp_sum"
+            )
+        )
+        .join(lens, id_col)
+        .select(
+            F.col(id_col),
+            F.col("dl").alias("n_tokens"),
+            F.round(F.col("lp_sum") / (F.col("dl") - F.lit(1)), 6).alias(
+                "mean_bigram_logprob"
+            ),
+        )
+    )
+
+
 def unigram_lm_scores(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -162,3 +162,25 @@ def test_bm25_differential_random_corpora(spark):
             for r in bm25_topk(df, terms, k=100).collect()
         }
         assert got == expect, f"seed {seed}"
+
+
+def test_bigram_lm_hand_value(spark):
+    from querysight_spark.operators.search import bigram_lm_scores
+
+    rows = [(1, "a b a b"), (2, "a b c")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in bigram_lm_scores(df).collect()}
+    # corpus bigrams: doc1: (a b)x2, (b a); doc2: (a b), (b c)
+    # c(a b)=3, c(b a)=1, c(b c)=1; left counts: a->3, b->2
+    lab = math.log(3 / 3)   # 0
+    lba = math.log(1 / 2)
+    lbc = math.log(1 / 2)
+    assert got[1].mean_bigram_logprob == pytest.approx(
+        (2 * lab + lba) / 3, abs=1e-6
+    )
+    assert got[2].mean_bigram_logprob == pytest.approx(
+        (lab + lbc) / 2, abs=1e-6
+    )
+    # single-token docs carry no bigrams and drop out
+    single = spark.createDataFrame([(9, "only")], ["doc_id", "text"])
+    assert bigram_lm_scores(single).count() == 0
