@@ -2752,3 +2752,92 @@ def ir06(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return bigram_lm_scores(docs).orderBy("doc_id")
+
+
+@_q(
+    "dd10_minhash_estimate_quality",
+    f"""WITH {_DOCS_NEAR_AUG_CTE}, {_DUCK_SHINGLES},
+    sig AS (
+      SELECT doc_id, j, MIN(md5(concat(CAST(j AS VARCHAR), ':', sh))) AS mh
+      FROM doc_sh CROSS JOIN (SELECT UNNEST(range(8)) AS j) hashes
+      GROUP BY doc_id, j
+    ),
+    sigl AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM sig GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, j // 2 AS band,
+             md5(string_agg(mh, '|' ORDER BY j)) AS key
+      FROM sig GROUP BY doc_id, j // 2
+    ),
+    capped AS (
+      SELECT b.* FROM bands b
+      JOIN (SELECT band, key FROM bands GROUP BY band, key
+            HAVING COUNT(*) <= 64) ok USING (band, key)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT p.doc_a, p.doc_b,
+             len([i for i in range(1, 9) if sa.sig[i] = sb.sig[i]]) / 8
+               AS est_j,
+             len(list_intersect(ha.shingles, hb.shingles)) AS inter,
+             len(ha.shingles) + len(hb.shingles)
+               - len(list_intersect(ha.shingles, hb.shingles)) AS uni
+      FROM pairs p
+      JOIN sigl sa ON sa.doc_id = p.doc_a
+      JOIN sigl sb ON sb.doc_id = p.doc_b
+      JOIN shingled ha ON ha.doc_id = p.doc_a
+      JOIN shingled hb ON hb.doc_id = p.doc_b
+    )
+    SELECT doc_a, doc_b, ROUND(est_j, 6) AS est_jaccard,
+           ROUND(inter / uni, 6) AS true_jaccard,
+           ROUND(abs(est_j - inter / uni), 6) AS abs_err
+    FROM est ORDER BY doc_a, doc_b""",
+)
+def dd10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator quality, oracle-EXACT (md5 signatures are
+    engine-portable): signature-agreement Jaccard estimate vs true
+    shingle Jaccard for every LSH candidate pair, with the absolute
+    error. The per-pair evidence that the banded pipeline's estimates
+    track truth — the measurement behind choosing num_hashes/bands."""
+    from querysight_spark.operators.dedup import minhash_jaccard_estimates
+
+    return minhash_jaccard_estimates(
+        _docs_near_aug(spark, sf_dir),
+        num_hashes=8,
+        shingle_size=3,
+        bands=4,
+        max_bucket_size=64,
+    ).orderBy("doc_a", "doc_b")
+
+
+@_q(
+    "ss12_batch_topk",
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id < 4),
+       vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       scored AS (
+         SELECT q.qid, vv.vec_id,
+                ROUND(list_dot_product(v, qv)
+                      / (sqrt(list_dot_product(v, v))
+                         * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+         FROM vv CROSS JOIN q)
+       SELECT qid, rk, vec_id, cosine FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY cosine DESC, vec_id) AS rk
+         FROM scored)
+       WHERE rk <= 3 ORDER BY qid, rk""",
+)
+def ss12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-query top-k (the search-serving shape): 4 query
+    vectors answered in ONE corpus pass — broadcast query batch,
+    map-side scoring, one window on the query id."""
+    from querysight_spark.operators.similarity import batch_topk
+
+    e = load_table(spark, "embeddings", sf_dir)
+    queries = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return batch_topk(e, queries, k=3).orderBy("qid", "rk")

@@ -746,3 +746,54 @@ def cluster_keep_best(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def minhash_jaccard_estimates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_size: int = 3,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Estimator-quality surface for the MinHash pipeline: for every LSH
+    candidate pair, the signature-agreement Jaccard ESTIMATE
+    (matching positions / num_hashes — the quantity MinHash exists to
+    approximate) next to the TRUE shingle Jaccard, plus the absolute
+    error. Everything is md5-deterministic, so the whole comparison is
+    oracle-exact, not merely self-checked.
+
+    Plan: candidate pairs from the banded index (never all pairs), one
+    signature join per side, and per-doc distinct-shingle ARRAYS joined
+    to the pairs — array_intersect beats a shingle-level join here
+    because the pair list is already small and shingle sets are bounded
+    by doc length."""
+    pairs = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, shingle_size, bands, max_bucket_size
+    )
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    sh = df.select(
+        F.col(id_col), _shingles(text_col, shingle_size).alias("shingles")
+    )
+    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
+    ha = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    hb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    j = pairs.join(sa, "doc_a").join(sb, "doc_b").join(ha, "doc_a").join(hb, "doc_b")
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.round(matches / F.lit(num_hashes), 6).alias("est_jaccard"),
+        F.round(inter / union, 6).alias("true_jaccard"),
+        F.round(
+            F.abs(matches / F.lit(num_hashes) - inter / union), 6
+        ).alias("abs_err"),
+    )

@@ -952,3 +952,44 @@ def grouped_topk(
         .where(F.col("rk") <= k_per_group)
         .select(group_col, "rk", id_col, "cosine")
     )
+
+
+def batch_topk(
+    vecs: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Batch multi-query exact top-k — the search-SERVING shape (a batch
+    of query vectors answered in one pass): broadcast the query batch,
+    score every (row, query) pair map-side, rank per query with one
+    window on the query id. One corpus scan regardless of batch size;
+    the shuffle is on qid, proportional to |batch| × |corpus| scored
+    rows reduced map-side by the rank pre-aggregation. Cosines use the
+    ordered-fold dot product, so results are oracle-exact."""
+    from pyspark.sql.window import Window
+
+    from querysight_spark.operators.vectors import as_double, dot, norm
+
+    v = vecs.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    q = queries.select(
+        F.col(qid_col).alias("_qid"), as_double(F.col(qvec_col)).alias("qv")
+    )
+    scored = v.crossJoin(F.broadcast(q)).select(
+        F.col("_qid").alias(qid_col),
+        F.col(id_col),
+        F.round(
+            dot(F.col("v"), F.col("qv"))
+            / (norm(F.col("v")) * norm(F.col("qv"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(qid_col, "rk", id_col, "cosine")
+    )

@@ -965,3 +965,38 @@ def test_filtered_and_grouped_topk(vecs, spark):
     # odd group: vec 1 (exact match); even group: vec 2 (near dup)
     assert best == {1: 1, 0: 2}
     assert all(r.rk == 1 for r in per)
+
+
+def test_minhash_estimate_quality(docs):
+    from querysight_spark.operators.dedup import minhash_jaccard_estimates
+
+    got = {
+        (r.doc_a, r.doc_b): r for r in minhash_jaccard_estimates(docs).collect()
+    }
+    # exact dup pair: estimate and truth both 1.0, zero error
+    assert got[(1, 2)].est_jaccard == 1.0
+    assert got[(1, 2)].true_jaccard == 1.0
+    assert got[(1, 2)].abs_err == 0.0
+    # every estimate is a multiple of 1/8 and error bounded by 1
+    for r in got.values():
+        assert abs(r.est_jaccard * 8 - round(r.est_jaccard * 8)) < 1e-9
+        assert 0.0 <= r.abs_err <= 1.0
+
+
+def test_batch_topk(vecs):
+    from querysight_spark.operators.similarity import batch_topk, brute_force_topk
+
+    queries = vecs.where(F.col("vec_id").isin([1, 3])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = batch_topk(vecs, queries, k=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append((r.rk, r.vec_id, r.cosine))
+    # each query's batch answer equals its single-query brute force
+    for qid, qvec in [(1, [1.0, 0.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0, 0.0])]:
+        single = [
+            (i + 1, r.vec_id, r.cosine)
+            for i, r in enumerate(brute_force_topk(vecs, qvec, k=2).collect())
+        ]
+        assert sorted(by_q[qid]) == sorted(single), qid
