@@ -2841,3 +2841,45 @@ def ss12(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     return batch_topk(e, queries, k=3).orderBy("qid", "rk")
+
+
+@_q(
+    "tx16_budgeted_mix",
+    """WITH toks AS (
+         SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+                CAST(list_sum([
+                  (strpos('0123456789abcdef',
+                          substr(md5(concat('mix', CAST(doc_id AS VARCHAR))),
+                                 i + 1, 1)) - 1)
+                  * CAST(pow(16, 7 - i) AS BIGINT)
+                  for i in range(8)]) AS BIGINT) % 10000 AS b
+         FROM documents),
+       totals AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS T
+                  FROM toks GROUP BY source),
+       cuts AS (
+         SELECT source,
+                LEAST(10000,
+                      (CAST(FLOOR(w * 3000) AS BIGINT) * 10000) // T) AS cut
+         FROM (SELECT source, T,
+                      CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+                           WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1 END AS w
+               FROM totals)
+         WHERE w IS NOT NULL)
+       SELECT t.doc_id, t.source, t.n_tokens
+       FROM toks t JOIN cuts c USING (source)
+       WHERE t.b < c.cut ORDER BY t.doc_id""",
+)
+def tx16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-planned corpus mix: 40/30/20/10 weights over four sources
+    capped at 3000 tokens total — sampling cuts derived from measured
+    per-source token totals in integer 1/10000 arithmetic, applied as
+    the deterministic md5 draw. Digit-for-digit portable."""
+    from querysight_spark.operators.textstats import budgeted_mix
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = budgeted_mix(
+        docs,
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        token_budget=3000,
+    )
+    return out.orderBy("doc_id")

@@ -502,3 +502,57 @@ def contamination_check(
         n_cont.alias("n_contaminated"),
         F.round(n_cont / F.col("n_shingles"), 6).alias("contamination_rate"),
     )
+
+
+def budgeted_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    salt: str = "mix",
+) -> DataFrame:
+    """PLANNED corpus mixing: given per-source weights and a total token
+    budget, derive each source's sampling rate from its MEASURED token
+    total (cut = min(1, weight·budget / tokens_s), in integer 1/10000
+    arithmetic), then apply the deterministic md5-bucket draw. The
+    planning step ``interleave_corpora`` leaves to the caller — here the
+    rates come from the corpus statistics, which is how real training
+    mixes are specified ("60/30/10 capped at N tokens"), and stay
+    deterministic end to end (floor arithmetic, no rand()). Sources
+    absent from ``weights`` are dropped. One stats aggregate + one
+    broadcast join; map-side filter does the sampling."""
+    toks = df.withColumn("_tk", F.size(F.split(F.col(text_col), " ")))
+    totals = toks.groupBy(source_col).agg(F.sum("_tk").alias("_T"))
+    pairs: list = []
+    for k, v in sorted(weights.items()):
+        pairs += [F.lit(k), F.lit(float(v))]
+    wmap = F.create_map(*pairs)
+    cuts = (
+        totals.withColumn("_w", wmap[F.col(source_col)])
+        .where(F.col("_w").isNotNull())
+        .withColumn(
+            "_target", F.floor(F.col("_w") * F.lit(int(token_budget))).cast("long")
+        )
+        .withColumn(
+            "_cut",
+            F.least(F.lit(10000).cast("long"), F.expr("(_target * 10000) div _T")),
+        )
+        .select(source_col, "_cut")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    return (
+        toks.join(F.broadcast(cuts), source_col)
+        .where(bucket < F.col("_cut"))
+        .select(F.col(id_col), F.col(source_col), F.col("_tk").alias("n_tokens"))
+    )

@@ -1000,3 +1000,25 @@ def test_batch_topk(vecs):
             for i, r in enumerate(brute_force_topk(vecs, qvec, k=2).collect())
         ]
         assert sorted(by_q[qid]) == sorted(single), qid
+
+
+def test_budgeted_mix(spark):
+    from querysight_spark.operators.textstats import budgeted_mix
+
+    rows = [(i, " ".join(["w"] * 10), "a" if i < 50 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    # each source holds 500 tokens; budget 500 at 80/20 -> cuts 8000/2000
+    out = budgeted_mix(df, {"a": 0.8, "b": 0.2}, token_budget=500)
+    got = out.collect()
+    by_src = {}
+    for r in got:
+        by_src[r.source] = by_src.get(r.source, 0) + r.n_tokens
+    # md5 buckets approximate the cuts: a~400 tokens, b~100
+    assert 250 <= by_src["a"] <= 500 and 30 <= by_src["b"] <= 200
+    # weight above capacity clamps to keep-everything
+    all_a = budgeted_mix(df, {"a": 1.0}, token_budget=10_000)
+    assert all_a.count() == 50
+    # unweighted sources are dropped entirely
+    assert {r.source for r in got} == {"a", "b"}
+    only_b = budgeted_mix(df, {"b": 1.0}, token_budget=10)
+    assert {r.source for r in only_b.collect()} <= {"b"}
