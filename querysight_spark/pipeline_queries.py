@@ -945,3 +945,52 @@ def ql27(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+_ORACLES["ql28_run_diff"] = _WITH_QL + """,
+    a AS (SELECT normalized_query, COUNT(*) AS freq,
+                 ROUND(SUM(query_duration_ms), 2) / COUNT(*) AS avg_ms
+          FROM query_log WHERE day(query_start_time) % 2 = 0
+          GROUP BY normalized_query),
+    b AS (SELECT normalized_query, COUNT(*) AS freq,
+                 ROUND(SUM(query_duration_ms), 2) / COUNT(*) AS avg_ms
+          FROM query_log WHERE day(query_start_time) % 2 = 1
+          GROUP BY normalized_query)
+    SELECT COALESCE(a.normalized_query, b.normalized_query) AS normalized_query,
+           a.freq AS freq_a, b.freq AS freq_b,
+           ROUND(a.avg_ms, 2) AS avg_a, ROUND(b.avg_ms, 2) AS avg_b,
+           CASE WHEN a.normalized_query IS NULL THEN 'new'
+                WHEN b.normalized_query IS NULL THEN 'gone'
+                WHEN b.avg_ms > a.avg_ms * 1.2 THEN 'slower'
+                WHEN b.avg_ms * 1.2 < a.avg_ms THEN 'faster'
+                ELSE 'stable' END AS status
+    FROM a FULL OUTER JOIN b ON a.normalized_query = b.normalized_query
+    ORDER BY normalized_query"""
+
+
+@_q("ql28_run_diff")
+def ql28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-over-run regression report: the query log split into two runs
+    (even vs odd days — a deterministic stand-in for last-week/this-week
+    windows), patterns aggregated per run and full-outer diffed with
+    new/gone/slower/faster/stable classification at a 1.2x avg-duration
+    ratio. The feature a reference user reaches for right after the
+    pattern table exists; classification happens on the unrounded
+    averages exactly as in the oracle."""
+    from querysight_spark.plans.report import compare_runs
+
+    log = build_query_log(spark, sf_dir)
+
+    def _run(parity: int) -> DataFrame:
+        return (
+            log.where(F.dayofmonth("query_start_time") % 2 == parity)
+            .groupBy("normalized_query")
+            .agg(
+                F.count(F.lit(1)).alias("frequency"),
+                (F.round(F.sum("query_duration_ms"), 2) / F.count(F.lit(1))).alias(
+                    "avg_ms"
+                ),
+            )
+        )
+
+    return compare_runs(_run(0), _run(1)).orderBy("normalized_query")

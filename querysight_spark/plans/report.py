@@ -155,3 +155,46 @@ def to_junction_tables(patterns: DataFrame) -> dict[str, DataFrame]:
             "pattern_id", F.explode("dbt_models_used").alias("model_name")
         )
     return out
+
+
+def compare_runs(
+    a: DataFrame,
+    b: DataFrame,
+    key: str = "normalized_query",
+    freq_col: str = "frequency",
+    avg_col: str = "avg_ms",
+    slow_ratio: float = 1.2,
+) -> DataFrame:
+    """Run-over-run pattern diff — the "what regressed since last week"
+    report the reference's users ask of its pattern tables: a FULL OUTER
+    join of two aggregated runs on the pattern key, classifying each
+    pattern as new / gone / slower / faster / stable by the avg-duration
+    ratio. One shuffle on the pattern key; both inputs are
+    pattern-cardinality relations, far smaller than the logs they
+    summarize."""
+    fa = a.select(
+        F.col(key),
+        F.col(freq_col).alias("freq_a"),
+        F.col(avg_col).alias("_avg_a"),
+    )
+    fb = b.select(
+        F.col(key),
+        F.col(freq_col).alias("freq_b"),
+        F.col(avg_col).alias("_avg_b"),
+    )
+    j = fa.join(fb, key, "full_outer")
+    status = (
+        F.when(F.col("freq_a").isNull(), "new")
+        .when(F.col("freq_b").isNull(), "gone")
+        .when(F.col("_avg_b") > F.col("_avg_a") * F.lit(slow_ratio), "slower")
+        .when(F.col("_avg_b") * F.lit(slow_ratio) < F.col("_avg_a"), "faster")
+        .otherwise("stable")
+    )
+    return j.select(
+        F.col(key),
+        "freq_a",
+        "freq_b",
+        F.round("_avg_a", 2).alias("avg_a"),
+        F.round("_avg_b", 2).alias("avg_b"),
+        status.alias("status"),
+    )
