@@ -2883,3 +2883,121 @@ def tx16(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_budget=3000,
     )
     return out.orderBy("doc_id")
+
+
+# --- time series (resample / gap-fill / smoothing / anomalies) --------------
+
+
+@_q(
+    "ts01_gap_fill",
+    """WITH hourly AS (
+         SELECT user_id, date_trunc('hour', ts) AS hour,
+                COUNT(*) AS n_events, SUM(value) AS sum_value
+         FROM events WHERE user_id % 5 = 0
+         GROUP BY 1, 2),
+       span AS (
+         SELECT user_id, MIN(hour) AS lo, MAX(hour) AS hi
+         FROM hourly GROUP BY user_id),
+       grid AS (
+         SELECT user_id,
+                UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+         FROM span),
+       j AS (
+         SELECT g.user_id, g.hour, h.n_events, h.sum_value
+         FROM grid g LEFT JOIN hourly h
+           ON g.user_id = h.user_id AND g.hour = h.hour)
+       SELECT user_id, hour,
+              COALESCE(n_events, 0) AS n_events,
+              ROUND(LAST_VALUE(sum_value IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY hour
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                6) AS sum_value_ff,
+              sum_value IS NULL AS filled
+       FROM j ORDER BY user_id, hour""",
+)
+def ts01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample + per-key gap-fill with forward fill (last
+    observation carried forward). The grid is sequence()+explode off a
+    per-key min/max agg — span-hours x keys rows however large the input;
+    the fill is one window pass per key. Keyed to user_id % 5 to bound
+    the gate's compare size."""
+    from querysight_spark.operators.timeseries import (
+        gap_fill_forward,
+        resample_hourly,
+    )
+
+    ev = load_table(spark, "events", sf_dir).where(F.col("user_id") % 5 == 0)
+    out = gap_fill_forward(resample_hourly(ev))
+    return out.select(
+        "user_id",
+        "hour",
+        "n_events",
+        F.round("sum_value_ff", 6).alias("sum_value_ff"),
+        "filled",
+    ).orderBy("user_id", "hour")
+
+
+@_q(
+    "ts02_weighted_ma",
+    """WITH o AS (
+         SELECT user_id, ts, event_id, value,
+                LAG(value, 1) OVER w AS l1,
+                LAG(value, 2) OVER w AS l2,
+                LAG(value, 3) OVER w AS l3
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT user_id, ts, event_id, value,
+              ROUND(
+                (0.4 * value
+                 + CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.3 * l1 END
+                 + CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.2 * l2 END
+                 + CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.1 * l3 END)
+                /
+                (0.4
+                 + CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.3 END
+                 + CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.2 END
+                 + CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.1 END),
+                6) AS wma
+       FROM o ORDER BY user_id, ts, event_id""",
+)
+def ts02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-tap FIR weighted moving average per user (EWMA-shaped weights
+    0.4/0.3/0.2/0.1), normalized by the weight mass present so early
+    rows are unbiased. A lag()-tap bank in ONE window pass — no
+    self-join, no weight-table shuffle."""
+    from querysight_spark.operators.timeseries import weighted_moving_average
+
+    ev = load_table(spark, "events", sf_dir)
+    out = weighted_moving_average(ev, [0.4, 0.3, 0.2, 0.1])
+    return out.select(
+        "user_id", "ts", "event_id", "value", F.round("wma", 6).alias("wma")
+    ).orderBy("user_id", "ts", "event_id")
+
+
+@_q(
+    "an01_trailing_anomalies",
+    """WITH s AS (
+         SELECT user_id, ts, event_id, value,
+                ROUND(AVG(value) OVER w, 6) AS trailing_mean,
+                ROUND(STDDEV_SAMP(value) OVER w, 6) AS trailing_std,
+                COUNT(value) OVER w AS n_history,
+                ROUND((value - AVG(value) OVER w)
+                      / STDDEV_SAMP(value) OVER w, 6) AS zscore
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+       SELECT * FROM s
+       WHERE n_history >= 5 AND trailing_std > 0 AND ABS(zscore) > 3
+       ORDER BY user_id, ts, event_id""",
+)
+def an01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: flag rows > 3 sample stddevs
+    from the mean of the previous 20 same-key rows (row excluded — a
+    spike cannot mask itself; < 5 rows of history never flags). The ROWS
+    frame bounds per-task state at 20 rows regardless of key size."""
+    from querysight_spark.operators.timeseries import trailing_anomalies
+
+    ev = load_table(spark, "events", sf_dir)
+    return trailing_anomalies(
+        ev, lookback=20, z_threshold=3.0, min_history=5
+    ).orderBy("user_id", "ts", "event_id")

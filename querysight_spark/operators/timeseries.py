@@ -1,0 +1,157 @@
+"""Time-series operators: resample + gap-fill, weighted moving averages,
+trailing-window anomaly detection.
+
+The reference has no time-series layer (its only time handling is the B2
+time-range predicate, /root/reference/utils/data_acquisition.py:86-99);
+these are the ops a metrics/feature pipeline needs once events become
+training signals — regular grids for sequence models, smoothed features,
+outlier rows dropped before aggregation.
+
+Scale notes (100 TB):
+- The hourly grid is generated per key with ``sequence()`` + ``explode`` —
+  map-side, no shuffle beyond the per-key agg that precedes it; grid size
+  is (span-hours × keys), never (rows).
+- Forward-fill and the trailing-window stats are single ``Window.partitionBy
+  (key).orderBy(time)`` passes — one shuffle on the key, each partition
+  streamed in time order (Spark's window operator sorts within partitions;
+  with a range-partitioned/bucketed layout on the key the exchange
+  disappears entirely, see sources/layout.py).
+- The WMA uses a fixed bank of ``lag()`` taps instead of a join against a
+  weight table: k extra columns per row, zero extra shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_hourly(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key hourly buckets: (key, hour, n_events, sum_value). The base
+    aggregation every grid/fill below builds on. One partial+final hash agg."""
+    return events.groupBy(
+        key_col, F.date_trunc("hour", F.col(ts_col)).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value_col).alias("sum_value"),
+    )
+
+
+def gap_fill_forward(
+    hourly: DataFrame,
+    key_col: str = "user_id",
+    hour_col: str = "hour",
+) -> DataFrame:
+    """Complete each key's hourly grid from its own min to max hour and
+    forward-fill the value columns over the gaps.
+
+    Missing hours appear with ``n_events = 0`` and ``sum_value`` carried
+    forward from the last observed hour (classic last-observation-carried-
+    forward resampling). The grid is built with ``sequence(min, max,
+    1 hour)`` + ``explode`` off a per-key min/max agg — its size is
+    span-hours × keys regardless of the input row count, and the fill is
+    one window pass ordered by hour within each key."""
+    span = hourly.groupBy(key_col).agg(
+        F.min(hour_col).alias("_lo"), F.max(hour_col).alias("_hi")
+    )
+    grid = span.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr("interval 1 hour"))
+        ).alias(hour_col),
+    )
+    joined = grid.join(hourly, on=[key_col, hour_col], how="left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(hour_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key_col,
+        hour_col,
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_ff"),
+        F.col("sum_value").isNull().alias("filled"),
+    )
+
+
+def weighted_moving_average(
+    events: DataFrame,
+    weights: list[float],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+) -> DataFrame:
+    """Finite-impulse-response smoothing: wma_t = Σ_k weights[k] · x_{t-k},
+    normalized by the weight mass actually available (so the first rows of
+    each key are averages of what exists, not biased low).
+
+    ``weights[0]`` multiplies the current row. Implemented as a bank of
+    ``lag()`` taps in ONE window pass — no self-join, no weight-table
+    shuffle; an EWMA is the ``weights=[a*(1-a)**k ...]`` special case
+    truncated at len(weights) taps."""
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    x = F.col(value_col)
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k, wk in enumerate(weights):
+        tap = x if k == 0 else F.lag(x, k).over(w)
+        num = num + F.when(tap.isNotNull(), F.lit(wk) * tap).otherwise(F.lit(0.0))
+        den = den + F.when(tap.isNotNull(), F.lit(wk)).otherwise(F.lit(0.0))
+    return events.select(
+        key_col,
+        *[c for c in order_cols if c != key_col],
+        x.alias(value_col),
+        (num / den).alias("wma"),
+    )
+
+
+def trailing_anomalies(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+    lookback: int = 20,
+    z_threshold: float = 3.0,
+    min_history: int = 5,
+) -> DataFrame:
+    """Flag rows whose value deviates > ``z_threshold`` sample standard
+    deviations from the mean of the previous ``lookback`` rows of the same
+    key (the row itself excluded, so a spike can't mask itself).
+
+    Rows with fewer than ``min_history`` prior observations are never
+    flagged (the trailing std is meaningless at n=2). One window pass per
+    key; the ROWS frame keeps state bounded at ``lookback`` rows per task
+    regardless of key size."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-lookback, -1)
+    )
+    x = F.col(value_col)
+    mean = F.avg(x).over(w)
+    std = F.stddev_samp(x).over(w)
+    nhist = F.count(x).over(w)
+    z = (x - mean) / std
+    return (
+        events.select(
+            key_col,
+            *[c for c in order_cols if c != key_col],
+            x.alias(value_col),
+            F.round(mean, 6).alias("trailing_mean"),
+            F.round(std, 6).alias("trailing_std"),
+            nhist.alias("n_history"),
+            F.round(z, 6).alias("zscore"),
+        )
+        .where(
+            (F.col("n_history") >= min_history)
+            & (F.col("trailing_std") > 0)
+            & (F.abs(F.col("zscore")) > z_threshold)
+        )
+    )

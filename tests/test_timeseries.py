@@ -1,0 +1,99 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from querysight_spark.operators.timeseries import (
+    gap_fill_forward,
+    resample_hourly,
+    trailing_anomalies,
+    weighted_moving_average,
+)
+
+
+def _h(hour: int, minute: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, hour, minute)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+
+
+def test_gap_fill_inserts_missing_hours_and_carries_value(spark):
+    ev = _events(
+        spark,
+        [
+            (1, _h(0, 10), 7, 10.0),
+            (2, _h(0, 40), 7, 5.0),
+            # hours 1 and 2 missing entirely for user 7
+            (3, _h(3, 5), 7, 2.0),
+            (4, _h(1, 0), 8, 1.0),  # single-hour user: no gaps
+        ],
+    )
+    out = gap_fill_forward(resample_hourly(ev)).orderBy("user_id", "hour")
+    rows = [r.asDict() for r in out.collect()]
+    u7 = [r for r in rows if r["user_id"] == 7]
+    assert [r["hour"].hour for r in u7] == [0, 1, 2, 3]
+    assert [r["n_events"] for r in u7] == [2, 0, 0, 1]
+    # gaps carry the last observed sum forward and are marked filled
+    assert [r["sum_value_ff"] for r in u7] == [15.0, 15.0, 15.0, 2.0]
+    assert [r["filled"] for r in u7] == [False, True, True, False]
+    u8 = [r for r in rows if r["user_id"] == 8]
+    assert len(u8) == 1 and u8[0]["filled"] is False
+
+
+def test_wma_normalizes_partial_history(spark):
+    ev = _events(
+        spark,
+        [(i, _h(0, i), 1, float(v)) for i, v in enumerate([10, 20, 30, 40, 50])],
+    )
+    out = (
+        weighted_moving_average(ev, [0.4, 0.3, 0.2, 0.1])
+        .orderBy("event_id")
+        .collect()
+    )
+    # first row: only the current tap exists -> wma == value exactly
+    assert abs(out[0]["wma"] - 10.0) < 1e-12
+    # second row: (0.4*20 + 0.3*10) / 0.7
+    assert abs(out[1]["wma"] - (0.4 * 20 + 0.3 * 10) / 0.7) < 1e-12
+    # steady state: full 4-tap window, weights sum to 1
+    expect = 0.4 * 50 + 0.3 * 40 + 0.2 * 30 + 0.1 * 20
+    assert abs(out[4]["wma"] - expect) < 1e-12
+
+
+def test_trailing_anomaly_flags_spike_not_itself_masked(spark):
+    base = [(i, _h(0, i), 1, 10.0 + (i % 3)) for i in range(10)]
+    spike = [(99, _h(1, 0), 1, 500.0)]
+    after = [(100, _h(1, 1), 1, 11.0)]
+    ev = _events(spark, base + spike + after)
+    out = trailing_anomalies(ev, lookback=20, z_threshold=3.0, min_history=5)
+    flagged = [r["event_id"] for r in out.collect()]
+    # the spike is flagged against the stable history...
+    assert flagged == [99]
+    # ...and a normal row right after is NOT flagged even though the spike
+    # inflated the trailing std (it raises the std, never lowers |z| past 3)
+
+
+def test_trailing_anomaly_needs_history(spark):
+    # 3 wild rows then a spike: n_history < 5 at the spike -> never flagged
+    ev = _events(
+        spark,
+        [(0, _h(0, 0), 1, 1.0), (1, _h(0, 1), 1, 2.0), (2, _h(0, 2), 1, 1.5),
+         (3, _h(0, 3), 1, 900.0)],
+    )
+    assert trailing_anomalies(ev).count() == 0
+
+
+def test_gap_fill_grid_is_spanwise_not_rowwise(spark):
+    # 2 events 100 hours apart -> grid has 101 rows, 99 filled
+    ev = _events(
+        spark,
+        [(1, dt.datetime(2024, 1, 1, 0), 1, 1.0),
+         (2, dt.datetime(2024, 1, 5, 4), 1, 2.0)],
+    )
+    out = gap_fill_forward(resample_hourly(ev))
+    assert out.count() == 101
+    assert out.where(F.col("filled")).count() == 99
