@@ -3001,3 +3001,74 @@ def an01(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trailing_anomalies(
         ev, lookback=20, z_threshold=3.0, min_history=5
     ).orderBy("user_id", "ts", "event_id")
+
+
+# --- record linkage (blocked fuzzy matching) --------------------------------
+
+
+@_q(
+    "lk01_blocked_fuzzy_join",
+    """WITH t AS (
+         SELECT p_partkey AS id, p_name AS name,
+                split_part(p_name, ' ', 2) AS blk
+         FROM part WHERE p_partkey % 7 = 0)
+       SELECT a.id AS id_a, b.id AS id_b,
+              a.name AS name_a, b.name AS name_b, a.blk AS blk,
+              levenshtein(a.name, b.name) AS distance
+       FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
+       WHERE levenshtein(a.name, b.name) <= 2
+       ORDER BY id_a, id_b""",
+)
+def lk01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked fuzzy join: candidate pairs share a
+    block key (the part name's noun token) and match within levenshtein
+    distance 2. Blocking turns the O(n^2) all-pairs comparison into one
+    equi-join on the block key (sum of block^2 work); the skew guard for
+    oversized blocks is exercised in pytest."""
+    from querysight_spark.operators.linkage import blocked_fuzzy_pairs
+
+    part = load_table(spark, "part", sf_dir).where(F.col("p_partkey") % 7 == 0)
+    return blocked_fuzzy_pairs(
+        part,
+        id_col="p_partkey",
+        text_col="p_name",
+        block_expr=F.split(F.col("p_name"), " ").getItem(1),
+        max_distance=2,
+    ).orderBy("id_a", "id_b")
+
+
+@_q(
+    "lk02_linkage_summary",
+    """WITH t AS (
+         SELECT p_partkey AS id, p_name AS name,
+                split_part(p_name, ' ', 2) AS blk
+         FROM part),
+       pairs AS (
+         SELECT a.id AS id_a, a.blk AS blk,
+                levenshtein(a.name, b.name) AS distance
+         FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
+         WHERE levenshtein(a.name, b.name) <= 1)
+       SELECT blk, COUNT(*) AS n_matches,
+              MIN(distance) AS min_distance,
+              MAX(distance) AS max_distance,
+              COUNT(DISTINCT id_a) AS n_left_entities
+       FROM pairs GROUP BY blk ORDER BY blk""",
+)
+def lk02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block linkage quality surface over the FULL part table at a
+    tight threshold (distance <= 1): match counts and distance spread per
+    block — the monitoring signal for whether a block key is too coarse."""
+    from querysight_spark.operators.linkage import (
+        blocked_fuzzy_pairs,
+        linkage_summary,
+    )
+
+    part = load_table(spark, "part", sf_dir)
+    pairs = blocked_fuzzy_pairs(
+        part,
+        id_col="p_partkey",
+        text_col="p_name",
+        block_expr=F.split(F.col("p_name"), " ").getItem(1),
+        max_distance=1,
+    )
+    return linkage_summary(pairs).orderBy("blk")
