@@ -3072,3 +3072,87 @@ def lk02(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_distance=1,
     )
     return linkage_summary(pairs).orderBy("blk")
+
+
+# --- graph (iterative PageRank) ---------------------------------------------
+
+
+@_q(
+    "gr01_pagerank",
+    """WITH e0 AS (
+         SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       edges AS (
+         SELECT 'c' || CAST(c AS VARCHAR) AS src,
+                's' || CAST(s AS VARCHAR) AS dst FROM e0
+         UNION ALL
+         SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR) FROM e0),
+       deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+       pr0 AS (SELECT src AS node,
+                      CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr
+               FROM deg),
+       pr1 AS (
+         SELECT e.dst AS node,
+                CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                + CAST(0.85 AS DOUBLE) * SUM(p.pr / d.deg) AS pr
+         FROM edges e
+         JOIN pr0 p ON e.src = p.node
+         JOIN deg d ON e.src = d.src
+         GROUP BY e.dst),
+       pr2 AS (
+         SELECT e.dst AS node,
+                CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                + CAST(0.85 AS DOUBLE) * SUM(p.pr / d.deg) AS pr
+         FROM edges e
+         JOIN pr1 p ON e.src = p.node
+         JOIN deg d ON e.src = d.src
+         GROUP BY e.dst),
+       pr3 AS (
+         SELECT e.dst AS node,
+                CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                + CAST(0.85 AS DOUBLE) * SUM(p.pr / d.deg) AS pr
+         FROM edges e
+         JOIN pr2 p ON e.src = p.node
+         JOIN deg d ON e.src = d.src
+         GROUP BY e.dst),
+       pr4 AS (
+         SELECT e.dst AS node,
+                CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                + CAST(0.85 AS DOUBLE) * SUM(p.pr / d.deg) AS pr
+         FROM edges e
+         JOIN pr3 p ON e.src = p.node
+         JOIN deg d ON e.src = d.src
+         GROUP BY e.dst),
+       pr5 AS (
+         SELECT e.dst AS node,
+                CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                + CAST(0.85 AS DOUBLE) * SUM(p.pr / d.deg) AS pr
+         FROM edges e
+         JOIN pr4 p ON e.src = p.node
+         JOIN deg d ON e.src = d.src
+         GROUP BY e.dst)
+       SELECT node, ROUND(pr, 6) AS pagerank
+       FROM pr5 ORDER BY node""",
+)
+def gr01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-iteration damped PageRank over the symmetrized bipartite
+    customer-supplier trade graph (distinct (custkey, suppkey) pairs from
+    orders x lineitem). Oracle = the same power iteration unrolled into 5
+    chained CTEs. Each Spark iteration is one co-partitioned join + hash
+    agg with lineage capped by eager persist (operators/graph.py)."""
+    from querysight_spark.operators.graph import pagerank, symmetrize
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    out = pagerank(symmetrize(e0), iterations=5, damping=0.85)
+    return out.select(
+        "node", F.round("pr", 6).alias("pagerank")
+    ).orderBy("node")
