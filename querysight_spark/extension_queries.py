@@ -3156,3 +3156,42 @@ def gr01(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "node", F.round("pr", 6).alias("pagerank")
     ).orderBy("node")
+
+
+@_q(
+    "tx17_model_quality_filter",
+    r"""WITH f AS (
+         SELECT doc_id,
+                length(text) AS n_chars,
+                len(string_split(text, ' ')) AS n_words,
+                len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                len([w for w in string_split(text, ' ')
+                     if w IN ('the','a','of','and','to','in','is','that','it','for')]) AS n_stop
+         FROM documents),
+       r AS (
+         SELECT doc_id, n_words,
+                ROUND(n_punct / GREATEST(n_chars, 1), 6) AS punct_ratio,
+                ROUND(n_stop / GREATEST(n_words, 1), 6) AS stopword_ratio,
+                ROUND((n_chars - (n_words - 1)) / GREATEST(n_words, 1), 6) AS avg_word_len
+         FROM f),
+       z AS (
+         SELECT doc_id,
+                ROUND(-1.0 + 2.0 * LEAST(n_words / 100.0, 1.0)
+                      + -8.0 * punct_ratio
+                      + 3.0 * stopword_ratio
+                      + 1.0 * (avg_word_len / 10.0), 7) AS logit
+         FROM r)
+       SELECT doc_id, logit,
+              ROUND(1.0 / (1.0 + exp(-logit)), 6) AS model_score,
+              ROUND(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS keep
+       FROM z ORDER BY doc_id""",
+)
+def tx17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic quality scorer (fixed published weights) over the tx02
+    feature set: logit -> sigmoid -> keep verdict. The model-based
+    counterpart of the heuristic quality_score, built on the rounded
+    features so the score is engine-portable."""
+    from querysight_spark.operators.textstats import model_quality_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    return model_quality_filter(docs).orderBy("doc_id")

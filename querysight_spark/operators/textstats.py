@@ -556,3 +556,46 @@ def budgeted_mix(
         .where(bucket < F.col("_cut"))
         .select(F.col(id_col), F.col(source_col), F.col("_tk").alias("n_tokens"))
     )
+
+
+def model_quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bias: float = -1.0,
+    w_length: float = 2.0,
+    w_punct: float = -8.0,
+    w_stopword: float = 3.0,
+    w_word_len: float = 1.0,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Model-based quality filtering: a fixed logistic scorer over the
+    ``quality_scores`` features (the fasttext-classifier stage of a
+    training-data pipeline, with published weights instead of a learned
+    binary — the Spark-side plumbing is identical: per-doc features ->
+    linear logit -> sigmoid -> threshold).
+
+    The logit is built from the ROUNDED feature columns so the score is
+    reproducible digit-for-digit anywhere the features are. Map-only: no
+    shuffle, whole-stage-codegen arithmetic, the filter verdict is a
+    column (``keep``) so downstream stages choose drop vs route."""
+    feats = quality_scores(df, id_col=id_col, text_col=text_col)
+    f_len = F.least(F.col("n_words") / 100.0, F.lit(1.0))
+    z = F.round(
+        F.lit(bias)
+        + F.lit(w_length) * f_len
+        + F.lit(w_punct) * F.col("punct_ratio")
+        + F.lit(w_stopword) * F.col("stopword_ratio")
+        + F.lit(w_word_len) * (F.col("avg_word_len") / 10.0),
+        # 7, not 6: the weighted sum of 6-decimal features (one divided by
+        # 10) has exactly 7 decimals, so a 6-digit round sits on the tie
+        # boundary where engines' rounding disagrees; 7 recovers it exactly
+        7,
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return feats.select(
+        id_col,
+        z.alias("logit"),
+        score.alias("model_score"),
+        (score >= F.lit(threshold)).alias("keep"),
+    )
