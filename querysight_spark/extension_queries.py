@@ -3195,3 +3195,38 @@ def tx17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return model_quality_filter(docs).orderBy("doc_id")
+
+
+def st08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the streaming query log joined
+    per-micro-batch against two STATIC broadcast dims (customer ->
+    nation), then aggregated to a nation-level rollup. The static side is
+    planned as a broadcast hash join inside every micro-batch — the
+    standard dimension-enrichment shape for event streams (no state
+    store, no watermark: static joins are stateless)."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name"
+    )
+    log = _stream_events_log(spark, sf_dir)
+    enriched = log.join(
+        F.broadcast(cust), log["user_id"] == cust["c_custkey"]
+    ).join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    agg = enriched.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("query_duration_ms"), 2).alias("total_ms"),
+    )
+    return _run_available_now(agg, spark, "complete").orderBy("n_name")
+
+
+EXTENSION_QUERIES["st08_stream_static_join"] = (
+    st08,
+    """SELECT n.n_name, COUNT(*) AS n_events,
+              ROUND(SUM(e.value * 20), 2) AS total_ms
+       FROM events e
+       JOIN customer c ON e.user_id = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       GROUP BY n.n_name ORDER BY n.n_name""",
+)

@@ -679,3 +679,26 @@ _p(
        FROM (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders)
        GROUP BY 1 ORDER BY 1""",
 )
+_p(
+    "p64_gaps_islands",
+    """WITH s AS (
+         SELECT user_id, event_type, ts, event_id,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)
+                - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS grp
+         FROM events WHERE user_id < 30)
+       SELECT user_id, event_type, grp, COUNT(*) AS run_len,
+              MIN(ts) AS run_start, MAX(ts) AS run_end
+       FROM s GROUP BY user_id, event_type, grp
+       ORDER BY user_id, run_start, event_type""",
+)
+_p(
+    "p65_missing_key_ranges",
+    """WITH s AS (
+         SELECT o_orderkey AS k,
+                LEAD(o_orderkey) OVER (ORDER BY o_orderkey) AS nk
+         FROM orders WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0)
+       SELECT k + 1 AS gap_start, nk - 1 AS gap_end, nk - k - 1 AS gap_len
+       FROM s WHERE nk - k > 1 ORDER BY gap_start LIMIT 1000""",
+)
