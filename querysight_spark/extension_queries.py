@@ -3230,3 +3230,43 @@ EXTENSION_QUERIES["st08_stream_static_join"] = (
        JOIN nation n ON c.c_nationkey = n.n_nationkey
        GROUP BY n.n_name ORDER BY n.n_name""",
 )
+
+
+@_q(
+    "mm05_audio_frame_energy",
+    """WITH aud AS (
+         SELECT doc_id, 500 + doc_id % 300 AS ns
+         FROM documents WHERE doc_id % 2 = 1),
+       fr AS (
+         SELECT doc_id, ns, UNNEST(range(0, (ns + 159) // 160)) AS f
+         FROM aud),
+       smp AS (
+         SELECT doc_id, f,
+                [((doc_id * 131 + 17 * i) % 2048) - 1024
+                 for i in range(f * 160, LEAST((f + 1) * 160, ns))] AS v
+         FROM fr)
+       SELECT concat('asset-', CAST(doc_id AS VARCHAR)) AS asset_id,
+              f AS frame_idx,
+              len(v) AS n_samples,
+              CAST(list_sum([x * x for x in v]) AS BIGINT) AS energy,
+              CAST(list_max([abs(x) for x in v]) AS BIGINT) AS peak_abs,
+              CAST(list_sum([x * x for x in v]) AS BIGINT) / len(v)
+                >= 350000.0 AS active
+       FROM smp ORDER BY asset_id, frame_idx""",
+)
+def mm05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level energy/VAD over REAL WAV payloads: the synth corpus's
+    audio assets decoded by the stdlib-wave codec, framed at 160 samples
+    (20 ms @ 8 kHz), reduced to integer-exact per-frame energy + peak
+    with an activity verdict. The oracle recomputes every frame from the
+    sample formula alone — any framing or sample-order bug breaks
+    equality digit-for-digit."""
+    from querysight_spark.operators.multimodal import (
+        audio_frame_energy,
+        synth_media_corpus,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return audio_frame_energy(synth_media_corpus(docs)).orderBy(
+        "asset_id", "frame_idx"
+    )

@@ -421,3 +421,67 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
             F.lit("fake").alias("codec"),
         ).alias("meta"),
     )
+
+
+def audio_frame_energy(
+    media: DataFrame,
+    frame_size: int = 160,
+    active_threshold: float = 350000.0,
+) -> DataFrame:
+    """Frame-level audio analysis over REAL WAV payloads: decode each
+    audio asset with the actual codec, split the sample stream into
+    non-overlapping ``frame_size``-sample frames (20 ms at the 8 kHz
+    synth rate — the standard VAD frame), and emit per-frame integer
+    energy (Σv²), peak |v|, and an activity verdict (mean energy over the
+    threshold). The trailing partial frame is kept with its true length.
+
+    All-integer per-frame outputs keep the decode → frame → reduce chain
+    verifiable digit-for-digit. One Arrow-batched mapInPandas over the
+    payload-pruned audio rows; each output row is a frame, so downstream
+    ops (keep only active spans, sample frames for labeling) are plain
+    DataFrame filters."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[str] = []
+            fidx: list[int] = []
+            nsmp: list[int] = []
+            energy: list[int] = []
+            peak: list[int] = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                _rate, samples = decode_wav_pcm16(bytes(payload))
+                v = samples.astype(np.int64)
+                for f in range(0, max(1, -(-v.size // frame_size))):
+                    fr = v[f * frame_size : (f + 1) * frame_size]
+                    if fr.size == 0:
+                        continue
+                    ids.append(aid)
+                    fidx.append(f)
+                    nsmp.append(int(fr.size))
+                    energy.append(int((fr * fr).sum()))
+                    peak.append(int(np.abs(fr).max()))
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "frame_idx": fidx,
+                    "n_samples": nsmp,
+                    "energy": energy,
+                    "peak_abs": peak,
+                }
+            )
+
+    frames = (
+        media.where(F.col("media_type") == "audio")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            run,
+            schema=(
+                "asset_id string, frame_idx long, n_samples long, "
+                "energy long, peak_abs long"
+            ),
+        )
+    )
+    return frames.withColumn(
+        "active",
+        (F.col("energy") / F.col("n_samples")) >= F.lit(active_threshold),
+    )

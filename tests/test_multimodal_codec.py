@@ -149,3 +149,34 @@ def test_extract_features_real_path_on_real_payloads(spark):
     assert {r.asset_id: r.features for r in feats} == {
         r.asset_id: r.features for r in again
     }
+
+
+def test_audio_frame_energy_framing(spark):
+    """Hand-built WAV: 3 full frames of known values + a 40-sample tail."""
+    import numpy as np
+
+    from querysight_spark.operators.multimodal import (
+        audio_frame_energy,
+        encode_wav_pcm16,
+    )
+
+    samples = np.concatenate(
+        [
+            np.full(160, 100, dtype=np.int64),   # frame 0: quiet
+            np.full(160, -1000, dtype=np.int64), # frame 1: loud
+            np.zeros(160, dtype=np.int64),       # frame 2: silent
+            np.full(40, 7, dtype=np.int64),      # frame 3: partial tail
+        ]
+    )
+    media = spark.createDataFrame(
+        [("a1", "audio", bytearray(encode_wav_pcm16(samples))),
+         ("i1", "image", bytearray(b"not audio"))],
+        "asset_id string, media_type string, payload binary",
+    )
+    rows = {r.frame_idx: r for r in audio_frame_energy(media).collect()}
+    assert sorted(rows) == [0, 1, 2, 3]  # image row excluded, tail kept
+    assert rows[0].energy == 160 * 100 * 100 and rows[0].peak_abs == 100
+    assert rows[1].energy == 160 * 1000 * 1000 and rows[1].active
+    assert rows[2].energy == 0 and not rows[2].active
+    assert rows[3].n_samples == 40 and rows[3].energy == 40 * 49
+    assert not rows[0].active  # mean 10000 < threshold
