@@ -3270,3 +3270,118 @@ def mm05(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_energy(synth_media_corpus(docs)).orderBy(
         "asset_id", "frame_idx"
     )
+
+
+# --- feature scaling / statistical tests ------------------------------------
+
+
+@_q(
+    "vx01_feature_scaling",
+    """WITH ex AS (
+         SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS v
+         FROM embeddings,
+              LATERAL (SELECT UNNEST(range(0, len(embedding))) AS i) u),
+       st AS (
+         SELECT pos, COUNT(*) AS n,
+                list_reduce(list(v ORDER BY vec_id), (a, x) -> a + x) AS s,
+                list_reduce(list(v * v ORDER BY vec_id), (a, x) -> a + x) AS sq
+         FROM ex GROUP BY pos),
+       m AS (
+         SELECT pos, n, s / n AS mean,
+                sqrt((sq - s * s / n) / (n - 1)) AS std
+         FROM st)
+       SELECT e.vec_id, e.pos,
+              ROUND(e.v, 6) AS v,
+              ROUND((e.v - m.mean) / m.std, 6) AS z
+       FROM ex e JOIN m ON e.pos = m.pos
+       WHERE e.vec_id < 100
+       ORDER BY e.vec_id, e.pos""",
+)
+def vx01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score feature scaling of the embedding table (the
+    standardization pass before clustering / PQ training). Mean and std
+    are ORDERED FOLDS over vec_id order (the px01 discipline), so the
+    scaled values are digit-for-digit portable — plain SUM over doubles
+    is summation-order nondeterministic. One posexplode + one 64-row
+    stats agg broadcast back onto the exploded stream."""
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v0")
+    ).select("vec_id", "pos", F.col("v0").cast("double").alias("v"))
+    sorted_vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("vec_id", "v"))),
+        lambda s: s["v"],
+    )
+    st = ex.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.aggregate(sorted_vals, F.lit(0.0), lambda a, x: a + x).alias("s"),
+        F.aggregate(sorted_vals, F.lit(0.0), lambda a, x: a + x * x).alias("sq"),
+    )
+    m = st.select(
+        "pos",
+        (F.col("s") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("sq") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    return (
+        ex.where(F.col("vec_id") < 100)
+        .join(F.broadcast(m), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            F.round("v", 6).alias("v"),
+            F.round((F.col("v") - F.col("mean")) / F.col("std"), 6).alias("z"),
+        )
+        .orderBy("vec_id", "pos")
+    )
+
+
+@_q(
+    "an02_chisq_independence",
+    """WITH ct AS (
+         SELECT event_type, user_id % 4 AS ub, COUNT(*) AS obs
+         FROM events GROUP BY 1, 2),
+       tot AS (SELECT SUM(obs) AS n FROM ct),
+       rt AS (SELECT event_type, SUM(obs) AS r FROM ct GROUP BY 1),
+       cl AS (SELECT ub, SUM(obs) AS c FROM ct GROUP BY 1)
+       SELECT ct.event_type, ct.ub, ct.obs,
+              ROUND(CAST(rt.r * cl.c AS DOUBLE) / tot.n, 6) AS expected,
+              ROUND(POW(ct.obs - CAST(rt.r * cl.c AS DOUBLE) / tot.n, 2)
+                    / (CAST(rt.r * cl.c AS DOUBLE) / tot.n), 6) AS contrib
+       FROM ct
+       JOIN rt ON ct.event_type = rt.event_type
+       JOIN cl ON ct.ub = cl.ub
+       CROSS JOIN tot
+       ORDER BY ct.event_type, ct.ub""",
+)
+def an02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency surface for event_type x user-bucket
+    independence: observed counts, expected under independence, per-cell
+    contribution. All inputs are exact integers so expected/contrib are
+    engine-identical doubles. The cross join is against a 1x1 scalar
+    total (broadcast literal, not a data explosion)."""
+    ev = load_table(spark, "events", sf_dir)
+    ct = ev.groupBy(
+        "event_type", (F.col("user_id") % 4).alias("ub")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    tot = ct.agg(F.sum("obs").alias("n"))
+    rt = ct.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    cl = ct.groupBy("ub").agg(F.sum("obs").alias("c"))
+    exp = (F.col("r") * F.col("c")).cast("double") / F.col("n")
+    return (
+        ct.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(cl), "ub")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "ub",
+            "obs",
+            F.round(exp, 6).alias("expected"),
+            F.round(F.pow(F.col("obs") - exp, F.lit(2.0)) / exp, 6).alias(
+                "contrib"
+            ),
+        )
+        .orderBy("event_type", "ub")
+    )
