@@ -3385,3 +3385,77 @@ def an02(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "ub")
     )
+
+
+@_q(
+    "ts03_gap_fill_linear",
+    """WITH hourly AS (
+         SELECT user_id, date_trunc('hour', ts) AS hour,
+                ROUND(SUM(value), 6) AS sum_value
+         FROM events WHERE user_id % 5 = 0
+         GROUP BY 1, 2),
+       span AS (
+         SELECT user_id, MIN(hour) AS lo, MAX(hour) AS hi
+         FROM hourly GROUP BY user_id),
+       grid AS (
+         SELECT user_id,
+                UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+         FROM span),
+       j AS (
+         SELECT g.user_id, g.hour, h.sum_value,
+                epoch(g.hour) AS hl
+         FROM grid g LEFT JOIN hourly h
+           ON g.user_id = h.user_id AND g.hour = h.hour),
+       w2 AS (
+         SELECT user_id, hour, sum_value, hl,
+                LAST_VALUE(sum_value IGNORE NULLS) OVER wb AS pv,
+                LAST_VALUE(CASE WHEN sum_value IS NOT NULL THEN hl END
+                           IGNORE NULLS) OVER wb AS ph,
+                FIRST_VALUE(sum_value IGNORE NULLS) OVER wf AS nv,
+                FIRST_VALUE(CASE WHEN sum_value IS NOT NULL THEN hl END
+                            IGNORE NULLS) OVER wf AS nh
+         FROM j
+         WINDOW
+           wb AS (PARTITION BY user_id ORDER BY hour
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY user_id ORDER BY hour
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       SELECT user_id, hour,
+              sum_value IS NULL AS filled,
+              -- explicit half-up: interp values land EXACTLY on x.5e-6
+              -- boundaries (power-of-2 gap lengths), where the engines'
+              -- ROUND() modes disagree; floor(x*1e6+0.5) is mode-free
+              FLOOR((CASE
+                WHEN sum_value IS NOT NULL THEN sum_value
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv) * (hl - ph) / (nh - ph)
+              END) * 1000000 + 0.5) / 1000000.0 AS value_interp
+       FROM w2 ORDER BY user_id, hour""",
+)
+def ts03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill (the continuous-signal resampling
+    mode): missing hours get pv + (nv - pv) * elapsed-fraction between
+    the neighboring observations; edge gaps take the nearest
+    observation. Two window passes over ONE sort."""
+    from querysight_spark.operators.timeseries import (
+        gap_fill_linear,
+        resample_hourly,
+    )
+
+    ev = load_table(spark, "events", sf_dir).where(F.col("user_id") % 5 == 0)
+    hourly = (
+        resample_hourly(ev)
+        .drop("n_events")
+        # pre-round the hourly sums so both engines interpolate between
+        # IDENTICAL doubles (plain double SUM is summation-order sensitive)
+        .withColumn("sum_value", F.round("sum_value", 6))
+    )
+    out = gap_fill_linear(hourly)
+    return out.select(
+        "user_id",
+        "hour",
+        "filled",
+        (F.floor(F.col("value_interp") * 1000000 + F.lit(0.5)) / 1000000.0)
+        .alias("value_interp"),
+    ).orderBy("user_id", "hour")

@@ -155,3 +155,59 @@ def trailing_anomalies(
             & (F.abs(F.col("zscore")) > z_threshold)
         )
     )
+
+
+def gap_fill_linear(
+    hourly: DataFrame,
+    key_col: str = "user_id",
+    hour_col: str = "hour",
+    value_col: str = "sum_value",
+) -> DataFrame:
+    """Complete each key's hourly grid and LINEARLY interpolate the value
+    over gaps (the resampling mode for continuous signals, where
+    forward-fill's step function is wrong). Edges degrade gracefully:
+    before the first observation the next value is used, after the last
+    the previous one.
+
+    Same grid construction as ``gap_fill_forward``; the interpolation
+    needs the previous AND next observed (hour, value) per row — two
+    window passes over the same (key, hour) sort, so Spark plans one
+    exchange + one sort feeding both window operators."""
+    span = hourly.groupBy(key_col).agg(
+        F.min(hour_col).alias("_lo"), F.max(hour_col).alias("_hi")
+    )
+    grid = span.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr("interval 1 hour"))
+        ).alias(hour_col),
+    )
+    j = grid.join(hourly, on=[key_col, hour_col], how="left")
+    v = F.col(value_col)
+    h = F.col(hour_col).cast("long")
+    wb = (
+        Window.partitionBy(key_col)
+        .orderBy(hour_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy(hour_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pv = F.last(v, ignorenulls=True).over(wb)
+    ph = F.last(F.when(v.isNotNull(), h), ignorenulls=True).over(wb)
+    nv = F.first(v, ignorenulls=True).over(wf)
+    nh = F.first(F.when(v.isNotNull(), h), ignorenulls=True).over(wf)
+    interp = (
+        F.when(v.isNotNull(), v)
+        .when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(pv + (nv - pv) * (h - ph) / (nh - ph))
+    )
+    return j.select(
+        key_col,
+        hour_col,
+        v.isNull().alias("filled"),
+        interp.alias("value_interp"),
+    )

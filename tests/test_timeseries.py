@@ -97,3 +97,21 @@ def test_gap_fill_grid_is_spanwise_not_rowwise(spark):
     out = gap_fill_forward(resample_hourly(ev))
     assert out.count() == 101
     assert out.where(F.col("filled")).count() == 99
+
+
+def test_gap_fill_linear_interpolates_and_edges(spark):
+    import datetime as dt
+
+    from querysight_spark.operators.timeseries import gap_fill_linear
+
+    hourly = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0), 10.0),
+            # hours 1,2,3 missing -> linear ramp toward 50 at hour 4
+            (1, dt.datetime(2024, 1, 1, 4), 50.0),
+        ],
+        "user_id long, hour timestamp, sum_value double",
+    )
+    out = {r.hour.hour: r for r in gap_fill_linear(hourly).collect()}
+    assert [out[h].value_interp for h in range(5)] == [10.0, 20.0, 30.0, 40.0, 50.0]
+    assert [out[h].filled for h in range(5)] == [False, True, True, True, False]
