@@ -1,11 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``queries()`` exposes every implemented operator family (SURVEY.md §2):
-  * p01-p62   — general-operator probes (scan/filter/agg/join/window/
+  * p01-p65   — general-operator probes (scan/filter/agg/join/window/
                 setop/scalar/lateral/unpivot/interval/map/subquery) run
                 via spark.sql over the testdata views, i.e. straight
                 through Catalyst.
-  * ql01-ql27 — querysight pipeline parity (pattern hash-agg, merge,
+  * ql01-ql28 — querysight pipeline parity (pattern hash-agg, merge,
                 coverage joins, closure, summaries, pagination incl.
                 keyset, caching, lifecycle, dbt catalog, JSONL
                 round-trip) computed by the
@@ -27,14 +27,23 @@
   * tx/tr/sk  — text analysis + splits + stratified sampling + epoch
                 upsampling + contamination, rollup tiers incl. streaming
                 absorption, self-checking sketches.
-  * st01-st07 — Structured Streaming under the gate (windows, stateful
+  * st01-st08 — Structured Streaming under the gate (windows, stateful
                 counts, cross-batch dedup, session windows, stream-
                 stream join, session-state absorption into a persisted
-                tier, JSONL ingest with re-delivery suppression),
-                drained availableNow vs batch oracles.
+                tier, JSONL ingest with re-delivery suppression,
+                stream-static broadcast enrichment), drained
+                availableNow vs batch oracles.
   * aj/rj/sj/mm — as-of join, range join, salted join, multimodal
                 (mm04: REAL payload decode — netpbm/WAV codecs round-
-                tripped digit-for-digit against a formula oracle).
+                tripped digit-for-digit against a formula oracle;
+                mm05: frame-level audio energy/VAD over the decoded
+                samples).
+  * ts/an     — time-series resample + gap-fill (forward and linear),
+                FIR weighted moving average, trailing-window anomaly
+                detection, chi-square independence surface.
+  * lk/gr/vx  — blocked fuzzy-join record linkage (+ per-block match
+                summary), iterative PageRank vs an unrolled-CTE oracle,
+                per-dimension embedding z-score feature scaling.
 
 ``oracle_sql()`` carries the DuckDB-dialect equivalent for EVERY entry
 (CTE-reconstructed analog tables where needed), so the driver's
