@@ -11,15 +11,17 @@
                 round-trip) computed by the
                 ENGINE's DataFrame plans (querysight_spark.plans.*) over
                 a deterministic query-log analog derived from `events`.
-  * dd01-dd09 — dedup family (exact, MinHash-LSH, n-gram Jaccard,
-                SimHash, cosine exact/LSH, clustering, keep-best,
-                incremental delta-dedup vs a persisted band index).
-  * ir01-ir04 — full-text relevance (BM25 top-k in-flight and over a
+  * dd01-dd10 — dedup family (exact, MinHash-LSH + estimator quality,
+                n-gram Jaccard, SimHash, cosine exact/LSH, clustering,
+                keep-best, incremental delta-dedup vs a persisted band
+                index).
+  * ir01-ir06 — full-text relevance (BM25 top-k in-flight and over a
                 persisted term-sorted inverted index, tf-idf, corpus
-                unigram-LM quality score).
-  * cl01-cl02 — embedding clustering (nearest-centroid assignment) and
-                SemDeDup within-cluster semantic dedup.
-  * ss01-ss09 — similarity search (brute force through persisted IVF+PQ);
+                unigram/bigram-LM quality scores, vocab fingerprint).
+  * cl01-cl03 — embedding clustering (nearest-centroid assignment),
+                SemDeDup semantic dedup, iterative k-means refinement.
+  * ss01-ss12 — similarity search (brute force through persisted IVF+PQ,
+                filtered/grouped/batch top-k);
                 declared in EXACT MODE (exhaustive probes, corpus-wide
                 rerank) so every entry hash-matches the brute-force
                 oracle; production operating points live in pytest
