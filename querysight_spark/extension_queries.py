@@ -3459,3 +3459,86 @@ def ts03(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("value_interp") * 1000000 + F.lit(0.5)) / 1000000.0)
         .alias("value_interp"),
     ).orderBy("user_id", "hour")
+
+
+# --- behavioral analytics (cohorts / funnels) -------------------------------
+
+
+@_q(
+    "co01_cohort_retention",
+    """WITH fe AS (
+         SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+         FROM events GROUP BY user_id),
+       act AS (
+         SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+       j AS (
+         SELECT a.user_id, f.cohort_week,
+                CAST((epoch(a.w) - epoch(f.cohort_week)) // 604800
+                     AS BIGINT) AS week_offset
+         FROM act a JOIN fe f ON a.user_id = f.user_id),
+       cs AS (
+         SELECT cohort_week, COUNT(*) AS cohort_size
+         FROM fe GROUP BY cohort_week)
+       SELECT j.cohort_week, j.week_offset,
+              COUNT(DISTINCT j.user_id) AS n_active,
+              cs.cohort_size,
+              ROUND(COUNT(DISTINCT j.user_id)
+                    / CAST(cs.cohort_size AS DOUBLE), 6) AS retention
+       FROM j JOIN cs ON j.cohort_week = cs.cohort_week
+       GROUP BY j.cohort_week, j.week_offset, cs.cohort_size
+       ORDER BY j.cohort_week, j.week_offset""",
+)
+def co01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle: first-seen week x activity-week
+    offset with distinct-user counts and retention ratio. Two user-keyed
+    aggregations joined on user — no window, no per-user state."""
+    from querysight_spark.operators.behavior import cohort_retention
+
+    ev = load_table(spark, "events", sf_dir)
+    return cohort_retention(ev).orderBy("cohort_week", "week_offset")
+
+
+@_q(
+    "co02_funnel",
+    """WITH s1 AS (
+         SELECT user_id, MIN(ts) AS t FROM events
+         WHERE event_type = 'signup' GROUP BY user_id),
+       s2 AS (
+         SELECT e.user_id, MIN(e.ts) AS t
+         FROM events e JOIN s1 ON e.user_id = s1.user_id
+         WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id),
+       s3 AS (
+         SELECT e.user_id, MIN(e.ts) AS t
+         FROM events e JOIN s2 ON e.user_id = s2.user_id
+         WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY e.user_id),
+       s4 AS (
+         SELECT e.user_id, MIN(e.ts) AS t
+         FROM events e JOIN s3 ON e.user_id = s3.user_id
+         WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id),
+       c AS (
+         SELECT 1 AS stage_idx, 'signup' AS stage, COUNT(*) AS n_users FROM s1
+         UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+         UNION ALL SELECT 3, 'click', COUNT(*) FROM s3
+         UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4)
+       SELECT stage_idx, stage, n_users,
+              ROUND(COALESCE(n_users / CAST(LAG(n_users) OVER
+                      (ORDER BY stage_idx) AS DOUBLE), 1.0), 6)
+                AS conv_from_prev,
+              ROUND(n_users / CAST(FIRST_VALUE(n_users) OVER
+                      (ORDER BY stage_idx ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING) AS DOUBLE), 6)
+                AS conv_from_first
+       FROM c ORDER BY stage_idx""",
+)
+def co02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-stage ordered funnel (signup > view > click > purchase,
+    first-touch semantics: each stage binds to the earliest event
+    strictly after the previous stage's conversion). Each stage is a
+    pushed-down filtered min-agg joined against the previous stage's
+    shrinking user set — raw events are never sorted."""
+    from querysight_spark.operators.behavior import funnel
+
+    ev = load_table(spark, "events", sf_dir)
+    return funnel(ev, ["signup", "view", "click", "purchase"]).orderBy(
+        "stage_idx"
+    )

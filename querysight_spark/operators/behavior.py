@@ -1,0 +1,135 @@
+"""Behavioral analytics operators: cohort retention and ordered funnels.
+
+The product-analytics counterparts of the reference's pattern summaries —
+both are shapes a query-log/event warehouse is asked for constantly, and
+both have a canonical distributed plan worth pinning:
+
+- Retention: two aggregations over the SAME user-keyed exchange (first-seen
+  cohort, then distinct user-week activity) joined on user — no window, no
+  per-user state.
+- Funnel: one tiny per-user timestamp per stage, each stage a conditional
+  min-agg joined against the previous stage's result. Stages-many joins of
+  user-keyed aggregates, each strictly smaller than the last (funnels only
+  shrink) — never a sort of raw events.
+
+Scale notes (100 TB): every stage/table here is keyed on user_id; with the
+event log bucketed on user_id (sources/layout.py) all the joins co-locate
+and the only full-data pass is the per-stage filtered scan, which pushes
+its event_type predicate into parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Classic cohort-retention triangle: users grouped by first-seen
+    period, counted in each later period they remain active.
+
+    Returns (cohort_week, week_offset, n_active, cohort_size, retention)
+    with offset 0 = the cohort period itself (retention 1.0 by
+    construction). Periods are ``date_trunc`` buckets; the offset is
+    exact integer epoch arithmetic, so the whole surface is
+    engine-portable."""
+    secs = {"week": 604800, "day": 86400}[period]
+    first = events.groupBy(user_col).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("cohort_week")
+    )
+    act = events.select(
+        user_col, F.date_trunc(period, F.col(ts_col)).alias("w")
+    ).distinct()
+    j = act.join(first, user_col).select(
+        user_col,
+        "cohort_week",
+        (
+            (F.col("w").cast("long") - F.col("cohort_week").cast("long"))
+            / secs
+        )
+        .cast("long")
+        .alias("week_offset"),
+    )
+    size = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        j.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct(user_col).alias("n_active"))
+        .join(size, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention"),
+        )
+    )
+
+
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: a user converts stage k only with an event of that
+    type STRICTLY AFTER their stage-(k-1) conversion time (first-touch
+    semantics: each stage binds to the user's earliest qualifying event).
+
+    Returns one row per stage: (stage_idx, stage, n_users,
+    conv_from_prev, conv_from_first). Each stage is a filtered min-agg
+    joined to the previous stage's (shrinking) user set."""
+    spark = events.sparkSession
+    reached: list[tuple[str, DataFrame]] = []
+    prev: DataFrame | None = None
+    for stage in stages:
+        ev = events.where(F.col(type_col) == stage)
+        if prev is None:
+            cur = ev.groupBy(user_col).agg(F.min(ts_col).alias("t"))
+        else:
+            cur = (
+                ev.join(prev.select(user_col, F.col("t").alias("_pt")), user_col)
+                .where(F.col(ts_col) > F.col("_pt"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("t"))
+            )
+        reached.append((stage, cur))
+        prev = cur
+    counts = None
+    for i, (stage, df) in enumerate(reached):
+        row = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            "n_users",
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("stage_idx")
+    first_n = F.first("n_users").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    prev_n = F.lag("n_users").over(w)
+    return counts.select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        F.round(
+            F.coalesce(
+                F.col("n_users") / prev_n.cast("double"), F.lit(1.0)
+            ),
+            6,
+        ).alias("conv_from_prev"),
+        F.round(F.col("n_users") / first_n.cast("double"), 6).alias(
+            "conv_from_first"
+        ),
+    )

@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from querysight_spark.operators.behavior import cohort_retention, funnel
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+
+
+def _t(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+def test_cohort_retention_triangle(spark):
+    rows = [
+        # u1: cohort week of Jan 1, active weeks 0 and 1
+        (1, _t(2), "view"), (1, _t(9), "view"),
+        # u2: same cohort, only week 0
+        (2, _t(3), "view"),
+        # u3: cohort week of Jan 8, active weeks 0 and 2
+        (3, _t(10), "view"), (3, _t(22), "view"),
+    ]
+    out = {(r.cohort_week.day, r.week_offset): r
+           for r in cohort_retention(_ev(spark, rows)).collect()}
+    assert out[(1, 0)].n_active == 2 and out[(1, 0)].cohort_size == 2
+    assert out[(1, 1)].n_active == 1
+    assert abs(out[(1, 1)].retention - 0.5) < 1e-9
+    assert out[(8, 0)].n_active == 1
+    assert out[(8, 2)].n_active == 1
+    assert (8, 1) not in out  # u3 skipped week 1 entirely
+
+
+def test_funnel_requires_strict_order(spark):
+    rows = [
+        # u1 completes in order
+        (1, _t(1), "signup"), (1, _t(2), "view"), (1, _t(3), "click"),
+        # u2 views BEFORE signup -> stops at signup
+        (2, _t(5), "view"), (2, _t(6), "signup"),
+        # u3 signup + view same order but no click
+        (3, _t(1), "signup"), (3, _t(4), "view"),
+    ]
+    out = {r.stage: r for r in
+           funnel(_ev(spark, rows), ["signup", "view", "click"]).collect()}
+    assert out["signup"].n_users == 3
+    assert out["view"].n_users == 2      # u2's early view doesn't count
+    assert out["click"].n_users == 1
+    assert abs(out["view"].conv_from_prev - 2 / 3) < 1e-6
+    assert abs(out["click"].conv_from_first - 1 / 3) < 1e-6
+    assert out["signup"].conv_from_prev == 1.0
+
+
+def test_funnel_first_touch_binding(spark):
+    # u1 signs up twice; the funnel must bind view to the FIRST signup,
+    # so a view between the two signups still converts
+    rows = [
+        (1, _t(1), "signup"), (1, _t(2), "view"), (1, _t(5), "signup"),
+    ]
+    out = {r.stage: r for r in
+           funnel(_ev(spark, rows), ["signup", "view"]).collect()}
+    assert out["view"].n_users == 1
