@@ -46,6 +46,8 @@
   * lk/gr/vx  — blocked fuzzy-join record linkage (+ per-block match
                 summary), iterative PageRank vs an unrolled-CTE oracle,
                 per-dimension embedding z-score feature scaling.
+  * co01-co02 — behavioral analytics: weekly cohort-retention triangle
+                and ordered first-touch funnel.
 
 ``oracle_sql()`` carries the DuckDB-dialect equivalent for EVERY entry
 (CTE-reconstructed analog tables where needed), so the driver's
