@@ -3542,3 +3542,40 @@ def co02(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(ev, ["signup", "view", "click", "purchase"]).orderBy(
         "stage_idx"
     )
+
+
+@_q("ss13_ivfpq_upsert_probe", _BRUTE_TOPK_ORACLE)
+def ss13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance (the dd09 discipline applied to
+    vector serving): the persisted IVF+PQ index is built from 80 % of the
+    corpus, then the remaining 20 % is UPSERTED — encoded with the
+    existing quantizers, appended into the matching list_id partitions,
+    no retrain, no corpus re-encode. Exact-mode probe (all lists, full
+    oversample rerank) must equal brute force over the WHOLE corpus, so
+    a delta row lost or mis-assigned anywhere breaks the hash."""
+    import os
+
+    from querysight_spark.operators.similarity import (
+        build_ivfpq_index,
+        probe_ivfpq_index,
+        upsert_ivfpq_index,
+    )
+
+    path = _index_path("ivfpqup", sf_dir)
+    marker = os.path.join(path, "_delta_done")
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = _query_vec(spark, sf_dir)
+    if not os.path.exists(marker):
+        build_ivfpq_index(
+            emb.where(F.col("vec_id") % 5 != 0), path, dim=len(q),
+            n_centroids=IVFPQ_INDEX_CENTROIDS, m=PQ_INDEX_M, k=PQ_INDEX_K,
+        )
+        upsert_ivfpq_index(
+            spark, path, emb.where(F.col("vec_id") % 5 == 0)
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return probe_ivfpq_index(
+        spark, path, q, k=10, n_probes=IVFPQ_INDEX_CENTROIDS,
+        rerank_df=emb, oversample=_full_oversample(sf_dir),
+    )

@@ -866,6 +866,38 @@ def build_ivfpq_index(
     return cents, books
 
 
+def upsert_ivfpq_index(
+    spark,
+    path: str,
+    delta_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental index maintenance: encode a DELTA batch with the
+    index's EXISTING coarse centroids + residual codebooks (no retrain)
+    and append the (id, codes) rows into the same ``list_id``-partitioned
+    layout — new files land inside the matching ``list_id=`` directories,
+    so probes see base + delta with partition pruning unchanged. Returns
+    the number of rows appended.
+
+    Same amortization discipline as the minhash band index (dd09): the
+    per-batch cost is O(delta) — one Arrow-batched encode + an append
+    write; the corpus never re-encodes. Quantizer drift is the retrain
+    trigger: when delta distribution shifts (coarse-assignment entropy or
+    ADC error trending up), rebuild with ``build_ivfpq_index``."""
+    import json
+
+    with open(path + "/_ivfpq.json") as f:
+        meta = json.load(f)
+    enc = ivfpq_encode(
+        delta_df, meta["centroids"], meta["codebooks"],
+        id_col=id_col, vec_col=vec_col,
+    )
+    n = enc.count()
+    enc.write.mode("append").partitionBy("list_id").parquet(path)
+    return n
+
+
 def probe_ivfpq_index(
     spark,
     path: str,

@@ -184,3 +184,37 @@ def test_bigram_lm_hand_value(spark):
     # single-token docs carry no bigrams and drop out
     single = spark.createDataFrame([(9, "only")], ["doc_id", "text"])
     assert bigram_lm_scores(single).count() == 0
+
+
+def test_ivfpq_upsert_appends_into_existing_lists(spark, tmp_path):
+    """Upserted vectors land in the same list_id partition layout and are
+    findable by a probe; base rows are untouched."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from querysight_spark.operators.similarity import (
+        build_ivfpq_index,
+        probe_ivfpq_index,
+        upsert_ivfpq_index,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, [float(x) for x in rng.randn(16)]) for i in range(120)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    base = df.where(F.col("vec_id") < 100)
+    delta = df.where(F.col("vec_id") >= 100)
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(base, path, dim=16, n_centroids=4, m=4, k=8)
+    n = upsert_ivfpq_index(spark, path, delta)
+    assert n == 20
+    codes = spark.read.parquet(path)
+    assert codes.count() == 120
+    # delta rows coarse-assigned into the existing list space
+    lists = {r.list_id for r in codes.select("list_id").distinct().collect()}
+    assert lists <= set(range(4))
+    # exact-mode probe over base+delta == brute force over the union
+    target = vecs[110][1]
+    out = probe_ivfpq_index(
+        spark, path, target, k=1, n_probes=4, rerank_df=df, oversample=200
+    ).collect()
+    assert out[0].vec_id == 110  # the upserted vector finds itself
