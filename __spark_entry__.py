@@ -29,12 +29,13 @@
   * tx/tr/sk  — text analysis + splits + stratified sampling + epoch
                 upsampling + contamination, rollup tiers incl. streaming
                 absorption, self-checking sketches.
-  * st01-st08 — Structured Streaming under the gate (windows, stateful
+  * st01-st09 — Structured Streaming under the gate (windows, stateful
                 counts, cross-batch dedup, session windows, stream-
                 stream join, session-state absorption into a persisted
                 tier, JSONL ingest with re-delivery suppression,
-                stream-static broadcast enrichment), drained
-                availableNow vs batch oracles.
+                stream-static broadcast enrichment, stateful ring-buffer
+                anomaly detection), drained availableNow vs batch
+                oracles.
   * aj/rj/sj/mm — as-of join, range join, salted join, multimodal
                 (mm04: REAL payload decode — netpbm/WAV codecs round-
                 tripped digit-for-digit against a formula oracle;

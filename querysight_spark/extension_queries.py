@@ -1640,6 +1640,7 @@ def _stream_events_log(
     sf_dir: str,
     copies: int = 1,
     max_files_per_trigger: int | None = None,
+    raw_columns: bool = False,
 ) -> DataFrame:
     """readStream over the events parquet (exposed through a symlink dir —
     the file source wants a directory) → the query-log analog columns.
@@ -1677,12 +1678,16 @@ def _stream_events_log(
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(stream_dir)
+    stream = reader.parquet(stream_dir)
     ts = (
         F.timestamp_micros(F.expr("ts div 1000")) if ts_is_nanos else F.col("ts")
     )
+    if raw_columns:
+        return stream.select(
+            "event_id", ts.alias("ts"), "user_id", "event_type", "value"
+        )
     k = F.get_json_object("props", "$.k").cast("int")
-    return raw.select(
+    return stream.select(
         F.col("event_id").cast("string").alias("query_id"),
         F.col("user_id"),
         F.col("event_type"),
@@ -3579,3 +3584,25 @@ def ss13(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, q, k=10, n_probes=IVFPQ_INDEX_CENTROIDS,
         rerank_df=emb, oversample=_full_oversample(sf_dir),
     )
+
+
+def st09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming anomaly detection: the an01 trailing-window
+    z-score maintained as a per-user ring buffer in the state store
+    (applyInPandasWithState), scored before push so a spike can't mask
+    itself. Drained availableNow, the flagged rows must equal the batch
+    window operator digit-for-digit — the oracle IS an01's SQL."""
+    from querysight_spark.streaming.stateful import stateful_anomalies
+
+    ev = _stream_events_log(spark, sf_dir, raw_columns=True)
+    out = _run_available_now(stateful_anomalies(ev), spark, "append")
+    return out.select(
+        "user_id", "ts", "event_id", "value", "trailing_mean",
+        "trailing_std", "n_history", "zscore",
+    ).orderBy("user_id", "ts", "event_id")
+
+
+EXTENSION_QUERIES["st09_stream_anomalies"] = (
+    st09,
+    EXTENSION_QUERIES["an01_trailing_anomalies"][1],
+)

@@ -74,3 +74,96 @@ def stateful_pattern_counts(logs: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ANOMALY_OUTPUT_SCHEMA = (
+    "user_id long, ts timestamp, event_id long, value double, "
+    "trailing_mean double, trailing_std double, n_history long, "
+    "zscore double"
+)
+# ring buffer of the last `lookback` values per user — bounded state
+ANOMALY_STATE_SCHEMA = "vals array<double>"
+
+
+def _round_half_up6(x: float) -> float:
+    """Spark/DuckDB ROUND(x, 6) parity: half-up away from zero. Python's
+    round() is banker's and would diverge exactly at ties."""
+    import math
+
+    s = -1.0 if x < 0 else 1.0
+    return s * math.floor(abs(x) * 1e6 + 0.5) / 1e6
+
+
+def stateful_anomalies(
+    events: DataFrame,
+    lookback: int = 20,
+    z_threshold: float = 3.0,
+    min_history: int = 5,
+) -> DataFrame:
+    """Streaming version of operators.timeseries.trailing_anomalies: a
+    per-user ring buffer of the last ``lookback`` values lives in the
+    state store; each arriving row is scored against the buffer BEFORE
+    being pushed (self-excluded window, min-history floor) and emitted
+    only when flagged. With in-order delivery the emitted rows equal the
+    batch operator's output exactly — st09 gates that equivalence.
+
+    State is ``lookback`` doubles per user however long the stream runs;
+    Arrow batches carry only each micro-batch's new rows to Python.
+    Rows are ordered (ts, event_id) within each group per batch; cross-
+    batch ordering is the source's job (file order / watermark upstream),
+    the same event-time contract as the batch window."""
+    import numpy as np
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        vals: list[float] = list(state.get[0]) if state.exists else []
+        out = []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for r in pdf.itertuples():
+                n = len(vals)
+                if n >= min_history:
+                    arr = np.asarray(vals)
+                    mean = float(arr.mean())
+                    std = float(arr.std(ddof=1))
+                    if std > 0:
+                        rz = _round_half_up6((float(r.value) - mean) / std)
+                        rstd = _round_half_up6(std)
+                        if rstd > 0 and abs(rz) > z_threshold:
+                            out.append(
+                                (
+                                    key[0],
+                                    r.ts,
+                                    r.event_id,
+                                    r.value,
+                                    _round_half_up6(mean),
+                                    rstd,
+                                    n,
+                                    rz,
+                                )
+                            )
+                vals.append(float(r.value))
+                if len(vals) > lookback:
+                    vals.pop(0)
+        state.update((vals,))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "ts", "event_id", "value", "trailing_mean",
+                "trailing_std", "n_history", "zscore",
+            ],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=ANOMALY_OUTPUT_SCHEMA,
+        stateStructType=ANOMALY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -300,3 +300,62 @@ def test_session_absorb_merges_cross_batch_and_replay_idempotent(spark, tmp_path
     absorb_session_batch(b1, 1, tier, "ts", "user_id", "30 minutes")
     absorb_session_batch(b0, 0, tier, "ts", "user_id", "30 minutes")
     assert snap() == once
+
+
+def test_stateful_anomalies_cross_batch_state(spark, tmp_path):
+    """Two time-ordered files drained as SEPARATE micro-batches: the
+    spike in file 2 must be judged against history accumulated from
+    file 1 — then the whole stream must equal the batch operator."""
+    import datetime as dt
+
+    from querysight_spark.operators.timeseries import trailing_anomalies
+    from querysight_spark.streaming.stateful import stateful_anomalies
+
+    def _rows(lo, hi, spike_at=None):
+        out = []
+        for i in range(lo, hi):
+            v = 500.0 if i == spike_at else 10.0 + (i % 3)
+            out.append((i, dt.datetime(2024, 1, 1, 0, i), 1, "view", v))
+        return out
+
+    src = str(tmp_path / "src")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    batch1 = spark.createDataFrame(_rows(0, 8), schema)
+    batch2 = spark.createDataFrame(_rows(8, 16, spike_at=12), schema)
+    batch1.coalesce(1).write.parquet(src + "/f1")
+    batch2.coalesce(1).write.parquet(src + "/f2")
+    import glob, shutil
+
+    stage = str(tmp_path / "stage")
+    import os
+
+    os.makedirs(stage)
+    # file names ordered so the source picks f1's batch first
+    shutil.copy(glob.glob(src + "/f1/*.parquet")[0], stage + "/a.parquet")
+    shutil.copy(glob.glob(src + "/f2/*.parquet")[0], stage + "/b.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        stateful_anomalies(stream)
+        .writeStream.format("memory")
+        .queryName("anom_x")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [
+        (r.event_id, r.n_history)
+        for r in spark.table("anom_x").orderBy("event_id").collect()
+    ]
+    batch_truth = trailing_anomalies(
+        batch1.unionByName(batch2)
+    ).select("event_id", "n_history").orderBy("event_id").collect()
+    assert got == [(r.event_id, r.n_history) for r in batch_truth]
+    # the spike sits in batch 2 but its 12-row history spans batch 1
+    assert got == [(12, 12)]
