@@ -3297,7 +3297,8 @@ def mm05(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM st)
        SELECT e.vec_id, e.pos,
               ROUND(e.v, 6) AS v,
-              ROUND((e.v - m.mean) / m.std, 6) AS z
+              CASE WHEN m.std > 0
+                   THEN ROUND((e.v - m.mean) / m.std, 6) END AS z
        FROM ex e JOIN m ON e.pos = m.pos
        WHERE e.vec_id < 100
        ORDER BY e.vec_id, e.pos""",
@@ -3337,7 +3338,11 @@ def vx01(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "pos",
             F.round("v", 6).alias("v"),
-            F.round((F.col("v") - F.col("mean")) / F.col("std"), 6).alias("z"),
+            # constant dimension -> std == 0: NULL, not an ANSI error
+            F.when(
+                F.col("std") > 0,
+                F.round((F.col("v") - F.col("mean")) / F.col("std"), 6),
+            ).alias("z"),
         )
         .orderBy("vec_id", "pos")
     )
@@ -3526,13 +3531,20 @@ def co01(spark: SparkSession, sf_dir: str) -> DataFrame:
          UNION ALL SELECT 3, 'click', COUNT(*) FROM s3
          UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4)
        SELECT stage_idx, stage, n_users,
-              ROUND(COALESCE(n_users / CAST(LAG(n_users) OVER
-                      (ORDER BY stage_idx) AS DOUBLE), 1.0), 6)
-                AS conv_from_prev,
-              ROUND(n_users / CAST(FIRST_VALUE(n_users) OVER
-                      (ORDER BY stage_idx ROWS BETWEEN UNBOUNDED PRECEDING
-                       AND UNBOUNDED FOLLOWING) AS DOUBLE), 6)
-                AS conv_from_first
+              ROUND(CASE
+                WHEN LAG(n_users) OVER (ORDER BY stage_idx) IS NULL THEN 1.0
+                WHEN LAG(n_users) OVER (ORDER BY stage_idx) > 0
+                  THEN n_users / CAST(LAG(n_users) OVER (ORDER BY stage_idx)
+                                      AS DOUBLE)
+                ELSE 0.0 END, 6) AS conv_from_prev,
+              ROUND(CASE
+                WHEN FIRST_VALUE(n_users) OVER
+                       (ORDER BY stage_idx ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) > 0
+                  THEN n_users / CAST(FIRST_VALUE(n_users) OVER
+                       (ORDER BY stage_idx ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS DOUBLE)
+                ELSE 0.0 END, 6) AS conv_from_first
        FROM c ORDER BY stage_idx""",
 )
 def co02(spark: SparkSession, sf_dir: str) -> DataFrame:

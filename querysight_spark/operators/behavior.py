@@ -119,17 +119,27 @@ def funnel(
         w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     prev_n = F.lag("n_users").over(w)
+    # zero-user stages make the ratios 0/0 — define conversion out of an
+    # empty prior stage as 0, and never divide by zero under ANSI mode
     return counts.select(
         "stage_idx",
         "stage",
         "n_users",
         F.round(
             F.coalesce(
-                F.col("n_users") / prev_n.cast("double"), F.lit(1.0)
+                F.when(
+                    prev_n > 0, F.col("n_users") / prev_n.cast("double")
+                ).otherwise(
+                    F.when(prev_n.isNull(), F.lit(1.0)).otherwise(F.lit(0.0))
+                ),
+                F.lit(1.0),
             ),
             6,
         ).alias("conv_from_prev"),
-        F.round(F.col("n_users") / first_n.cast("double"), 6).alias(
-            "conv_from_first"
-        ),
+        F.round(
+            F.when(
+                first_n > 0, F.col("n_users") / first_n.cast("double")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("conv_from_first"),
     )

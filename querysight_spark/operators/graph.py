@@ -56,6 +56,11 @@ def pagerank(
         StorageLevel.MEMORY_AND_DISK
     )
     n = deg.count()  # one driver scalar; also materializes e + deg
+    if n == 0:
+        raise ValueError(
+            "pagerank: empty edge list — no nodes to rank (a silent empty "
+            "result would read as 'no important nodes', which is different)"
+        )
     base = (1.0 - damping) / n
 
     pr = deg.select("src", F.lit(1.0 / n).alias("pr"))

@@ -108,7 +108,9 @@ def weighted_moving_average(
         key_col,
         *[c for c in order_cols if c != key_col],
         x.alias(value_col),
-        (num / den).alias("wma"),
+        # den == 0 only when every tap is NULL; emit NULL, not an ANSI
+        # divide-by-zero error (Spark 4 default)
+        F.when(den > 0, num / den).alias("wma"),
     )
 
 
@@ -138,7 +140,9 @@ def trailing_anomalies(
     mean = F.avg(x).over(w)
     std = F.stddev_samp(x).over(w)
     nhist = F.count(x).over(w)
-    z = (x - mean) / std
+    # constant history -> std == 0: such rows are filtered anyway, but the
+    # division must not raise under ANSI mode
+    z = F.when(std > 0, (x - mean) / std)
     return (
         events.select(
             key_col,

@@ -114,3 +114,75 @@ def test_asof_forward_empty_right(spark):
         right_values=["rid", "v"], direction="forward",
     ).collect()
     assert len(out) == 1 and out[0].rid_asof is None
+
+
+# --- round-4b family edge cases ---------------------------------------------
+
+
+def test_gap_fill_empty_input_is_empty(spark):
+    from querysight_spark.operators.timeseries import (
+        gap_fill_forward,
+        gap_fill_linear,
+        resample_hourly,
+    )
+
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, value double"
+    )
+    hourly = resample_hourly(ev)
+    assert gap_fill_forward(hourly).count() == 0
+    assert gap_fill_linear(hourly.drop("n_events")).count() == 0
+
+
+def test_pagerank_empty_edges_raises(spark):
+    import pytest
+
+    from querysight_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    with pytest.raises(ValueError, match="empty edge list"):
+        pagerank(empty)
+
+
+def test_fuzzy_pairs_null_names_and_blocks_drop(spark):
+    from pyspark.sql import functions as F
+
+    from querysight_spark.operators.linkage import blocked_fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [(1, None, "b"), (2, "x", "b"), (3, "x", None), (4, "x", "b")],
+        "id long, name string, zip string",
+    )
+    out = blocked_fuzzy_pairs(df, "id", "name", F.col("zip"), 2).collect()
+    # null name -> null distance -> filtered; null block never joins
+    assert {(r.id_a, r.id_b) for r in out} == {(2, 4)}
+
+
+def test_funnel_unreachable_stage_counts_zero(spark):
+    import datetime as dt
+
+    from querysight_spark.operators.behavior import funnel
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, "signup")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {r.stage: r for r in funnel(ev, ["signup", "purchase"]).collect()}
+    assert out["signup"].n_users == 1
+    assert out["purchase"].n_users == 0
+    assert out["purchase"].conv_from_first == 0.0
+
+
+def test_wma_all_null_values_yield_null_not_crash(spark):
+    from querysight_spark.operators.timeseries import weighted_moving_average
+
+    ev = spark.createDataFrame(
+        [(1, None), (2, None)],
+        "event_id long, value double",
+    ).selectExpr(
+        "event_id", "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,event_id) AS ts",
+        "1 AS user_id", "value"
+    )
+    rows = weighted_moving_average(ev, [0.5, 0.5]).collect()
+    # 0/0 division: wma is NaN/NULL-ish, never an exception; values stay null
+    assert len(rows) == 2
