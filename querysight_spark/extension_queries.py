@@ -3618,3 +3618,30 @@ EXTENSION_QUERIES["st09_stream_anomalies"] = (
     st09,
     EXTENSION_QUERIES["an01_trailing_anomalies"][1],
 )
+
+
+@_q(
+    "tr04_hopping_rollup",
+    """WITH x AS (
+         SELECT to_timestamp(CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) * 1800
+                             - k * 1800) AS window_start,
+                event_type, value
+         FROM events, LATERAL (SELECT UNNEST([0, 1]) AS k) u)
+       SELECT window_start,
+              window_start + INTERVAL 1 HOUR AS window_end,
+              event_type,
+              COUNT(*) AS n_events,
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                AS sum_v
+       FROM x GROUP BY 1, 2, 3
+       ORDER BY window_start, event_type""",
+)
+def tr04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window rollup (1 h windows sliding every 30 min): each
+    event lands in exactly two overlapping windows via F.window's
+    map-side expansion — no self-join. Oracle replays the hop as an
+    explicit epoch-bucket UNNEST. Timestamps compare naive-UTC."""
+    from querysight_spark.operators.rollup import hopping_rollup
+
+    ev = load_table(spark, "events", sf_dir)
+    return hopping_rollup(ev).orderBy("window_start", "event_type")

@@ -176,3 +176,38 @@ def upsert_rollup_tier(
         out.write.mode("overwrite").partitionBy("p_date").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
+def hopping_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+    group_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Overlapping (hopping) window rollup: each event contributes to
+    window/slide windows (2 for 1h/30m) — the smoothing tier dashboards
+    read when tumbling buckets are too jumpy. Built on ``F.window``'s
+    hop form, which EXPANDS each row into its windows map-side (an
+    explode, not a self-join) and then runs the ordinary partial+final
+    hash agg keyed on (window, groups); epoch-aligned boundaries keep
+    the result engine-portable. Sums are DECIMAL(18,2)-cast like
+    ``time_rollup`` so merge order can never change a digit."""
+    from pyspark.sql import functions as F
+
+    w = F.window(F.col(ts_col), window, slide)
+    return (
+        events.groupBy(w.alias("w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_sum_dec"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+            F.round(F.col("_sum_dec").cast("double"), 2).alias("sum_v"),
+        )
+    )

@@ -1022,3 +1022,23 @@ def test_budgeted_mix(spark):
     assert {r.source for r in got} == {"a", "b"}
     only_b = budgeted_mix(df, {"b": 1.0}, token_budget=10)
     assert {r.source for r in only_b.collect()} <= {"b"}
+
+
+def test_hopping_rollup_each_event_in_two_windows(spark):
+    import datetime as dt
+
+    from querysight_spark.operators.rollup import hopping_rollup
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 45), "a", 2.0)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    rows = hopping_rollup(ev).orderBy("window_start").collect()
+    # 10:45 belongs to [10:00,11:00) and [10:30,11:30)
+    assert [(r.window_start.hour, r.window_start.minute) for r in rows] == [
+        (10, 0), (10, 30)
+    ]
+    assert all(r.n_events == 1 and r.sum_v == 2.0 for r in rows)
+    assert all((r.window_end.hour * 60 + r.window_end.minute)
+               - (r.window_start.hour * 60 + r.window_start.minute) == 60
+               for r in rows)
