@@ -3645,3 +3645,68 @@ def tr04(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     return hopping_rollup(ev).orderBy("window_start", "event_type")
+
+
+# --- delimited-text source (CSV round-trip) ---------------------------------
+
+
+def io01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source round-trip: the documents table written as quoted CSV
+    (multi-line text fields and all) and read back through the CSV
+    source with an explicit schema + multiLine, then aggregated. The
+    oracle computes the same aggregate from the parquet truth, so ANY
+    mangling in the write→parse chain (quoting, escapes, embedded
+    newlines/commas, header handling) shifts a count or a character sum
+    and breaks the hash. Staged per corpus vintage under /tmp
+    (_corpus_tag); the read is schema-pinned — schema inference over
+    100 TB of CSV is a full extra pass, never the default."""
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "qs_csv_stage_" + _corpus_tag(sf_dir, "documents"),
+    )
+    done = os.path.join(path, "_staged_ok")
+    if not os.path.exists(done):
+        docs = load_table(spark, "documents", sf_dir)
+        (
+            docs.coalesce(2)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .option("quoteAll", "true")
+            .option("escape", '"')
+            .csv(path)
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    back = (
+        spark.read.schema(
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint"
+        )
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+    return (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_n_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.countDistinct("doc_id").alias("n_ids"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+EXTENSION_QUERIES["io01_csv_roundtrip"] = (
+    io01,
+    """SELECT lang, source, COUNT(*) AS n_docs,
+              SUM(n_chars) AS sum_n_chars,
+              SUM(length(text)) AS sum_text_len,
+              COUNT(DISTINCT doc_id) AS n_ids
+       FROM documents GROUP BY lang, source ORDER BY lang, source""",
+)
