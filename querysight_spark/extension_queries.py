@@ -3046,7 +3046,8 @@ def lk01(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lk02_linkage_summary",
     """WITH t AS (
          SELECT p_partkey AS id, p_name AS name,
-                split_part(p_name, ' ', 2) AS blk
+                substr(p_name, 1, 1) || ':' || split_part(p_name, ' ', 2)
+                  AS blk
          FROM part),
        pairs AS (
          SELECT a.id AS id_a, a.blk AS blk,
@@ -3061,8 +3062,15 @@ def lk01(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lk02(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-block linkage quality surface over the FULL part table at a
-    tight threshold (distance <= 1): match counts and distance spread per
-    block — the monitoring signal for whether a block key is too coarse."""
+    tight threshold (distance <= 1), blocked on the COMPOUND key
+    (first letter, noun token): the noun alone leaves ~n/8-sized blocks
+    whose pair count grows quadratically with the corpus (48 s at sf0.1,
+    measured — SCALE.md), while the compound key keeps blocks ~26x
+    smaller. The standard blocking trade applies: edits AT position 0
+    cross first-letter blocks and are missed by this single pass —
+    production recovers them with a second pass on a complementary key
+    (e.g. last letter + noun) and unions the pairs. Block-key refinement
+    is the linkage scaling lever; this entry pins the refined shape."""
     from querysight_spark.operators.linkage import (
         blocked_fuzzy_pairs,
         linkage_summary,
@@ -3073,7 +3081,11 @@ def lk02(spark: SparkSession, sf_dir: str) -> DataFrame:
         part,
         id_col="p_partkey",
         text_col="p_name",
-        block_expr=F.split(F.col("p_name"), " ").getItem(1),
+        block_expr=F.concat_ws(
+            ":",
+            F.substring("p_name", 1, 1),
+            F.split(F.col("p_name"), " ").getItem(1),
+        ),
         max_distance=1,
     )
     return linkage_summary(pairs).orderBy("blk")
