@@ -3722,3 +3722,98 @@ EXTENSION_QUERIES["io01_csv_roundtrip"] = (
               COUNT(DISTINCT doc_id) AS n_ids
        FROM documents GROUP BY lang, source ORDER BY lang, source""",
 )
+
+
+# --- data-quality expectations ----------------------------------------------
+
+
+@_q(
+    "dq01_expectations",
+    """WITH s AS (
+         SELECT COUNT(*) AS n,
+                COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS nu_user,
+                COUNT(CASE WHEN ts IS NULL THEN 1 END) AS nu_ts,
+                COUNT(CASE WHEN value IS NULL THEN 1 END) AS nu_value,
+                COUNT(DISTINCT event_id) AS d_eid,
+                MIN(CAST(value AS DOUBLE)) AS mn_v,
+                MAX(CAST(value AS DOUBLE)) AS mx_v
+         FROM events)
+       SELECT * FROM (
+         SELECT 'not_null' AS "check", 'user_id' AS "column",
+                ROUND(nu_user / CAST(n AS DOUBLE), 6) AS metric,
+                0.0 AS threshold,
+                ROUND(nu_user / CAST(n AS DOUBLE), 6) <= 0.0 AS ok FROM s
+         UNION ALL
+         SELECT 'not_null', 'ts', ROUND(nu_ts / CAST(n AS DOUBLE), 6),
+                0.0, ROUND(nu_ts / CAST(n AS DOUBLE), 6) <= 0.0 FROM s
+         UNION ALL
+         SELECT 'not_null', 'value', ROUND(nu_value / CAST(n AS DOUBLE), 6),
+                0.0, ROUND(nu_value / CAST(n AS DOUBLE), 6) <= 0.0 FROM s
+         UNION ALL
+         SELECT 'unique', 'event_id',
+                ROUND((n - d_eid) / CAST(n AS DOUBLE), 6),
+                0.0, ROUND((n - d_eid) / CAST(n AS DOUBLE), 6) <= 0.0 FROM s
+         UNION ALL
+         SELECT 'min_bound', 'value', ROUND(mn_v, 6), 0.0, mn_v >= 0.0 FROM s
+         UNION ALL
+         SELECT 'max_bound', 'value', ROUND(mx_v, 6), 1000.0,
+                mx_v <= 1000.0 FROM s)
+       ORDER BY "check", "column" """,
+)
+def dq01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite over events in ONE aggregation
+    pass (null ratios, key uniqueness, value bounds) emitting a
+    check-per-row report — the validation gate before ingesting a data
+    drop. 50 checks still cost one scan."""
+    from querysight_spark.operators.quality import expect_report
+
+    ev = load_table(spark, "events", sf_dir)
+    return expect_report(
+        ev,
+        not_null=["user_id", "ts", "value"],
+        unique=["event_id"],
+        bounds={"value": (0.0, 1000.0)},
+    ).orderBy("check", "column")
+
+
+@_q(
+    "dq02_orphan_keys",
+    """WITH child AS (
+         SELECT event_id,
+                user_id + CASE WHEN event_id % 97 = 0 THEN 100000
+                               ELSE 0 END AS user_ref
+         FROM events),
+       orphans AS (
+         SELECT c.user_ref, c.event_id FROM child c
+         WHERE NOT EXISTS (
+           SELECT 1 FROM customer p WHERE p.c_custkey = c.user_ref))
+       SELECT user_ref, COUNT(*) AS n_orphan_rows,
+              MIN(event_id) AS first_event
+       FROM orphans GROUP BY user_ref ORDER BY user_ref""",
+)
+def dq02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity check as a left-anti join (only violations
+    materialize): events carrying a deterministically corrupted user ref
+    (every 97th event) audited against the customer key set, reported
+    per orphan key."""
+    from querysight_spark.operators.quality import orphan_keys
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        (
+            F.col("user_id")
+            + F.when(F.col("event_id") % 97 == 0, F.lit(100000)).otherwise(
+                F.lit(0)
+            )
+        ).alias("user_ref"),
+    )
+    cust = load_table(spark, "customer", sf_dir)
+    orphans = orphan_keys(ev, cust, "user_ref", "c_custkey")
+    return (
+        orphans.groupBy("user_ref")
+        .agg(
+            F.count(F.lit(1)).alias("n_orphan_rows"),
+            F.min("event_id").alias("first_event"),
+        )
+        .orderBy("user_ref")
+    )

@@ -1,0 +1,103 @@
+"""Data-quality operators: expectation checks over tables (the validation
+gate a training pipeline runs before ingesting a new data drop).
+
+Great-Expectations-style checks expressed as ONE aggregation pass per
+table: each expectation is a conditional aggregate column, so a 50-check
+suite over a 100 TB table costs exactly one scan + one partial/final agg
+— never one job per check. Referential checks are left-anti joins (the
+orphan side only, no full materialization of the join).
+
+Output contract: one row per check — (check, column, metric, threshold,
+ok) — so the report is itself a DataFrame any sink or alerting query can
+consume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    return F.when(den > 0, F.round(num / den.cast("double"), 6)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def expect_report(
+    df: DataFrame,
+    not_null: list[str] = (),
+    unique: list[str] = (),
+    bounds: dict[str, tuple[float, float]] | None = None,
+    max_null_ratio: float = 0.0,
+) -> DataFrame:
+    """Run a suite of expectations in ONE aggregation pass:
+
+    - ``not_null``: columns whose null ratio must be <= max_null_ratio
+    - ``unique``: columns whose distinct count must equal the row count
+    - ``bounds``: column -> (lo, hi) inclusive range for min/max
+
+    Returns (check, column, metric, threshold, ok), one row per check."""
+    bounds = bounds or {}
+    n = F.count(F.lit(1))
+    aggs = [n.alias("_n")]
+    for c in not_null:
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"_null_{c}")
+        )
+    for c in unique:
+        aggs.append(F.countDistinct(c).alias(f"_dist_{c}"))
+    for c in bounds:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"_max_{c}"))
+    stats = df.agg(*aggs)
+
+    rows = []
+    for c in not_null:
+        ratio = _ratio(F.col(f"_null_{c}"), F.col("_n"))
+        rows.append(
+            (F.lit("not_null"), F.lit(c), ratio, F.lit(float(max_null_ratio)),
+             ratio <= max_null_ratio)
+        )
+    for c in unique:
+        dup = _ratio(F.col("_n") - F.col(f"_dist_{c}"), F.col("_n"))
+        rows.append(
+            (F.lit("unique"), F.lit(c), dup, F.lit(0.0), dup <= 0.0)
+        )
+    for c, (lo, hi) in bounds.items():
+        rows.append(
+            (F.lit("min_bound"), F.lit(c), F.round(F.col(f"_min_{c}"), 6),
+             F.lit(float(lo)), F.col(f"_min_{c}") >= lo)
+        )
+        rows.append(
+            (F.lit("max_bound"), F.lit(c), F.round(F.col(f"_max_{c}"), 6),
+             F.lit(float(hi)), F.col(f"_max_{c}") <= hi)
+        )
+    checks = None
+    for check, col, metric, thr, ok in rows:
+        one = stats.select(
+            check.alias("check"),
+            col.alias("column"),
+            metric.cast("double").alias("metric"),
+            thr.alias("threshold"),
+            ok.alias("ok"),
+        )
+        checks = one if checks is None else checks.unionByName(one)
+    return checks
+
+
+def orphan_keys(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Referential-integrity check: child rows whose key has no parent.
+    A left-anti join — only the orphans materialize; at scale this is a
+    broadcast-anti when the parent key set is small, shuffle-anti
+    otherwise, either way no wider than the violation set."""
+    return child.join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        on=child_key,
+        how="left_anti",
+    )

@@ -1,0 +1,50 @@
+from __future__ import annotations
+
+from querysight_spark.operators.quality import expect_report, orphan_keys
+
+
+def test_expect_report_flags_violations(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (2, 150.0)],
+        "id long, v double",
+    )
+    out = {(r.check, r.column): r for r in expect_report(
+        df, not_null=["v"], unique=["id"], bounds={"v": (0.0, 100.0)}
+    ).collect()}
+    nn = out[("not_null", "v")]
+    assert not nn.ok and abs(nn.metric - 1 / 3) < 1e-6
+    uq = out[("unique", "id")]
+    assert not uq.ok and abs(uq.metric - 1 / 3) < 1e-6  # one dup in 3 rows
+    assert out[("min_bound", "v")].ok          # min 5.0 >= 0
+    assert not out[("max_bound", "v")].ok      # max 150 > 100
+
+
+def test_expect_report_all_green(spark):
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+    out = expect_report(
+        df, not_null=["id", "v"], unique=["id"], bounds={"v": (0.0, 10.0)}
+    ).collect()
+    assert len(out) == 5 and all(r.ok for r in out)
+
+
+def test_expect_report_tolerates_null_ratio(spark):
+    df = spark.createDataFrame(
+        [(i, None if i == 0 else 1.0) for i in range(10)], "id long, v double"
+    )
+    row = expect_report(df, not_null=["v"], max_null_ratio=0.2).collect()[0]
+    assert row.ok and row.metric == 0.1
+
+
+def test_orphan_keys_returns_only_violations(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99)], "row_id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    got = orphan_keys(child, parent, "fk", "pk").collect()
+    assert [(r.fk, r.row_id) for r in got] == [(99, 3)]
+
+
+def test_orphan_keys_empty_when_clean(spark):
+    child = spark.createDataFrame([(1, 10)], "row_id long, fk long")
+    parent = spark.createDataFrame([(10,)], "pk long")
+    assert orphan_keys(child, parent, "fk", "pk").count() == 0
