@@ -3817,3 +3817,43 @@ def dq02(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_ref")
     )
+
+
+@_q(
+    "ts04_seasonal_anomalies",
+    """WITH p AS (
+         SELECT event_type, EXTRACT(hour FROM ts) AS hod, COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))
+                         * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sq
+         FROM events GROUP BY 1, 2),
+       m AS (
+         SELECT event_type, hod, n, s / n AS mean,
+                CASE WHEN n > 1
+                     THEN sqrt((sq - s * s / n) / (n - 1)) END AS std
+         FROM p)
+       SELECT e.event_type, m.hod, e.ts, e.event_id, e.value,
+              ROUND(m.mean, 6) AS slot_mean,
+              ROUND(m.std, 6) AS slot_std,
+              ROUND((e.value - m.mean) / m.std, 6) AS zscore
+       FROM events e
+       JOIN m ON e.event_type = m.event_type
+             AND EXTRACT(hour FROM e.ts) = m.hod
+       WHERE m.std IS NOT NULL AND m.std > 0
+         AND ABS(e.value - m.mean) > 3.0 * m.std
+       ORDER BY e.event_type, e.ts, e.event_id""",
+)
+def ts04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: per (event_type,
+    hour-of-day) profile from DECIMAL-exact moments, residual z-score
+    against the row's OWN seasonal slot. The profile (types x 24 rows)
+    broadcasts onto the stream — calendar-aware flags for one scan +
+    one tiny agg."""
+    from querysight_spark.operators.timeseries import (
+        deseasonalized_anomalies,
+        seasonal_profile,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    out = deseasonalized_anomalies(ev, seasonal_profile(ev))
+    return out.orderBy("event_type", "ts", "event_id")

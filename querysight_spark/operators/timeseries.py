@@ -215,3 +215,67 @@ def gap_fill_linear(
         v.isNull().alias("filled"),
         interp.alias("value_interp"),
     )
+
+
+def seasonal_profile(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hour-of-day seasonal profile per group: (group, hod, n, mean,
+    std). Moments are computed from DECIMAL-cast sums (exact for
+    2-decimal metrics), so the profile is digit-identical on any engine
+    and the anomaly threshold derived from it is deterministic."""
+    v = F.col(value_col).cast("decimal(18,2)")
+    v2 = (F.col(value_col).cast("decimal(18,2)") * F.col(value_col).cast("decimal(18,2)"))
+    g = events.groupBy(
+        group_col, F.hour(F.col(ts_col)).alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("_s"),
+        F.sum(v2).cast("double").alias("_sq"),
+    )
+    mean = F.col("_s") / F.col("n")
+    var = (F.col("_sq") - F.col("_s") * F.col("_s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return g.select(
+        group_col,
+        "hod",
+        "n",
+        mean.alias("mean"),
+        F.when(F.col("n") > 1, F.sqrt(var)).alias("std"),
+    )
+
+
+def deseasonalized_anomalies(
+    events: DataFrame,
+    profile: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Flag rows whose value deviates > z_threshold·std from THEIR
+    seasonal slot's mean (the calendar-aware counterpart of the trailing
+    window in ``trailing_anomalies``: a nightly lull is not an anomaly at
+    3 am, and a 3 am spike isn't excused by the daily average). One
+    broadcast join of the (groups × 24)-row profile onto the stream."""
+    keyed = events.withColumn("hod", F.hour(F.col(ts_col)))
+    j = keyed.join(F.broadcast(profile), [group_col, "hod"])
+    resid = F.col(value_col) - F.col("mean")
+    return j.where(
+        F.col("std").isNotNull()
+        & (F.col("std") > 0)
+        & (F.abs(resid) > F.lit(z_threshold) * F.col("std"))
+    ).select(
+        group_col,
+        "hod",
+        F.col(ts_col),
+        "event_id",
+        F.col(value_col),
+        F.round("mean", 6).alias("slot_mean"),
+        F.round("std", 6).alias("slot_std"),
+        F.round(resid / F.col("std"), 6).alias("zscore"),
+    )

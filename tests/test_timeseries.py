@@ -115,3 +115,31 @@ def test_gap_fill_linear_interpolates_and_edges(spark):
     out = {r.hour.hour: r for r in gap_fill_linear(hourly).collect()}
     assert [out[h].value_interp for h in range(5)] == [10.0, 20.0, 30.0, 40.0, 50.0]
     assert [out[h].filled for h in range(5)] == [False, True, True, True, False]
+
+
+def test_seasonal_profile_flags_out_of_slot_values(spark):
+    import datetime as dt
+
+    from querysight_spark.operators.timeseries import (
+        deseasonalized_anomalies,
+        seasonal_profile,
+    )
+
+    rows = []
+    eid = 0
+    # hour 3 runs cold (~5), hour 12 runs hot (~100): neither is anomalous
+    for day in range(1, 11):
+        for hod, base in ((3, 5.0), (12, 100.0)):
+            rows.append((eid, dt.datetime(2024, 1, day, hod), 1, "view",
+                         base + (day % 3)))
+            eid += 1
+    # a "hot" value at 3am IS an anomaly even though it's normal at noon
+    rows.append((999, dt.datetime(2024, 1, 15, 3), 1, "view", 100.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double"
+    )
+    prof = seasonal_profile(ev)
+    flagged = deseasonalized_anomalies(ev, prof).collect()
+    assert [r.event_id for r in flagged] == [999]
+    assert flagged[0].hod == 3 and flagged[0].zscore > 3
