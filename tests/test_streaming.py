@@ -330,9 +330,16 @@ def test_stateful_anomalies_cross_batch_state(spark, tmp_path):
     import os
 
     os.makedirs(stage)
-    # file names ordered so the source picks f1's batch first
+    # the file source orders batches by MODIFICATION TIME, not name — two
+    # files copied in the same millisecond tie-break nondeterministically,
+    # so pin strictly increasing mtimes to make batch order (f1, f2)
+    import time
+
     shutil.copy(glob.glob(src + "/f1/*.parquet")[0], stage + "/a.parquet")
     shutil.copy(glob.glob(src + "/f2/*.parquet")[0], stage + "/b.parquet")
+    now = time.time()
+    os.utime(stage + "/a.parquet", (now - 60, now - 60))
+    os.utime(stage + "/b.parquet", (now, now))
 
     stream = (
         spark.readStream.schema(schema)
