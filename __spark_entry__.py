@@ -42,8 +42,11 @@
                 mm05: frame-level audio energy/VAD over the decoded
                 samples).
   * ts/an     — time-series resample + gap-fill (forward and linear),
-                FIR weighted moving average, trailing-window anomaly
-                detection, chi-square independence surface.
+                FIR weighted moving average, trailing-window and
+                seasonal-profile anomaly detection, chi-square
+                independence surface.
+  * dq/io     — data-quality expectation suite + referential-integrity
+                orphans; CSV source round-trip.
   * lk/gr/vx  — blocked fuzzy-join record linkage (+ per-block match
                 summary), iterative PageRank vs an unrolled-CTE oracle,
                 per-dimension embedding z-score feature scaling.
