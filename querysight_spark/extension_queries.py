@@ -3857,3 +3857,28 @@ def ts04(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     out = deseasonalized_anomalies(ev, seasonal_profile(ev))
     return out.orderBy("event_type", "ts", "event_id")
+
+
+@_q(
+    "ir07_phrase_match",
+    """WITH w AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       post AS (
+         SELECT doc_id, i - 1 AS pos, ws[i] AS term
+         FROM w, LATERAL (SELECT UNNEST(range(1, len(ws) + 1)) AS i) u),
+       a AS (SELECT doc_id, pos AS p0 FROM post WHERE term = 'table'),
+       b AS (SELECT doc_id, pos - 1 AS p0 FROM post WHERE term = 'hash')
+       SELECT a.doc_id, COUNT(*) AS n_occurrences, MIN(a.p0) AS first_pos
+       FROM a JOIN b ON a.doc_id = b.doc_id AND a.p0 = b.p0
+       GROUP BY a.doc_id ORDER BY a.doc_id""",
+)
+def ir07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval ('table hash') over positional postings:
+    adjacency verified by equi-joining postings on (doc, consecutive
+    positions) — no regex over raw text, the same joins a persisted
+    positional index serves. tf-only postings can rank but never verify
+    adjacency; this entry pins the positional layout."""
+    from querysight_spark.operators.search import phrase_match
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return phrase_match(docs, "table hash").orderBy("doc_id")

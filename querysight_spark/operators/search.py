@@ -314,3 +314,52 @@ def unigram_lm_scores(
             F.round(F.col("lp_sum") / F.col("dl"), 6).alias("mean_logprob"),
         )
     )
+
+
+def positional_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted-index postings: one row per (term, doc,
+    position). The layout phrase and proximity queries need — tf-only
+    postings can rank but can never verify adjacency. One posexplode;
+    roughly dl rows per doc (the classic ~2-3x positional-index size
+    tax over tf postings)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
+    )
+
+
+def phrase_match(
+    df: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-phrase retrieval over positional postings: the phrase's
+    terms are matched by equi-joining postings on (doc, consecutive
+    positions) — term k of the phrase at position p+k. Returns (doc,
+    n_occurrences, first_pos).
+
+    Plan shape: the first (rarest would be better; first is simplest and
+    deterministic) term's postings anchor the join; each subsequent term
+    joins on (doc, pos + k) — ALL equi-joins, so Catalyst shuffles on
+    (doc, pos) once per term with no theta-join blowup. At index scale
+    the same joins run against the persisted positional table instead of
+    the in-flight explode."""
+    words = phrase.split(" ")
+    post = positional_postings(df, id_col, text_col)
+    anchor = (
+        post.where(F.col("term") == words[0])
+        .select(F.col(id_col), F.col("pos").alias("p0"))
+    )
+    cur = anchor
+    for k, w in enumerate(words[1:], start=1):
+        nxt = post.where(F.col("term") == w).select(
+            F.col(id_col), (F.col("pos") - k).alias("p0")
+        )
+        cur = cur.join(nxt, [id_col, "p0"])
+    return cur.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("p0").alias("first_pos"),
+    )

@@ -218,3 +218,33 @@ def test_ivfpq_upsert_appends_into_existing_lists(spark, tmp_path):
         spark, path, target, k=1, n_probes=4, rerank_df=df, oversample=200
     ).collect()
     assert out[0].vec_id == 110  # the upserted vector finds itself
+
+
+def test_phrase_match_requires_adjacency_and_order(spark):
+    from querysight_spark.operators.search import phrase_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),          # phrase present
+            (2, "quick the brown fox"),          # words present, wrong order
+            (3, "the slow quick brown thing"),   # adjacent pair present
+            (4, "the quick red brown fox"),      # gap breaks adjacency
+            (5, "quick brown quick brown"),      # two occurrences
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in phrase_match(docs, "quick brown").collect()}
+    assert set(out) == {1, 3, 5}
+    assert out[5].n_occurrences == 2 and out[5].first_pos == 0
+    assert out[1].first_pos == 1
+
+
+def test_phrase_match_three_words(spark):
+    from querysight_spark.operators.search import phrase_match
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x c"), (3, "x a b c")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id for r in phrase_match(docs, "a b c").collect()}
+    assert out == {1, 3}
