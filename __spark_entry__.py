@@ -15,9 +15,10 @@
                 n-gram Jaccard, SimHash, cosine exact/LSH, clustering,
                 keep-best, incremental delta-dedup vs a persisted band
                 index).
-  * ir01-ir06 — full-text relevance (BM25 top-k in-flight and over a
+  * ir01-ir07 — full-text relevance (BM25 top-k in-flight and over a
                 persisted term-sorted inverted index, tf-idf, corpus
-                unigram/bigram-LM quality scores, vocab fingerprint).
+                unigram/bigram-LM quality scores, vocab fingerprint,
+                positional-postings exact-phrase retrieval).
   * cl01-cl03 — embedding clustering (nearest-centroid assignment),
                 SemDeDup semantic dedup, iterative k-means refinement.
   * ss01-ss12 — similarity search (brute force through persisted IVF+PQ,
