@@ -3882,3 +3882,46 @@ def ir07(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     return phrase_match(docs, "table hash").orderBy("doc_id")
+
+
+def io02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL export round-trip (the write side of st07's ingest): the
+    documents table exported as JSON lines and read back schema-pinned,
+    then aggregated against the parquet truth. Unicode escapes, quoting,
+    and null handling in the serializer all sit under the hash."""
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "qs_jsonl_stage_" + _corpus_tag(sf_dir, "documents"),
+    )
+    done = os.path.join(path, "_staged_ok")
+    if not os.path.exists(done):
+        docs = load_table(spark, "documents", sf_dir)
+        docs.coalesce(2).write.mode("overwrite").json(path)
+        with open(done, "w") as f:
+            f.write("ok")
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    ).json(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_n_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+EXTENSION_QUERIES["io02_jsonl_roundtrip"] = (
+    io02,
+    """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_n_chars,
+              SUM(length(text)) AS sum_text_len,
+              COUNT(DISTINCT source) AS n_sources
+       FROM documents GROUP BY lang ORDER BY lang""",
+)

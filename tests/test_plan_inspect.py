@@ -1,0 +1,45 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from querysight_spark.plans.inspect import assert_plan, plan_summary
+from querysight_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_visible(spark):
+    df = load_table(spark, "orders", SF).where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    s = assert_plan(df, n_scans=1, pushed_filters_contain="o_orderpriority")
+    assert s["has_wholestage_codegen"]
+
+
+def test_broadcast_join_detected(spark):
+    li = load_table(spark, "lineitem", SF)
+    nation = load_table(spark, "nation", SF)
+    cust = load_table(spark, "customer", SF)
+    orders = load_table(spark, "orders", SF)
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    s = plan_summary(j)
+    assert s["n_broadcasts"] >= 2
+    assert s["n_broadcast_hash_joins"] >= 2
+
+
+def test_groupby_costs_one_shuffle(spark):
+    df = load_table(spark, "events", SF).groupBy("event_type").count()
+    # collect() first so AQE finalizes the executed plan
+    df.collect()
+    s = plan_summary(df)
+    assert s["n_shuffles"] == 1
+    assert s["aqe_final"]
+
+
+def test_assert_plan_failure_is_loud(spark):
+    df = load_table(spark, "events", SF).select("event_id")
+    with pytest.raises(AssertionError, match="n_scans"):
+        assert_plan(df, n_scans=99)
