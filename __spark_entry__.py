@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``queries()`` exposes every implemented operator family (SURVEY.md §2):
-  * p01-p65   — general-operator probes (scan/filter/agg/join/window/
+  * p01-p67   — general-operator probes (scan/filter/agg/join/window/
                 setop/scalar/lateral/unpivot/interval/map/subquery) run
                 via spark.sql over the testdata views, i.e. straight
                 through Catalyst.

@@ -702,3 +702,19 @@ _p(
        SELECT k + 1 AS gap_start, nk - 1 AS gap_end, nk - k - 1 AS gap_len
        FROM s WHERE nk - k > 1 ORDER BY gap_start LIMIT 1000""",
 )
+_p(
+    "p66_cube",
+    """SELECT event_type, user_id % 3 AS ub, COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+              GROUPING(event_type) AS g_type, GROUPING(user_id % 3) AS g_ub
+       FROM events GROUP BY CUBE(event_type, user_id % 3)
+       ORDER BY g_type, g_ub, event_type NULLS FIRST, ub NULLS FIRST""",
+)
+_p(
+    "p67_grouping_sets",
+    """SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+              COUNT(*) AS n
+       FROM events
+       GROUP BY GROUPING SETS ((event_type), (hod), ())
+       ORDER BY event_type NULLS FIRST, hod NULLS FIRST""",
+)
