@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def resample_hourly(
@@ -56,6 +57,11 @@ def gap_fill_forward(
     1 hour)`` + ``explode`` off a per-key min/max agg — its size is
     span-hours × keys regardless of the input row count, and the fill is
     one window pass ordered by hour within each key."""
+    # hourly feeds BOTH the span agg and the join probe; without a persist
+    # the whole upstream (raw scan + agg) executes twice — measured as 2
+    # FileScans with no ReusedExchange. The agg output is keys x hours
+    # small, so pinning it costs little and halves the raw-event reads.
+    hourly = hourly.persist(StorageLevel.MEMORY_AND_DISK)
     span = hourly.groupBy(key_col).agg(
         F.min(hour_col).alias("_lo"), F.max(hour_col).alias("_hi")
     )
@@ -177,6 +183,7 @@ def gap_fill_linear(
     needs the previous AND next observed (hour, value) per row — two
     window passes over the same (key, hour) sort, so Spark plans one
     exchange + one sort feeding both window operators."""
+    hourly = hourly.persist(StorageLevel.MEMORY_AND_DISK)  # see gap_fill_forward
     span = hourly.groupBy(key_col).agg(
         F.min(hour_col).alias("_lo"), F.max(hour_col).alias("_hi")
     )

@@ -43,3 +43,29 @@ def test_assert_plan_failure_is_loud(spark):
     df = load_table(spark, "events", SF).select("event_id")
     with pytest.raises(AssertionError, match="n_scans"):
         assert_plan(df, n_scans=99)
+
+
+def test_gap_fill_scans_raw_events_once(spark):
+    """The hourly agg feeds both the span agg and the join probe; the
+    persist inside gap_fill keeps the raw scan at ONE (was 2 — the whole
+    upstream executed twice with no ReusedExchange)."""
+    from querysight_spark.operators.timeseries import (
+        gap_fill_forward,
+        resample_hourly,
+    )
+
+    ev = load_table(spark, "events", SF)
+    out = gap_fill_forward(resample_hourly(ev))
+    out.collect()
+    assert plan_summary(out)["n_scans"] == 1
+
+
+def test_funnel_stage_filters_are_pushed(spark):
+    from querysight_spark.operators.behavior import funnel
+
+    ev = load_table(spark, "events", SF)
+    out = funnel(ev, ["signup", "purchase"])
+    out.collect()
+    s = plan_summary(out)
+    assert any("signup" in f for f in s["pushed_filters"])
+    assert any("purchase" in f for f in s["pushed_filters"])
