@@ -38,13 +38,21 @@ def cohort_retention(
     construction). Periods are ``date_trunc`` buckets; the offset is
     exact integer epoch arithmetic, so the whole surface is
     engine-portable."""
+    from pyspark.storagelevel import StorageLevel
+
     secs = {"week": 604800, "day": 86400}[period]
-    first = events.groupBy(user_col).agg(
-        F.date_trunc(period, F.min(ts_col)).alias("cohort_week")
+    # ONE raw scan: the distinct (user, period) activity table is the only
+    # pass over events; the cohort (first period per user) derives from it
+    # (min activity period == period of first event), and persisting the
+    # tiny distinct table keeps its two consumers from re-executing it
+    act = (
+        events.select(
+            user_col, F.date_trunc(period, F.col(ts_col)).alias("w")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    act = events.select(
-        user_col, F.date_trunc(period, F.col(ts_col)).alias("w")
-    ).distinct()
+    first = act.groupBy(user_col).agg(F.min("w").alias("cohort_week"))
     j = act.join(first, user_col).select(
         user_col,
         "cohort_week",
@@ -86,27 +94,54 @@ def funnel(
     semantics: each stage binds to the user's earliest qualifying event).
 
     Returns one row per stage: (stage_idx, stage, n_users,
-    conv_from_prev, conv_from_first). Each stage is a filtered min-agg
-    joined to the previous stage's (shrinking) user set."""
-    spark = events.sparkSession
-    reached: list[tuple[str, DataFrame]] = []
-    prev: DataFrame | None = None
-    for stage in stages:
-        ev = events.where(F.col(type_col) == stage)
-        if prev is None:
-            cur = ev.groupBy(user_col).agg(F.min(ts_col).alias("t"))
-        else:
-            cur = (
-                ev.join(prev.select(user_col, F.col("t").alias("_pt")), user_col)
-                .where(F.col(ts_col) > F.col("_pt"))
-                .groupBy(user_col)
-                .agg(F.min(ts_col).alias("t"))
-            )
-        reached.append((stage, cur))
-        prev = cur
+    conv_from_prev, conv_from_first).
+
+    Plan: ONE scan (event_type IN stages pushed down) + ONE user-keyed
+    shuffle. Each user's stage-relevant events are sorted and folded
+    JVM-side (F.aggregate over the collected array) into the furthest
+    stage reached — a per-stage-join formulation re-executes earlier
+    stages' subtrees (O(stages) scans measured); the fold computes the
+    same strictly-after/first-touch semantics in a single pass. Per-user
+    state is the user's funnel-typed events only (the pushed IN-filter
+    bounds the array)."""
+    stage_arr = F.array(*[F.lit(st) for st in stages])
+    per_user = (
+        events.where(F.col(type_col).isin(list(stages)))
+        .groupBy(user_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(ts_col).alias("ts"),
+                                        F.col(type_col).alias("et")))
+            ).alias("evs")
+        )
+    )
+    # fold state: (s = stages completed, t = ts of the last completed
+    # stage). An event advances the funnel iff it is the next needed type
+    # and strictly after the previous stage's bind time (ties on ts are
+    # excluded by > exactly like the join formulation; fold order within
+    # equal ts therefore cannot change the result).
+    init = F.struct(
+        F.lit(0).alias("s"), F.lit(None).cast("timestamp").alias("t")
+    )
+    reached = per_user.select(
+        F.aggregate(
+            F.col("evs"),
+            init,
+            lambda acc, x: F.when(
+                # try_: a fully-converted user has s == len(stages) and
+                # the next-stage lookup must yield NULL (no advance), not
+                # an ANSI out-of-bounds error
+                (x["et"] == F.try_element_at(stage_arr, acc["s"] + 1))
+                & ((acc["s"] == 0) | (x["ts"] > acc["t"])),
+                F.struct((acc["s"] + 1).alias("s"), x["ts"].alias("t")),
+            ).otherwise(acc),
+        )["s"].alias("reached")
+    )
     counts = None
-    for i, (stage, df) in enumerate(reached):
-        row = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+    for i, stage in enumerate(stages):
+        row = reached.agg(
+            F.count(F.when(F.col("reached") >= i + 1, 1)).alias("n_users")
+        ).select(
             F.lit(i + 1).alias("stage_idx"),
             F.lit(stage).alias("stage"),
             "n_users",

@@ -69,3 +69,17 @@ def test_funnel_stage_filters_are_pushed(spark):
     s = plan_summary(out)
     assert any("signup" in f for f in s["pushed_filters"])
     assert any("purchase" in f for f in s["pushed_filters"])
+
+
+def test_funnel_and_retention_are_single_scan(spark):
+    """The fold-based funnel and activity-derived cohort table read raw
+    events ONCE (the join-chain formulations measured 6 and 3 scans)."""
+    from querysight_spark.operators.behavior import cohort_retention, funnel
+
+    ev = load_table(spark, "events", SF)
+    f = funnel(ev, ["signup", "view", "click", "purchase"])
+    f.collect()
+    assert plan_summary(f)["n_scans"] == 1
+    c = cohort_retention(ev)
+    c.collect()
+    assert plan_summary(c)["n_scans"] == 1
