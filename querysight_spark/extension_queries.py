@@ -3384,10 +3384,16 @@ def an02(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribution. All inputs are exact integers so expected/contrib are
     engine-identical doubles. The cross join is against a 1x1 scalar
     total (broadcast literal, not a data explosion)."""
+    from pyspark.storagelevel import StorageLevel
+
     ev = load_table(spark, "events", sf_dir)
-    ct = ev.groupBy(
-        "event_type", (F.col("user_id") % 4).alias("ub")
-    ).agg(F.count(F.lit(1)).alias("obs"))
+    # marginals + total all derive from the cell table; persist the tiny
+    # contingency agg so its scan+agg executes once, not 4x
+    ct = (
+        ev.groupBy("event_type", (F.col("user_id") % 4).alias("ub"))
+        .agg(F.count(F.lit(1)).alias("obs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     tot = ct.agg(F.sum("obs").alias("n"))
     rt = ct.groupBy("event_type").agg(F.sum("obs").alias("r"))
     cl = ct.groupBy("ub").agg(F.sum("obs").alias("c"))

@@ -50,7 +50,13 @@ def expect_report(
     for c in bounds:
         aggs.append(F.min(F.col(c).cast("double")).alias(f"_min_{c}"))
         aggs.append(F.max(F.col(c).cast("double")).alias(f"_max_{c}"))
-    stats = df.agg(*aggs)
+    # every check row SELECTs off this 1-row aggregate; persist it or each
+    # union branch re-executes the whole scan+agg (6 checks were measured
+    # as 6 FileScans — the exact failure the one-pass design exists to
+    # avoid)
+    from pyspark.storagelevel import StorageLevel
+
+    stats = df.agg(*aggs).persist(StorageLevel.MEMORY_AND_DISK)
 
     rows = []
     for c in not_null:
