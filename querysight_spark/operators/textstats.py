@@ -302,9 +302,15 @@ def dup_span_coverage(
         f"i -> struct(i AS pos, md5(concat_ws(' ', slice(w, i, {n}))) AS h)) "
         f"ELSE array() END)[0]"
     )
+    from pyspark.storagelevel import StorageLevel
+
+    # the positional-hash table feeds the duplicated-hash agg AND the
+    # coverage join; persist it or the md5-heavy shingling re-executes
+    # per consumer (measured via plans.inspect). At 100 TB write it to a
+    # temp parquet table instead — same shape, memory-independent.
     posed = df.select(F.col(id_col), F.explode(sh).alias("s")).select(
         F.col(id_col), F.col("s.pos").alias("pos"), F.col("s.h").alias("h")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     dup_h = (
         posed.groupBy("h")
         .agg(F.countDistinct(id_col).alias("nd"))

@@ -35,7 +35,25 @@ def plan_summary(df: DataFrame) -> dict:
     # an AQE dump appends the pre-adaptive plan under "== Initial Plan ==";
     # count operators in the FINAL section only or every exchange doubles
     plan = plan.split("== Initial Plan ==")[0]
+    n_cache_refs = plan.count("InMemoryTableScan")
+    # every InMemoryTableScan re-PRINTS the cached child plan under its
+    # InMemoryRelation — those scans execute once at cache fill, not per
+    # reference; drop the definition subtrees (deeper-indented lines) so
+    # the counters reflect executions, not prints
+    lines, keep, skip_indent = plan.splitlines(), [], None
+    for ln in lines:
+        indent = len(ln) - len(ln.lstrip(" :+-*("))
+        if skip_indent is not None:
+            if indent > skip_indent:
+                continue
+            skip_indent = None
+        if "InMemoryRelation" in ln:
+            skip_indent = indent
+            continue
+        keep.append(ln)
+    plan = "\n".join(keep)
     return {
+        "n_cache_refs": n_cache_refs,
         "n_scans": len(re.findall(r"FileScan|Scan parquet|Scan csv|Scan json", plan)),
         "n_exchanges": plan.count("Exchange"),
         "n_broadcasts": plan.count("BroadcastExchange"),
