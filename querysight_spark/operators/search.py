@@ -117,7 +117,13 @@ def bm25_topk(
     stats as a 1×1 broadcast, doc lengths joined on the doc key, global
     top-k via TakeOrderedAndProject (sort key = rounded score, ties by
     id — fully deterministic). No driver-side collect anywhere."""
-    lens = _doc_lengths(df, id_col, text_col)
+    from pyspark.storagelevel import StorageLevel
+
+    # lens feeds the corpus stats AND the per-doc join; persist the tiny
+    # (id, dl) table so the raw corpus isn't re-scanned per consumer
+    lens = _doc_lengths(df, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
@@ -145,7 +151,13 @@ def build_text_index(
     groups via footer min/max stats."""
     from pyspark.sql.window import Window
 
-    lens = _doc_lengths(df, id_col, text_col)
+    from pyspark.storagelevel import StorageLevel
+
+    # lens feeds the corpus stats AND the per-doc join; persist the tiny
+    # (id, dl) table so the raw corpus isn't re-scanned per consumer
+    lens = _doc_lengths(df, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),

@@ -486,6 +486,8 @@ def contamination_check(
     at a ~d²/2⁶⁵ collision risk, same trade as ngram_jaccard_pairs."""
     from querysight_spark.operators.dedup import _shingles
 
+    from pyspark.storagelevel import StorageLevel
+
     t_sh = test.select(
         F.col(id_col), F.explode(_shingles(text_col, shingle_size)).alias("sh")
     )
@@ -495,6 +497,9 @@ def contamination_check(
     if hash_shingles:
         t_sh = t_sh.select(id_col, F.xxhash64("sh").alias("sh"))
         vocab = vocab.select(F.xxhash64("sh").alias("sh")).distinct()
+    # the test-side shingles feed the size agg AND the vocab join;
+    # persist them (test sets are the small side) to avoid re-shingling
+    t_sh = t_sh.persist(StorageLevel.MEMORY_AND_DISK)
     per = t_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     hits = (
         t_sh.join(vocab, "sh")
