@@ -3641,8 +3641,11 @@ EXTENSION_QUERIES["st09_stream_anomalies"] = (
 @_q(
     "tr04_hopping_rollup",
     """WITH x AS (
-         SELECT to_timestamp(CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) * 1800
-                             - k * 1800) AS window_start,
+         -- naive timestamp arithmetic: to_timestamp returns TIMESTAMPTZ,
+         -- whose stringified form breaks tz-naive comparison
+         SELECT TIMESTAMP '1970-01-01 00:00:00'
+                  + (CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) * 1800
+                     - k * 1800) * INTERVAL 1 SECOND AS window_start,
                 event_type, value
          FROM events, LATERAL (SELECT UNNEST([0, 1]) AS k) u)
        SELECT window_start,
@@ -3723,8 +3726,8 @@ def io01(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXTENSION_QUERIES["io01_csv_roundtrip"] = (
     io01,
     """SELECT lang, source, COUNT(*) AS n_docs,
-              SUM(n_chars) AS sum_n_chars,
-              SUM(length(text)) AS sum_text_len,
+              CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+              CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
               COUNT(DISTINCT doc_id) AS n_ids
        FROM documents GROUP BY lang, source ORDER BY lang, source""",
 )
@@ -3926,8 +3929,9 @@ def io02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTENSION_QUERIES["io02_jsonl_roundtrip"] = (
     io02,
-    """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_n_chars,
-              SUM(length(text)) AS sum_text_len,
+    """SELECT lang, COUNT(*) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+              CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
               COUNT(DISTINCT source) AS n_sources
        FROM documents GROUP BY lang ORDER BY lang""",
 )
