@@ -3935,3 +3935,39 @@ EXTENSION_QUERIES["io02_jsonl_roundtrip"] = (
               COUNT(DISTINCT source) AS n_sources
        FROM documents GROUP BY lang ORDER BY lang""",
 )
+
+
+@_q(
+    "tx18_unicode_normalize",
+    """WITH aug AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0
+                     THEN 'e' || chr(769) || 'cole ' || text
+                     ELSE text END AS text
+         FROM documents)
+       SELECT doc_id,
+              length(text) AS n_chars_raw,
+              length(nfc_normalize(text)) AS n_chars_norm,
+              length(text) <> length(nfc_normalize(text)) AS changed,
+              nfc_normalize(text) AS norm_text
+       FROM aug ORDER BY doc_id""",
+)
+def tx18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization under the gate: every 7th doc is
+    prefixed (in BOTH engines) with a decomposed sequence (e + combining
+    acute), which NFC must collapse to the precomposed form. Spark side
+    is an Arrow-batched unicodedata UDF, oracle side DuckDB's
+    nfc_normalize — both implement the same Unicode standard, so the
+    normalized text hash-matches byte-for-byte."""
+    from querysight_spark.operators.textstats import normalize_unicode
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("e\u0301cole "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return normalize_unicode(docs).orderBy("doc_id")

@@ -6,6 +6,7 @@ and scale linearly with no shuffle (fingerprint shuffles once on doc_id).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -609,4 +610,43 @@ def model_quality_filter(
         z.alias("logit"),
         score.alias("model_score"),
         (score >= F.lit(threshold)).alias("keep"),
+    )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode normalization (NFC by default) — the canonicalization pass
+    a multilingual crawl needs before hashing/dedup: visually identical
+    strings with different codepoint sequences (precomposed é vs e +
+    combining acute) hash differently and defeat exact dedup until
+    normalized.
+
+    Spark has no built-in normalizer, so this is an Arrow-batched pandas
+    UDF over ``unicodedata.normalize`` — both it and DuckDB's
+    ``nfc_normalize`` implement the same Unicode standard, which is what
+    makes the operator oracle-checkable digit-for-digit. Map-only."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: None if t is None else unicodedata.normalize(form, t)
+        )
+
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars_raw"),
+        _norm(F.col(text_col)).alias("norm_text"),
+    ).select(
+        id_col,
+        "n_chars_raw",
+        F.length("norm_text").alias("n_chars_norm"),
+        (F.col("n_chars_raw") != F.length("norm_text")).alias("changed"),
+        "norm_text",
     )

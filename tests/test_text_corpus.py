@@ -82,3 +82,18 @@ def test_compact_files_partitioned_layout(spark, tmp_path):
         d.startswith("k=") for d in os.listdir(out)
     )
     assert spark.read.parquet(out).count() == 2000
+
+
+def test_unicode_normalize_collapses_decomposed(spark):
+    from querysight_spark.operators.textstats import normalize_unicode
+
+    decomposed = "e\u0301cole"   # e + combining acute (6 codepoints)
+    precomposed = "\u00e9cole"   # é precomposed (5 codepoints)
+    docs = spark.createDataFrame(
+        [(1, decomposed), (2, "plain"), (3, precomposed)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in normalize_unicode(docs).collect()}
+    assert out[1].changed and out[1].n_chars_norm == 5  # e+acute -> e-acute
+    assert out[1].norm_text == out[3].norm_text  # both forms converge
+    assert not out[2].changed and not out[3].changed
