@@ -3971,3 +3971,74 @@ def tx18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return normalize_unicode(docs).orderBy("doc_id")
+
+
+@_q(
+    "vx02_quantile_binning",
+    """WITH ex AS (
+         SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS v
+         FROM embeddings,
+              LATERAL (SELECT UNNEST(range(0, len(embedding))) AS i) u),
+       q AS (
+         SELECT pos,
+                quantile_cont(v, 0.25) AS q1,
+                quantile_cont(v, 0.50) AS q2,
+                quantile_cont(v, 0.75) AS q3
+         FROM ex GROUP BY pos),
+       b AS (
+         SELECT e.pos,
+                CASE WHEN e.v < q.q1 THEN 0
+                     WHEN e.v < q.q2 THEN 1
+                     WHEN e.v < q.q3 THEN 2 ELSE 3 END AS bucket
+         FROM ex e JOIN q ON e.pos = q.pos)
+       SELECT q.pos,
+              ROUND(q.q1, 6) AS q1, ROUND(q.q2, 6) AS q2,
+              ROUND(q.q3, 6) AS q3,
+              COUNT(CASE WHEN bucket = 0 THEN 1 END) AS n0,
+              COUNT(CASE WHEN bucket = 1 THEN 1 END) AS n1,
+              COUNT(CASE WHEN bucket = 2 THEN 1 END) AS n2,
+              COUNT(CASE WHEN bucket = 3 THEN 1 END) AS n3
+       FROM b JOIN q ON b.pos = q.pos
+       GROUP BY q.pos, q.q1, q.q2, q.q3
+       ORDER BY q.pos""",
+)
+def vx02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension quartile binning of the embedding table (feature
+    discretization for tree models / calibration histograms): EXACT
+    interpolated quartile edges per dim (percentile <-> quantile_cont
+    parity, p57), bucket counts from one broadcast join of the 64-row
+    edge table onto the exploded stream."""
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v0")
+    ).select("vec_id", "pos", F.col("v0").cast("double").alias("v"))
+    q = ex.groupBy("pos").agg(
+        F.expr("percentile(v, 0.25)").alias("q1"),
+        F.expr("percentile(v, 0.50)").alias("q2"),
+        F.expr("percentile(v, 0.75)").alias("q3"),
+    )
+    b = ex.join(F.broadcast(q), "pos").select(
+        "pos", "q1", "q2", "q3",
+        F.when(F.col("v") < F.col("q1"), 0)
+        .when(F.col("v") < F.col("q2"), 1)
+        .when(F.col("v") < F.col("q3"), 2)
+        .otherwise(3)
+        .alias("bucket"),
+    )
+    return (
+        b.groupBy("pos", "q1", "q2", "q3")
+        .agg(
+            *[
+                F.count(F.when(F.col("bucket") == k, 1)).alias(f"n{k}")
+                for k in range(4)
+            ]
+        )
+        .select(
+            "pos",
+            F.round("q1", 6).alias("q1"),
+            F.round("q2", 6).alias("q2"),
+            F.round("q3", 6).alias("q3"),
+            "n0", "n1", "n2", "n3",
+        )
+        .orderBy("pos")
+    )
