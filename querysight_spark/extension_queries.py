@@ -4042,3 +4042,91 @@ def vx02(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+@_q(
+    "gr02_connected_components",
+    """WITH RECURSIVE lp AS (
+         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       pairs AS (
+         SELECT a.l_partkey AS p1, b.l_partkey AS p2
+         FROM lp a JOIN lp b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          AND a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       edges AS (
+         SELECT p1 AS src, p2 AS dst FROM pairs
+         UNION SELECT p2, p1 FROM pairs),
+       reach AS (
+         SELECT src AS id, src AS lab FROM edges
+         UNION
+         SELECT e.src AS id, r.lab FROM edges e JOIN reach r ON r.id = e.dst)
+       SELECT id AS node, MIN(lab) AS component
+       FROM reach GROUP BY id ORDER BY node""",
+)
+def gr02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General connected components via large-star/small-star (O(log^2 n)
+    rounds on any graph shape — the scale path dd07's min-label docstring
+    defers to) over the part co-purchase graph: parts (every 4th) linked
+    when they co-occur in >= 2 distinct orders. Oracle = DuckDB recursive
+    min-reachability CTE over the same edges."""
+    from querysight_spark.operators.graph import connected_components
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    lp = li.where(F.col("l_partkey") % 4 == 0).distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .select("p1", "p2")
+    )
+    return connected_components(pairs, "p1", "p2").orderBy("node")
+
+
+@_q(
+    "gr03_triangles",
+    """WITH lp AS (
+         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       pairs AS (
+         SELECT a.l_partkey AS p1, b.l_partkey AS p2
+         FROM lp a JOIN lp b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+       SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+       FROM pairs e1
+       JOIN pairs e2 ON e2.p1 = e1.p2
+       JOIN pairs e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+       ORDER BY a, b, c""",
+)
+def gr03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration (a < b < c, one row each) on the full part
+    co-purchase graph (co-occurrence in >= 2 orders): id-oriented
+    wedge-close joins — the node-iterator algorithm as two shuffle joins.
+    Oracle replays the same two joins in DuckDB."""
+    from querysight_spark.operators.graph import triangles
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    lp = li.distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .select("p1", "p2")
+    )
+    return triangles(pairs, "p1", "p2").orderBy("a", "b", "c")

@@ -1,4 +1,5 @@
-"""Graph operators: iterative PageRank over an edge DataFrame.
+"""Graph operators: iterative PageRank, connected components
+(large-star/small-star), and triangle enumeration over edge DataFrames.
 
 Complements the iterative fixpoint pair already in the repo (ql06b
 upstream-closure, cl03 k-means refinement) with the canonical
@@ -82,3 +83,111 @@ def pagerank(
             prev.unpersist()
         prev = pr
     return pr.select(F.col("src").alias("node"), "pr")
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    ACM SoCC 2014). Returns (node, component) where ``component`` is the
+    minimum node id in the node's component, for every node that appears
+    in ``edges`` (isolated nodes have no edges and are the caller's
+    concern). Ids may be numeric or string — anything with a total order.
+
+    Why not min-label propagation (``operators.dedup.duplicate_clusters``)?
+    That converges in O(diameter) rounds — fine for near-clique duplicate
+    graphs, quadratic pain on long paths. Large-star/small-star converges
+    in O(log^2 n) rounds on ANY graph shape (in practice a handful), which
+    is the difference between 6 and 600 shuffles on a 100 TB web-graph
+    with chain structure. Each half-round is one groupBy-min plus one
+    join, both on the node key; ``localCheckpoint`` caps lineage.
+
+    - large-star: every node u attaches its strictly-larger neighbors to
+      m = min(N(u) + {u}) — emit (v, m) for v in N(u), v > u.
+    - small-star: edges now point big -> small; every node u attaches its
+      smaller-or-equal neighbors and itself to their min — group (u, s)
+      pairs by u, m = min(s), emit (u, m) and (s, m) for s != m.
+    - converged when the small-star edge set is a fixpoint (stars only);
+      then edges ARE the (node, component-min) map for non-root nodes.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # canonical big->small orientation; the loop maintains this invariant
+    cur = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct().localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # ---- large-star over the symmetric view -------------------------
+        sym = cur.unionByName(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mstar = mins.select("u", F.least("u", "mn").alias("m"))
+        large = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(mstar, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star over the big->small pairs -----------------------
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smins, "u")
+            .select(F.col("v").alias("n"), F.col("m"))
+            .unionByName(smins.select(F.col("u").alias("n"), F.col("m")))
+            .where(F.col("n") != F.col("m"))
+            .distinct()
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        unchanged = (
+            small.count() == cur.count()
+            and small.exceptAll(cur).limit(1).count() == 0
+        )
+        cur = small
+        if unchanged:
+            break
+    roots = (
+        e.select(F.col("u").alias("n"))
+        .unionByName(e.select(F.col("v").alias("n")))
+        .distinct()
+        .join(cur.select(F.col("u").alias("n")), "n", "left_anti")
+    )
+    return cur.select(F.col("u").alias("node"), F.col("v").alias("component")).unionByName(
+        roots.select(F.col("n").alias("node"), F.col("n").alias("component"))
+    )
+
+
+def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Enumerate all triangles {a < b < c} in an undirected edge list.
+    Returns (a, b, c), one row per triangle.
+
+    Classic two-join enumeration over the id-oriented edge set: orient
+    every edge small->large (halves the candidate space and makes each
+    triangle appear exactly once), then wedges (a->b, b->c) close iff
+    (a->c) exists. Work is sum over nodes of d_out(u)^2 with d_out counted
+    under the id orientation — the standard shuffle-join formulation of
+    node-iterator triangle counting. For skew-heavy graphs at 100 TB,
+    switch the orientation to degree order (low-degree first) so hub
+    fan-outs land on the closing-join side; id order is fine for the
+    near-uniform co-occurrence graphs here."""
+    o = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    e1 = o.select(F.col("a"), F.col("b"))
+    e2 = o.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = o.select(F.col("a").alias("ca"), F.col("b").alias("cc"))
+    return (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("ca")) & (F.col("c") == F.col("cc")))
+        .select("a", "b", "c")
+    )

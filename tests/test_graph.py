@@ -39,3 +39,105 @@ def test_pagerank_one_iteration_hand_value(spark):
     e = symmetrize(_edges(spark, [("a", "b")]))
     out = {r.node: r.pr for r in pagerank(e, iterations=1).collect()}
     assert abs(out["a"] - 0.5) < 1e-12 and abs(out["b"] - 0.5) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# connected components (large-star/small-star)
+# ---------------------------------------------------------------------------
+
+from querysight_spark.operators.graph import connected_components, triangles
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress to the component MIN (min is the overall root here
+    # because we always parent the larger root under the smaller)
+    return {x: find(x) for x in parent}
+
+
+def _cc(spark, pairs, **kw):
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    return {
+        r.node: r.component
+        for r in connected_components(df, **kw).collect()
+    }
+
+
+def test_cc_long_path_converges_fast(spark):
+    # 40-node path: min-label propagation needs ~40 rounds; star
+    # contraction must finish well inside max_iter=8
+    pairs = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(39)]
+    got = _cc(spark, pairs, max_iter=8)
+    assert set(got.values()) == {"n00"}
+    assert len(got) == 40
+
+
+def test_cc_multiple_components_and_isolated_pair(spark):
+    pairs = [("b", "a"), ("c", "b"), ("x", "y"), ("q", "p")]
+    got = _cc(spark, pairs)
+    assert got == {
+        "a": "a", "b": "a", "c": "a",
+        "x": "x", "y": "x",
+        "p": "p", "q": "p",
+    }
+
+
+def test_cc_matches_union_find_on_seeded_random_graph(spark):
+    import random
+
+    rng = random.Random(42)
+    nodes = [f"v{i:03d}" for i in range(120)]
+    pairs = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(140)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    want = _union_find(pairs)
+    got = _cc(spark, pairs)
+    assert got == want
+
+
+def test_cc_self_loops_and_duplicate_edges_ignored(spark):
+    pairs = [("a", "a"), ("a", "b"), ("b", "a"), ("a", "b")]
+    got = _cc(spark, pairs)
+    assert got == {"a": "a", "b": "a"}
+
+
+# ---------------------------------------------------------------------------
+# triangles
+# ---------------------------------------------------------------------------
+
+
+def _tri(spark, pairs):
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    return {(r.a, r.b, r.c) for r in triangles(df).collect()}
+
+
+def test_triangles_hand_graph(spark):
+    # K4 on {a,b,c,d} has 4 triangles; extra pendant edge adds none
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    got = _tri(spark, k4 + [("d", "e")])
+    assert got == {
+        ("a", "b", "c"), ("a", "b", "d"), ("a", "c", "d"), ("b", "c", "d")
+    }
+
+
+def test_triangles_orientation_and_dupes(spark):
+    # same triangle given in mixed orientations + duplicates: exactly one row
+    got = _tri(spark, [("b", "a"), ("c", "b"), ("a", "c"), ("a", "b")])
+    assert got == {("a", "b", "c")}
+
+
+def test_triangles_none_on_path(spark):
+    assert _tri(spark, [("a", "b"), ("b", "c"), ("c", "d")]) == set()
