@@ -4130,3 +4130,137 @@ def gr03(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p1", "p2")
     )
     return triangles(pairs, "p1", "p2").orderBy("a", "b", "c")
+
+
+# Portable Count-Min bucket for the DuckDB replay: first 8 md5 hex chars of
+# 'row:item' decoded via the dd05 strpos table, mod width.
+def _duck_cm_bucket(expr: str, row: str, width: int) -> str:
+    return (
+        "CAST(list_sum([(strpos('0123456789abcdef', "
+        f"substr(md5(CAST({row} AS VARCHAR) || ':' || {expr}), i + 1, 1)) - 1)"
+        " * CAST(pow(16, 7 - i) AS BIGINT) for i in range(8)]) AS BIGINT) "
+        f"% {width}"
+    )
+
+
+@_q(
+    "sk04_countmin_heavy_hitters",
+    f"""WITH toks AS (
+         SELECT w FROM (
+           SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE w <> ''),
+       exact AS (SELECT w, COUNT(*) AS exact_cnt FROM toks GROUP BY w),
+       top AS (
+         SELECT w, exact_cnt FROM (
+           SELECT w, exact_cnt,
+                  ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, w) AS rn
+           FROM exact) WHERE rn <= 20),
+       jj AS (SELECT unnest([0, 1, 2, 3]) AS j),
+       cells AS (
+         SELECT j, {_duck_cm_bucket('w', 'j', 256)} AS bucket,
+                COUNT(*) AS cnt
+         FROM toks CROSS JOIN jj GROUP BY 1, 2),
+       probes AS (
+         SELECT w, exact_cnt, j, {_duck_cm_bucket('w', 'j', 256)} AS bucket
+         FROM top CROSS JOIN jj),
+       est AS (
+         SELECT w, exact_cnt, MIN(cnt) AS cms_est
+         FROM probes JOIN cells USING (j, bucket) GROUP BY 1, 2)
+       SELECT w AS word, exact_cnt, cms_est,
+              cms_est - exact_cnt AS overcount
+       FROM est ORDER BY exact_cnt DESC, word""",
+)
+def sk04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters over the document word stream: a 4x256
+    md5-bucketed CM sketch (portable, unlike Spark's binary
+    count_min_sketch aggregate) built in one map-side expansion + hash
+    agg, then broadcast onto the top-20 exact words for point estimates.
+    Output carries exact count, CMS estimate, and the (always >= 0)
+    overcount, so the oracle checks the sketch CELL-FOR-CELL, not within
+    a tolerance band. Candidates come from the exact counts here to make
+    the declaration deterministic; production heavy-hitter tracking would
+    keep a candidate set from the stream itself."""
+    from querysight_spark.operators.frequency import (
+        count_min_estimates,
+        count_min_table,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir).select("text")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("item")).where(
+        F.col("item") != ""
+    )
+    toks = toks.persist()
+    exact = toks.groupBy("item").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = (
+        exact.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("exact_cnt").desc(), F.col("item"))
+            ),
+        )
+        .where(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    sketch = count_min_table(toks, "item", depth=4, width=256)
+    est = count_min_estimates(sketch, top, "item", depth=4, width=256)
+    return (
+        top.join(est, "item")
+        .select(
+            F.col("item").alias("word"),
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "word")
+    )
+
+
+@_q(
+    "ts05_ewma",
+    """WITH e AS (
+         SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS v
+         FROM events),
+       l AS (
+         SELECT user_id,
+                list(v ORDER BY ts, event_id) AS vs,
+                list(event_id ORDER BY ts, event_id) AS ids,
+                list(ts ORDER BY ts, event_id) AS tss
+         FROM e GROUP BY user_id),
+       sel AS (
+         SELECT user_id,
+                unnest(ids) AS event_id,
+                unnest(tss) AS ts,
+                unnest(generate_series(1, len(vs))) AS i,
+                vs
+         FROM l)
+       SELECT user_id, event_id, ts,
+              vs[i] AS value,
+              FLOOR(list_reduce(vs[1:i], (acc, x) -> 0.25*x + 0.75*acc)
+                    * 1000000) / 1000000 AS ewma
+       FROM sel ORDER BY user_id, ts, event_id""",
+)
+def ts05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row EWMA (alpha = 0.25) of event values per user: the
+    smoothing recursion as ONE ordered left fold per key carrying the
+    running prefix, so the float op order is pinned and DuckDB's
+    list_reduce replays it digit-for-digit (the ir03/px01 ordered-fold
+    discipline applied to a RECURSIVE stat no window frame can express).
+    One shuffle total."""
+    from querysight_spark.operators.timeseries import ewma
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = ewma(ev, "user_id", "ts", "event_id", "value", alpha=0.25)
+    # floor-at-microprecision instead of ROUND: with 2-decimal inputs and
+    # alpha = 1/4 the fold hits EXACT .5 ties at the 7th digit (54 rows at
+    # sf0.01), which engines' half-up/half-even round differently; floor of
+    # the same double is tie-free and bit-deterministic.
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        (F.floor(F.col("ewma") * 1000000) / 1000000).alias("ewma"),
+    ).orderBy("user_id", "ts", "event_id")

@@ -286,3 +286,58 @@ def deseasonalized_anomalies(
         F.round("std", 6).alias("slot_std"),
         F.round(resid / F.col("std"), 6).alias("zscore"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Per-row exponentially-weighted moving average per key:
+    y_1 = x_1, y_t = alpha * x_t + (1 - alpha) * y_{t-1} over the
+    (ts, tiebreak) order. Returns (key, tiebreak, ts, value, ewma).
+
+    The recursion is computed as ONE left fold per key that carries the
+    whole prefix (collect ordered values -> F.aggregate appending
+    ``alpha*x + (1-alpha)*last`` to the accumulator array -> explode
+    aligned with the input order). A left fold fixes the float op ORDER,
+    so the result is bit-reproducible across runs/engines (the ir03/px01
+    ordered-fold discipline) — a window SUM of alpha*(1-alpha)^k terms
+    would not be.
+
+    One shuffle (the groupBy), map-side everything else. State is one
+    key's series in memory — same per-key boundedness contract as the
+    session/window operators; for million-row single keys use the
+    closed-form window variant and accept nondeterministic last-digit
+    float jitter."""
+    a = float(alpha)
+    seq = df.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).alias("ts"),
+                    F.col(tiebreak_col).alias("tb"),
+                    F.col(value_col).cast("double").alias("v"),
+                )
+            )
+        ).alias("seq")
+    )
+    folded = F.expr(
+        f"aggregate(slice(seq, 2, size(seq) - 1), "
+        f"array(double(seq[0].v)), "
+        f"(acc, s) -> array_append(acc, {a}D * s.v + {1.0 - a}D * element_at(acc, -1)))"
+    )
+    out = seq.select(
+        F.col(key_col),
+        F.arrays_zip(F.col("seq"), folded.alias("ew")).alias("z"),
+    ).select(key_col, F.explode("z").alias("r"))
+    return out.select(
+        F.col(key_col),
+        F.col("r.seq.tb").alias(tiebreak_col),
+        F.col("r.seq.ts").alias(ts_col),
+        F.col("r.seq.v").alias(value_col),
+        F.col("r.ew").alias("ewma"),
+    )

@@ -1042,3 +1042,48 @@ def test_hopping_rollup_each_event_in_two_windows(spark):
     assert all((r.window_end.hour * 60 + r.window_end.minute)
                - (r.window_start.hour * 60 + r.window_start.minute) == 60
                for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (operators.frequency)
+# ---------------------------------------------------------------------------
+
+
+def test_count_min_never_underestimates_and_is_tight_when_sparse(spark):
+    from pyspark.sql import functions as F
+
+    from querysight_spark.operators.frequency import (
+        count_min_estimates,
+        count_min_table,
+    )
+
+    rows = [("a",)] * 50 + [("b",)] * 7 + [(f"w{i}",) for i in range(40)]
+    toks = spark.createDataFrame(rows, "item string")
+    sketch = count_min_table(toks, "item", depth=4, width=256)
+    # sketch never exceeds depth*width cells and holds every occurrence
+    assert sketch.count() <= 4 * 256
+    per_row = {
+        r.row: r.total
+        for r in sketch.groupBy("row").agg(F.sum("cnt").alias("total")).collect()
+    }
+    assert per_row == {j: 97 for j in range(4)}
+    exact = toks.groupBy("item").count()
+    est = count_min_estimates(sketch, exact, "item", depth=4, width=256)
+    j = {r.item: (r.cms_est, r["count"]) for r in est.join(exact, "item").collect()}
+    for item, (e, c) in j.items():
+        assert e >= c, item  # CM never underestimates
+    # 97 tokens in 256 buckets: the heavy item is almost surely exact
+    assert j["a"][0] == 50
+
+
+def test_count_min_unseen_item_estimates_from_empty_cells(spark):
+    from querysight_spark.operators.frequency import (
+        count_min_estimates,
+        count_min_table,
+    )
+
+    toks = spark.createDataFrame([("x",), ("y",)], "item string")
+    sketch = count_min_table(toks, "item", depth=4, width=256)
+    cand = spark.createDataFrame([("never-seen-qzj",)], "item string")
+    out = count_min_estimates(sketch, cand, "item", depth=4, width=256).collect()
+    assert out[0].cms_est == 0  # empty cell -> min coalesces to 0

@@ -143,3 +143,46 @@ def test_seasonal_profile_flags_out_of_slot_values(spark):
     flagged = deseasonalized_anomalies(ev, prof).collect()
     assert [r.event_id for r in flagged] == [999]
     assert flagged[0].hod == 3 and flagged[0].zscore > 3
+
+
+def test_ewma_hand_values_and_order(spark):
+    import datetime as dt
+
+    from querysight_spark.operators.timeseries import ewma
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u", 2, t0 + dt.timedelta(hours=1), 2.0),
+        ("u", 1, t0, 4.0),  # out of order on purpose: ts sorts first
+        ("u", 3, t0 + dt.timedelta(hours=2), 8.0),
+        ("v", 9, t0, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp, value double"
+    )
+    out = {
+        (r.user_id, r.event_id): r.ewma
+        for r in ewma(df, "user_id", "ts", "event_id", "value", 0.25).collect()
+    }
+    # y1 = 4; y2 = .25*2 + .75*4 = 3.5; y3 = .25*8 + .75*3.5 = 4.625
+    assert out[("u", 1)] == 4.0
+    assert out[("u", 2)] == 3.5
+    assert out[("u", 3)] == 4.625
+    assert out[("v", 9)] == 5.0  # singleton key: y1 = x1
+
+
+def test_ewma_ties_broken_by_tiebreak_col(spark):
+    import datetime as dt
+
+    from querysight_spark.operators.timeseries import ewma
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("u", 2, t0, 10.0), ("u", 1, t0, 0.0)]  # same ts
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp, value double"
+    )
+    out = {
+        r.event_id: r.ewma
+        for r in ewma(df, "user_id", "ts", "event_id", "value", 0.5).collect()
+    }
+    assert out[1] == 0.0 and out[2] == 5.0  # event_id 1 folds first
