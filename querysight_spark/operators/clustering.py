@@ -24,10 +24,6 @@ from pyspark.sql import functions as F
 from querysight_spark.operators.vectors import as_double, dot, norm
 
 
-def _cos(a, b, dim: int | None):
-    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
-
-
 def cluster_assign(
     vecs: DataFrame,
     centroids: DataFrame,
@@ -43,15 +39,27 @@ def cluster_assign(
     Argmax = one partial-aggregated ``max(struct(cos, -cid))`` — no
     window, so the broadcast product reduces map-side and the only
     shuffle is the final per-vector combine. Cosines are rounded to 6
-    before the argmax so the choice is identical in any engine."""
-    v = vecs.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    before the argmax so the choice is identical in any engine.
+
+    Norms are computed ONCE per vector / per centroid before the product
+    — numerically identical to inlining (same ops, same order: the
+    divisor is still norm(a) * norm(b)), but the per-pair expression
+    shrinks to one dot product. That's 3x less arithmetic on the k x n
+    product AND it keeps the unrolled dim=64 codegen under janino's
+    method-size ceiling (the inlined 192-term form fails to compile and
+    drops whole-stage codegen)."""
+    v = vecs.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")).select(
+        F.col(id_col), "v", norm(F.col("v"), dim).alias("nv")
+    )
     c = centroids.select(
         F.col(cid_col).alias("_cid"), as_double(F.col(cvec_col)).alias("cv")
-    )
+    ).select("_cid", "cv", norm(F.col("cv"), dim).alias("ncv"))
     scored = v.crossJoin(F.broadcast(c)).select(
         F.col(id_col),
         F.col("_cid"),
-        F.round(_cos(F.col("v"), F.col("cv"), dim), 6).alias("cos"),
+        F.round(
+            dot(F.col("v"), F.col("cv"), dim) / (F.col("nv") * F.col("ncv")), 6
+        ).alias("cos"),
     )
     best = scored.groupBy(id_col).agg(
         F.max(F.struct(F.col("cos"), (-F.col("_cid")).alias("ncid"))).alias("m")
@@ -148,25 +156,34 @@ def semantic_dedup(
     ids of each near-identical group.
 
     The pair join is per-cluster: both sides shuffle on cluster_id and the
-    quadratic term is bounded by the largest cluster, not the corpus."""
+    quadratic term is bounded by the largest cluster, not the corpus.
+    Member norms are attached BEFORE the pair join (cluster_assign's
+    precompute rationale: identical floats, one dot per pair, codegen
+    stays compilable at dim=64)."""
     assign = cluster_assign(
         vecs, centroids, id_col, vec_col, cid_col, cvec_col, dim
     )
     v = vecs.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     members = assign.join(v, id_col).select(
-        F.col(id_col), "cluster_id", "v"
+        F.col(id_col), "cluster_id", "v", norm(F.col("v"), dim).alias("nv")
     )
     a = members.select(
         F.col(id_col).alias("ia"), F.col("cluster_id").alias("ca"),
-        F.col("v").alias("va"),
+        F.col("v").alias("va"), F.col("nv").alias("na"),
     )
     b = members.select(
         F.col(id_col).alias("ib"), F.col("cluster_id").alias("cb"),
-        F.col("v").alias("vb"),
+        F.col("v").alias("vb"), F.col("nv").alias("nb"),
     )
     dup_ids = (
         a.join(b, (F.col("ca") == F.col("cb")) & (F.col("ib") < F.col("ia")))
-        .where(F.round(_cos(F.col("va"), F.col("vb"), dim), 6) >= F.lit(threshold))
+        .where(
+            F.round(
+                dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")),
+                6,
+            )
+            >= F.lit(threshold)
+        )
         .select(F.col("ia").alias(id_col))
         .distinct()
         .withColumn("is_dup", F.lit(True))
