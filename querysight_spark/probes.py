@@ -718,3 +718,193 @@ _p(
        GROUP BY GROUPING SETS ((event_type), (hod), ())
        ORDER BY event_type NULLS FIRST, hod NULLS FIRST""",
 )
+
+# --- TPC-H-adapted composition probes (h-family) ----------------------------
+# The classic decision-support suite re-parameterized for the synthetic
+# testdata's actual domains (TIMESTAMP ship/order dates 1995-2001, nation
+# names NATION_0..24, p_type in {PROMO,MEDIUM,...}) and restricted to the
+# columns the corpus carries (no partsupp / l_shipmode / l_receiptdate /
+# c_phone, so Q2/Q4/Q11/Q12/Q15/Q16/Q20/Q21/Q22 have no faithful analog).
+# These are COMPOSITION stress tests — multi-join + agg + subquery shapes
+# flowing through Catalyst as one plan — with the §2.8 determinism rules
+# (DECIMAL money sums, BIGINT years, tie-broken ORDER BY under every LIMIT).
+
+_p(
+    "h01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1 - l_discount AS DECIMAL(18,2))
+                       * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+              CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+              COUNT(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""",
+)
+_p(
+    "h03_shipping_priority",
+    """SELECT l_orderkey,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+              o_orderdate, o_orderpriority
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1997-06-15 00:00:00'
+         AND l_shipdate > TIMESTAMP '1997-06-15 00:00:00'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
+)
+_p(
+    "h05_local_supplier_volume",
+    """SELECT n_name,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY n_name
+       ORDER BY revenue DESC, n_name""",
+)
+_p(
+    "h06_forecast_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+)
+_p(
+    "h07_volume_shipping",
+    """SELECT supp_nation, cust_nation, l_year,
+              CAST(SUM(volume) AS DOUBLE) AS revenue
+       FROM (
+         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1 - l_discount AS DECIMAL(18,2)) AS volume
+         FROM supplier
+         JOIN lineitem ON s_suppkey = l_suppkey
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+             OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+           AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                              AND TIMESTAMP '1998-12-31 00:00:00'
+       ) shipping
+       GROUP BY supp_nation, cust_nation, l_year
+       ORDER BY supp_nation, cust_nation, l_year""",
+)
+_p(
+    "h08_market_share",
+    """SELECT o_year,
+              ROUND(CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume
+                                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                    / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+       FROM (
+         SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1 - l_discount AS DECIMAL(18,2)) AS volume,
+                n2.n_name AS nation
+         FROM part
+         JOIN lineitem ON p_partkey = l_partkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region ON n1.n_regionkey = r_regionkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         WHERE r_name = 'AMERICA' AND p_type = 'MEDIUM'
+           AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                               AND TIMESTAMP '1998-12-31 00:00:00'
+       ) all_nations
+       GROUP BY o_year ORDER BY o_year""",
+)
+_p(
+    "h10_returned_items",
+    """SELECT c_custkey, c_name,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+              CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+         AND l_returnflag = 'R'
+       GROUP BY c_custkey, c_name, c_acctbal, n_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+_p(
+    "h14_promo_effect",
+    """SELECT ROUND(
+                100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1 - l_discount AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE),
+                6) AS promo_revenue
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""",
+)
+_p(
+    "h17_small_quantity_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / 7.0 AS avg_yearly
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE p_brand = 'Brand#23'
+         AND l_quantity < (
+           SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+           WHERE l2.l_partkey = lineitem.l_partkey)""",
+    # correlated column qualification: DuckDB resolves the outer column
+    # through the table name exactly like Spark; identical string works —
+    # kept as one text on purpose.
+)
+_p(
+    "h18_large_volume_customers",
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+              CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE o_orderkey IN (
+         SELECT l_orderkey FROM lineitem
+         GROUP BY l_orderkey
+         HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 170)
+       GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+       ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""",
+)
+_p(
+    "h19_discounted_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+              AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+              AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+              AND l_quantity BETWEEN 20 AND 30)""",
+)
