@@ -5,6 +5,11 @@
                 setop/scalar/lateral/unpivot/interval/map/subquery) run
                 via spark.sql over the testdata views, i.e. straight
                 through Catalyst.
+  * h01-h19   — TPC-H-adapted composition probes (pricing summary,
+                shipping priority, local-supplier volume, market share,
+                promo effect, correlated small-quantity check,
+                large-volume customers, discounted revenue) over the
+                columns the corpus carries.
   * ql01-ql28 — querysight pipeline parity (pattern hash-agg, merge,
                 coverage joins, closure, summaries, pagination incl.
                 keyset, caching, lifecycle, dbt catalog, JSONL
@@ -43,6 +48,7 @@
                 mm05: frame-level audio energy/VAD over the decoded
                 samples).
   * ts/an     — time-series resample + gap-fill (forward and linear),
+                per-row ordered-fold EWMA,
                 FIR weighted moving average, trailing-window and
                 seasonal-profile anomaly detection, chi-square
                 independence surface.
@@ -50,7 +56,9 @@
                 orphans; CSV source round-trip.
   * lk/gr/vx  — blocked fuzzy-join record linkage (+ per-block match
                 summary), iterative PageRank vs an unrolled-CTE oracle,
-                per-dimension embedding z-score feature scaling.
+                large-star/small-star connected components, triangle
+                enumeration, per-dimension embedding z-score scaling
+                and quartile binning.
   * co01-co02 — behavioral analytics: weekly cohort-retention triangle
                 and ordered first-touch funnel.
 
