@@ -4264,3 +4264,54 @@ def ts05(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         (F.floor(F.col("ewma") * 1000000) / 1000000).alias("ewma"),
     ).orderBy("user_id", "ts", "event_id")
+
+
+@_q(
+    "mm06_image_dhash",
+    """WITH img AS (
+         SELECT doc_id, 16 + doc_id % 17 AS w, 8 + doc_id % 13 AS h
+         FROM documents WHERE doc_id % 2 = 0),
+       px AS (
+         SELECT doc_id, w, h, i % w AS x, i // w AS y,
+                (doc_id * 31 + 7 * i) % 256 AS v
+         FROM img, LATERAL (SELECT UNNEST(range(0, w * h)) AS i) u),
+       cells AS (
+         SELECT doc_id, w, h,
+                (y * 8) // h AS gy, (x * 9) // w AS gx,
+                SUM(v) AS s, COUNT(*) AS c
+         FROM px GROUP BY doc_id, w, h, 4, 5),
+       bits AS (
+         SELECT a.doc_id, a.w, a.h, a.gy, a.gx,
+                CASE WHEN a.s * b.c > b.s * a.c THEN 1 ELSE 0 END AS bit
+         FROM cells a
+         JOIN cells b ON a.doc_id = b.doc_id AND a.gy = b.gy
+                     AND b.gx = a.gx + 1),
+       rowbytes AS (
+         SELECT doc_id, w, h, gy,
+                SUM(bit * CAST(pow(2, gx) AS BIGINT)) AS byte
+         FROM bits GROUP BY doc_id, w, h, gy),
+       hx AS (
+         SELECT doc_id, w, h,
+                string_agg(lpad(lower(hex(byte)), 2, '0'), ''
+                           ORDER BY gy) AS dhash
+         FROM rowbytes GROUP BY doc_id, w, h)
+       SELECT concat('asset-', CAST(doc_id AS VARCHAR)) AS asset_id,
+              CAST(w AS INT) AS width, CAST(h AS INT) AS height, dhash
+       FROM hx ORDER BY asset_id""",
+)
+def mm06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash over REAL image payloads: the mm04 corpus's PGM
+    files are decoded by the actual parser and hashed with integer-exact
+    block-mean comparisons (8 bits x 8 rows -> 16 hex chars), so the
+    DuckDB oracle — which replays the pixel FORMULAS, never touching the
+    bytes — must match digit-for-digit through the whole
+    encode -> bytes -> parse -> grid -> hash chain. The multimodal
+    analog of SimHash: band the hex prefix to bucket near-duplicate
+    frames without pairwise work."""
+    from querysight_spark.operators.multimodal import (
+        image_dhash,
+        synth_media_corpus,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return image_dhash(synth_media_corpus(docs)).orderBy("asset_id")

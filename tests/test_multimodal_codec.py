@@ -180,3 +180,68 @@ def test_audio_frame_energy_framing(spark):
     assert rows[2].energy == 0 and not rows[2].active
     assert rows[3].n_samples == 40 and rows[3].energy == 40 * 49
     assert not rows[0].active  # mean 10000 < threshold
+
+
+def test_image_dhash_brightness_invariant_and_discriminative(spark):
+    import numpy as np
+
+    from querysight_spark.operators.multimodal import encode_pgm, image_dhash
+
+    w, h = 18, 12
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 200, size=w * h, dtype=np.int64)
+    brighter = np.minimum(base + 40, 255)  # uniform shift, no clipping ties
+    assert (brighter - base == 40).all()  # shift really is uniform
+    other = rng.integers(0, 200, size=w * h, dtype=np.int64)
+    media = spark.createDataFrame(
+        [
+            ("a", "image", bytearray(encode_pgm(w, h, base.astype(np.uint8).tobytes()))),
+            ("b", "image", bytearray(encode_pgm(w, h, brighter.astype(np.uint8).tobytes()))),
+            ("c", "image", bytearray(encode_pgm(w, h, other.astype(np.uint8).tobytes()))),
+            ("x", "audio", bytearray(b"skip me")),
+        ],
+        "asset_id string, media_type string, payload binary",
+    )
+    rows = {r.asset_id: r for r in image_dhash(media).collect()}
+    assert sorted(rows) == ["a", "b", "c"]  # audio row excluded
+    assert rows["a"].width == w and rows["a"].height == h
+    assert len(rows["a"].dhash) == 16  # 64 bits as hex
+    # dHash compares block means: a uniform brightness shift preserves
+    # every comparison -> identical fingerprint
+    assert rows["a"].dhash == rows["b"].dhash
+    # an unrelated raster almost surely differs
+    assert rows["a"].dhash != rows["c"].dhash
+
+
+def test_image_dhash_matches_hand_grid():
+    import numpy as np
+
+    from querysight_spark.operators.multimodal import decode_image, encode_pgm
+
+    # 9x8 image: grid cells are exactly one pixel; bit gx set iff
+    # px[gy, gx] > px[gy, gx+1]
+    w, h = 9, 8
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(h, w), dtype=np.int64)
+    dw, dh, arr = decode_image(encode_pgm(w, h, px.astype(np.uint8).tobytes()))
+    assert (dw, dh) == (w, h) and (arr == px).all()
+    want = ""
+    for gy in range(8):
+        byte = sum(
+            (1 << gx) for gx in range(8) if px[gy, gx] > px[gy, gx + 1]
+        )
+        want += f"{byte:02x}"
+    # run the operator's kernel logic through a local spark-free replica:
+    # (the distributed path is pinned by the mm06 oracle; this pins the
+    # bit/byte layout against an independent hand computation)
+    gx = (np.arange(w) * 9) // w
+    gy = (np.arange(h) * 8) // h
+    cell = (gy[:, None] * 9 + gx[None, :]).ravel()
+    sums = np.bincount(cell, weights=px.ravel(), minlength=72).astype(np.int64)
+    cnts = np.bincount(cell, minlength=72).astype(np.int64)
+    s, c = sums.reshape(8, 9), cnts.reshape(8, 9)
+    bits = s[:, :-1] * c[:, 1:] > s[:, 1:] * c[:, :-1]
+    got = "".join(
+        f"{int((row * (1 << np.arange(8))).sum()):02x}" for row in bits
+    )
+    assert got == want
