@@ -90,6 +90,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -113,6 +114,10 @@ def connected_components(
       pairs by u, m = min(s), emit (u, m) and (s, m) for s != m.
     - converged when the small-star edge set is a fixpoint (stars only);
       then edges ARE the (node, component-min) map for non-root nodes.
+
+    ``stats`` (optional dict) receives {"rounds": k, "converged": bool}
+    — the observable behind the O(log^2 n) claim (tools/graph_curve.py
+    measures rounds staying ~log while the path length grows 100x).
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -123,7 +128,9 @@ def connected_components(
     cur = e.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).distinct().localCheckpoint(eager=True)
+    rounds, converged = 0, False
     for _ in range(max_iter):
+        rounds += 1
         # ---- large-star over the symmetric view -------------------------
         sym = cur.unionByName(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
@@ -152,7 +159,11 @@ def connected_components(
         )
         cur = small
         if unchanged:
+            converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     roots = (
         e.select(F.col("u").alias("n"))
         .unionByName(e.select(F.col("v").alias("n")))

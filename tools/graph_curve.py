@@ -67,6 +67,27 @@ def main() -> int:
             f"rank_mass={total:.3f} (expect 1.000 — global 1/N init "
             f"conserves total mass across disjoint components)"
         )
+
+    # --- connected components: rounds vs worst-case graph shape ---------
+    # Path graphs are the adversarial case (diameter = n): min-label
+    # propagation needs n rounds; large-star/small-star must stay ~log n.
+    from querysight_spark.operators.graph import connected_components
+
+    print("\nconnected components on an n-node path (diameter = n - 1):")
+    for n in (1_000, 10_000, 100_000):
+        path = spark.range(n - 1).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        stats: dict = {}
+        t0 = time.time()
+        cc = connected_components(path, max_iter=40, stats=stats)
+        ncomp = cc.select("component").distinct().count()
+        dt = time.time() - t0
+        print(
+            f"n={n:>7}  rounds={stats['rounds']:>2}  "
+            f"converged={stats['converged']}  components={ncomp}  "
+            f"time={dt:6.2f}s  (min-label would need {n - 1} rounds)"
+        )
     spark.stop()
     return 0
 
