@@ -4315,3 +4315,76 @@ def mm06(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return image_dhash(synth_media_corpus(docs)).orderBy("asset_id")
+
+
+@_q(
+    "an03_ks_drift",
+    """WITH t AS (
+         SELECT CAST(value AS DOUBLE) AS v,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+         FROM events WHERE event_type IN ('purchase', 'view')),
+       per_v AS (
+         SELECT v, SUM(a) AS ca, SUM(1 - a) AS cb FROM t GROUP BY v),
+       tot AS (SELECT SUM(a) AS n_a, SUM(1 - a) AS n_b FROM t),
+       ecdf AS (
+         SELECT SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+                SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+         FROM per_v)
+       SELECT n_a, n_b,
+              ROUND(MAX(ABS(cum_a / n_a - cum_b / n_b)), 6) AS ks_stat,
+              ROUND(1.358 * SQRT((n_a + n_b) / (n_a * n_b)), 6) AS critical,
+              MAX(ABS(cum_a / n_a - cum_b / n_b))
+                > 1.358 * SQRT((n_a + n_b) / (n_a * n_b)) AS drift
+       FROM ecdf, tot GROUP BY n_a, n_b""",
+)
+def an03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift check between purchase and
+    view event values: exact ECDF max-gap over the distinct-value table
+    plus the alpha=0.05 decision — the distribution-shape monitor that
+    catches what dq01's mean/bounds checks cannot. Integer cumulative
+    counts make the statistic engine-identical."""
+    from querysight_spark.operators.quality import ks_drift
+
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    return ks_drift(ev, "value", "event_type", "purchase", "view")
+
+
+@_q(
+    "tx19_collocations",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       bi AS (SELECT u AS bg FROM (
+                SELECT UNNEST([words[i] || ' ' || words[i+1]
+                               for i in range(1, len(words))]) AS u
+                FROM w)),
+       model AS (SELECT bg, COUNT(*) AS c_pair FROM bi GROUP BY bg),
+       lft AS (SELECT string_split(bg, ' ')[1] AS w1, COUNT(*) AS c_left
+               FROM bi GROUP BY 1),
+       rgt AS (SELECT string_split(bg, ' ')[2] AS w2, COUNT(*) AS c_right
+               FROM bi GROUP BY 1),
+       tot AS (SELECT COUNT(*) AS n_bigrams FROM bi),
+       scored AS (
+         SELECT bg AS bigram, c_pair, c_left, c_right,
+                ROUND(ln(CAST(c_pair * n_bigrams AS DOUBLE)
+                         / CAST(c_left * c_right AS DOUBLE)), 6) AS pmi
+         FROM model
+         JOIN lft ON string_split(bg, ' ')[1] = lft.w1
+         JOIN rgt ON string_split(bg, ' ')[2] = rgt.w2
+         CROSS JOIN tot
+         WHERE c_pair >= 5)
+       SELECT bigram, c_pair, c_left, c_right, pmi FROM (
+         SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, bigram) AS rn
+         FROM scored) WHERE rn <= 50
+       ORDER BY pmi DESC, bigram""",
+)
+def tx19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PMI collocations (multiword-unit mining for tokenizer vocab
+    / boilerplate detection) with a c_pair >= 5 floor: exact integer
+    counts, one double division + ln (ir06's ln-parity), row_number
+    selection tie-broken on the bigram so both engines cut the same
+    top-k."""
+    from querysight_spark.operators.search import collocations
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return collocations(docs, min_count=5, k=50).orderBy(
+        F.col("pmi").desc(), "bigram"
+    )

@@ -375,3 +375,74 @@ def phrase_match(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.min("p0").alias("first_pos"),
     )
+
+
+def collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k PMI collocations over the corpus bigram stream: for each
+    bigram (w1 w2), pmi = ln(c(w1 w2) * N / (c_left(w1) * c_right(w2)))
+    where N is the total bigram count and c_left/c_right count the word
+    as a bigram left/right context. High-PMI pairs are multiword units
+    ("new york") — a curation signal for tokenizer vocab building and
+    boilerplate detection. ``min_count`` floors c(w1 w2) so rare
+    coincidences don't dominate (textbook PMI failure mode).
+
+    All counts are exact integers; products stay in int64 (< 2^53), so
+    the single double division + ln is engine-reproducible (the ir06 ln
+    parity). Plan: one bigram explode feeding three hash aggs (bigram /
+    left / right), two vocab-sized equi-joins, a 1-row total broadcast,
+    and a top-k window over the min_count survivors only."""
+    from pyspark.sql import Window
+
+    bi = F.expr(
+        f"transform(array(split(`{text_col}`, ' ')), w -> "
+        "CASE WHEN size(w) >= 2 THEN "
+        "transform(sequence(1, size(w) - 1), "
+        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) "
+        "ELSE array() END)[0]"
+    )
+    toks = df.select(F.explode(bi).alias("bg"))
+    model = toks.groupBy("bg").agg(F.count(F.lit(1)).alias("c_pair"))
+    left = (
+        toks.select(F.split("bg", " ")[0].alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c_left"))
+    )
+    right = (
+        toks.select(F.split("bg", " ")[1].alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).alias("c_right"))
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n_bigrams"))
+    scored = (
+        model.where(F.col("c_pair") >= min_count)
+        .withColumn("w1", F.split("bg", " ")[0])
+        .withColumn("w2", F.split("bg", " ")[1])
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("bg").alias("bigram"),
+            "c_pair",
+            "c_left",
+            "c_right",
+            F.round(
+                F.log(
+                    (F.col("c_pair") * F.col("n_bigrams")).cast("double")
+                    / (F.col("c_left") * F.col("c_right")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("bigram"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -48,3 +48,45 @@ def test_orphan_keys_empty_when_clean(spark):
     child = spark.createDataFrame([(1, 10)], "row_id long, fk long")
     parent = spark.createDataFrame([(10,)], "pk long")
     assert orphan_keys(child, parent, "fk", "pk").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# KS drift (operators.quality.ks_drift)
+# ---------------------------------------------------------------------------
+
+
+def test_ks_drift_hand_value_and_decision(spark):
+    from querysight_spark.operators.quality import ks_drift
+
+    # A = {1,2,3,4}, B = {3,4,5,6}: ECDFs diverge most at v=2 (1.0-0.0 on
+    # A-side cum 2/4 vs 0/4) -> D = 0.5
+    rows = [("a", float(v)) for v in (1, 2, 3, 4)] + [
+        ("b", float(v)) for v in (3, 4, 5, 6)
+    ]
+    df = spark.createDataFrame(rows, "g string, value double")
+    r = ks_drift(df, "value", "g", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b) == (4, 4)
+    assert r.ks_stat == 0.5
+    # critical = 1.358 * sqrt(8/16) ~= 0.96 -> no drift at n=4
+    assert not r.drift
+
+
+def test_ks_drift_identical_distributions_zero(spark):
+    from querysight_spark.operators.quality import ks_drift
+
+    rows = [(g, float(v)) for g in ("a", "b") for v in (1, 2, 2, 5)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    r = ks_drift(df, "value", "g", "a", "b").collect()[0]
+    assert r.ks_stat == 0.0 and not r.drift
+
+
+def test_ks_drift_detects_large_shift(spark):
+    from querysight_spark.operators.quality import ks_drift
+
+    rows = [("a", float(i)) for i in range(100)] + [
+        ("b", float(i + 80)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g string, value double")
+    r = ks_drift(df, "value", "g", "a", "b").collect()[0]
+    assert r.ks_stat == 0.8  # 80 of 100 values are disjoint
+    assert r.drift

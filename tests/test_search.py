@@ -248,3 +248,36 @@ def test_phrase_match_three_words(spark):
     )
     out = {r.doc_id for r in phrase_match(docs, "a b c").collect()}
     assert out == {1, 3}
+
+
+def test_collocations_rank_and_floor(spark):
+    from querysight_spark.operators.search import collocations
+
+    # "strong pair" appears 6x and its words appear nowhere else ->
+    # maximal PMI; "the cat"/"the dog" share the left word -> lower PMI;
+    # "rare once" misses the min_count floor entirely
+    docs = spark.createDataFrame(
+        [
+            (1, "strong pair strong pair strong pair"),
+            (2, "strong pair strong pair strong pair"),
+            (3, "the cat sat the dog sat"),
+            (4, "the cat sat the dog ran"),
+            (5, "rare once"),
+        ],
+        "doc_id long, text string",
+    )
+    out = collocations(docs, min_count=2, k=10).collect()
+    by_bg = {r.bigram: r for r in out}
+    assert "rare once" not in by_bg  # c_pair = 1 < min_count
+    import math
+
+    n = 5 * 4 + 1  # total bigrams in the corpus
+    # hand PMI: "sat the" occurs 2x with exclusive contexts (c_left=2,
+    # c_right=2) -> ln(2N/4); "strong pair" occurs 6x but its words are
+    # saturated contexts (c_left=c_right=6) -> ln(6N/36), LOWER — PMI
+    # rewards exclusivity, not raw frequency
+    assert by_bg["sat the"].pmi == round(math.log(2 * n / 4), 6)
+    assert by_bg["strong pair"].pmi == round(math.log(6 * n / 36), 6)
+    assert by_bg["sat the"].pmi > by_bg["strong pair"].pmi
+    assert by_bg["strong pair"].c_pair == 6
+    assert by_bg["the cat"].c_left == by_bg["the dog"].c_left  # shared 'the'
