@@ -4388,3 +4388,47 @@ def tx19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations(docs, min_count=5, k=50).orderBy(
         F.col("pmi").desc(), "bigram"
     )
+
+
+@_q(
+    "ts06_brown_smoothing",
+    """WITH e AS (
+         SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS v
+         FROM events),
+       l AS (
+         SELECT user_id, list(v ORDER BY ts, event_id) AS vs
+         FROM e GROUP BY user_id),
+       st AS (
+         SELECT user_id, len(vs) AS n,
+                list_reduce(vs, (acc, x) -> 0.5*x + 0.5*acc) AS s1,
+                list_reduce(
+                  [list_reduce(vs[1:i], (acc, x) -> 0.5*x + 0.5*acc)
+                   for i in range(1, len(vs) + 1)],
+                  (acc, x) -> 0.5*x + 0.5*acc) AS s2
+         FROM l)
+       SELECT user_id, n,
+              FLOOR(s1 * 1000000) / 1000000 AS s1,
+              FLOOR(s2 * 1000000) / 1000000 AS s2,
+              FLOOR((2.0 * s1 - s2) * 1000000) / 1000000 AS level,
+              FLOOR((1.0 * (s1 - s2)) * 1000000) / 1000000 AS trend,
+              FLOOR(((2.0 * s1 - s2) + 1.0 * (s1 - s2)) * 1000000) / 1000000
+                AS forecast
+       FROM st ORDER BY user_id""",
+)
+def ts06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double exponential smoothing state per user (s1, s2,
+    level, trend, one-step forecast at alpha = 0.5): two INDEPENDENT
+    ordered scalar folds — chosen over Holt's coupled recursion because
+    DuckDB's list_reduce rebinds struct-accumulator fields sequentially,
+    silently computing a different recursion (see the operator
+    docstring). The oracle's s2 replays the s1 prefix series with an
+    O(n^2) per-key comprehension; Spark carries the running s1 array in
+    one fold. Floor-at-microprecision breaks dyadic rounding ties."""
+    from querysight_spark.operators.timeseries import brown_double_smoothing
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return brown_double_smoothing(
+        ev, "user_id", "ts", "event_id", "value", alpha=0.5
+    ).orderBy("user_id")

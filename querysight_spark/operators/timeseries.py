@@ -341,3 +341,64 @@ def ewma(
         F.col("r.seq.v").alias(value_col),
         F.col("r.ew").alias("ewma"),
     )
+
+
+def brown_double_smoothing(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Brown's linear (double) exponential smoothing per key, final
+    state: (key, n, s1, s2, level, trend, forecast) over the
+    (ts, tiebreak) order, where s1 = EWMA(x), s2 = EWMA(s1) (both
+    initialized at the first element), level = 2*s1 - s2, trend =
+    alpha/(1-alpha) * (s1 - s2), forecast = level + trend (one step
+    ahead). The trend-aware upgrade of ``ewma`` for drifting metrics.
+
+    Why Brown and not Holt: Holt's coupled recursion (b_t needs BOTH
+    l_t and l_{t-1}) requires a struct accumulator whose fields
+    cross-reference each other — DuckDB's list_reduce evaluates struct
+    fields sequentially and REBINDS acc fields as it goes, so the same
+    lambda text computes a different recursion than Spark's aggregate()
+    (measured, not theorized). Brown's model needs only two INDEPENDENT
+    scalar folds — the ts05 ordered-fold discipline, engine-reproducible
+    by construction — and spans the same level+trend model class. One
+    shuffle; per-key state is the key's series (ewma's contract)."""
+    a = float(alpha)
+    seq = df.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).alias("ts"),
+                    F.col(tiebreak_col).alias("tb"),
+                    F.col(value_col).cast("double").alias("v"),
+                )
+            )
+        ).alias("seq")
+    )
+    s1_arr = F.expr(
+        f"aggregate(slice(seq, 2, size(seq) - 1), "
+        f"array(double(seq[0].v)), "
+        f"(acc, s) -> array_append(acc, {a}D * s.v + {1.0 - a}D * element_at(acc, -1)))"
+    ).alias("s1_arr")
+    base = seq.select(F.col(key_col), F.size("seq").alias("n"), s1_arr)
+    s1 = F.element_at("s1_arr", -1)
+    s2 = F.expr(
+        f"aggregate(slice(s1_arr, 2, size(s1_arr) - 1), "
+        f"double(s1_arr[0]), "
+        f"(acc, x) -> {a}D * x + {1.0 - a}D * acc)"
+    )
+    u6 = lambda c: F.floor(c * 1000000) / 1000000  # noqa: E731 — ts05 tie rule
+    coeff = a / (1.0 - a)
+    return base.select(
+        key_col,
+        F.col("n").cast("long").alias("n"),
+        u6(s1).alias("s1"),
+        u6(s2).alias("s2"),
+        u6(F.lit(2.0) * s1 - s2).alias("level"),
+        u6(F.lit(coeff) * (s1 - s2)).alias("trend"),
+        u6((F.lit(2.0) * s1 - s2) + F.lit(coeff) * (s1 - s2)).alias("forecast"),
+    )

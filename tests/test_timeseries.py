@@ -186,3 +186,40 @@ def test_ewma_ties_broken_by_tiebreak_col(spark):
         for r in ewma(df, "user_id", "ts", "event_id", "value", 0.5).collect()
     }
     assert out[1] == 0.0 and out[2] == 5.0  # event_id 1 folds first
+
+
+def test_brown_smoothing_hand_values(spark):
+    import datetime as dt
+
+    from querysight_spark.operators.timeseries import brown_double_smoothing
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u", i + 1, t0 + dt.timedelta(hours=i), float(v))
+        for i, v in enumerate([1, 2, 4, 8])
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp, value double"
+    )
+    r = brown_double_smoothing(df, alpha=0.5).collect()[0]
+    # s1 series: 1, 1.5, 2.75, 5.375 -> s1 = 5.375
+    # s2 = EWMA of that series = 3.6875
+    # level = 2*5.375 - 3.6875 = 7.0625; trend = 1.0*(s1-s2) = 1.6875
+    assert r.n == 4
+    assert r.s1 == 5.375 and r.s2 == 3.6875
+    assert r.level == 7.0625 and r.trend == 1.6875
+    assert r.forecast == 8.75
+
+
+def test_brown_smoothing_constant_series_no_trend(spark):
+    import datetime as dt
+
+    from querysight_spark.operators.timeseries import brown_double_smoothing
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("u", i, t0 + dt.timedelta(hours=i), 3.5) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp, value double"
+    )
+    r = brown_double_smoothing(df).collect()[0]
+    assert r.level == 3.5 and r.trend == 0.0 and r.forecast == 3.5
