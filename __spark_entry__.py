@@ -43,17 +43,20 @@
                 anomaly detection), drained availableNow vs batch
                 oracles.
   * aj/rj/sj/mm — as-of join, range join, salted join, multimodal
+                (incl. mm06 perceptual dHash over decoded rasters)
                 (mm04: REAL payload decode — netpbm/WAV codecs round-
                 tripped digit-for-digit against a formula oracle;
                 mm05: frame-level audio energy/VAD over the decoded
                 samples).
   * ts/an     — time-series resample + gap-fill (forward and linear),
-                per-row ordered-fold EWMA,
+                per-row ordered-fold EWMA, Brown double smoothing,
+                two-sample KS drift,
                 FIR weighted moving average, trailing-window and
                 seasonal-profile anomaly detection, chi-square
                 independence surface.
   * dq/io     — data-quality expectation suite + referential-integrity
-                orphans; CSV source round-trip.
+                orphans; CSV source round-trip; Hive-partitioned
+                parquet sink/source round-trip.
   * lk/gr/vx  — blocked fuzzy-join record linkage (+ per-block match
                 summary), iterative PageRank vs an unrolled-CTE oracle,
                 large-star/small-star connected components, triangle

@@ -4432,3 +4432,51 @@ def ts06(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brown_double_smoothing(
         ev, "user_id", "ts", "event_id", "value", alpha=0.5
     ).orderBy("user_id")
+
+
+def io03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink/source round-trip: events written
+    partitionBy(event_type), read back through partition discovery with a
+    partition-PRUNED filter (two of five event_type directories), then
+    aggregated against the original parquet truth. The partition column
+    round-trips through directory names (type-inferred back), and the
+    pruning itself is pinned by tests/test_layout.py — here the VALUES
+    after the partitioned rewrite sit under the hash."""
+    import os
+
+    path = os.path.join(
+        __import__("tempfile").gettempdir(),
+        "qs_hivepart_stage_" + _corpus_tag(sf_dir, "events"),
+    )
+    done = os.path.join(path, "_staged_ok")
+    if not os.path.exists(done):
+        ev = load_table(spark, "events", sf_dir)
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+        with open(done, "w") as f:
+            f.write("ok")
+    back = spark.read.parquet(path)
+    return (
+        back.where(F.col("event_type").isin(["purchase", "error"]))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_v"),
+            F.min("event_id").alias("min_eid"),
+            F.max("event_id").alias("max_eid"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EXTENSION_QUERIES["io03_hive_partitioned_roundtrip"] = (
+    io03,
+    """SELECT event_type, COUNT(*) AS n,
+              COUNT(DISTINCT user_id) AS n_users,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+              MIN(event_id) AS min_eid, MAX(event_id) AS max_eid
+       FROM events WHERE event_type IN ('purchase', 'error')
+       GROUP BY event_type ORDER BY event_type""",
+)

@@ -130,3 +130,26 @@ def test_zorder_rejects_all_null_column(spark, tmp_path):
 
     with pytest.raises(ValueError, match="empty or all-NULL"):
         write_zordered(df, str(tmp_path / "z"), ["a", "b"], num_files=1)
+
+
+def test_hive_partitioned_write_prunes_on_partition_column(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "hive_events")
+    df = spark.createDataFrame(
+        [(i, "purchase" if i % 3 == 0 else ("error" if i % 3 == 1 else "view"),
+          float(i))
+         for i in range(30)],
+        "event_id long, event_type string, value double",
+    )
+    df.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path)
+    q = back.where(F.col("event_type").isin(["purchase", "error"]))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the filter must land as a PartitionFilter (directory pruning),
+    # not a post-scan row filter
+    assert "PartitionFilters: [" in plan and "event_type" in plan
+    assert q.count() == 20
+    # partition column round-trips through directory names
+    got = {r.event_type for r in back.select("event_type").distinct().collect()}
+    assert got == {"purchase", "error", "view"}
