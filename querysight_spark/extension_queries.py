@@ -4480,3 +4480,50 @@ EXTENSION_QUERIES["io03_hive_partitioned_roundtrip"] = (
        FROM events WHERE event_type IN ('purchase', 'error')
        GROUP BY event_type ORDER BY event_type""",
 )
+
+
+def io04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source round-trip: the lineitem table rewritten as ORC
+    (Spark-native columnar alternative when an existing lake standardizes
+    on it), read back through the ORC reader with a pushed filter, and
+    aggregated against the parquet truth. DuckDB cannot read ORC, so the
+    oracle states the truth from the ORIGINAL table — the round-trip
+    fidelity of the writer+reader pair is exactly what sits under the
+    hash (io03's pattern)."""
+    import os
+
+    path = os.path.join(
+        __import__("tempfile").gettempdir(),
+        "qs_orc_stage_" + _corpus_tag(sf_dir, "lineitem"),
+    )
+    done = os.path.join(path, "_staged_ok")
+    if not os.path.exists(done):
+        li = load_table(spark, "lineitem", sf_dir)
+        li.write.mode("overwrite").orc(path)
+        with open(done, "w") as f:
+            f.write("ok")
+    back = spark.read.orc(path)
+    return (
+        back.where(F.col("l_quantity") >= 25)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("l_orderkey").alias("min_ok"),
+            F.max("l_orderkey").alias("max_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+EXTENSION_QUERIES["io04_orc_roundtrip"] = (
+    io04,
+    """SELECT l_returnflag, COUNT(*) AS n,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS sum_price,
+              MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok
+       FROM lineitem WHERE l_quantity >= 25
+       GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
