@@ -4527,3 +4527,58 @@ EXTENSION_QUERIES["io04_orc_roundtrip"] = (
        FROM lineitem WHERE l_quantity >= 25
        GROUP BY l_returnflag ORDER BY l_returnflag""",
 )
+
+
+@_q(
+    "an04_cusum_breaches",
+    """WITH e AS (
+         SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS v
+         FROM events),
+       l AS (
+         SELECT user_id,
+                list(v ORDER BY ts, event_id) AS vs,
+                list(event_id ORDER BY ts, event_id) AS ids,
+                list(ts ORDER BY ts, event_id) AS tss
+         FROM e GROUP BY user_id),
+       stats AS (
+         SELECT user_id, vs, ids, tss,
+                list_reduce(vs, (a, x) -> a + x) / len(vs) AS mu,
+                SQRT(list_reduce([x * x for x in vs], (a, x) -> a + x)
+                     / len(vs)
+                     - (list_reduce(vs, (a, x) -> a + x) / len(vs))
+                       * (list_reduce(vs, (a, x) -> a + x) / len(vs)))
+                  AS sigma
+         FROM l),
+       sel AS (
+         SELECT user_id, mu, sigma, vs,
+                unnest(ids) AS event_id,
+                unnest(tss) AS ts,
+                unnest(generate_series(1, len(vs))) AS i
+         FROM stats WHERE sigma > 0),
+       scored AS (
+         SELECT user_id, event_id, ts, vs[i] AS value,
+                list_reduce(
+                  list_prepend(CAST(0 AS DOUBLE),
+                               [(x - mu) / sigma - 0.5 for x in vs[1:i]]),
+                  (acc, x) -> greatest(CAST(0 AS DOUBLE), acc + x)) AS cus
+         FROM sel)
+       SELECT user_id, event_id, ts, value,
+              FLOOR(cus * 1000000) / 1000000 AS cusum
+       FROM scored WHERE cus > 5.0
+       ORDER BY user_id, ts, event_id""",
+)
+def an04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-CUSUM change-point alarms per user (k = 0.5, h = 5 in
+    standardized units): sustained upward drift accumulates past the
+    threshold while single spikes decay — the monitoring complement to
+    an01's pointwise z-scores. Scalar ordered fold only (the portable
+    kind), mean/std from exact ordered sums, float grouping matched
+    op-for-op between engines, floor-at-microprecision output."""
+    from querysight_spark.operators.timeseries import cusum_breaches
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return cusum_breaches(
+        ev, "user_id", "ts", "event_id", "value", slack_k=0.5, threshold_h=5.0
+    ).orderBy("user_id", "ts", "event_id")

@@ -402,3 +402,76 @@ def brown_double_smoothing(
         u6(F.lit(coeff) * (s1 - s2)).alias("trend"),
         u6((F.lit(2.0) * s1 - s2) + F.lit(coeff) * (s1 - s2)).alias("forecast"),
     )
+
+
+def cusum_breaches(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    slack_k: float = 0.5,
+    threshold_h: float = 5.0,
+) -> DataFrame:
+    """Upper-CUSUM change-point detection per key: with mu = the key's
+    series mean and sigma = its population stddev,
+
+        s_0 = 0,  s_t = max(0, s_{t-1} + ((x_t - mu)/sigma - k))
+
+    and a row BREACHES when s_t > h — the standard drift detector for a
+    sustained upward shift (a single spike decays, a level change
+    accumulates). Returns only the breaching rows (key, tiebreak, ts,
+    value, cusum), keeping the output alarm-sized.
+
+    Two passes over one shuffle's worth of state: the mean/std come from
+    the same grouped fold that orders the series, and the CUSUM is a
+    SCALAR ordered left fold (engine-portable — struct accumulators are
+    not, see brown_double_smoothing) carried as a running prefix array.
+    mu/sigma use exact integer-weighted sums (sum/sumsq of 2-decimal
+    inputs are exact in doubles), so both engines standardize
+    identically."""
+    kk, hh = float(slack_k), float(threshold_h)
+    seq = df.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).alias("ts"),
+                    F.col(tiebreak_col).alias("tb"),
+                    F.col(value_col).cast("double").alias("v"),
+                )
+            )
+        ).alias("seq")
+    )
+    n = F.size("seq")
+    mu = F.expr("aggregate(seq, 0.0D, (a, s) -> a + s.v)") / n
+    var = (
+        F.expr("aggregate(seq, 0.0D, (a, s) -> a + s.v * s.v)") / n
+    ) - mu * mu
+    base = seq.select(
+        F.col(key_col),
+        "seq",
+        mu.alias("mu"),
+        F.sqrt(var).alias("sigma"),
+    ).where(F.col("sigma") > 0)
+    # the sigma>0 filter does NOT stop ANSI mode evaluating the fold's
+    # division on filtered rows (Catalyst may collapse the projection past
+    # the filter) — nullif() inside the fold makes sigma=0 keys yield NULL
+    # cusum, which the breach predicate then drops, same as the oracle's
+    # WHERE sigma > 0
+    cus = F.expr(
+        f"aggregate(slice(seq, 2, size(seq) - 1), "
+        f"array(greatest(0.0D, (double(seq[0].v) - mu) / nullif(sigma, 0.0D) - {kk}D)), "
+        f"(acc, s) -> array_append(acc, "
+        f"greatest(0.0D, element_at(acc, -1) + ((s.v - mu) / nullif(sigma, 0.0D) - {kk}D))))"
+    ).alias("cus")
+    rows = base.select(
+        F.col(key_col),
+        F.arrays_zip(F.col("seq"), cus).alias("z"),
+    ).select(key_col, F.explode("z").alias("r"))
+    return rows.where(F.col("r.cus") > hh).select(
+        F.col(key_col),
+        F.col("r.seq.tb").alias(tiebreak_col),
+        F.col("r.seq.ts").alias(ts_col),
+        F.col("r.seq.v").alias(value_col),
+        (F.floor(F.col("r.cus") * 1000000) / 1000000).alias("cusum"),
+    )

@@ -223,3 +223,51 @@ def test_brown_smoothing_constant_series_no_trend(spark):
     )
     r = brown_double_smoothing(df).collect()[0]
     assert r.level == 3.5 and r.trend == 0.0 and r.forecast == 3.5
+
+
+def test_cusum_flags_sustained_shift_not_single_spike(spark):
+    import datetime as dt
+
+    from querysight_spark.operators.timeseries import cusum_breaches
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def series(uid, vals):
+        return [
+            (uid, i, t0 + dt.timedelta(hours=i), float(v))
+            for i, v in enumerate(vals)
+        ]
+
+    # "shift": flat 10s then a sustained jump to 14 -> CUSUM accumulates
+    # (z ~ +1.8 per post-shift row at k=0.5, so ~5 rows to breach h=5)
+    # "spike": one 20 in a sea of 10s -> a single excursion decays,
+    #          never reaching h
+    rows = series("shift", [10] * 12 + [14] * 12) + series(
+        "spike", [10] * 12 + [20] + [10] * 11
+    )
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp, value double"
+    )
+    out = cusum_breaches(df, slack_k=0.5, threshold_h=5.0).collect()
+    users = {r.user_id for r in out}
+    assert users == {"shift"}
+    # breaches only appear after the level change, and cusum is
+    # monotonically growing across them (no decay while shifted)
+    evs = sorted(r.event_id for r in out if r.user_id == "shift")
+    assert min(evs) >= 12
+    cus = [r.cusum for r in sorted(out, key=lambda r: r.event_id)]
+    assert cus == sorted(cus)
+
+
+def test_cusum_constant_series_excluded(spark):
+    import datetime as dt
+
+    from querysight_spark.operators.timeseries import cusum_breaches
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("c", i, t0 + dt.timedelta(hours=i), 5.0) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp, value double"
+    )
+    # sigma = 0 -> key excluded entirely rather than dividing by zero
+    assert cusum_breaches(df).count() == 0
