@@ -4330,7 +4330,7 @@ def mm06(spark: SparkSession, sf_dir: str) -> DataFrame:
          SELECT SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
                 SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
          FROM per_v)
-       SELECT n_a, n_b,
+       SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
               ROUND(MAX(ABS(cum_a / n_a - cum_b / n_b)), 6) AS ks_stat,
               ROUND(1.358 * SQRT((n_a + n_b) / (n_a * n_b)), 6) AS critical,
               MAX(ABS(cum_a / n_a - cum_b / n_b))
@@ -4582,3 +4582,56 @@ def an04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_breaches(
         ev, "user_id", "ts", "event_id", "value", slack_k=0.5, threshold_h=5.0
     ).orderBy("user_id", "ts", "event_id")
+
+
+@_q(
+    "gr04_bfs_distances",
+    """WITH RECURSIVE lp AS (
+         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       pairs AS (
+         SELECT a.l_partkey AS p1, b.l_partkey AS p2
+         FROM lp a JOIN lp b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          AND a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       edges AS (
+         SELECT p1 AS src, p2 AS dst FROM pairs
+         UNION SELECT p2, p1 FROM pairs),
+       seed AS (SELECT MIN(src) AS s FROM edges),
+       walk AS (
+         SELECT s AS id, 0 AS d FROM seed
+         UNION
+         SELECT e.dst AS id, w.d + 1 AS d
+         FROM walk w JOIN edges e ON e.src = w.id
+         WHERE w.d < 30)
+       SELECT id AS node, MIN(d) AS dist
+       FROM walk GROUP BY id ORDER BY node""",
+)
+def gr04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distances from the minimum node of the gr02
+    co-purchase graph: frontier-iteration joins (O(diameter) rounds,
+    per-round work proportional to frontier-incident edges) vs a
+    recursive min-distance CTE. Only the seed's component appears —
+    reachability semantics, mirrored by the oracle's walk."""
+    from querysight_spark.operators.graph import bfs_distances
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    lp = li.where(F.col("l_partkey") % 4 == 0).distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .select("p1", "p2")
+    )
+    out = bfs_distances(pairs, "p1", "p2")
+    return out.select("node", F.col("dist").cast("long").alias("dist")).orderBy(
+        "node"
+    )

@@ -202,3 +202,67 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
         .join(e3, (F.col("a") == F.col("ca")) & (F.col("c") == F.col("cc")))
         .select("a", "b", "c")
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    source=None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Single-source BFS hop distances on an undirected edge list:
+    (node, dist) for every node REACHABLE from ``source`` (unreachable
+    nodes are absent — their distance is undefined, not infinity).
+    ``source=None`` picks the minimum node id (deterministic default for
+    gate declarations).
+
+    Frontier iteration: each round joins the current frontier to the
+    edge list, anti-joins the visited set, and extends distances by one
+    — O(diameter) rounds of one join + one anti-join, each a node-keyed
+    shuffle, lineage capped per round by ``localCheckpoint`` exactly as
+    in ``connected_components``. Per-round work touches only edges
+    incident to the frontier. For 100 TB graphs with large diameters,
+    batch multiple sources into one run (frontier carries (root, node))
+    rather than looping this function."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    if source is None:
+        source = sym.agg(F.min("u")).first()[0]  # one driver scalar
+        if source is None:
+            raise ValueError("bfs_distances: empty edge list")
+    visited = (
+        sym.select(F.col("u").alias("node"))
+        .where(F.lit(False))
+        .withColumn("dist", F.lit(0))
+    )
+    frontier = (
+        sym.select(F.col("u").alias("node"))
+        .where(F.col("u") == F.lit(source))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        if frontier.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select(
+                F.col("v").alias("node"),
+                (F.col("dist") + 1).alias("dist"),
+            )
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        frontier = nxt
+    return visited

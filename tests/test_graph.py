@@ -141,3 +141,26 @@ def test_triangles_orientation_and_dupes(spark):
 
 def test_triangles_none_on_path(spark):
     assert _tri(spark, [("a", "b"), ("b", "c"), ("c", "d")]) == set()
+
+
+# ---------------------------------------------------------------------------
+# BFS distances
+# ---------------------------------------------------------------------------
+
+from querysight_spark.operators.graph import bfs_distances
+
+
+def test_bfs_path_distances_and_reachability(spark):
+    # path a-b-c-d plus disconnected x-y: from default source (min = "a")
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    got = {r.node: r.dist for r in bfs_distances(df).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}  # x/y unreachable -> absent
+
+
+def test_bfs_explicit_source_and_shortcut(spark):
+    # cycle with a chord: shortest path must take the shortcut
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "e")]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    got = {r.node: r.dist for r in bfs_distances(df, source="c").collect()}
+    assert got == {"c": 0, "b": 1, "d": 1, "a": 2, "e": 2}
