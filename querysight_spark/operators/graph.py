@@ -125,9 +125,10 @@ def connected_components(
         .distinct()
     )
     # canonical big->small orientation; the loop maintains this invariant
-    cur = e.select(
+    cur0 = e.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).distinct().localCheckpoint(eager=True)
+    cur = cur0
     rounds, converged = 0, False
     for _ in range(max_iter):
         rounds += 1
@@ -164,9 +165,11 @@ def connected_components(
     if stats is not None:
         stats["rounds"] = rounds
         stats["converged"] = converged
+    # node universe from the ALREADY-checkpointed canonical edge set, not
+    # from e — via e the (possibly expensive) upstream would re-execute
     roots = (
-        e.select(F.col("u").alias("n"))
-        .unionByName(e.select(F.col("v").alias("n")))
+        cur0.select(F.col("u").alias("n"))
+        .unionByName(cur0.select(F.col("v").alias("n")))
         .distinct()
         .join(cur.select(F.col("u").alias("n")), "n", "left_anti")
     )
@@ -193,6 +196,9 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
         .where(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
+        # three self-join consumers below — materialize the oriented edge
+        # set once instead of re-running the upstream per branch
+        .localCheckpoint(eager=True)
     )
     e1 = o.select(F.col("a"), F.col("b"))
     e2 = o.select(F.col("a").alias("b"), F.col("b").alias("c"))

@@ -406,7 +406,14 @@ def collocations(
         "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) "
         "ELSE array() END)[0]"
     )
-    toks = df.select(F.explode(bi).alias("bg"))
+    from pyspark.storagelevel import StorageLevel
+
+    # one bigram stream, four consumers (pair/left/right counts + total):
+    # unpersisted this re-executes the split+explode four times (X98
+    # scan-audit discipline)
+    toks = df.select(F.explode(bi).alias("bg")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     model = toks.groupBy("bg").agg(F.count(F.lit(1)).alias("c_pair"))
     left = (
         toks.select(F.split("bg", " ")[0].alias("w1"))

@@ -88,3 +88,36 @@ def test_funnel_and_retention_are_single_scan(spark):
     c.collect()
     s = plan_summary(c)
     assert s["n_scans"] <= 1 and s["n_cache_refs"] >= 1
+
+
+def test_session2_operators_scan_once(spark):
+    """The round-4 session-2 operators share one materialized subtree per
+    source: collocations' bigram stream has four consumers (pair/left/
+    right/total), KS-drift's distinct-value table two (ECDF + totals),
+    triangles' oriented edge set three (wedge + close) — each measured as
+    multi-scan before the persist/checkpoint fixes."""
+    from pyspark.sql import functions as F
+
+    from querysight_spark.operators.graph import triangles
+    from querysight_spark.operators.quality import ks_drift
+    from querysight_spark.operators.search import collocations
+
+    docs = load_table(spark, "documents", SF).select("doc_id", "text")
+    c = collocations(docs, min_count=2, k=10)
+    c.collect()
+    s = plan_summary(c)
+    assert s["n_scans"] == 0 and s["n_cache_refs"] >= 3
+
+    ev = load_table(spark, "events", SF).select("event_type", "value")
+    k = ks_drift(ev, "value", "event_type", "purchase", "view")
+    k.collect()
+    s = plan_summary(k)
+    assert s["n_scans"] == 0 and s["n_cache_refs"] >= 1
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "src string, dst string",
+    )
+    t = triangles(pairs)
+    t.collect()
+    assert plan_summary(t)["n_scans"] == 0  # checkpointed edge set
