@@ -34,7 +34,8 @@
                 recall tests and bench.py's ANN_BENCH probes.
   * tx/tr/sk  — text analysis + splits + stratified sampling + epoch
                 upsampling + contamination, rollup tiers incl. streaming
-                absorption, self-checking sketches.
+                absorption, self-checking sketches incl. a
+                cell-exact portable Count-Min.
   * st01-st09 — Structured Streaming under the gate (windows, stateful
                 counts, cross-batch dedup, session windows, stream-
                 stream join, session-state absorption into a persisted
@@ -50,18 +51,18 @@
                 samples).
   * ts/an     — time-series resample + gap-fill (forward and linear),
                 per-row ordered-fold EWMA, Brown double smoothing,
-                two-sample KS drift,
+                two-sample KS drift, CUSUM change-point alarms,
                 FIR weighted moving average, trailing-window and
                 seasonal-profile anomaly detection, chi-square
                 independence surface.
   * dq/io     — data-quality expectation suite + referential-integrity
                 orphans; CSV source round-trip; Hive-partitioned
-                parquet sink/source round-trip.
+                parquet and ORC sink/source round-trips.
   * lk/gr/vx  — blocked fuzzy-join record linkage (+ per-block match
                 summary), iterative PageRank vs an unrolled-CTE oracle,
                 large-star/small-star connected components, triangle
-                enumeration, per-dimension embedding z-score scaling
-                and quartile binning.
+                enumeration, frontier BFS distances, per-dimension
+                embedding z-score scaling and quartile binning.
   * co01-co02 — behavioral analytics: weekly cohort-retention triangle
                 and ordered first-touch funnel.
 

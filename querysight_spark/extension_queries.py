@@ -4635,3 +4635,72 @@ def gr04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.col("dist").cast("long").alias("dist")).orderBy(
         "node"
     )
+
+
+@_q(
+    "tx20_boilerplate_lines",
+    """WITH aug AS (
+         SELECT doc_id,
+                'hdr-' || CAST(doc_id % 5 AS VARCHAR) || chr(10) || text
+                || CASE WHEN doc_id % 2 = 0
+                        THEN chr(10) || 'ftr-common' ELSE '' END
+                || CASE WHEN doc_id % 7 = 0
+                        THEN chr(10) || 'rare-' || CAST(doc_id AS VARCHAR)
+                        ELSE '' END AS text
+         FROM documents),
+       ln AS (
+         SELECT doc_id,
+                unnest(generate_series(1, len(string_split(text, chr(10)))))
+                  AS pos,
+                unnest(string_split(text, chr(10))) AS line
+         FROM aug),
+       freq AS (
+         SELECT line, COUNT(DISTINCT doc_id) AS line_df
+         FROM ln GROUP BY line),
+       kept AS (
+         SELECT ln.doc_id, ln.pos, ln.line
+         FROM ln JOIN freq USING (line) WHERE line_df < 10),
+       rebuilt AS (
+         SELECT doc_id, COUNT(*) AS n_lines_kept,
+                string_agg(line, chr(10) ORDER BY pos) AS clean_text
+         FROM kept GROUP BY doc_id),
+       totals AS (
+         SELECT doc_id, COUNT(*) AS n_lines_in FROM ln GROUP BY doc_id)
+       SELECT t.doc_id, t.n_lines_in,
+              COALESCE(r.n_lines_kept, 0) AS n_lines_kept,
+              COALESCE(r.clean_text, '') AS clean_text
+       FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+       ORDER BY t.doc_id""",
+)
+def tx20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-rule line-level boilerplate removal under the gate: both
+    engines inject the same synthetic page furniture (5 shared headers,
+    an every-other-doc footer, a rare per-doc line), then drop lines
+    whose exact text appears in >= 10 distinct documents. The shared
+    headers/footer vanish, the body and rare lines survive in order —
+    counts and the rebuilt text both sit under the hash."""
+    from querysight_spark.operators.textstats import strip_boilerplate_lines
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("hdr-"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("\n"),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("\nftr-common")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit("\nrare-"), F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = strip_boilerplate_lines(docs, min_doc_freq=10)
+    return out.select(
+        "doc_id",
+        F.col("n_lines_in").cast("long").alias("n_lines_in"),
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+        "clean_text",
+    ).orderBy("doc_id")

@@ -650,3 +650,52 @@ def normalize_unicode(
         (F.col("n_chars_raw") != F.length("norm_text")).alias("changed"),
         "norm_text",
     )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_freq: int = 10,
+) -> DataFrame:
+    """C4-style line-level boilerplate removal: split each document into
+    lines, count each EXACT line's document frequency across the corpus,
+    and drop lines appearing in >= ``min_doc_freq`` distinct documents
+    (navigation bars, cookie banners, share footers — content that
+    repeats verbatim across pages). Returns (id, n_lines_in,
+    n_lines_kept, clean_text) with surviving lines rejoined in original
+    order; a fully-boilerplate document survives as an empty string (the
+    caller's length filter decides its fate, not this operator).
+
+    Plan: one line explode feeding (a) the line-frequency agg — partial
+    count-distinct on the line hash, vocabulary-sized output — and (b)
+    the keep join back on the line key; the exploded stream is persisted
+    so the split runs once (X98). Reassembly is a per-doc sorted fold,
+    deterministic by line position."""
+    from pyspark.storagelevel import StorageLevel
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    freq = lines.groupBy("line").agg(
+        F.countDistinct(id_col).alias("line_df")
+    )
+    kept = lines.join(freq, "line").where(F.col("line_df") < min_doc_freq)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines_in"))
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        "n_lines_in",
+        F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

@@ -97,3 +97,40 @@ def test_unicode_normalize_collapses_decomposed(spark):
     assert out[1].changed and out[1].n_chars_norm == 5  # e+acute -> e-acute
     assert out[1].norm_text == out[3].norm_text  # both forms converge
     assert not out[2].changed and not out[3].changed
+
+
+def test_strip_boilerplate_exact_lines_only(spark):
+    from querysight_spark.operators.textstats import strip_boilerplate_lines
+
+    # "COOKIE BANNER" appears in 3 docs (>= threshold) -> stripped
+    # everywhere; "almost banner" in 2 (< threshold) -> kept; unique
+    # bodies always survive in original order
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nbody one\nalmost banner"),
+            (2, "COOKIE BANNER\nbody two\nalmost banner"),
+            (3, "body three\nCOOKIE BANNER"),
+            (4, "only unique text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in strip_boilerplate_lines(docs, min_doc_freq=3).collect()
+    }
+    assert out[1].clean_text == "body one\nalmost banner"
+    assert out[2].clean_text == "body two\nalmost banner"
+    assert out[3].clean_text == "body three"
+    assert out[4].clean_text == "only unique text"
+    assert (out[1].n_lines_in, out[1].n_lines_kept) == (3, 2)
+
+
+def test_strip_boilerplate_fully_boilerplate_doc_survives_empty(spark):
+    from querysight_spark.operators.textstats import strip_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [(i, "same line") for i in range(5)], "doc_id long, text string"
+    )
+    out = strip_boilerplate_lines(docs, min_doc_freq=2).collect()
+    assert len(out) == 5  # docs are reported, not dropped
+    assert all(r.clean_text == "" and r.n_lines_kept == 0 for r in out)
