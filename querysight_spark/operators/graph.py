@@ -1,5 +1,6 @@
 """Graph operators: iterative PageRank, connected components
-(large-star/small-star), and triangle enumeration over edge DataFrames.
+(large-star/small-star), triangle enumeration, and frontier BFS
+distances over edge DataFrames.
 
 Complements the iterative fixpoint pair already in the repo (ql06b
 upstream-closure, cl03 k-means refinement) with the canonical
