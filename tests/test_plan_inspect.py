@@ -121,3 +121,30 @@ def test_session2_operators_scan_once(spark):
     t = triangles(pairs)
     t.collect()
     assert plan_summary(t)["n_scans"] == 0  # checkpointed edge set
+
+
+def test_tpch_probe_plans_broadcast_dims_and_decorrelate(spark):
+    """h-family plan shapes at test scale: every dim lands broadcast (no
+    sort-merge joins on sf0.001), h18's IN-subquery plans as a semi join,
+    and h17's correlated scalar subquery decorrelates into an aggregated
+    join instead of a per-row re-scan."""
+    from querysight_spark.probes import PROBES
+    from querysight_spark.sources import register_views
+
+    register_views(spark, SF)
+
+    h05 = spark.sql(PROBES["h05_local_supplier_volume"][0])
+    h05.collect()
+    s = plan_summary(h05)
+    assert s["n_broadcast_hash_joins"] >= 4 and s["n_sort_merge_joins"] == 0
+
+    h18 = spark.sql(PROBES["h18_large_volume_customers"][0])
+    h18.collect()
+    plan = h18._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+    h17 = spark.sql(PROBES["h17_small_quantity_revenue"][0])
+    h17.collect()
+    plan = h17._jdf.queryExecution().executedPlan().toString()
+    assert "SubqueryExec" not in plan  # decorrelated, not re-executed per row
+    assert plan_summary(h17)["n_broadcast_hash_joins"] >= 2
