@@ -4704,3 +4704,62 @@ def tx20(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
         "clean_text",
     ).orderBy("doc_id")
+
+
+@_q(
+    "gr05_incremental_components",
+    """WITH RECURSIVE lp AS (
+         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       allp AS (
+         SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS cnt
+         FROM lp a JOIN lp b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          AND a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0
+         GROUP BY 1, 2),
+       base AS (SELECT p1, p2 FROM allp WHERE cnt >= 2),
+       delta AS (SELECT p1, p2 FROM allp WHERE cnt = 1 AND p1 % 400 = 0),
+       uni AS (SELECT * FROM base UNION SELECT * FROM delta),
+       edges AS (
+         SELECT p1 AS src, p2 AS dst FROM uni
+         UNION SELECT p2, p1 FROM uni),
+       reach AS (
+         SELECT src AS id, src AS lab FROM edges
+         UNION
+         SELECT e.src AS id, r.lab FROM edges e JOIN reach r ON r.id = e.dst)
+       SELECT id AS node, MIN(lab) AS component
+       FROM reach GROUP BY id ORDER BY node""",
+)
+def gr05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL component maintenance: the gr02 labeling is contracted
+    to its star form and merged with a sparse delta batch (single-order
+    co-occurrences of every 400th part) — O(nodes + delta) work, the
+    original edge set never re-walked. The oracle walks the FULL merged
+    graph, so the star-contraction shortcut is proven equivalent, not
+    assumed: merged components adopt the true min id even when the delta
+    bridges previously-separate components."""
+    from querysight_spark.operators.graph import (
+        connected_components,
+        merge_components,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    lp = li.where(F.col("l_partkey") % 4 == 0).distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    allp = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)  # base + delta both read it
+    )
+    base = allp.where(F.col("cnt") >= 2).select("p1", "p2")
+    delta = allp.where(
+        (F.col("cnt") == 1) & (F.col("p1") % 400 == 0)
+    ).select("p1", "p2")
+    labels = connected_components(base, "p1", "p2")
+    return merge_components(labels, delta, src="p1", dst="p2").orderBy("node")

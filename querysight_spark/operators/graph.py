@@ -130,7 +130,8 @@ def connected_components(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).distinct().localCheckpoint(eager=True)
     cur = cur0
-    rounds, converged = 0, False
+    cur_n = cur.count()  # carried across rounds: each round counts only
+    rounds, converged = 0, False  # its OWN output, not its input again
     for _ in range(max_iter):
         rounds += 1
         # ---- large-star over the symmetric view -------------------------
@@ -155,11 +156,12 @@ def connected_components(
             .select(F.col("n").alias("u"), F.col("m").alias("v"))
             .localCheckpoint(eager=True)
         )
+        small_n = small.count()
         unchanged = (
-            small.count() == cur.count()
+            small_n == cur_n
             and small.exceptAll(cur).limit(1).count() == 0
         )
-        cur = small
+        cur, cur_n = small, small_n
         if unchanged:
             converged = True
             break
@@ -273,3 +275,40 @@ def bfs_distances(
         )
         frontier = nxt
     return visited
+
+
+def merge_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    node_col: str = "node",
+    comp_col: str = "component",
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Incremental connected-components maintenance: absorb a batch of
+    NEW edges into an existing (node, component) labeling without
+    re-walking the original edge set. The existing labeling is already a
+    star forest (node -> component-min), and stars are equivalent to the
+    original graph for connectivity — so running ``connected_components``
+    over (star edges ∪ delta edges) yields the labeling of the merged
+    graph at the cost of O(nodes + delta), never O(original edges). The
+    dd09 delta-dedup discipline applied to graphs: per-batch cost scales
+    with the batch, the full corpus enters only as its contracted star
+    form. Component ids stay the component-min node, so ids are STABLE
+    unless a merge introduces a smaller member (in which case every
+    member adopts the smaller id — deterministic, engine-checkable).
+
+    Singleton components (a label row with node == component and no
+    other members — impossible for labelings derived from an edge list,
+    where every component has >= 2 nodes) contribute no star edge and
+    drop out unless the delta touches them; union them back afterwards
+    if the caller's labeling can contain them."""
+    star = labels.select(
+        F.col(node_col).alias("u"), F.col(comp_col).alias("v")
+    ).where(F.col(node_col) != F.col(comp_col))
+    delta = new_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    return connected_components(
+        star.unionByName(delta), "u", "v", max_iter=max_iter, stats=stats
+    )
