@@ -908,3 +908,27 @@ _p(
           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
               AND l_quantity BETWEEN 20 AND 30)""",
 )
+
+# --- semi-structured: Spark 4 VARIANT --------------------------------------
+_p(
+    "p68_variant_extract",
+    """SELECT event_type,
+              COUNT(*) AS n,
+              SUM(CAST(variant_get(parse_json(props), '$.k', 'long')
+                       AS BIGINT)) AS sum_k,
+              MIN(CAST(variant_get(parse_json(props), '$.k', 'long')
+                       AS BIGINT)) AS min_k,
+              MAX(CAST(variant_get(parse_json(props), '$.k', 'long')
+                       AS BIGINT)) AS max_k
+       FROM events GROUP BY event_type ORDER BY event_type""",
+    # DuckDB replay via its JSON path extraction — same values, no
+    # VARIANT type on that side (Spark's open binary JSON encoding vs
+    # DuckDB's text JSON; the EXTRACTED longs are the comparable surface)
+    """SELECT event_type,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                   AS BIGINT) AS sum_k,
+              MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+              MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+       FROM events GROUP BY event_type ORDER BY event_type""",
+)
