@@ -4763,3 +4763,79 @@ def gr05(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p1", "p2")
     labels = connected_components(base, "p1", "p2")
     return merge_components(labels, delta, src="p1", dst="p2").orderBy("node")
+
+
+@_q(
+    "co03_event_transitions",
+    """WITH o AS (
+         SELECT user_id, event_type AS to_type,
+                LAG(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS from_type
+         FROM events),
+       c AS (
+         SELECT from_type, to_type, COUNT(*) AS n
+         FROM o WHERE from_type IS NOT NULL GROUP BY 1, 2),
+       t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY 1)
+       SELECT c.from_type, c.to_type, c.n,
+              ROUND(c.n / t.tot, 6) AS p
+       FROM c JOIN t USING (from_type)
+       ORDER BY from_type, to_type""",
+)
+def co03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (counts + exact-ratio probabilities): every observed path
+    contributes, generalizing co02's single hand-specified funnel. One
+    user-keyed window + a vocabulary-sized agg."""
+    from querysight_spark.operators.behavior import event_transitions
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    return event_transitions(ev).orderBy("from_type", "to_type")
+
+
+@_q(
+    "an05_benford",
+    """WITH pos AS (
+         SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value > 0),
+       dg AS (
+         SELECT CAST(FLOOR(v / POW(10.0, FLOOR(LOG10(v)))) AS INT) AS d
+         FROM pos),
+       c AS (SELECT d, COUNT(*) AS observed FROM dg GROUP BY d),
+       s AS (
+         SELECT d, observed,
+                CAST(SUM(observed) OVER () AS BIGINT) AS n_total,
+                ROUND(LOG10(1.0 + 1.0 / d), 6) AS expected_p
+         FROM c),
+       parts AS (
+         SELECT d, observed, n_total, expected_p,
+                ROUND(POW(observed - expected_p * n_total, 2)
+                      / (expected_p * n_total), 6) AS chi2_part
+         FROM s)
+       SELECT * FROM (
+         SELECT d, observed, n_total, expected_p, chi2_part FROM parts
+         UNION ALL
+         SELECT 0 AS d, MAX(n_total) AS observed, MAX(n_total) AS n_total,
+                ROUND(1.0, 6) AS expected_p,
+                ROUND(SUM(chi2_part), 6) AS chi2_part
+         FROM parts)
+       ORDER BY d""",
+)
+def an05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of positive event values:
+    per-digit observed counts vs log10(1 + 1/d) expectations with
+    chi-square contributions, plus a digit-0 total row — the
+    scale-invariance data-quality check orthogonal to bounds (dq01) and
+    two-sample shape (an03). Counts exact, one double pow/log path
+    shared with the replay."""
+    from querysight_spark.operators.behavior import benford_deviation
+
+    ev = load_table(spark, "events", sf_dir).select("value")
+    out = benford_deviation(ev, "value")
+    return out.select(
+        "d",
+        F.col("observed").cast("long").alias("observed"),
+        F.col("n_total").cast("long").alias("n_total"),
+        "expected_p",
+        "chi2_part",
+    ).orderBy("d")

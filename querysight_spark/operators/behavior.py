@@ -178,3 +178,102 @@ def funnel(
             6,
         ).alias("conv_from_first"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: (from_type, to_type, n, p) where n counts consecutive
+    (ts, tiebreak)-ordered pairs and p = n / outgoing-total of
+    from_type. The behavioral upgrade of the funnel: instead of one
+    hand-specified path, EVERY observed path contributes, and the matrix
+    feeds next-action prediction, anomaly scoring (improbable jumps),
+    and session simulation.
+
+    One window lag per user (single shuffle on the user key) + one
+    vocabulary-sized agg; p is an exact integer ratio cast once, so the
+    matrix is engine-reproducible digit-for-digit."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        events.select(
+            F.col(key_col),
+            F.col(type_col).alias("to_type"),
+            F.lag(type_col).over(w).alias("from_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return counts.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("tot"), 6).alias("p"),
+    )
+
+
+def benford_deviation(
+    df: DataFrame,
+    value_col: str = "value",
+) -> DataFrame:
+    """Benford's-law first-significant-digit audit of a positive metric:
+    per digit d in 1..9, observed count, expected probability
+    log10(1 + 1/d), and the chi-square contribution; one extra row
+    (digit 0) carries the total statistic. Strong deviation on a metric
+    that should be scale-spanning (transaction amounts, durations) is a
+    data-quality / fabrication signal — a distribution check orthogonal
+    to both dq01's bounds and an03's two-sample KS.
+
+    First digit via string head of the positive value's scientific
+    mantissa-free form: floor(x / 10^floor(log10(x))) — pure JVM math,
+    identical in the replay. One scan, 10-row output."""
+    pos = df.select(F.col(value_col).cast("double").alias("v")).where(
+        F.col("v") > 0
+    )
+    digit = F.floor(
+        F.col("v") / F.pow(F.lit(10.0), F.floor(F.log10("v")))
+    ).cast("int")
+    counts = pos.select(digit.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy()
+    scored = counts.select(
+        "d",
+        "observed",
+        F.sum("observed").over(tot).alias("n_total"),
+        F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("expected_p"),
+    ).select(
+        "d",
+        "observed",
+        "n_total",
+        "expected_p",
+        F.round(
+            F.pow(
+                F.col("observed") - F.col("expected_p") * F.col("n_total"), 2.0
+            )
+            / (F.col("expected_p") * F.col("n_total")),
+            6,
+        ).alias("chi2_part"),
+    )
+    total_row = scored.agg(
+        F.max("n_total").alias("nt"),
+        F.round(F.sum("chi2_part"), 6).alias("c"),
+    ).select(
+        F.lit(0).alias("d"),
+        F.col("nt").alias("observed"),
+        F.col("nt").alias("n_total"),
+        F.round(F.lit(1.0), 6).alias("expected_p"),
+        F.col("c").alias("chi2_part"),
+    )
+    return scored.unionByName(total_row)

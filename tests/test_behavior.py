@@ -62,3 +62,48 @@ def test_funnel_first_touch_binding(spark):
     out = {r.stage: r for r in
            funnel(_ev(spark, rows), ["signup", "view"]).collect()}
     assert out["view"].n_users == 1
+
+
+def test_event_transitions_counts_and_probabilities(spark):
+    import datetime as dt
+
+    from querysight_spark.operators.behavior import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    seq = {"u": ["a", "b", "a", "b"], "v": ["a", "c"]}
+    rows = [
+        (u, i + 100 * ord(u[0]), t0 + dt.timedelta(hours=i), s)
+        for u, types in seq.items()
+        for i, s in enumerate(types)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp, event_type string"
+    )
+    out = {(r.from_type, r.to_type): r for r in event_transitions(df).collect()}
+    # u: a->b, b->a, a->b; v: a->c  => from 'a': b twice, c once
+    assert out[("a", "b")].n == 2 and out[("a", "c")].n == 1
+    assert out[("a", "b")].p == round(2 / 3, 6)
+    assert out[("b", "a")].n == 1 and out[("b", "a")].p == 1.0
+    # transitions never cross users: no ('b','a') from v's sequence end
+    assert ("c", "a") not in out
+
+
+def test_benford_digits_and_total(spark):
+    from querysight_spark.operators.behavior import benford_deviation
+
+    import math
+
+    # values engineered so first digits are 1,1,2,9; zero/negative dropped
+    df = spark.createDataFrame(
+        [(1.5,), (120.0,), (0.025,), (9.0,), (0.0,), (-7.0,)],
+        "value double",
+    )
+    rows = {r.d: r for r in benford_deviation(df).collect()}
+    assert rows[1].observed == 2 and rows[2].observed == 1 and rows[9].observed == 1
+    assert all(r.n_total == 4 for r in rows.values())
+    assert rows[1].expected_p == round(math.log10(2), 6)
+    assert rows[0].chi2_part == round(
+        sum(rows[d].chi2_part for d in rows if d != 0), 6
+    ) or abs(
+        rows[0].chi2_part - sum(rows[d].chi2_part for d in rows if d != 0)
+    ) < 2e-6  # total row sums the (already rounded) parts
