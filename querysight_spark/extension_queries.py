@@ -4839,3 +4839,102 @@ def an05(spark: SparkSession, sf_dir: str) -> DataFrame:
         "expected_p",
         "chi2_part",
     ).orderBy("d")
+
+
+@_q(
+    "ir08_ranking_metrics",
+    """WITH q AS (
+         SELECT * FROM (VALUES ('table hash'), ('slow query'), ('row scan'))
+           t(query)),
+       sc AS (
+         SELECT q.query, d.doc_id,
+                (length(d.text)
+                 - length(replace(d.text, string_split(q.query, ' ')[1], '')))
+                  / length(string_split(q.query, ' ')[1])
+              + (length(d.text)
+                 - length(replace(d.text, string_split(q.query, ' ')[2], '')))
+                  / length(string_split(q.query, ' ')[2]) AS score
+         FROM q CROSS JOIN documents d),
+       r AS (
+         SELECT query, doc_id,
+                ROW_NUMBER() OVER (PARTITION BY query
+                                   ORDER BY score DESC, doc_id) AS rnk
+         FROM sc),
+       rel AS (
+         SELECT q.query, d.doc_id
+         FROM q JOIN documents d ON strpos(d.text, q.query) > 0),
+       j AS (
+         SELECT r.query, r.rnk,
+                CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         FROM r LEFT JOIN rel
+           ON r.query = rel.query AND r.doc_id = rel.doc_id),
+       nrel AS (SELECT query, COUNT(*) AS n_relevant FROM rel GROUP BY 1),
+       a AS (
+         SELECT query,
+                SUM(CASE WHEN rnk <= 10 AND rel = 1 THEN 1 ELSE 0 END)
+                  / 10.0 AS p10,
+                COALESCE(1.0 / MIN(CASE WHEN rel = 1 THEN rnk END), 0.0)
+                  AS mrr,
+                list(rnk ORDER BY rnk)
+                  FILTER (rnk <= 10 AND rel = 1) AS hits
+         FROM j GROUP BY query),
+       m AS (
+         SELECT query, p10, mrr,
+                list_reduce(
+                  list_prepend(CAST(0 AS DOUBLE),
+                               [1.0 / log2(r + 1.0) for r in hits]),
+                  (acc, x) -> acc + x) AS dcg
+         FROM a)
+       SELECT m.query, n_relevant,
+              ROUND(p10, 6) AS precision_at_k,
+              ROUND(mrr, 6) AS mrr,
+              ROUND(dcg / list_reduce(
+                list_prepend(CAST(0 AS DOUBLE),
+                             [1.0 / log2(i + 1.0)
+                              for i in range(1, LEAST(n_relevant, 10) + 1)]),
+                (acc, x) -> acc + x), 6) AS ndcg_at_k
+       FROM m JOIN nrel USING (query) ORDER BY m.query""",
+)
+def ir08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline retrieval evaluation under the gate: three phrase queries
+    ranked by exact term-frequency score (substring counting — the
+    deterministic stand-in ranker), ground truth = docs containing the
+    exact phrase, metrics = precision@10 / MRR / binary nDCG@10 with
+    ordered-fold DCG sums. The quality scoreboard the ir* family plugs
+    parameter sweeps into."""
+    from querysight_spark.operators.search import ranking_metrics
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    phrases = ["table hash", "slow query", "row scan"]
+    q = spark.createDataFrame([(p,) for p in phrases], "query string")
+    sc = q.crossJoin(docs)
+    w1 = F.split("query", " ")[0]
+    w2 = F.split("query", " ")[1]
+
+    def tf(term):
+        return (
+            F.length("text") - F.length(F.expr(f"replace(text, {term}, '')"))
+        ) / F.length(F.expr(term))
+
+    scored = sc.select(
+        "query",
+        "doc_id",
+        (tf("split(query, ' ')[0]") + tf("split(query, ' ')[1]")).alias("score"),
+    )
+    ranked = scored.select(
+        "query",
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("query").orderBy(
+                F.col("score").desc(), F.col("doc_id")
+            )
+        )
+        .alias("rank"),
+    )
+    relevant = q.join(
+        docs, F.expr("instr(text, query) > 0")
+    ).select("query", "doc_id")
+    out = ranking_metrics(ranked, relevant, "query", "doc_id", "rank", k=10)
+    return out.orderBy("query")

@@ -453,3 +453,72 @@ def collocations(
         .where(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    relevant: DataFrame,
+    query_col: str = "query",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """Offline ranking evaluation: given a (query, doc, rank) ranking and
+    a (query, doc) relevance ground truth, emit per query
+
+      - n_relevant   — truth-set size
+      - precision_at_k
+      - mrr          — 1 / rank of the first relevant result (0 if the
+                       ranking never surfaces a relevant doc)
+      - ndcg_at_k    — binary-gain DCG / ideal DCG, ideal = the best
+                       arrangement of min(n_relevant, k) hits
+
+    The retrieval-quality scoreboard for the ir* stack: run it per index
+    variant / parameter sweep and regressions show up as metric drops,
+    the same role the recall floors play for the ANN family. All inputs
+    are exact integers + one log2 per hit (engine-parity like ln); one
+    broadcast-join of the truth set, one agg per query."""
+    r = ranked.select(
+        F.col(query_col).alias("q"),
+        F.col(doc_col).alias("d"),
+        F.col(rank_col).alias("rnk"),
+    )
+    t = relevant.select(
+        F.col(query_col).alias("q"), F.col(doc_col).alias("d")
+    ).withColumn("rel", F.lit(1))
+    j = r.join(F.broadcast(t), ["q", "d"], "left").select(
+        "q", "rnk", F.coalesce("rel", F.lit(0)).alias("rel")
+    )
+    n_rel = t.groupBy("q").agg(F.count(F.lit(1)).alias("n_relevant"))
+    agg = j.groupBy("q").agg(
+        (
+            F.sum(F.when((F.col("rnk") <= k) & (F.col("rel") == 1), 1).otherwise(0))
+            / float(k)
+        ).alias("precision_at_k"),
+        F.coalesce(
+            1.0 / F.min(F.when(F.col("rel") == 1, F.col("rnk"))), F.lit(0.0)
+        ).alias("mrr"),
+        # hit ranks sorted, DCG as an ordered fold — a plain SUM of the
+        # log terms would be partial-agg order-dependent in the last bits
+        F.array_sort(
+            F.collect_list(
+                F.when((F.col("rnk") <= k) & (F.col("rel") == 1), F.col("rnk"))
+            )
+        ).alias("hit_ranks"),
+    )
+    dcg = F.expr(
+        "aggregate(hit_ranks, 0.0D, "
+        "(acc, r) -> acc + 1.0D / log2(double(r) + 1.0D))"
+    ).alias("dcg")
+    out = agg.select("q", "precision_at_k", "mrr", dcg).join(n_rel, "q")
+    ideal = F.expr(
+        f"aggregate(sequence(1, int(least(n_relevant, {k}))), 0.0D, "
+        f"(acc, i) -> acc + 1.0D / log2(double(i) + 1.0D))"
+    )
+    return out.select(
+        F.col("q").alias(query_col),
+        "n_relevant",
+        F.round("precision_at_k", 6).alias("precision_at_k"),
+        F.round("mrr", 6).alias("mrr"),
+        F.round(F.col("dcg") / ideal, 6).alias("ndcg_at_k"),
+    )

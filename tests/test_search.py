@@ -281,3 +281,41 @@ def test_collocations_rank_and_floor(spark):
     assert by_bg["sat the"].pmi > by_bg["strong pair"].pmi
     assert by_bg["strong pair"].c_pair == 6
     assert by_bg["the cat"].c_left == by_bg["the dog"].c_left  # shared 'the'
+
+
+def test_ranking_metrics_hand_values(spark):
+    import math
+
+    from querysight_spark.operators.search import ranking_metrics
+
+    # one query, 5 ranked docs, relevant = {d2 (rank 2), d5 (rank 5), d9
+    # (never ranked)} -> n_relevant = 3
+    ranked = spark.createDataFrame(
+        [("q", f"d{i}", i) for i in range(1, 6)],
+        "query string, doc_id string, rank long",
+    )
+    relevant = spark.createDataFrame(
+        [("q", "d2"), ("q", "d5"), ("q", "d9")],
+        "query string, doc_id string",
+    )
+    r = ranking_metrics(ranked, relevant, k=3).collect()[0]
+    assert r.n_relevant == 3
+    assert r.precision_at_k == round(1 / 3, 6)  # only d2 in top-3
+    assert r.mrr == 0.5  # first relevant at rank 2
+    # dcg@3 = 1/log2(3); ideal@3 = 1/log2(2) + 1/log2(3) + 1/log2(4)
+    ideal = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert r.ndcg_at_k == round((1 / math.log2(3)) / ideal, 6)
+
+
+def test_ranking_metrics_no_relevant_found(spark):
+    from querysight_spark.operators.search import ranking_metrics
+
+    ranked = spark.createDataFrame(
+        [("q", "d1", 1), ("q", "d2", 2)],
+        "query string, doc_id string, rank long",
+    )
+    relevant = spark.createDataFrame(
+        [("q", "zz")], "query string, doc_id string"
+    )
+    r = ranking_metrics(ranked, relevant, k=2).collect()[0]
+    assert r.precision_at_k == 0.0 and r.mrr == 0.0 and r.ndcg_at_k == 0.0
