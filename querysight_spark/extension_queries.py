@@ -4938,3 +4938,58 @@ def ir08(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query", "doc_id")
     out = ranking_metrics(ranked, relevant, "query", "doc_id", "rank", k=10)
     return out.orderBy("query")
+
+
+@_q(
+    "tx21_dup_span_removal",
+    f"""WITH {_DOCS_NEAR_AUG_CTE},
+    w AS (SELECT doc_id, string_split(text, ' ') AS words FROM aug),
+    sh AS (
+      SELECT doc_id, u.pos AS pos, u.h AS h
+      FROM (SELECT doc_id,
+                   UNNEST([{{'pos': i,
+                            'h': md5(array_to_string(words[i:i+7], ' '))}}
+                           for i in range(1, len(words) - 6)]) AS u
+            FROM w)
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM sh),
+    cov AS (
+      SELECT DISTINCT m.doc_id, t.p
+      FROM marked m, UNNEST(range(m.pos, m.pos + 8)) AS t(p)
+      WHERE m.rn > 1),
+    toks AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(words))) AS p,
+             unnest(words) AS word
+      FROM w),
+    kept AS (
+      SELECT t.doc_id, t.p, t.word
+      FROM toks t LEFT JOIN cov
+        ON t.doc_id = cov.doc_id AND t.p = cov.p
+      WHERE cov.p IS NULL),
+    rebuilt AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(word, ' ' ORDER BY p) AS clean_text
+      FROM kept GROUP BY doc_id),
+    lens AS (SELECT doc_id, len(words) AS n_tokens FROM w)
+    SELECT l.doc_id, l.n_tokens,
+           l.n_tokens - COALESCE(r.n_kept, 0) AS n_removed,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM lens l LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY l.doc_id""",
+)
+def tx21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate REMOVAL with keep-first semantics (the
+    transform tx15 only measures): on the near-dup augmented corpus,
+    every 8-gram occurrence after the global first is a duplicate span
+    and its tokens are cut — the suffixed copies collapse to their
+    unique tails while every original (the first occurrence) survives
+    intact. The rebuilt text itself sits under the hash."""
+    from querysight_spark.operators.textstats import remove_duplicate_spans
+
+    return remove_duplicate_spans(
+        _docs_near_aug(spark, sf_dir), n=8
+    ).orderBy("doc_id")

@@ -699,3 +699,86 @@ def strip_boilerplate_lines(
         F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Exact-substring deduplication with keep-first semantics (the
+    TRANSFORM completing tx15's measurement, after Lee et al. 2021):
+    every word n-gram occurrence except the globally FIRST one (minimum
+    (doc, pos)) of its hash is a duplicate span; tokens covered by any
+    duplicate span are removed and the document is rebuilt from the
+    survivors in order. A full-doc duplicate collapses to nothing; a doc
+    quoting an earlier doc loses exactly the quoted span.
+
+    Returns (id, n_tokens, n_removed, clean_text).
+
+    Same linear machinery as ``dup_span_coverage``: positional md5
+    n-gram hashes (persisted — two consumers), first-occurrence via one
+    min(struct) per hash, covered positions by a bounded
+    sequence-explode, rebuild as a per-doc ordered fold. No suffix
+    array; resolution is the n-gram, the standard large-corpus
+    trade-off."""
+    from pyspark.storagelevel import StorageLevel
+
+    sh = F.expr(
+        f"transform(array(split(`{text_col}`, ' ')), w -> "
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"transform(sequence(1, size(w) - {n} + 1), "
+        f"i -> struct(i AS pos, md5(concat_ws(' ', slice(w, i, {n}))) AS h)) "
+        f"ELSE array() END)[0]"
+    )
+    posed = (
+        df.select(F.col(id_col), F.explode(sh).alias("s"))
+        .select(F.col(id_col), F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    first = posed.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("keep"),
+        F.count(F.lit(1)).alias("occ"),
+    )
+    dup_occ = (
+        posed.join(first, "h")
+        .where(
+            (F.col("occ") > 1)
+            & (
+                (F.col(id_col) != F.col(f"keep.{id_col}"))
+                | (F.col("pos") != F.col("keep.pos"))
+            )
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("p0", "word"),
+    ).select(F.col(id_col), (F.col("p0") + 1).alias("p"), "word")
+    kept = toks.join(dup_occ, [id_col, "p"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    lens = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("n_tokens")
+    )
+    return lens.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

@@ -134,3 +134,50 @@ def test_strip_boilerplate_fully_boilerplate_doc_survives_empty(spark):
     out = strip_boilerplate_lines(docs, min_doc_freq=2).collect()
     assert len(out) == 5  # docs are reported, not dropped
     assert all(r.clean_text == "" and r.n_lines_kept == 0 for r in out)
+
+
+def test_remove_duplicate_spans_keep_first(spark):
+    from querysight_spark.operators.textstats import remove_duplicate_spans
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8"  # exactly one 8-gram
+    docs = spark.createDataFrame(
+        [
+            (1, base + " tail1"),          # first occurrence -> intact
+            (2, base + " tail2 tail3"),    # later copy -> 8-gram cut
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),  # unique -> intact
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs, n=8).collect()}
+    assert out[1].clean_text == base + " tail1" and out[1].n_removed == 0
+    # doc 2: tokens 1..8 covered (both its 8-grams containing them are
+    # non-first? its first window w1..w8 is a later copy of doc1's) ->
+    # only the tail survives
+    assert out[2].clean_text == "tail2 tail3"
+    assert out[2].n_removed == 8
+    assert out[3].n_removed == 0
+
+
+def test_remove_duplicate_spans_within_doc_repeat(spark):
+    from querysight_spark.operators.textstats import remove_duplicate_spans
+
+    span = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(1, span + " x " + span)], "doc_id long, text string"
+    )
+    out = remove_duplicate_spans(docs, n=8).collect()[0]
+    # the second within-doc occurrence is removed; first + separator stay
+    assert out.clean_text == span + " x"
+    assert out.n_removed == 8
+
+
+def test_remove_duplicate_spans_short_docs_untouched(spark):
+    from querysight_spark.operators.textstats import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "too short")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs, n=8).collect()}
+    # no 8-grams exist -> nothing can be marked duplicate
+    assert out[1].n_removed == 0 and out[2].n_removed == 0
+    assert out[2].clean_text == "too short"
