@@ -153,3 +153,33 @@ def test_hive_partitioned_write_prunes_on_partition_column(spark, tmp_path):
     # partition column round-trips through directory names
     got = {r.event_type for r in back.select("event_type").distinct().collect()}
     assert got == {"purchase", "error", "view"}
+
+
+def test_dynamic_partition_pruning_fires_on_dim_filter(spark, tmp_path):
+    """DPP: a filter on the DIM side of a join prunes the partitioned
+    fact's directories at runtime (no static partition predicate exists
+    in the query). The optimizer behavior that makes star-schema joins
+    over Hive layouts scan only the joined partitions at 100 TB."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "dpp_fact")
+    fact = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 5).alias("part_key"),
+        (F.col("id") * 2).alias("v"),
+    )
+    fact.write.mode("overwrite").partitionBy("part_key").parquet(path)
+    dim = spark.createDataFrame(
+        [(0, "keep"), (1, "keep"), (2, "drop")], "part_key long, tag string"
+    )
+    j = (
+        spark.read.parquet(path)
+        .join(dim.where(F.col("tag") == "keep"), "part_key")
+        .agg(F.sum("v").alias("s"))
+    )
+    rows = j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # values prove only part_key 0/1 contributed
+    want = sum(2 * i for i in range(1000) if i % 5 in (0, 1))
+    assert rows[0].s == want
