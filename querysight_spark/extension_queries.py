@@ -4993,3 +4993,66 @@ def tx21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(
         _docs_near_aug(spark, sf_dir), n=8
     ).orderBy("doc_id")
+
+
+@_q(
+    "vx03_mutual_information",
+    """WITH f AS (
+         SELECT lang,
+                source,
+                CAST(LEAST(((n_chars - (SELECT MIN(n_chars) FROM documents))
+                            * 8)
+                           // ((SELECT MAX(n_chars) FROM documents)
+                               - (SELECT MIN(n_chars) FROM documents) + 1),
+                           7) AS VARCHAR) AS chars_bucket
+         FROM documents),
+       feat AS (
+         SELECT 'source' AS feature, source AS x, lang AS y FROM f
+         UNION ALL
+         SELECT 'chars_bucket', chars_bucket, lang FROM f),
+       cells AS (
+         SELECT feature, x, y, COUNT(*) AS c
+         FROM feat GROUP BY 1, 2, 3),
+       fx AS (SELECT feature, x, SUM(c) AS cx FROM cells GROUP BY 1, 2),
+       fy AS (SELECT feature, y, SUM(c) AS cy FROM cells GROUP BY 1, 2),
+       tot AS (SELECT feature, SUM(c) AS n FROM cells GROUP BY 1),
+       terms AS (
+         SELECT c.feature, c.x, c.y,
+                (c.c / t.n)
+                  * ln(CAST(c.c * t.n AS DOUBLE)
+                       / CAST(fx.cx * fy.cy AS DOUBLE)) AS term
+         FROM cells c
+         JOIN fx ON c.feature = fx.feature AND c.x = fx.x
+         JOIN fy ON c.feature = fy.feature AND c.y = fy.y
+         JOIN tot t ON c.feature = t.feature)
+       SELECT feature,
+              CAST(COUNT(*) AS BIGINT) AS n_cells,
+              ROUND(list_reduce(
+                list_prepend(CAST(0 AS DOUBLE),
+                             list(term ORDER BY x, y)),
+                (acc, v) -> acc + v), 6) AS mi
+       FROM terms GROUP BY feature ORDER BY feature""",
+)
+def vx03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information of two cheap document features (source id,
+    integer-binned length) with the language label — the
+    feature-selection surface that says which signals are worth a
+    curation classifier's time. Exact count ratios, one ln per cell,
+    ordered-fold cell sums (ir03 float discipline)."""
+    from querysight_spark.operators.quality import mutual_information
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "lang", "source", "n_chars"
+    )
+    mm = docs.agg(
+        F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
+    )
+    f = docs.crossJoin(F.broadcast(mm)).select(
+        "lang",
+        "source",
+        F.expr(
+            "CAST(least(((n_chars - mn) * 8) DIV (mx - mn + 1), 7) AS STRING)"
+        ).alias("chars_bucket"),
+    )
+    out = mutual_information(f, "lang", ["source", "chars_bucket"])
+    return out.orderBy("feature")

@@ -187,3 +187,63 @@ def ks_drift(
             )
         ).alias("drift"),
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: list[str],
+) -> DataFrame:
+    """Mutual information I(feature; label) per categorical feature, in
+    nats: one row (feature, n_cells, mi) per feature, the
+    feature-selection ranking for curation classifiers (which cheap
+    signals actually predict the label before training anything).
+
+    I = sum over (x, y) cells of p_xy * ln(p_xy / (p_x * p_y)), with
+    every probability an exact count ratio and the cell sum an ORDERED
+    fold over (x, y) — the ir03 float discipline, so the statistic is
+    engine-reproducible. Plan per feature: one (feature, label) hash agg
+    + two margin aggs joined back; features loop as a small union, each
+    its own scan-pruned column pair."""
+    out = None
+    for fc in feature_cols:
+        cells = (
+            df.select(
+                F.col(fc).cast("string").alias("x"),
+                F.col(label_col).cast("string").alias("y"),
+            )
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        fx = cells.groupBy("x").agg(F.sum("c").alias("cx"))
+        fy = cells.groupBy("y").agg(F.sum("c").alias("cy"))
+        tot = cells.agg(F.sum("c").alias("n"))
+        scored = (
+            cells.join(fx, "x")
+            .join(fy, "y")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "x",
+                "y",
+                (
+                    (F.col("c") / F.col("n"))
+                    * F.log(
+                        (F.col("c") * F.col("n")).cast("double")
+                        / (F.col("cx") * F.col("cy")).cast("double")
+                    )
+                ).alias("term"),
+            )
+        )
+        mi = scored.agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(x, y, term))), "
+                "s -> s.term), 0.0D, (acc, t) -> acc + t)"
+            ).alias("mi_raw"),
+        ).select(
+            F.lit(fc).alias("feature"),
+            F.col("n_cells").cast("long").alias("n_cells"),
+            F.round("mi_raw", 6).alias("mi"),
+        )
+        out = mi if out is None else out.unionByName(mi)
+    return out

@@ -90,3 +90,38 @@ def test_ks_drift_detects_large_shift(spark):
     r = ks_drift(df, "value", "g", "a", "b").collect()[0]
     assert r.ks_stat == 0.8  # 80 of 100 values are disjoint
     assert r.drift
+
+
+def test_mutual_information_perfect_and_independent(spark):
+    import math
+
+    from querysight_spark.operators.quality import mutual_information
+
+    # f_perfect = label itself -> I = H(label) = ln(2) for a 50/50 label;
+    # f_noise is constant -> I = 0
+    rows = [(str(i % 2), str(i % 2), "k") for i in range(8)]
+    df = spark.createDataFrame(rows, "label string, f_perfect string, f_noise string")
+    out = {
+        r.feature: r
+        for r in mutual_information(
+            df, "label", ["f_perfect", "f_noise"]
+        ).collect()
+    }
+    assert out["f_perfect"].mi == round(math.log(2), 6)
+    assert out["f_noise"].mi == 0.0
+    assert out["f_perfect"].n_cells == 2 and out["f_noise"].n_cells == 2
+
+
+def test_mutual_information_never_negative(spark):
+    import random
+
+    from querysight_spark.operators.quality import mutual_information
+
+    rng = random.Random(5)
+    rows = [
+        (rng.choice("ab"), rng.choice("xyz"), rng.choice("pq"))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "label string, f1 string, f2 string")
+    for r in mutual_information(df, "label", ["f1", "f2"]).collect():
+        assert r.mi >= 0.0  # MI is nonnegative up to rounding
