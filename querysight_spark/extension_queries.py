@@ -5056,3 +5056,110 @@ def vx03(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = mutual_information(f, "lang", ["source", "chars_bucket"])
     return out.orderBy("feature")
+
+
+@_q(
+    "gr06_personalized_pagerank",
+    """WITH e0 AS (
+         SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       edges AS (
+         SELECT 'c' || CAST(c AS VARCHAR) AS src,
+                's' || CAST(s AS VARCHAR) AS dst FROM e0
+         UNION ALL
+         SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR) FROM e0),
+       deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       seeds AS (
+         SELECT src FROM deg WHERE src LIKE 'c%' ORDER BY src LIMIT 3),
+       pr0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / 3 AS pr FROM seeds),
+       pr1 AS (
+         SELECT node, SUM(pr) AS pr FROM (
+           SELECT e.dst AS node,
+                  CAST(0.85 AS DOUBLE) * SUM(p.pr / d.deg) AS pr
+           FROM edges e
+           JOIN pr0 p ON e.src = p.node
+           JOIN deg d ON e.src = d.src
+           GROUP BY e.dst
+           UNION ALL
+           SELECT src AS node, CAST(0.15 AS DOUBLE) / 3 AS pr FROM seeds
+         ) GROUP BY node),
+       pr2 AS (
+         SELECT node, SUM(pr) AS pr FROM (
+           SELECT e.dst AS node,
+                  CAST(0.85 AS DOUBLE) * SUM(p.pr / d.deg) AS pr
+           FROM edges e
+           JOIN pr1 p ON e.src = p.node
+           JOIN deg d ON e.src = d.src
+           GROUP BY e.dst
+           UNION ALL
+           SELECT src AS node, CAST(0.15 AS DOUBLE) / 3 AS pr FROM seeds
+         ) GROUP BY node),
+       pr3 AS (
+         SELECT node, SUM(pr) AS pr FROM (
+           SELECT e.dst AS node,
+                  CAST(0.85 AS DOUBLE) * SUM(p.pr / d.deg) AS pr
+           FROM edges e
+           JOIN pr2 p ON e.src = p.node
+           JOIN deg d ON e.src = d.src
+           GROUP BY e.dst
+           UNION ALL
+           SELECT src AS node, CAST(0.15 AS DOUBLE) / 3 AS pr FROM seeds
+         ) GROUP BY node),
+       pr4 AS (
+         SELECT node, SUM(pr) AS pr FROM (
+           SELECT e.dst AS node,
+                  CAST(0.85 AS DOUBLE) * SUM(p.pr / d.deg) AS pr
+           FROM edges e
+           JOIN pr3 p ON e.src = p.node
+           JOIN deg d ON e.src = d.src
+           GROUP BY e.dst
+           UNION ALL
+           SELECT src AS node, CAST(0.15 AS DOUBLE) / 3 AS pr FROM seeds
+         ) GROUP BY node),
+       pr5 AS (
+         SELECT node, SUM(pr) AS pr FROM (
+           SELECT e.dst AS node,
+                  CAST(0.85 AS DOUBLE) * SUM(p.pr / d.deg) AS pr
+           FROM edges e
+           JOIN pr4 p ON e.src = p.node
+           JOIN deg d ON e.src = d.src
+           GROUP BY e.dst
+           UNION ALL
+           SELECT src AS node, CAST(0.15 AS DOUBLE) / 3 AS pr FROM seeds
+         ) GROUP BY node)
+       SELECT node, ROUND(pr, 6) AS ppr
+       FROM pr5 WHERE ROUND(pr, 6) > 0 ORDER BY node""",
+)
+def gr06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the three smallest customer nodes of
+    the symmetrized trade graph: teleport mass goes only to the seeds,
+    so rank measures graph proximity to them ("more like these"
+    expansion). Oracle = the same teleport-to-seeds power iteration
+    unrolled into 5 CTEs; rows rounding to 0 are dropped on both sides
+    so the hash covers exactly the reachable-with-mass frontier."""
+    from querysight_spark.operators.graph import (
+        personalized_pagerank,
+        symmetrize,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    e0 = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    sym = symmetrize(e0)
+    seeds = (
+        sym.select("src")
+        .where(F.col("src").startswith("c"))
+        .distinct()
+        .orderBy("src")
+        .limit(3)
+        .select(F.col("src").alias("node"))
+    )
+    out = personalized_pagerank(sym, seeds, iterations=5, damping=0.85)
+    return (
+        out.select("node", F.round("pr", 6).alias("ppr"))
+        .where(F.col("ppr") > 0)
+        .orderBy("node")
+    )

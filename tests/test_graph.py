@@ -164,3 +164,32 @@ def test_bfs_explicit_source_and_shortcut(spark):
     df = spark.createDataFrame(pairs, "src string, dst string")
     got = {r.node: r.dist for r in bfs_distances(df, source="c").collect()}
     assert got == {"c": 0, "b": 1, "d": 1, "a": 2, "e": 2}
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank
+# ---------------------------------------------------------------------------
+
+from querysight_spark.operators.graph import personalized_pagerank
+
+
+def test_ppr_mass_stays_near_seed(spark):
+    # two disjoint triangles; seeding one of them must leave the other
+    # with zero mass, and total mass stays 1 (symmetric graph, no sinks)
+    t1 = [("a", "b"), ("b", "c"), ("c", "a")]
+    t2 = [("x", "y"), ("y", "z"), ("z", "x")]
+    e = symmetrize(_edges(spark, t1 + t2))
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {r.node: r.pr for r in personalized_pagerank(e, seeds, 5).collect()}
+    assert set(out) <= {"a", "b", "c"}
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    assert out["a"] > out["b"]  # seed retains the teleport mass
+
+
+def test_ppr_two_seeds_split_teleport(spark):
+    e = symmetrize(_edges(spark, [("a", "b"), ("b", "c")]))
+    seeds = spark.createDataFrame([("a",), ("c",)], "node string")
+    out = {r.node: r.pr for r in personalized_pagerank(e, seeds, 8).collect()}
+    # symmetric seeds around b: their ranks must be equal
+    assert abs(out["a"] - out["c"]) < 1e-12
+    assert abs(sum(out.values()) - 1.0) < 1e-9
