@@ -5163,3 +5163,62 @@ def gr06(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ppr") > 0)
         .orderBy("node")
     )
+
+
+@_q(
+    "lk03_entity_resolution",
+    """WITH RECURSIVE t AS (
+         SELECT p_partkey AS id, p_name AS name,
+                split_part(p_name, ' ', 2) AS blk
+         FROM part WHERE p_partkey % 7 = 0),
+       pairs AS (
+         SELECT a.id AS id_a, b.id AS id_b
+         FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
+         WHERE levenshtein(a.name, b.name) <= 2),
+       edges AS (
+         SELECT id_a AS src, id_b AS dst FROM pairs
+         UNION SELECT id_b, id_a FROM pairs),
+       reach AS (
+         SELECT src AS id, src AS lab FROM edges
+         UNION
+         SELECT e.src AS id, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+       comp AS (SELECT id, MIN(lab) AS entity_id FROM reach GROUP BY id)
+       SELECT c.entity_id,
+              COUNT(*) AS n_members,
+              MIN(t.name) AS canonical_name
+       FROM comp c JOIN t ON t.id = c.id
+       GROUP BY c.entity_id
+       ORDER BY c.entity_id""",
+)
+def lk03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: lk01's blocked fuzzy pairs become
+    entities through large-star/small-star connected components —
+    transitive matches collapse (A~B, B~C => one entity even when A and
+    C differ by 4 edits), each entity reporting member count and its
+    lexicographically-minimal name as the canonical label. The ER
+    composition every master-data pipeline runs; only matched records
+    appear (singletons have no pair evidence)."""
+    from querysight_spark.operators.graph import connected_components
+    from querysight_spark.operators.linkage import blocked_fuzzy_pairs
+
+    part = load_table(spark, "part", sf_dir).where(F.col("p_partkey") % 7 == 0)
+    pairs = blocked_fuzzy_pairs(
+        part,
+        id_col="p_partkey",
+        text_col="p_name",
+        block_expr=F.split(F.col("p_name"), " ").getItem(1),
+        max_distance=2,
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    names = part.select(
+        F.col("p_partkey").alias("node"), F.col("p_name").alias("name")
+    )
+    return (
+        comp.join(names, "node")
+        .groupBy(F.col("component").alias("entity_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("name").alias("canonical_name"),
+        )
+        .orderBy("entity_id")
+    )

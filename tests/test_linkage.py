@@ -55,3 +55,34 @@ def test_linkage_summary_shapes(spark):
     assert s["b1"].min_distance == 1 and s["b1"].max_distance == 1
     assert s["b1"].n_left_entities == 2  # ids 1 and 2 appear as left
     assert "b2" not in s  # no pairs -> no row
+
+
+def test_entity_resolution_transitive_collapse(spark):
+    """A~B and B~C must land in ONE entity even when A and C are far
+    apart — the property pairwise matching alone cannot deliver."""
+    from pyspark.sql import functions as F
+
+    from querysight_spark.operators.graph import connected_components
+    from querysight_spark.operators.linkage import blocked_fuzzy_pairs
+
+    rows = [
+        (1, "acme corp"),
+        (2, "acmex corp"),   # 1 edit from acme
+        (3, "acmexyz corp"),  # 2 from acmex, 3 from acme (no direct pair)
+        (9, "zzzzz corp"),   # same block, no match
+    ]
+    df = spark.createDataFrame(rows, "p_partkey long, p_name string")
+    pairs = blocked_fuzzy_pairs(
+        df,
+        id_col="p_partkey",
+        text_col="p_name",
+        block_expr=F.split(F.col("p_name"), " ").getItem(1),
+        max_distance=2,
+    ).select("id_a", "id_b")
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 3) not in got  # no direct pair at distance 3...
+    comp = {
+        r.node: r.component
+        for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1}  # ...but one entity transitively
