@@ -5222,3 +5222,60 @@ def lk03(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entity_id")
     )
+
+
+def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch stateful top-k under the gate: per-pattern slowest-3
+    leaderboards maintained in the state store while the SAME corpus is
+    delivered twice across separate micro-batches (at-least-once
+    semantics) — the id-dedup guard must keep re-delivered rows from
+    occupying two slots, and the monotone collapse of update-mode
+    emissions (distinct rows re-ranked) must equal the single-copy batch
+    leaderboard the oracle states."""
+    from querysight_spark.streaming.stateful import stateful_topk
+    from pyspark.sql import Window
+
+    log = _stream_events_log(spark, sf_dir, copies=2, max_files_per_trigger=1)
+    out = _run_available_now(stateful_topk(log, k=3), spark, "update")
+    dedup = out.select(
+        "normalized_query", "query_id", "query_duration_ms"
+    ).distinct()
+    w = Window.partitionBy("normalized_query").orderBy(
+        F.col("query_duration_ms").desc(), F.col("query_id")
+    )
+    return (
+        dedup.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "normalized_query",
+            "query_id",
+            F.round("query_duration_ms", 2).alias("duration_ms"),
+            "rnk",
+        )
+        .orderBy("normalized_query", "rnk")
+    )
+
+
+def _attach_st10_oracle() -> None:
+    from querysight_spark.demo import QUERY_LOG_CTE
+
+    EXTENSION_QUERIES["st10_stateful_topk"] = (
+        st10,
+        f"WITH {QUERY_LOG_CTE}"
+        + """
+        SELECT normalized_query, query_id,
+               ROUND(query_duration_ms, 2) AS duration_ms, rnk
+        FROM (
+          SELECT normalized_query,
+                 CAST(query_id AS BIGINT) AS query_id, query_duration_ms,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY normalized_query
+                   ORDER BY query_duration_ms DESC,
+                            CAST(query_id AS BIGINT)) AS INT) AS rnk
+          FROM query_log)
+        WHERE rnk <= 3
+        ORDER BY normalized_query, rnk""",
+    )
+
+
+_attach_st10_oracle()

@@ -366,3 +366,76 @@ def test_stateful_anomalies_cross_batch_state(spark, tmp_path):
     assert got == [(r.event_id, r.n_history) for r in batch_truth]
     # the spike sits in batch 2 but its 12-row history spans batch 1
     assert got == [(12, 12)]
+
+
+def test_stateful_topk_cross_batch_eviction(spark, tmp_path):
+    """Batch 1 fills the leaderboard; batch 2's faster-arriving slower
+    queries must EVICT batch-1 members from state — then the collapsed
+    stream equals the whole-data batch top-k."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+    from querysight_spark.streaming.stateful import stateful_topk
+
+    schema = (
+        "normalized_query string, query_id long, query_duration_ms double"
+    )
+    b1 = spark.createDataFrame(
+        [("q", 1, 10.0), ("q", 2, 20.0), ("q", 3, 30.0)], schema
+    )
+    # 40/50 must push out 10/20; duplicate redelivery of id 3 must NOT
+    # occupy two slots
+    b2 = spark.createDataFrame(
+        [("q", 4, 40.0), ("q", 5, 50.0), ("q", 3, 30.0)], schema
+    )
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.parquet(src + "/f1")
+    b2.coalesce(1).write.parquet(src + "/f2")
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    shutil.copy(glob.glob(src + "/f1/*.parquet")[0], stage + "/a.parquet")
+    shutil.copy(glob.glob(src + "/f2/*.parquet")[0], stage + "/b.parquet")
+    now = time.time()
+    os.utime(stage + "/a.parquet", (now - 60, now - 60))
+    os.utime(stage + "/b.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        stateful_topk(stream, k=3)
+        .writeStream.format("memory")
+        .queryName("topk_x")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("topk_x")
+    # the final leaderboard via the monotone collapse
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("normalized_query").orderBy(
+        F.col("query_duration_ms").desc(), F.col("query_id")
+    )
+    final = (
+        out.select("normalized_query", "query_id", "query_duration_ms")
+        .distinct()
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .orderBy("rnk")
+        .collect()
+    )
+    assert [(r.query_id, r.query_duration_ms) for r in final] == [
+        (5, 50.0), (4, 40.0), (3, 30.0)
+    ]
+    # batch-2's own emission already shows the eviction (state, not
+    # collapse artifact): its rows are exactly the final leaderboard
+    last = out.where(F.col("query_id").isin([5])).count()
+    assert last == 1
