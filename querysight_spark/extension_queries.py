@@ -5279,3 +5279,98 @@ def _attach_st10_oracle() -> None:
 
 
 _attach_st10_oracle()
+
+
+_PX02_CLEAN_CTE = """aug AS (
+         SELECT doc_id,
+                'hdr-' || CAST(doc_id % 5 AS VARCHAR) || chr(10) || text
+                || CASE WHEN doc_id % 2 = 0
+                        THEN chr(10) || 'ftr-common' ELSE '' END
+                || CASE WHEN doc_id % 7 = 0
+                        THEN chr(10) || 'rare-' || CAST(doc_id AS VARCHAR)
+                        ELSE '' END AS text
+         FROM documents),
+       ln AS (
+         SELECT doc_id,
+                unnest(generate_series(1, len(string_split(text, chr(10)))))
+                  AS pos,
+                unnest(string_split(text, chr(10))) AS line
+         FROM aug),
+       lfreq AS (
+         SELECT line, COUNT(DISTINCT doc_id) AS line_df
+         FROM ln GROUP BY line),
+       lkept AS (
+         SELECT ln.doc_id, ln.pos, ln.line
+         FROM ln JOIN lfreq USING (line) WHERE line_df < 10),
+       cleaned AS (
+         SELECT doc_id,
+                replace(string_agg(line, chr(10) ORDER BY pos),
+                        chr(10), ' ') AS text
+         FROM lkept GROUP BY doc_id
+         HAVING string_agg(line, chr(10) ORDER BY pos) <> '')"""
+
+
+@_q(
+    "px02_retrieval_pipeline",
+    f"""WITH {_PX02_CLEAN_CTE},
+    toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+             FROM cleaned),
+    lens AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM cleaned),
+    post AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks
+             WHERE term IN {_IR_TERMS_SQL} GROUP BY term, doc_id),
+    postd AS (SELECT *, COUNT(*) OVER (PARTITION BY term) AS df_t FROM post),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM lens),
+    scored AS (
+      SELECT p.doc_id, p.term,
+             ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+               * (tf * (1.2 + 1.0))
+               / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS contrib
+      FROM postd p CROSS JOIN stats JOIN lens USING (doc_id)
+    )
+    SELECT doc_id,
+           ROUND(list_reduce(list(contrib ORDER BY term), (a, x) -> a + x), 6)
+             AS score,
+           COUNT(*) AS n_terms_matched
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 10""",
+)
+def px02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END retrieval pipeline under ONE hash: inject page
+    furniture -> strip boilerplate lines (tx20's C4 rule) -> drop
+    emptied docs -> flatten surviving lines -> Okapi BM25 top-10 over
+    the CLEANED corpus. Per-doc lengths shift wherever boilerplate or a
+    rare line was present, so BM25's length normalization makes every
+    upstream cleaning decision observable in the final ranking — the
+    oracle replays the whole chain as chained CTEs (px01's discipline
+    for the retrieval side)."""
+    from querysight_spark.operators.search import bm25_topk
+    from querysight_spark.operators.textstats import strip_boilerplate_lines
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("hdr-"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("\n"),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("\nftr-common")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit("\nrare-"), F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    cleaned = (
+        strip_boilerplate_lines(docs, min_doc_freq=10)
+        .where(F.col("clean_text") != "")
+        .select(
+            "doc_id",
+            F.replace(
+                F.col("clean_text"), F.lit("\n"), F.lit(" ")
+            ).alias("text"),
+        )
+    )
+    return bm25_topk(cleaned, _IR_TERMS, k=10, k1=1.2, b=0.75)
