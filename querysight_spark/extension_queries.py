@@ -5374,3 +5374,85 @@ def px02(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bm25_topk(cleaned, _IR_TERMS, k=10, k1=1.2, b=0.75)
+
+
+# Generated 3-step BPE replay (each step: pair counts over the current
+# vocabulary representation -> top pair -> greedy-fold merge application);
+# kept as a literal so the gate sees a static string.
+_TX22_ORACLE = """WITH w0 AS (
+      SELECT [substr(w, i, 1) for i in range(1, len(w) + 1)] AS toks, freq
+      FROM (SELECT w, COUNT(*) AS freq
+            FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+            WHERE w <> '' GROUP BY w)),
+    p1 AS (
+      SELECT u AS pr, freq FROM (
+        SELECT UNNEST([toks[i] || ' ' || toks[i+1]
+                       for i in range(1, len(toks))]) AS u, freq
+        FROM w0 WHERE len(toks) >= 2)),
+    t1 AS (
+      SELECT pr, c FROM (
+        SELECT pr, CAST(SUM(freq) AS BIGINT) AS c
+        FROM p1 GROUP BY pr ORDER BY c DESC, pr LIMIT 1)),
+    m1 AS (
+      SELECT string_split(pr, ' ')[1] AS a, string_split(pr, ' ')[2] AS b,
+             replace(pr, ' ', '') AS m, pr, c FROM t1),
+    w1 AS (
+      SELECT list_reduce([[t] for t in toks],
+               (acc, x) -> CASE WHEN acc[-1] = m1.a AND x[1] = m1.b
+                                THEN list_append(acc[1:len(acc)-1], m1.m)
+                                ELSE list_concat(acc, x) END) AS toks, freq
+      FROM w0 CROSS JOIN m1),
+    p2 AS (
+      SELECT u AS pr, freq FROM (
+        SELECT UNNEST([toks[i] || ' ' || toks[i+1]
+                       for i in range(1, len(toks))]) AS u, freq
+        FROM w1 WHERE len(toks) >= 2)),
+    t2 AS (
+      SELECT pr, c FROM (
+        SELECT pr, CAST(SUM(freq) AS BIGINT) AS c
+        FROM p2 GROUP BY pr ORDER BY c DESC, pr LIMIT 1)),
+    m2 AS (
+      SELECT string_split(pr, ' ')[1] AS a, string_split(pr, ' ')[2] AS b,
+             replace(pr, ' ', '') AS m, pr, c FROM t2),
+    w2 AS (
+      SELECT list_reduce([[t] for t in toks],
+               (acc, x) -> CASE WHEN acc[-1] = m2.a AND x[1] = m2.b
+                                THEN list_append(acc[1:len(acc)-1], m2.m)
+                                ELSE list_concat(acc, x) END) AS toks, freq
+      FROM w1 CROSS JOIN m2),
+    p3 AS (
+      SELECT u AS pr, freq FROM (
+        SELECT UNNEST([toks[i] || ' ' || toks[i+1]
+                       for i in range(1, len(toks))]) AS u, freq
+        FROM w2 WHERE len(toks) >= 2)),
+    t3 AS (
+      SELECT pr, c FROM (
+        SELECT pr, CAST(SUM(freq) AS BIGINT) AS c
+        FROM p3 GROUP BY pr ORDER BY c DESC, pr LIMIT 1)),
+    m3 AS (
+      SELECT string_split(pr, ' ')[1] AS a, string_split(pr, ' ')[2] AS b,
+             replace(pr, ' ', '') AS m, pr, c FROM t3),
+    w3 AS (
+      SELECT list_reduce([[t] for t in toks],
+               (acc, x) -> CASE WHEN acc[-1] = m3.a AND x[1] = m3.b
+                                THEN list_append(acc[1:len(acc)-1], m3.m)
+                                ELSE list_concat(acc, x) END) AS toks, freq
+      FROM w2 CROSS JOIN m3)
+    SELECT 1 AS step, pr AS pair, m AS merged, c AS pair_count FROM m1
+    UNION ALL SELECT 2 AS step, pr AS pair, m AS merged, c AS pair_count FROM m2
+    UNION ALL SELECT 3 AS step, pr AS pair, m AS merged, c AS pair_count FROM m3
+    ORDER BY step"""
+
+
+@_q("tx22_bpe_merges", _TX22_ORACLE)
+def tx22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First three BPE merges learned from the corpus word stream
+    (tokenizer-training prep): integer pair counts over the
+    vocabulary-sized word-type table, tie-broken top pair, greedy-fold
+    merge application — no floats anywhere, so the unrolled oracle
+    replay is exact by construction. The learned merges themselves
+    (pair, new symbol, count) sit under the hash."""
+    from querysight_spark.operators.textstats import bpe_merge_steps
+
+    docs = load_table(spark, "documents", sf_dir).select("text")
+    return bpe_merge_steps(docs, n_merges=3).orderBy("step")

@@ -782,3 +782,87 @@ def remove_duplicate_spans(
         (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def bpe_merge_steps(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from the corpus word
+    stream (tokenizer-training prep): words become character-token
+    sequences, each step counts adjacent token pairs weighted by word
+    frequency, adopts the most frequent pair (count desc, pair asc
+    tie-break) as a new symbol, and rewrites the vocabulary by a greedy
+    left-to-right fold — the exact merge application (an in-string
+    replace() would merge across token boundaries once symbols grow
+    multi-char, and misses back-to-back occurrences).
+
+    Returns (step, pair, merged, pair_count), one row per learned merge.
+    All arithmetic is integer counts and string equality — no floats
+    anywhere, so the oracle replay is trivially exact. Pair counting
+    runs on the word-TYPE table (distinct word x frequency), which is
+    vocabulary-sized however large the corpus; the only driver
+    round-trip per step is the single winning pair (same bounded-scalar
+    contract as pagerank's node count)."""
+    from pyspark.storagelevel import StorageLevel
+
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("toks"),
+            "freq",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cur = words
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = cur.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> concat(element_at(toks, i), ' ', "
+                    "element_at(toks, i + 1)))"
+                )
+            ).alias("pr"),
+            "freq",
+        ).where(F.size("toks") >= 2)
+        top = (
+            pairs.groupBy("pr")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), "pr")
+            .limit(1)
+            .first()
+        )
+        if top is None:
+            break
+        a, b = top.pr.split(" ")
+        merged = a + b
+        merges.append((step, top.pr, merged, int(top.c)))
+        a_l, b_l, m_l = F.lit(a), F.lit(b), F.lit(merged)
+        singles = F.expr("transform(toks, t -> array(t))")
+        folded = F.aggregate(
+            F.slice(singles, 2, F.size("toks") - 1),
+            F.slice(singles, 1, 1)[0],
+            lambda acc, x: F.when(
+                (F.element_at(acc, -1) == a_l) & (F.element_at(x, 1) == b_l),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(m_l)
+                ),
+            ).otherwise(F.concat(acc, x)),
+        )
+        nxt = cur.select(folded.alias("toks"), "freq").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        nxt.count()  # materialize; caps lineage per step
+        cur = nxt
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "step int, pair string, merged string, pair_count long"
+    )

@@ -181,3 +181,34 @@ def test_remove_duplicate_spans_short_docs_untouched(spark):
     # no 8-grams exist -> nothing can be marked duplicate
     assert out[1].n_removed == 0 and out[2].n_removed == 0
     assert out[2].clean_text == "too short"
+
+
+def test_bpe_merges_hand_corpus(spark):
+    from querysight_spark.operators.textstats import bpe_merge_steps
+
+    # corpus: "low low low lower" -> char pairs weighted by word freq:
+    # 'l o' appears in low(x3) and lower(x1) = 4; 'o w' same = 4;
+    # tie-break picks 'l o' (lexicographic); step 2 then sees 'lo w' 4x
+    docs = spark.createDataFrame(
+        [(1, "low low low lower")], "doc_id long, text string"
+    )
+    out = bpe_merge_steps(docs, n_merges=2).orderBy("step").collect()
+    assert (out[0].pair, out[0].merged, out[0].pair_count) == ("l o", "lo", 4)
+    assert (out[1].pair, out[1].merged, out[1].pair_count) == ("lo w", "low", 4)
+
+
+def test_bpe_merge_application_respects_token_boundaries(spark):
+    from querysight_spark.operators.textstats import bpe_merge_steps
+
+    # after 'a b'->'ab', the pair 'b a' must NOT be found inside the new
+    # 'ab' symbol; and back-to-back occurrences both merge ('abab' has
+    # 'a b' twice) — exactly where a string replace() goes wrong
+    docs = spark.createDataFrame(
+        [(1, "abab abab ba")], "doc_id long, text string"
+    )
+    out = bpe_merge_steps(docs, n_merges=2).orderBy("step").collect()
+    assert out[0].pair == "a b" and out[0].pair_count == 4  # 2 per 'abab' x2
+    # step 2 counts pairs over ['ab','ab'] and ['b','a']: 'ab ab' freq 2,
+    # 'b a' freq 1 -> 'ab ab' wins
+    assert out[1].pair == "ab ab" and out[1].merged == "abab"
+    assert out[1].pair_count == 2
