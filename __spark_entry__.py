@@ -64,8 +64,10 @@
                 large-star/small-star connected components, triangle
                 enumeration, frontier BFS distances, per-dimension
                 embedding z-score scaling and quartile binning.
-  * co01-co02 — behavioral analytics: weekly cohort-retention triangle
-                and ordered first-touch funnel.
+  * co01-co03 — behavioral analytics: weekly cohort-retention triangle,
+                ordered first-touch funnel, Markov transition matrix.
+  * px01-px02 — end-to-end pipeline compositions under one hash
+                (curation chain; boilerplate-strip -> BM25 retrieval).
 
 ``oracle_sql()`` carries the DuckDB-dialect equivalent for EVERY entry
 (CTE-reconstructed analog tables where needed), so the driver's
