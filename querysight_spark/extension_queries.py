@@ -4179,30 +4179,32 @@ def sk04(spark: SparkSession, sf_dir: str) -> DataFrame:
     overcount, so the oracle checks the sketch CELL-FOR-CELL, not within
     a tolerance band. Candidates come from the exact counts here to make
     the declaration deterministic; production heavy-hitter tracking would
-    keep a candidate set from the stream itself."""
+    keep a candidate set from the stream itself.
+
+    Plan shape: the token stream feeds exactly ONE hash agg (exact
+    per-item counts, checkpointed — no session-lived persist); the
+    sketch is the weighted re-aggregation of that vocab-sized table
+    (cell-identical: same-item occurrences share a cell), and the top-20
+    selection is orderBy().limit() — TakeOrderedAndProject, never a
+    single-partition row_number window over the full vocabulary."""
     from querysight_spark.operators.frequency import (
         count_min_estimates,
         count_min_table,
     )
-    from pyspark.sql import Window
 
     docs = load_table(spark, "documents", sf_dir).select("text")
     toks = docs.select(F.explode(F.split("text", " ")).alias("item")).where(
         F.col("item") != ""
     )
-    toks = toks.persist()
-    exact = toks.groupBy("item").agg(F.count(F.lit(1)).alias("exact_cnt"))
-    top = (
-        exact.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.col("exact_cnt").desc(), F.col("item"))
-            ),
-        )
-        .where(F.col("rn") <= 20)
-        .drop("rn")
+    exact = (
+        toks.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .localCheckpoint(eager=True)  # 2 consumers: top-k + sketch build
     )
-    sketch = count_min_table(toks, "item", depth=4, width=256)
+    top = exact.orderBy(F.col("exact_cnt").desc(), "item").limit(20)
+    sketch = count_min_table(
+        exact, "item", depth=4, width=256, weight_col="exact_cnt"
+    )
     est = count_min_estimates(sketch, top, "item", depth=4, width=256)
     return (
         top.join(est, "item")
@@ -4777,7 +4779,7 @@ def gr05(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM o WHERE from_type IS NOT NULL GROUP BY 1, 2),
        t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY 1)
        SELECT c.from_type, c.to_type, c.n,
-              ROUND(c.n / t.tot, 6) AS p
+              FLOOR(c.n / t.tot * 1000000) / 1000000 AS p
        FROM c JOIN t USING (from_type)
        ORDER BY from_type, to_type""",
 )
@@ -4801,7 +4803,11 @@ def co03(spark: SparkSession, sf_dir: str) -> DataFrame:
        dg AS (
          SELECT CAST(FLOOR(v / POW(10.0, FLOOR(LOG10(v)))) AS INT) AS d
          FROM pos),
-       c AS (SELECT d, COUNT(*) AS observed FROM dg GROUP BY d),
+       obs AS (SELECT d, COUNT(*) AS observed FROM dg GROUP BY d),
+       c AS (
+         SELECT dom.d, COALESCE(obs.observed, 0) AS observed
+         FROM (SELECT CAST(unnest(generate_series(1, 9)) AS INT) AS d) dom
+         LEFT JOIN obs USING (d)),
        s AS (
          SELECT d, observed,
                 CAST(SUM(observed) OVER () AS BIGINT) AS n_total,

@@ -196,8 +196,12 @@ def event_transitions(
     and session simulation.
 
     One window lag per user (single shuffle on the user key) + one
-    vocabulary-sized agg; p is an exact integer ratio cast once, so the
-    matrix is engine-reproducible digit-for-digit."""
+    vocabulary-sized agg; p is an exact integer ratio cast once. The
+    6-decimal truncation uses the repo's floor-at-microprecision
+    convention (floor(x*1e6)/1e6) rather than ROUND: a ratio landing
+    exactly on a 5 in the 7th decimal would round differently under
+    Spark's HALF_UP doubles vs DuckDB's half-away — the dyadic-tie class
+    the ts05/ewma entries already avoid (r4 ADVICE finding)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
@@ -217,7 +221,7 @@ def event_transitions(
         "from_type",
         "to_type",
         "n",
-        F.round(F.col("n") / F.col("tot"), 6).alias("p"),
+        (F.floor(F.col("n") / F.col("tot") * 1e6) / 1e6).alias("p"),
     )
 
 
@@ -235,15 +239,25 @@ def benford_deviation(
 
     First digit via string head of the positive value's scientific
     mantissa-free form: floor(x / 10^floor(log10(x))) — pure JVM math,
-    identical in the replay. One scan, 10-row output."""
+    identical in the replay. One scan, 10-row output.
+
+    The digit domain is ALWAYS the full 1..9 (observed counts left-joined
+    onto a literal domain, missing digits coalesced to 0): a digit that
+    never occurs is the STRONGEST Benford deviation — its chi-square term
+    (0 - p*n)^2/(p*n) = p*n — and an observed-digits-only build would
+    silently drop exactly that term (r4 ADVICE finding)."""
     pos = df.select(F.col(value_col).cast("double").alias("v")).where(
         F.col("v") > 0
     )
     digit = F.floor(
         F.col("v") / F.pow(F.lit(10.0), F.floor(F.log10("v")))
     ).cast("int")
-    counts = pos.select(digit.alias("d")).groupBy("d").agg(
+    observed = pos.select(digit.alias("d")).groupBy("d").agg(
         F.count(F.lit(1)).alias("observed")
+    )
+    domain = df.sparkSession.range(1, 10).select(F.col("id").cast("int").alias("d"))
+    counts = domain.join(observed, "d", "left").select(
+        "d", F.coalesce("observed", F.lit(0)).alias("observed")
     )
     from pyspark.sql import Window
 

@@ -37,10 +37,20 @@ def count_min_table(
     item_col: str = "item",
     depth: int = 4,
     width: int = 256,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the sketch: (row, bucket, cnt) with cnt = number of token
-    OCCURRENCES hashing to that cell — at most depth*width rows."""
+    OCCURRENCES hashing to that cell — at most depth*width rows.
+
+    ``weight_col`` builds the identical sketch from a PRE-AGGREGATED
+    (item, count) table instead of the raw occurrence stream: every
+    occurrence of an item lands in the same cell, so summing per-item
+    counts into cells equals counting raw rows — but hashes only the
+    vocabulary (one md5 per distinct item per sketch row) instead of
+    the full token stream. When the exact counts already exist (heavy-
+    hitter candidate selection), this is the cheaper build path."""
     cells = tokens.select(
+        (F.col(weight_col) if weight_col else F.lit(1)).cast("long").alias("w"),
         F.explode(
             F.array(
                 *[
@@ -51,11 +61,11 @@ def count_min_table(
                     for j in range(depth)
                 ]
             )
-        ).alias("c")
+        ).alias("c"),
     )
     return cells.groupBy(
         F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    ).agg(F.sum("w").alias("cnt"))
 
 
 def count_min_estimates(

@@ -83,7 +83,14 @@ def pagerank(
         if prev is not None:
             prev.unpersist()
         prev = pr
-    return pr.select(F.col("src").alias("node"), "pr")
+    # checkpoint the (node-sized) result so every explicit cache can be
+    # released NOW — in a long-lived session the e/deg/pr blocks would
+    # otherwise sit in the cache manager until LRU pressure
+    out = pr.select(F.col("src").alias("node"), "pr").localCheckpoint(eager=True)
+    pr.unpersist()
+    deg.unpersist()
+    e.unpersist()
+    return out
 
 
 def connected_components(
@@ -168,6 +175,16 @@ def connected_components(
     if stats is not None:
         stats["rounds"] = rounds
         stats["converged"] = converged
+    if not converged:
+        # a non-fixpoint edge set is NOT a star forest — returning it
+        # silently would hand back a wrong labeling whose only symptom is
+        # a downstream hash mismatch. Fail loudly; callers that want to
+        # inspect partial progress can catch and read ``stats``.
+        raise RuntimeError(
+            f"connected_components: no fixpoint after max_iter={max_iter} "
+            f"rounds ({cur_n} edges remain) — labeling would be incorrect; "
+            "raise max_iter (rounds grow ~log^2 n)"
+        )
     # node universe from the ALREADY-checkpointed canonical edge set, not
     # from e — via e the (possibly expensive) upstream would re-execute
     roots = (
@@ -274,7 +291,14 @@ def bfs_distances(
             .localCheckpoint(eager=True)
         )
         frontier = nxt
-    return visited
+    # absorb the last computed frontier: the loop adds each frontier at
+    # the TOP of the next iteration, so on max_iter exhaustion the final
+    # frontier (distance == max_iter) was computed but never recorded —
+    # coverage is distances 0..max_iter, matching the gr04 oracle's
+    # recursive walk bounded by w.d < max_iter (which emits d up to
+    # max_iter). After a natural empty-frontier exit this union is a
+    # no-op.
+    return visited.unionByName(frontier)
 
 
 def merge_components(
@@ -368,4 +392,11 @@ def personalized_pagerank(
         if prev is not None:
             prev.unpersist()
         prev = pr
-    return pr.select(F.col("src").alias("node"), "pr")
+    # same cache-release discipline as pagerank: checkpoint the small
+    # result, then free e/deg/sd and the final iterate immediately
+    out = pr.select(F.col("src").alias("node"), "pr").localCheckpoint(eager=True)
+    pr.unpersist()
+    sd.unpersist()
+    deg.unpersist()
+    e.unpersist()
+    return out

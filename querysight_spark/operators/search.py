@@ -394,11 +394,14 @@ def collocations(
 
     All counts are exact integers; products stay in int64 (< 2^53), so
     the single double division + ln is engine-reproducible (the ir06 ln
-    parity). Plan: one bigram explode feeding three hash aggs (bigram /
-    left / right), two vocab-sized equi-joins, a 1-row total broadcast,
-    and a top-k window over the min_count survivors only."""
-    from pyspark.sql import Window
-
+    parity). Plan: the raw bigram stream feeds exactly ONE hash agg (the
+    bigram-type counts); left/right/total counts all derive from that
+    vocab-sized table as weighted re-aggregations, so the heavy explode
+    exchange happens once with no persist to leak. The tail is
+    orderBy().limit(k) — TakeOrderedAndProject (per-partition top-k
+    merged on the driver), never a single-partition row_number window;
+    the total order (pmi desc, bigram) is the same, so results are
+    hash-identical to the windowed formulation."""
     bi = F.expr(
         f"transform(array(split(`{text_col}`, ' ')), w -> "
         "CASE WHEN size(w) >= 2 THEN "
@@ -406,26 +409,25 @@ def collocations(
         "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) "
         "ELSE array() END)[0]"
     )
-    from pyspark.storagelevel import StorageLevel
-
-    # one bigram stream, four consumers (pair/left/right counts + total):
-    # unpersisted this re-executes the split+explode four times (X98
-    # scan-audit discipline)
-    toks = df.select(F.explode(bi).alias("bg")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # ONE pass over the corpus: bigram-type counts. Everything else is a
+    # re-aggregation of this (much smaller) table, re-derived per branch —
+    # recomputing a vocab-sized hash agg beats holding the token-stream
+    # cache alive for the session (the r4 persist-leak finding).
+    model = (
+        df.select(F.explode(bi).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .localCheckpoint(eager=True)  # 4 consumers; truncate + materialize
     )
-    model = toks.groupBy("bg").agg(F.count(F.lit(1)).alias("c_pair"))
     left = (
-        toks.select(F.split("bg", " ")[0].alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("c_left"))
+        model.groupBy(F.split("bg", " ")[0].alias("w1"))
+        .agg(F.sum("c_pair").alias("c_left"))
     )
     right = (
-        toks.select(F.split("bg", " ")[1].alias("w2"))
-        .groupBy("w2")
-        .agg(F.count(F.lit(1)).alias("c_right"))
+        model.groupBy(F.split("bg", " ")[1].alias("w2"))
+        .agg(F.sum("c_pair").alias("c_right"))
     )
-    total = toks.agg(F.count(F.lit(1)).alias("n_bigrams"))
+    total = model.agg(F.sum("c_pair").alias("n_bigrams"))
     scored = (
         model.where(F.col("c_pair") >= min_count)
         .withColumn("w1", F.split("bg", " ")[0])
@@ -447,12 +449,7 @@ def collocations(
             ).alias("pmi"),
         )
     )
-    w = Window.orderBy(F.col("pmi").desc(), F.col("bigram"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .drop("rn")
-    )
+    return scored.orderBy(F.col("pmi").desc(), F.col("bigram")).limit(k)
 
 
 def ranking_metrics(

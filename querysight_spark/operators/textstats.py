@@ -723,8 +723,6 @@ def remove_duplicate_spans(
     sequence-explode, rebuild as a per-doc ordered fold. No suffix
     array; resolution is the n-gram, the standard large-corpus
     trade-off."""
-    from pyspark.storagelevel import StorageLevel
-
     sh = F.expr(
         f"transform(array(split(`{text_col}`, ' ')), w -> "
         f"CASE WHEN size(w) >= {n} THEN "
@@ -732,10 +730,14 @@ def remove_duplicate_spans(
         f"i -> struct(i AS pos, md5(concat_ws(' ', slice(w, i, {n}))) AS h)) "
         f"ELSE array() END)[0]"
     )
+    # two consumers (first-occurrence agg + the dup join) — checkpoint
+    # rather than persist so the md5-heavy stream is materialized once
+    # but its blocks are released when the result is dropped, instead of
+    # sitting in the cache manager for the session (r4 ADVICE finding)
     posed = (
         df.select(F.col(id_col), F.explode(sh).alias("s"))
         .select(F.col(id_col), F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     first = posed.groupBy("h").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("keep"),
@@ -820,7 +822,7 @@ def bpe_merge_steps(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cur = words
+    cur, prev = words, None
     merges = []
     for step in range(1, n_merges + 1):
         pairs = cur.select(
@@ -861,7 +863,14 @@ def bpe_merge_steps(
             StorageLevel.MEMORY_AND_DISK
         )
         nxt.count()  # materialize; caps lineage per step
-        cur = nxt
+        if prev is not None:
+            prev.unpersist()  # each step needs only its predecessor
+        cur, prev = nxt, nxt
+    # the output is driver-local merge rows — every cached vocabulary
+    # frame is garbage once the loop ends, so release them all now
+    if prev is not None:
+        prev.unpersist()
+    words.unpersist()
     spark = df.sparkSession
     return spark.createDataFrame(
         merges, "step int, pair string, merged string, pair_count long"

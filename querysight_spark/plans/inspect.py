@@ -27,6 +27,15 @@ def plan_summary(df: DataFrame) -> dict:
     - n_shuffles / n_broadcasts: exchange kinds (shuffle = data moves
       across the cluster; broadcast = replicated small side)
     - n_sort_merge_joins / n_broadcast_hash_joins
+    - n_single_partition: Exchange SinglePartition occurrences. A
+      global sort/window funneling ALL rows through one task is the
+      plan shape that dies first at 100 TB (the r4 collocations/sk04
+      finding) — top-k paths should show n_take_ordered instead. Note
+      a global SCALAR aggregate also plans one (final agg over the
+      per-partition partials — a rows-per-partition-sized exchange,
+      benign), so assert a bound that allows those, or 0 when none.
+    - n_take_ordered: TakeOrderedAndProject occurrences (distributed
+      per-partition top-k merged on the driver)
     - pushed_filters: the PushedFilters lists, one string per scan
     - has_wholestage_codegen: any codegen span present
     - aqe_final: AdaptiveSparkPlan reports isFinalPlan=true
@@ -60,6 +69,8 @@ def plan_summary(df: DataFrame) -> dict:
         "n_shuffles": plan.count("Exchange") - plan.count("BroadcastExchange"),
         "n_sort_merge_joins": plan.count("SortMergeJoin"),
         "n_broadcast_hash_joins": plan.count("BroadcastHashJoin"),
+        "n_single_partition": plan.count("Exchange SinglePartition"),
+        "n_take_ordered": plan.count("TakeOrderedAndProject"),
         "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", plan),
         # toString renders codegen stages as "*(n) Op" markers (the
         # formatted explain spells out WholeStageCodegen) — accept both

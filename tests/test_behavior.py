@@ -82,7 +82,10 @@ def test_event_transitions_counts_and_probabilities(spark):
     out = {(r.from_type, r.to_type): r for r in event_transitions(df).collect()}
     # u: a->b, b->a, a->b; v: a->c  => from 'a': b twice, c once
     assert out[("a", "b")].n == 2 and out[("a", "c")].n == 1
-    assert out[("a", "b")].p == round(2 / 3, 6)
+    # floor-at-microprecision convention (not ROUND): 2/3 -> 0.666666
+    import math
+
+    assert out[("a", "b")].p == math.floor(2 / 3 * 1e6) / 1e6
     assert out[("b", "a")].n == 1 and out[("b", "a")].p == 1.0
     # transitions never cross users: no ('b','a') from v's sequence end
     assert ("c", "a") not in out
@@ -100,6 +103,16 @@ def test_benford_digits_and_total(spark):
     )
     rows = {r.d: r for r in benford_deviation(df).collect()}
     assert rows[1].observed == 2 and rows[2].observed == 1 and rows[9].observed == 1
+    # the full 1..9 domain is always present: a never-occurring digit is
+    # the STRONGEST deviation and must contribute its (0-p*n)^2/(p*n)=p*n
+    # term (r4 ADVICE finding — observed-only builds dropped exactly it)
+    assert sorted(rows) == list(range(10))
+    assert rows[5].observed == 0
+    assert rows[5].chi2_part == round(
+        rows[5].expected_p * rows[5].n_total, 6
+    ) or abs(
+        rows[5].chi2_part - rows[5].expected_p * rows[5].n_total
+    ) < 2e-6
     assert all(r.n_total == 4 for r in rows.values())
     assert rows[1].expected_p == round(math.log10(2), 6)
     assert rows[0].chi2_part == round(

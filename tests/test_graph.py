@@ -193,3 +193,35 @@ def test_ppr_two_seeds_split_teleport(spark):
     # symmetric seeds around b: their ranks must be equal
     assert abs(out["a"] - out["c"]) < 1e-12
     assert abs(sum(out.values()) - 1.0) < 1e-9
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """Exhausting max_iter without a star-forest fixpoint must fail loudly
+    — a silent non-star labeling is WRONG and its only other symptom is a
+    downstream hash mismatch (r4 ADVICE finding)."""
+    import pytest
+
+    from querysight_spark.operators.graph import connected_components
+
+    # a 12-node path needs several large/small-star rounds; 1 is not enough
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    stats: dict = {}
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(path, max_iter=1, stats=stats)
+    assert stats["converged"] is False and stats["rounds"] == 1
+
+
+def test_bfs_reaches_nodes_at_exactly_max_iter_hops(spark):
+    """Distance coverage is 0..max_iter inclusive: the final computed
+    frontier is absorbed after the loop (r4 ADVICE finding — it used to
+    be dropped, so a node at exactly max_iter hops appeared in the gr04
+    oracle's walk but not here)."""
+    from querysight_spark.operators.graph import bfs_distances
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long"
+    )
+    out = {r.node: r.dist for r in bfs_distances(chain, max_iter=3).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3}  # node 3 is the absorbed frontier

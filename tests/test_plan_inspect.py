@@ -106,7 +106,15 @@ def test_session2_operators_scan_once(spark):
     c = collocations(docs, min_count=2, k=10)
     c.collect()
     s = plan_summary(c)
-    assert s["n_scans"] == 0 and s["n_cache_refs"] >= 3
+    # bigram-type counts are checkpointed (Scan ExistingRDD, not a file
+    # re-scan) and the top-k tail is TakeOrderedAndProject — never a
+    # single-partition global window (the r4 weak-plan finding). The one
+    # allowed SinglePartition exchange is the 1-row n_bigrams scalar agg
+    # (partials-sized, benign); a reintroduced global window would add a
+    # second and drop the TakeOrdered.
+    assert s["n_scans"] == 0
+    assert s["n_take_ordered"] >= 1
+    assert s["n_single_partition"] <= 1
 
     ev = load_table(spark, "events", SF).select("event_type", "value")
     k = ks_drift(ev, "value", "event_type", "purchase", "view")
@@ -148,3 +156,19 @@ def test_tpch_probe_plans_broadcast_dims_and_decorrelate(spark):
     plan = h17._jdf.queryExecution().executedPlan().toString()
     assert "SubqueryExec" not in plan  # decorrelated, not re-executed per row
     assert plan_summary(h17)["n_broadcast_hash_joins"] >= 2
+
+
+def test_sk04_heavy_hitters_topk_is_distributed(spark):
+    """sk04's exact top-20 selection over the full unigram vocabulary must
+    plan as TakeOrderedAndProject (per-partition top-k merged on the
+    driver), never a single-partition row_number window — the r4 weak-plan
+    finding. No SinglePartition exchange appears anywhere in sk04 (the
+    sketch cells are a grouped agg, not a scalar one)."""
+    from querysight_spark.extension_queries import EXTENSION_QUERIES
+
+    fn, _oracle = EXTENSION_QUERIES["sk04_countmin_heavy_hitters"]
+    df = fn(spark, SF)
+    df.collect()
+    s = plan_summary(df)
+    assert s["n_take_ordered"] >= 1
+    assert s["n_single_partition"] == 0
