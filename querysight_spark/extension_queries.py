@@ -519,18 +519,27 @@ def _corpus_tag(sf_dir: str, table: str) -> str:
     ).hexdigest()[:12]
 
 
+# Overridable index root (an explicit module attribute, NOT an env var —
+# the engine stays env-clean by design). bench.py points this at a fresh
+# per-run directory before its prepare step so the published
+# ann_index_build_sec is always a REAL cold build: with the shared /tmp
+# root, fingerprint-matching indexes left by earlier runs in the same
+# session made the build read as 0.0 (r4 VERDICT finding).
+INDEX_ROOT: str | None = None
+
+
 def _index_path(prefix: str, sf_dir: str) -> str:
     """Stable per-corpus index location: index once, probe many. All index
     parameters are seed-deterministic and the tag fingerprints the source
     parquet (see _corpus_tag), so an existing index is always current for
     THIS corpus vintage and rebuilds automatically after regeneration;
-    the declared queries and bench.py share the same paths (the bench's
-    untimed prepare step is what makes its probe timings warm-index
-    numbers)."""
+    the declared queries and bench.py share the same paths within a run
+    (the bench's untimed-after-build probes are warm-index numbers)."""
     import tempfile
 
+    root = INDEX_ROOT or tempfile.gettempdir()
     return (
-        tempfile.gettempdir()
+        root
         + f"/qs_{prefix}_index_"
         + _corpus_tag(sf_dir, "embeddings")
     )
