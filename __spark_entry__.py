@@ -49,7 +49,9 @@
                 (mm04: REAL payload decode — netpbm/WAV codecs round-
                 tripped digit-for-digit against a formula oracle;
                 mm05: frame-level audio energy/VAD over the decoded
-                samples).
+                samples; mm07: COMPRESSED-container decode — pure-
+                stdlib zlib-DEFLATE PNG encode/decode with five-filter
+                reconstruction, no PIL required).
   * ts/an     — time-series resample + gap-fill (forward and linear),
                 per-row ordered-fold EWMA, Brown double smoothing,
                 two-sample KS drift, CUSUM change-point alarms,

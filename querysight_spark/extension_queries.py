@@ -1462,6 +1462,50 @@ def mm04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload_stats(synth_media_corpus(docs)).orderBy("asset_id")
 
 
+@_q(
+    "mm07_png_decode_stats",
+    """WITH img AS (
+         SELECT doc_id, 16 + doc_id % 17 AS w, 8 + doc_id % 13 AS h,
+                CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 1 END AS ch
+         FROM documents WHERE doc_id % 2 = 0
+       ),
+       ipx AS (
+         SELECT doc_id, w, h, (doc_id * 31 + 7 * i) % 256 AS v
+         FROM img, LATERAL (SELECT UNNEST(range(0, w * h * ch)) AS i) u
+       ),
+       iagg AS (
+         SELECT doc_id, w, h, COUNT(*) AS n, SUM(v) AS sv, SUM(v * v) AS sq,
+                MIN(v) AS mn, MAX(v) AS mx
+         FROM ipx GROUP BY doc_id, w, h
+       )
+       SELECT concat('asset-', CAST(doc_id AS VARCHAR)) AS asset_id,
+              'image' AS media_type,
+              CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+              CAST(NULL AS INT) AS sample_rate,
+              CAST(n AS BIGINT) AS n_units, CAST(sv AS BIGINT) AS sum_v,
+              CAST(sq AS BIGINT) AS sumsq_v, CAST(mn AS BIGINT) AS min_v,
+              CAST(mx AS BIGINT) AS max_v
+       FROM iagg ORDER BY asset_id""",
+)
+def mm07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-container decode under the gate (VERDICT r4 ask #5):
+    the mm04 image corpus re-encoded as real zlib-DEFLATE PNGs (pure
+    stdlib encoder — signature/IHDR/IDAT/IEND with per-chunk CRC32;
+    every 4th doc truecolor RGB so the 3-channel path is exercised),
+    decoded BACK through the pure-Python PNG parser (chunk walk, CRC
+    verify, inflate, five-filter scanline reconstruction; PIL remains
+    the fast path when installed) and reduced to integer-exact stats.
+    The oracle recomputes the stats from the pixel formula alone, so a
+    bug anywhere in deflate framing, filtering, or channel order breaks
+    value equality digit-for-digit — no PIL required anywhere."""
+    from querysight_spark.operators.multimodal import payload_stats, synth_media_corpus
+
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") % 2 == 0)
+    return payload_stats(
+        synth_media_corpus(docs, image_format="png")
+    ).orderBy("asset_id")
+
+
 # Inject PII shapes into every 7th doc (both engines identically) so the
 # scrub pass has true positives; untouched docs prove no false positives.
 _PII_SUFFIX = " mail bob@example.com ip 10.0.42.7 call 555-123-4567 ssn 123-45-6789"

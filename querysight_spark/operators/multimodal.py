@@ -119,6 +119,149 @@ def decode_netpbm(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     return w, h, channels, arr.reshape((h, w) if channels == 1 else (h, w, 3))
 
 
+def encode_png(
+    width: int, height: int, raster: bytes, channels: int = 1,
+    compress_level: int = 6,
+) -> bytes:
+    """Real PNG (RFC 2083 / ISO 15948) from a raw 8-bit raster, pure
+    stdlib: signature + IHDR + one zlib-DEFLATE IDAT over filter-0
+    scanlines + IEND, CRC32 per chunk. ``channels`` 1 = grayscale
+    (color type 0), 3 = truecolor (color type 2). This is an actual
+    COMPRESSED container — any PNG tool opens it — which is the point:
+    the decode side below proves the engine handles a compressed image
+    format without PIL (which remains the fast path when installed)."""
+    import struct
+    import zlib
+
+    if channels not in (1, 3):
+        raise ValueError(f"channels must be 1 or 3, got {channels}")
+    stride = width * channels
+    if len(raster) != stride * height:
+        raise ValueError(
+            f"raster is {len(raster)} bytes, expected {stride * height}"
+        )
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    color_type = 0 if channels == 1 else 2
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    scan = b"".join(
+        b"\x00" + raster[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan, compress_level))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytes:
+    """Reverse PNG scanline filtering — all five filter types (None/Sub/
+    Up/Average/Paeth), so PNGs written by OTHER encoders (which pick
+    filters per row) decode too, not just our filter-0 output. Rows are
+    serially dependent (each reads the reconstructed previous row), so
+    this is an honest per-payload loop — payloads are decoded inside
+    Arrow-batched executor tasks, never on the driver."""
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        if pos >= len(raw):
+            raise ValueError("PNG pixel data truncated")
+        ft = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        if len(line) != stride:
+            raise ValueError("PNG pixel data truncated")
+        pos += stride
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out += line
+        prev = line
+    return bytes(out)
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Pure-stdlib PNG decode (8-bit grayscale / truecolor, non-
+    interlaced): chunk walk with CRC verification, IDAT concatenation,
+    zlib inflate, full five-filter scanline reconstruction. Returns
+    (width, height, channels, uint8 array (h, w) or (h, w, 3)). Raises
+    ValueError for non-PNG bytes or unsupported PNG variants (16-bit,
+    palette, alpha, interlace — real but rare shapes; PIL covers them
+    when installed)."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError(f"not a PNG (signature {payload[:8]!r})")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError(f"PNG chunk {tag!r} truncated")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in (0, 2) or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth} color={color_type} "
+            f"interlace={interlace}) — 8-bit gray/truecolor only"
+        )
+    channels = 1 if color_type == 0 else 3
+    stride = w * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError(
+            f"PNG pixel data is {len(raw)} bytes, expected {(stride + 1) * h}"
+        )
+    arr = np.frombuffer(_png_unfilter(raw, h, stride, channels), dtype=np.uint8)
+    return w, h, channels, arr.reshape((h, w) if channels == 1 else (h, w, 3))
+
+
 def encode_wav_pcm16(samples, rate: int = 8000) -> bytes:
     """Mono PCM16 RIFF/WAVE via the stdlib ``wave`` writer — a real
     audio container, parseable by any tool."""
@@ -162,14 +305,27 @@ def decode_image(payload: bytes, prefer_pil: bool = True) -> tuple[int, int, np.
             return arr.shape[1], arr.shape[0], arr
         except Exception:
             pass  # fall through — maybe netpbm variant PIL dislikes
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        try:
+            w, h, _channels, arr = decode_png(payload)
+            return w, h, arr
+        except ValueError as e:
+            if "unsupported PNG variant" in str(e):
+                # a capability gap (16-bit/palette/alpha/interlace), not
+                # corrupt data — PIL covers these when installed
+                raise NotImplementedError(
+                    f"this PNG variant requires PIL ({e})"
+                ) from e
+            raise  # corrupt PNG: a data error regardless of libraries
     try:
         w, h, _channels, arr = decode_netpbm(payload)
         return w, h, arr
     except ValueError as e:
         raise NotImplementedError(
-            "compressed image formats (JPEG/PNG/...) require PIL, which is "
+            "this compressed image format (JPEG/...) requires PIL, which is "
             f"not available in this environment ({e}); binary netpbm (P5/P6) "
-            "decodes natively, or use extract_features(..., fake=True)"
+            "and 8-bit gray/truecolor PNG decode natively, or use "
+            "extract_features(..., fake=True)"
         ) from e
 
 
@@ -284,13 +440,19 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 SYNTH_RATE = 8000
 
 
-def synth_media_corpus(docs: DataFrame) -> DataFrame:
+def synth_media_corpus(docs: DataFrame, image_format: str = "pgm") -> DataFrame:
     """Deterministic real-codec media corpus from the documents table: even
-    doc_ids become P5 PGM images (doc_id-dependent dims), odd doc_ids
-    become mono PCM16 WAV clips, with pixel/sample values from the
-    closed-form formulas above. The payloads are REAL files (any netpbm/
-    WAV tool opens them); generation runs distributed in mapInPandas, so
-    the corpus scales with the doc table instead of the driver."""
+    doc_ids become images (doc_id-dependent dims), odd doc_ids become
+    mono PCM16 WAV clips, with pixel/sample values from the closed-form
+    formulas above. ``image_format`` picks the container: "pgm" (binary
+    P5, the uncompressed baseline) or "png" (real zlib-DEFLATE PNG via
+    ``encode_png`` — grayscale, except every 4th doc_id truecolor RGB so
+    the 3-channel path is exercised; the pixel formula then runs over
+    w*h*3 values). The payloads are REAL files (any netpbm/PNG/WAV tool
+    opens them); generation runs distributed in mapInPandas, so the
+    corpus scales with the doc table instead of the driver."""
+    if image_format not in ("pgm", "png"):
+        raise ValueError(f"image_format must be 'pgm' or 'png', got {image_format!r}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -299,9 +461,13 @@ def synth_media_corpus(docs: DataFrame) -> DataFrame:
                 did = int(did)
                 if did % 2 == 0:
                     w, h = 16 + did % 17, 8 + did % 13
-                    i = np.arange(w * h, dtype=np.int64)
+                    ch = 3 if (image_format == "png" and did % 4 == 0) else 1
+                    i = np.arange(w * h * ch, dtype=np.int64)
                     px = ((did * 31 + 7 * i) % 256).astype(np.uint8)
-                    payloads.append(encode_pgm(w, h, px.tobytes()))
+                    if image_format == "png":
+                        payloads.append(encode_png(w, h, px.tobytes(), channels=ch))
+                    else:
+                        payloads.append(encode_pgm(w, h, px.tobytes()))
                     types.append("image")
                 else:
                     n = 500 + did % 300
