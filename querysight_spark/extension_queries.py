@@ -4900,6 +4900,54 @@ def an05(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("d")
 
 
+_AN06_PROBS = ", ".join(str(i / 64) for i in range(1, 64))
+
+
+@_q(
+    "an06_ks_drift_binned",
+    f"""WITH t AS (
+         SELECT CAST(value AS DOUBLE) AS v,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+         FROM events WHERE event_type IN ('purchase', 'view')),
+       e AS (SELECT quantile_cont(v, [{_AN06_PROBS}]) AS edges FROM t),
+       b AS (
+         SELECT len(list_filter(edges, x -> v >= x)) AS bucket, a
+         FROM t CROSS JOIN e),
+       per_b AS (
+         SELECT bucket, SUM(a) AS ca, SUM(1 - a) AS cb
+         FROM b GROUP BY bucket),
+       tot AS (SELECT SUM(a) AS n_a, SUM(1 - a) AS n_b FROM t),
+       ecdf AS (
+         SELECT SUM(ca) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                  AS cum_a,
+                SUM(cb) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                  AS cum_b
+         FROM per_b)
+       SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+              ROUND(MAX(ABS(cum_a / n_a - cum_b / n_b)), 6) AS ks_stat,
+              ROUND(1.358 * SQRT((n_a + n_b) / (n_a * n_b)), 6) AS critical,
+              MAX(ABS(cum_a / n_a - cum_b / n_b))
+                > 1.358 * SQRT((n_a + n_b) / (n_a * n_b)) AS drift
+       FROM ecdf, tot GROUP BY n_a, n_b""",
+)
+def an06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """an03's own docstring names its scale path — bin first, then KS —
+    and this entry puts that path under the gate (VERDICT r4 ask #6):
+    values bucket by 64 exact interpolated quantile edges of the
+    combined sample (the vx02 percentile <-> quantile_cont parity), and
+    the ordered ECDF window runs over <= 64 bin rows however large the
+    corpus, instead of the distinct-value table. ks_stat here is a
+    lower bound of the exact D with error <= the largest bin's mass
+    (~1/64); pytest compares the binned and exact statistics on the
+    gate fixture."""
+    from querysight_spark.operators.quality import ks_drift_binned
+
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    return ks_drift_binned(
+        ev, "value", "event_type", "purchase", "view", n_bins=64
+    )
+
+
 @_q(
     "ir08_ranking_metrics",
     """WITH q AS (

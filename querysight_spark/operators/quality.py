@@ -189,6 +189,67 @@ def ks_drift(
     )
 
 
+def ks_drift_binned(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    n_bins: int = 64,
+    critical_coeff: float = 1.358,
+) -> DataFrame:
+    """``ks_drift``'s scale path for metrics with UNBOUNDED distinct
+    values: bucket by exact interpolated quantile edges of the combined
+    sample (the vx02 percentile <-> quantile_cont parity), then run the
+    KS max-gap on the <= ``n_bins`` cumulative bin table instead of the
+    distinct-value table. The binned statistic evaluates the ECDF gap at
+    the bin edges only, so ks_stat_binned <= exact D and the
+    underestimate is bounded by the largest bin's probability mass
+    (~1/n_bins for quantile bins) — pick n_bins so that bound sits below
+    the critical value's resolution. Same output contract as ks_drift
+    ((n_a, n_b, ks_stat, critical, drift)); the ordered window here runs
+    over <= n_bins rows whatever the corpus size, which is the whole
+    point."""
+    from pyspark.sql import Window
+
+    tagged = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(value_col).cast("double").alias("v"),
+        (F.col(group_col) == group_a).cast("long").alias("a"),
+    )
+    probs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    edges = tagged.agg(
+        F.expr(f"percentile(v, array({probs}))").alias("edges")
+    )
+    # bucket = how many edges the value has passed (0..n_bins-1): the
+    # 1-row edge array broadcasts onto the stream, bucketing is one
+    # JVM-side size(filter(...)) per row, and the heavy groupBy shuffles
+    # <= n_bins keys
+    binned = tagged.crossJoin(F.broadcast(edges)).select(
+        F.expr("size(filter(edges, e -> v >= e))").alias("bucket"),
+        "a",
+    )
+    per_b = binned.groupBy("bucket").agg(
+        F.sum("a").alias("ca"),
+        F.sum(F.lit(1) - F.col("a")).alias("cb"),
+    )
+    totals = per_b.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = per_b.select(
+        F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
+    ).crossJoin(F.broadcast(totals))
+    gap = F.abs(F.col("cum_a") / F.col("n_a") - F.col("cum_b") / F.col("n_b"))
+    crit = F.lit(critical_coeff) * F.sqrt(
+        (F.first("n_a") + F.first("n_b")) / (F.first("n_a") * F.first("n_b"))
+    )
+    return ecdf.agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.round(F.max(gap), 6).alias("ks_stat"),
+        F.round(crit, 6).alias("critical"),
+        (F.max(gap) > crit).alias("drift"),
+    )
+
+
 def mutual_information(
     df: DataFrame,
     label_col: str,

@@ -125,3 +125,38 @@ def test_mutual_information_never_negative(spark):
     df = spark.createDataFrame(rows, "label string, f1 string, f2 string")
     for r in mutual_information(df, "label", ["f1", "f2"]).collect():
         assert r.mi >= 0.0  # MI is nonnegative up to rounding
+
+
+def test_ks_drift_binned_bounds_exact_on_gate_fixture(spark):
+    """The binned statistic evaluates the ECDF gap at bin edges only, so
+    it LOWER-bounds the exact D with error <= the largest bin's mass
+    (~1/n_bins for quantile bins) — compared here on the real gate
+    fixture (events, purchase vs view), per VERDICT r4 ask #6."""
+    from querysight_spark.operators.quality import ks_drift, ks_drift_binned
+    from querysight_spark.sources.catalog import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_type", "value"
+    )
+    exact = ks_drift(ev, "value", "event_type", "purchase", "view").collect()[0]
+    binned = ks_drift_binned(
+        ev, "value", "event_type", "purchase", "view", n_bins=64
+    ).collect()[0]
+    assert binned.n_a == exact.n_a and binned.n_b == exact.n_b
+    assert binned.critical == exact.critical
+    # rounded-to-6 outputs: allow the rounding epsilon on the bound
+    assert binned.ks_stat <= exact.ks_stat + 1e-6
+    assert exact.ks_stat - binned.ks_stat <= 2.0 / 64 + 1e-6
+    # both sides of the decision agree at this separation
+    assert binned.drift == exact.drift
+
+
+def test_ks_drift_binned_identical_distributions_zero(spark):
+    from querysight_spark.operators.quality import ks_drift_binned
+
+    rows = [(float(i % 13), "a") for i in range(120)] + [
+        (float(i % 13), "b") for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "value double, g string")
+    r = ks_drift_binned(df, "value", "g", "a", "b", n_bins=8).collect()[0]
+    assert r.ks_stat == 0.0 and not r.drift
