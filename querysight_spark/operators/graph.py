@@ -198,35 +198,75 @@ def connected_components(
     )
 
 
-def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangles(
+    edges: DataFrame, src: str = "src", dst: str = "dst", orient: str = "id"
+) -> DataFrame:
     """Enumerate all triangles {a < b < c} in an undirected edge list.
-    Returns (a, b, c), one row per triangle.
+    Returns (a, b, c), one row per triangle, canonically id-sorted under
+    EITHER orientation (the two modes are row-identical).
 
-    Classic two-join enumeration over the id-oriented edge set: orient
-    every edge small->large (halves the candidate space and makes each
-    triangle appear exactly once), then wedges (a->b, b->c) close iff
-    (a->c) exists. Work is sum over nodes of d_out(u)^2 with d_out counted
-    under the id orientation — the standard shuffle-join formulation of
-    node-iterator triangle counting. For skew-heavy graphs at 100 TB,
-    switch the orientation to degree order (low-degree first) so hub
-    fan-outs land on the closing-join side; id order is fine for the
-    near-uniform co-occurrence graphs here."""
-    o = (
+    Classic two-join enumeration over an acyclically oriented edge set:
+    orient every edge along a total order, then wedges (x->y, y->z)
+    close iff (x->z) exists — each triangle has exactly one source under
+    an acyclic orientation, so it appears exactly once. The wedge join's
+    work is sum over middle nodes y of d_in(y) * d_out(y) under the
+    chosen orientation:
+
+    - ``orient="id"``: small id -> large id. Fine for near-uniform
+      graphs, but a mid-id hub with h neighbors on both sides costs
+      ~h^2/4 wedge candidates through that ONE node — the skew killer.
+    - ``orient="degree"``: low (degree, id) -> high (degree, id), the
+      standard skew fix (out-degrees are O(sqrt(m))-bounded): all of a
+      hub's edges point INTO it, so d_out(hub) = 0 and no wedge routes
+      through a hub as the middle. Costs one extra degree agg + join to
+      orient; tools/graph_curve.py measures the win on a hub fixture.
+    """
+    if orient not in ("id", "degree"):
+        raise ValueError(f"orient must be 'id' or 'degree', got {orient!r}")
+    und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
-        # three self-join consumers below — materialize the oriented edge
-        # set once instead of re-running the upstream per branch
-        .localCheckpoint(eager=True)
     )
+    if orient == "degree":
+        deg = (
+            und.select(F.col("a").alias("n"))
+            .unionByName(und.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        # und holds a < b, so (d_a, a) < (d_b, b) unless d_b < d_a —
+        # flip exactly those edges to get the (degree, id) orientation
+        o = (
+            und.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+            .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+            .select(
+                F.when(F.col("db") < F.col("da"), F.col("b"))
+                .otherwise(F.col("a"))
+                .alias("a"),
+                F.when(F.col("db") < F.col("da"), F.col("a"))
+                .otherwise(F.col("b"))
+                .alias("b"),
+            )
+        )
+    else:
+        o = und
+    # three self-join consumers below — materialize the oriented edge
+    # set once instead of re-running the upstream per branch
+    o = o.localCheckpoint(eager=True)
     e1 = o.select(F.col("a"), F.col("b"))
     e2 = o.select(F.col("a").alias("b"), F.col("b").alias("c"))
     e3 = o.select(F.col("a").alias("ca"), F.col("b").alias("cc"))
-    return (
+    tri = (
         e1.join(e2, "b")
         .join(e3, (F.col("a") == F.col("ca")) & (F.col("c") == F.col("cc")))
         .select("a", "b", "c")
+    )
+    if orient == "id":
+        return tri  # already canonical: a < b < c by construction
+    return tri.select(F.array_sort(F.array("a", "b", "c")).alias("t")).select(
+        F.col("t")[0].alias("a"), F.col("t")[1].alias("b"), F.col("t")[2].alias("c")
     )
 
 

@@ -225,3 +225,28 @@ def test_bfs_reaches_nodes_at_exactly_max_iter_hops(spark):
     )
     out = {r.node: r.dist for r in bfs_distances(chain, max_iter=3).collect()}
     assert out == {0: 0, 1: 1, 2: 2, 3: 3}  # node 3 is the absorbed frontier
+
+
+def test_triangles_degree_orientation_parity(spark):
+    """orient='degree' must be row-identical to the id orientation —
+    same triangles, same canonical (a < b < c) labels — on a graph whose
+    hub actually forces flips (the mid-id hub has max degree, so every
+    hub edge reorients)."""
+    from querysight_spark.operators.graph import triangles
+
+    n, hub = 12, 6
+    spokes = [(hub, i) for i in range(n + 1) if i != hub]
+    ring = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(spokes + ring, "src long, dst long")
+    got_id = {(r.a, r.b, r.c) for r in triangles(df, orient="id").collect()}
+    got_deg = {(r.a, r.b, r.c) for r in triangles(df, orient="degree").collect()}
+    assert got_id == got_deg
+    # each ring edge (i, i+1) closes a triangle with the hub, except the
+    # two ring edges incident to the hub itself (those are degenerate)
+    assert (4, 5, 6) in got_id and (6, 7, 8) in got_id
+    assert len(got_id) == n - 2
+
+    import pytest
+
+    with pytest.raises(ValueError, match="orient"):
+        triangles(df, orient="random")

@@ -88,6 +88,35 @@ def main() -> int:
             f"converged={stats['converged']}  components={ncomp}  "
             f"time={dt:6.2f}s  (min-label would need {n - 1} rounds)"
         )
+    # --- triangles: id vs degree orientation on a hub-skewed graph ------
+    # A MID-ID hub adjacent to everyone is the id-orientation killer:
+    # ~(n/2) in-edges x (n/2) out-edges route ~n^2/4 wedge candidates
+    # through the one hub as the wedge middle. Degree orientation points
+    # every hub edge INTO the hub (d_out(hub) = 0), so wedge work stays
+    # ~linear. Ring edges i-(i+1) make (hub, i, i+1) triangles so both
+    # modes have real output to agree on.
+    from querysight_spark.operators.graph import triangles
+
+    print("\ntriangles on a hub-skewed graph (mid-id hub + ring):")
+    for n in (4_000, 32_000):
+        hub = n // 2
+        spokes = spark.range(n + 1).where(F.col("id") != hub).select(
+            F.lit(hub).alias("src"), F.col("id").alias("dst")
+        )
+        ring = spark.range(n).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        g = spokes.unionByName(ring)
+        counts = {}
+        for mode in ("id", "degree"):
+            t0 = time.time()
+            counts[mode] = triangles(g, orient=mode).count()
+            dt = time.time() - t0
+            print(
+                f"n={n:>6}  orient={mode:>6}  triangles={counts[mode]:>6}  "
+                f"time={dt:6.2f}s"
+            )
+        assert counts["id"] == counts["degree"], "orientation parity broken"
     spark.stop()
     return 0
 
