@@ -295,6 +295,8 @@ def ewma(
     tiebreak_col: str = "event_id",
     value_col: str = "value",
     alpha: float = 0.25,
+    method: str = "fold",
+    block_size: int | None = None,
 ) -> DataFrame:
     """Per-row exponentially-weighted moving average per key:
     y_1 = x_1, y_t = alpha * x_t + (1 - alpha) * y_{t-1} over the
@@ -310,9 +312,34 @@ def ewma(
 
     One shuffle (the groupBy), map-side everything else. State is one
     key's series in memory — same per-key boundedness contract as the
-    session/window operators; for million-row single keys use the
-    closed-form window variant and accept nondeterministic last-digit
-    float jitter."""
+    session/window operators; for million-row single keys use
+    ``method="closed_form"`` (below) and accept last-digit float
+    differences vs the fold.
+
+    ``method`` picks the formulation:
+
+    - ``"fold"`` (default): the bit-deterministic left fold above. Note
+      the accumulator-array append makes it O(n^2) in the KEY length —
+      fine for the per-user series here, painful for million-row keys.
+    - ``"closed_form"``: block-renormalized geometric prefix sums.
+      Writing c_1 = x_1, c_j = alpha * x_j (j >= 2), the recursion is
+      exactly y_i = sum_{j<=i} c_j q^{i-j} with q = 1 - alpha; rows are
+      split into per-key blocks of ``block_size`` so the in-block part
+      is one codegen window cumsum of c_j q^{-r_j} (renormalized by
+      q^{r_i}, exponents bounded by the block size — no overflow), and
+      the cross-block carry y_end(b) = u_end(b) + q^{size_b} y_end(b-1)
+      is a fold over the tiny per-block summary list (n/block_size
+      elements of per-key state instead of n). O(n) work, vectorized
+      JVM throughput; float op ORDER differs from the fold, so expect
+      ~1e-12 relative differences (pinned by pytest tolerance + a
+      SCALE.md timing row on a long-key fixture).
+    """
+    if method not in ("fold", "closed_form"):
+        raise ValueError(f"method must be 'fold' or 'closed_form', got {method!r}")
+    if method == "closed_form":
+        return _ewma_closed_form(
+            df, key_col, ts_col, tiebreak_col, value_col, alpha, block_size
+        )
     a = float(alpha)
     seq = df.groupBy(key_col).agg(
         F.sort_array(
@@ -340,6 +367,105 @@ def ewma(
         F.col("r.seq.ts").alias(ts_col),
         F.col("r.seq.v").alias(value_col),
         F.col("r.ew").alias("ewma"),
+    )
+
+
+def _ewma_closed_form(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    alpha: float,
+    block_size: int | None,
+) -> DataFrame:
+    """The O(n) long-key path behind ``ewma(..., method="closed_form")``
+    — see that docstring for the contract. Derivation: with c_1 = x_1,
+    c_j = alpha*x_j and q = 1-alpha, y_i = sum_{j<=i} c_j q^(i-j).
+    Splitting j at the block boundary gives y_i = u_i + q^(r_i+1) *
+    y_end(b-1), where u_i = q^(r_i) * cumsum(c_j q^(-r_j)) is the
+    in-block renormalized prefix (a codegen window — exponents bounded
+    by the block size, which is capped so q^(-B) stays far from double
+    overflow) and the block-end values follow the B-times-shorter
+    recursion y_end(b) = u_end(b) + q^(size_b) * y_end(b-1), folded
+    over the per-key block-summary list."""
+    import math
+
+    from pyspark.sql import Window
+
+    a = float(alpha)
+    q = 1.0 - a
+    if q == 0.0:  # alpha == 1: the EWMA is the series itself
+        v = F.col(value_col).cast("double")
+        return df.select(
+            F.col(key_col), F.col(tiebreak_col), F.col(ts_col),
+            v.alias(value_col), v.alias("ewma"),
+        )
+    if block_size is None:
+        # q^(-(B-1)) must stay well below double overflow (1e308)
+        block_size = max(2, min(256, int(250.0 / max(1e-8, -math.log10(q)))))
+    B = int(block_size)
+
+    w_order = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    rows = (
+        df.select(
+            F.col(key_col), F.col(ts_col), F.col(tiebreak_col),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .withColumn("i", F.row_number().over(w_order))
+        .withColumn("b", ((F.col("i") - 1) / B).cast("long"))
+        .withColumn("r", ((F.col("i") - 1) % B).cast("long"))
+        .withColumn(
+            "c",
+            F.when(F.col("i") == 1, F.col("v")).otherwise(F.lit(a) * F.col("v")),
+        )
+    )
+    wb = (
+        Window.partitionBy(key_col, "b")
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rows = (
+        rows.withColumn(
+            "U", F.sum(F.col("c") * F.pow(F.lit(q), -F.col("r"))).over(wb)
+        )
+        .withColumn("u", F.pow(F.lit(q), F.col("r")) * F.col("U"))
+        # two consumers (block summaries + the final join) — checkpoint so
+        # the row_number/cumsum windows run once
+        .localCheckpoint(eager=True)
+    )
+    ends = rows.groupBy(key_col, "b").agg(
+        F.max_by("u", "r").alias("u_end"),
+        (F.max("r") + 1).alias("bsz"),
+    )
+    blocks = ends.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("b"), F.col("u_end"), F.col("bsz")))
+        ).alias("bl")
+    )
+    folded = F.expr(
+        f"aggregate(slice(bl, 2, size(bl) - 1), "
+        f"array(double(bl[0].u_end)), "
+        f"(acc, s) -> array_append("
+        f"acc, s.u_end + pow({q!r}D, s.bsz) * element_at(acc, -1)))"
+    )
+    carries = blocks.select(
+        F.col(key_col), F.posexplode(folded).alias("bi", "yend")
+    ).select(
+        F.col(key_col), (F.col("bi") + 1).alias("b"), F.col("yend").alias("carry")
+    )
+    return rows.join(carries, [key_col, "b"], "left").select(
+        F.col(key_col),
+        F.col(tiebreak_col),
+        F.col(ts_col),
+        F.col("v").alias(value_col),
+        (
+            F.col("u")
+            + F.when(
+                F.col("carry").isNotNull(),
+                F.pow(F.lit(q), F.col("r") + 1) * F.col("carry"),
+            ).otherwise(F.lit(0.0))
+        ).alias("ewma"),
     )
 
 

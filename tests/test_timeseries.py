@@ -271,3 +271,49 @@ def test_cusum_constant_series_excluded(spark):
     )
     # sigma = 0 -> key excluded entirely rather than dividing by zero
     assert cusum_breaches(df).count() == 0
+
+
+def test_ewma_closed_form_matches_fold_within_tolerance(spark):
+    """The block-renormalized closed form reorders float ops vs the
+    bit-deterministic fold — values must agree to ~1e-12 relative on
+    every row (multiple alphas incl. a block-boundary-crossing series,
+    and alpha=1 exactly)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from querysight_spark.operators.timeseries import ewma
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for k, n in (("a", 700), ("b", 3), ("c", 1)):  # 700 crosses blocks
+        for i, v in enumerate(np.round(rng.uniform(-50, 50, n), 2)):
+            rows.append(
+                (k, i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), float(v))
+            )
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp, value double"
+    )
+    for alpha in (0.25, 0.9, 0.03):
+        ref = {
+            (r.user_id, r.event_id): r.ewma
+            for r in ewma(df, alpha=alpha, method="fold").collect()
+        }
+        got = {
+            (r.user_id, r.event_id): r.ewma
+            for r in ewma(df, alpha=alpha, method="closed_form").collect()
+        }
+        assert set(got) == set(ref)
+        for key, want in ref.items():
+            assert abs(got[key] - want) <= 1e-11 * max(1.0, abs(want)), (
+                alpha,
+                key,
+            )
+    # alpha=1 short-circuits to the series itself — exact
+    got1 = ewma(df, alpha=1.0, method="closed_form").collect()
+    assert all(r.ewma == r.value for r in got1)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="method"):
+        ewma(df, method="magic")
