@@ -341,6 +341,60 @@ def bfs_distances(
     return visited.unionByName(frontier)
 
 
+def multi_source_bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Batched BFS from MANY sources in ONE frontier loop: returns
+    (root, node, dist) for every (seed, reachable node) pair. This is
+    the scale path ``bfs_distances`` names for large-diameter graphs —
+    K seeds cost O(diameter) rounds TOTAL (the frontier carries
+    (root, node) pairs), not K separate O(diameter) loops each paying
+    the full per-round job overhead. Per-round work is proportional to
+    frontier-incident edges summed over roots; the visited set is the
+    output itself (K x reachable pairs), deduped per (root, node) by
+    the same min-dist agg + anti-join as the single-source loop.
+    Landmark-distance / k-hop-neighborhood queries are this shape."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    visited = (
+        seeds.select(F.col(node_col).alias("root"))
+        .where(F.lit(False))
+        .select("root", F.col("root").alias("node"), F.lit(0).alias("dist"))
+    )
+    frontier = (
+        seeds.select(F.col(node_col).alias("root"))
+        .distinct()
+        .select("root", F.col("root").alias("node"), F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        if frontier.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+        frontier = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select("root", F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .groupBy("root", "node")
+            .agg(F.min("dist").alias("dist"))
+            .join(visited.select("root", "node"), ["root", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    # same final-frontier absorption as bfs_distances: coverage is
+    # distances 0..max_iter inclusive
+    return visited.unionByName(frontier)
+
+
 def merge_components(
     labels: DataFrame,
     new_edges: DataFrame,

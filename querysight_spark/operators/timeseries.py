@@ -476,6 +476,7 @@ def brown_double_smoothing(
     tiebreak_col: str = "event_id",
     value_col: str = "value",
     alpha: float = 0.5,
+    method: str = "fold",
 ) -> DataFrame:
     """Brown's linear (double) exponential smoothing per key, final
     state: (key, n, s1, s2, level, trend, forecast) over the
@@ -492,8 +493,47 @@ def brown_double_smoothing(
     (measured, not theorized). Brown's model needs only two INDEPENDENT
     scalar folds — the ts05 ordered-fold discipline, engine-reproducible
     by construction — and spans the same level+trend model class. One
-    shuffle; per-key state is the key's series (ewma's contract)."""
+    shuffle; per-key state is the key's series (ewma's contract).
+
+    ``method="closed_form"`` chains ``ewma``'s block-renormalized O(n)
+    path twice (s1 = EWMA(x), s2 = EWMA(s1) — the same first-element
+    initialization by construction) and keeps each key's last row: the
+    million-row-key escape, with the fold's float-order caveat
+    (~1e-12 relative differences, pinned in pytest)."""
+    if method not in ("fold", "closed_form"):
+        raise ValueError(f"method must be 'fold' or 'closed_form', got {method!r}")
     a = float(alpha)
+    if method == "closed_form":
+        s1_rows = _ewma_closed_form(
+            df, key_col, ts_col, tiebreak_col, value_col, a, None
+        ).select(
+            F.col(key_col), F.col(ts_col), F.col(tiebreak_col),
+            F.col("ewma").alias("s1v"),
+        )
+        s2_rows = _ewma_closed_form(
+            s1_rows, key_col, ts_col, tiebreak_col, "s1v", a, None
+        )
+        last = s2_rows.groupBy(key_col).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max_by(
+                F.struct(F.col("s1v").alias("s1"), F.col("ewma").alias("s2")),
+                F.struct(F.col(ts_col), F.col(tiebreak_col)),
+            ).alias("fin"),
+        )
+        u6c = lambda c: F.floor(c * 1000000) / 1000000  # noqa: E731
+        coeff_c = a / (1.0 - a)
+        s1c, s2c = F.col("fin.s1"), F.col("fin.s2")
+        return last.select(
+            key_col,
+            F.col("n").cast("long").alias("n"),
+            u6c(s1c).alias("s1"),
+            u6c(s2c).alias("s2"),
+            u6c(F.lit(2.0) * s1c - s2c).alias("level"),
+            u6c(F.lit(coeff_c) * (s1c - s2c)).alias("trend"),
+            u6c(
+                (F.lit(2.0) * s1c - s2c) + F.lit(coeff_c) * (s1c - s2c)
+            ).alias("forecast"),
+        )
     seq = df.groupBy(key_col).agg(
         F.sort_array(
             F.collect_list(

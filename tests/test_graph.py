@@ -250,3 +250,24 @@ def test_triangles_degree_orientation_parity(spark):
 
     with pytest.raises(ValueError, match="orient"):
         triangles(df, orient="random")
+
+
+def test_multi_source_bfs_matches_per_source_runs(spark):
+    """One batched frontier loop must equal K independent single-source
+    runs (plus the seed itself at dist 0), including an isolated seed
+    with no edges at all."""
+    from querysight_spark.operators.graph import bfs_distances, multi_source_bfs
+
+    # two components: a 6-path and a triangle, plus isolated seed 99
+    edges = [(i, i + 1) for i in range(5)] + [(10, 11), (11, 12), (10, 12)]
+    g = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (3,), (11,), (99,)], "node long")
+    got = {
+        (r.root, r.node): r.dist for r in multi_source_bfs(g, seeds).collect()
+    }
+    want = {}
+    for s in (0, 3, 11):
+        for r in bfs_distances(g, source=s).collect():
+            want[(s, r.node)] = r.dist
+    want[(99, 99)] = 0  # isolated seed: reaches only itself
+    assert got == want

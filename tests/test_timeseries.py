@@ -317,3 +317,39 @@ def test_ewma_closed_form_matches_fold_within_tolerance(spark):
 
     with pytest.raises(ValueError, match="method"):
         ewma(df, method="magic")
+
+
+def test_brown_closed_form_matches_fold(spark):
+    """Brown via two chained closed-form EWMAs must match the
+    double-fold within the microprecision floor (same first-element
+    initialization by construction)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from querysight_spark.operators.timeseries import brown_double_smoothing
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for k, n in (("a", 600), ("b", 2), ("c", 1)):
+        for i, v in enumerate(np.round(rng.uniform(-20, 80, n), 2)):
+            rows.append(
+                (k, i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), float(v))
+            )
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp, value double"
+    )
+    ref = {r.user_id: r for r in brown_double_smoothing(df, alpha=0.4).collect()}
+    got = {
+        r.user_id: r
+        for r in brown_double_smoothing(
+            df, alpha=0.4, method="closed_form"
+        ).collect()
+    }
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k].n == ref[k].n
+        for f in ("s1", "s2", "level", "trend", "forecast"):
+            # both sides floor at 1e-6; a 1e-12 raw difference can move
+            # the floored value by at most one microstep
+            assert abs(getattr(got[k], f) - getattr(ref[k], f)) <= 1.000001e-6, (k, f)
