@@ -420,16 +420,31 @@ def merge_components(
 
     Singleton components (a label row with node == component and no
     other members — impossible for labelings derived from an edge list,
-    where every component has >= 2 nodes) contribute no star edge and
-    drop out unless the delta touches them; union them back afterwards
-    if the caller's labeling can contain them."""
+    where every component has >= 2 nodes, but normal when the caller
+    labeled isolated nodes too) contribute no star edge; they are
+    re-attached afterwards with their old label, EXCEPT singletons the
+    delta touched (those already appear in the merged labeling and must
+    not be duplicated)."""
     star = labels.select(
         F.col(node_col).alias("u"), F.col(comp_col).alias("v")
     ).where(F.col(node_col) != F.col(comp_col))
     delta = new_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    return connected_components(
+    merged = connected_components(
         star.unionByName(delta), "u", "v", max_iter=max_iter, stats=stats
     )
+    singletons = (
+        labels.select(F.col(node_col).alias("node"), F.col(comp_col).alias("component"))
+        .where(F.col(node_col) == F.col(comp_col))
+        .join(
+            labels.select(F.col(comp_col).alias("node")).where(
+                F.col(node_col) != F.col(comp_col)
+            ),
+            "node",
+            "left_anti",  # a root WITH members is not a singleton
+        )
+        .join(merged.select("node"), "node", "left_anti")  # delta absorbed it
+    )
+    return merged.unionByName(singletons)
 
 
 def personalized_pagerank(

@@ -271,3 +271,20 @@ def test_multi_source_bfs_matches_per_source_runs(spark):
             want[(s, r.node)] = r.dist
     want[(99, 99)] = 0  # isolated seed: reaches only itself
     assert got == want
+
+
+def test_merge_components_preserves_untouched_singletons(spark):
+    """Labelings that include isolated nodes (node == component, no other
+    members) must survive a delta merge: untouched singletons keep their
+    label, absorbed ones appear exactly once with the merged id."""
+    from querysight_spark.operators.graph import merge_components
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (7, 7), (9, 9)], "node long, component long"
+    )
+    delta = spark.createDataFrame([(7, 3)], "src long, dst long")
+    got = {
+        (r.node, r.component) for r in merge_components(labels, delta).collect()
+    }
+    # {1,2} untouched; 7 bridges to new node 3 forming {3,7}; 9 stays solo
+    assert got == {(1, 1), (2, 1), (3, 3), (7, 3), (9, 9)}
