@@ -90,6 +90,19 @@ def main() -> None:
 
     bench_index_root = tempfile.mkdtemp(prefix="qs_bench_index_")
     extension_queries.INDEX_ROOT = bench_index_root
+    try:
+        _run(spark, bench_index_root)
+    finally:
+        # remove the private index tree even when a query fails mid-run —
+        # by design no later run reuses it, so a leak is pure /tmp litter
+        shutil.rmtree(bench_index_root, ignore_errors=True)
+
+
+def _run(spark, bench_index_root: str) -> None:
+    import __spark_entry__ as entrymod
+    from querysight_spark.extension_queries import ANN_BENCH
+
+    qs = entrymod.queries()
     t0 = time.time()
     for prepare, _probe in ANN_BENCH.values():
         prepare(spark, SF_DIR)
@@ -137,7 +150,6 @@ def main() -> None:
         )
     )
     spark.stop()
-    shutil.rmtree(bench_index_root, ignore_errors=True)
 
 
 if __name__ == "__main__":

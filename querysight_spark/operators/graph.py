@@ -270,6 +270,20 @@ def triangles(
     )
 
 
+def _sym_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Deduped, self-loop-free SYMMETRIC edge view as (u, v), checkpointed
+    once — the shared preamble of the frontier-BFS variants (every round
+    joins against it, so one materialization serves the whole loop)."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+
+
 def bfs_distances(
     edges: DataFrame,
     src: str = "src",
@@ -291,14 +305,7 @@ def bfs_distances(
     incident to the frontier. For 100 TB graphs with large diameters,
     batch multiple sources into one run (frontier carries (root, node))
     rather than looping this function."""
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    sym = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    sym = _sym_edges(edges, src, dst)
     if source is None:
         source = sym.agg(F.min("u")).first()[0]  # one driver scalar
         if source is None:
@@ -358,15 +365,13 @@ def multi_source_bfs(
     frontier-incident edges summed over roots; the visited set is the
     output itself (K x reachable pairs), deduped per (root, node) by
     the same min-dist agg + anti-join as the single-source loop.
-    Landmark-distance / k-hop-neighborhood queries are this shape."""
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    sym = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    Landmark-distance / k-hop-neighborhood queries are this shape.
+
+    The frontier loop intentionally mirrors ``bfs_distances`` with root
+    added to every key (the single-source loop stays join-key-free on
+    root so its per-round shuffles carry one column less); the
+    symmetric-edge preamble is shared via ``_sym_edges``."""
+    sym = _sym_edges(edges, src, dst)
     visited = (
         seeds.select(F.col(node_col).alias("root"))
         .where(F.lit(False))
@@ -432,16 +437,18 @@ def merge_components(
     merged = connected_components(
         star.unionByName(delta), "u", "v", max_iter=max_iter, stats=stats
     )
+    # components that have members (filter BEFORE projecting — projecting
+    # first would let the filter resolve against the aliased column and
+    # silently become a tautology)
+    rooted = (
+        labels.where(F.col(node_col) != F.col(comp_col))
+        .select(F.col(comp_col).alias("node"))
+        .distinct()
+    )
     singletons = (
         labels.select(F.col(node_col).alias("node"), F.col(comp_col).alias("component"))
         .where(F.col(node_col) == F.col(comp_col))
-        .join(
-            labels.select(F.col(comp_col).alias("node")).where(
-                F.col(node_col) != F.col(comp_col)
-            ),
-            "node",
-            "left_anti",  # a root WITH members is not a singleton
-        )
+        .join(rooted, "node", "left_anti")  # a root WITH members is no singleton
         .join(merged.select("node"), "node", "left_anti")  # delta absorbed it
     )
     return merged.unionByName(singletons)

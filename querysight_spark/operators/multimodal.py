@@ -231,9 +231,10 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         data = payload[pos + 8 : pos + 8 + length]
         if len(data) != length:
             raise ValueError(f"PNG chunk {tag!r} truncated")
-        (crc,) = struct.unpack(
-            ">I", payload[pos + 8 + length : pos + 12 + length]
-        )
+        crc_bytes = payload[pos + 8 + length : pos + 12 + length]
+        if len(crc_bytes) != 4:  # cut inside the CRC field
+            raise ValueError(f"PNG chunk {tag!r} truncated")
+        (crc,) = struct.unpack(">I", crc_bytes)
         if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
@@ -253,7 +254,13 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         )
     channels = 1 if color_type == 0 else 3
     stride = w * channels
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # e.g. a file cut cleanly at an IDAT chunk boundary passes every
+        # per-chunk CRC yet leaves an incomplete deflate stream — still a
+        # data error, surfaced under this function's documented contract
+        raise ValueError(f"PNG IDAT stream does not inflate: {e}") from e
     if len(raw) != (stride + 1) * h:
         raise ValueError(
             f"PNG pixel data is {len(raw)} bytes, expected {(stride + 1) * h}"

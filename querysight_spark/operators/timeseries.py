@@ -332,7 +332,10 @@ def ewma(
       elements of per-key state instead of n). O(n) work, vectorized
       JVM throughput; float op ORDER differs from the fold, so expect
       ~1e-12 relative differences (pinned by pytest tolerance + a
-      SCALE.md timing row on a long-key fixture).
+      SCALE.md timing row on a long-key fixture). The default block
+      size leaves ~100 decades of magnitude headroom — series with
+      |value| beyond ~1e100 should use the fold (or pass a smaller
+      ``block_size``), or the renormalized cumsum saturates to inf.
     """
     if method not in ("fold", "closed_form"):
         raise ValueError(f"method must be 'fold' or 'closed_form', got {method!r}")
@@ -402,8 +405,12 @@ def _ewma_closed_form(
             v.alias(value_col), v.alias("ewma"),
         )
     if block_size is None:
-        # q^(-(B-1)) must stay well below double overflow (1e308)
-        block_size = max(2, min(256, int(250.0 / max(1e-8, -math.log10(q)))))
+        # the in-block term is c_j * q^(-r_j): cap the exponent at ~1e200
+        # so values up to ~1e100 in magnitude keep the cumsum finite
+        # (1e308 double ceiling minus 100 decades of data headroom); the
+        # fold path has no such bound — use it for astronomically-scaled
+        # series, or normalize first
+        block_size = max(2, min(256, int(200.0 / max(1e-8, -math.log10(q)))))
     B = int(block_size)
 
     w_order = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)

@@ -379,3 +379,23 @@ def test_pil_path_matches_pure_png_decoder():
     w_pp, h_pp, arr_pp = decode_image(payload, prefer_pil=False)
     assert (w_pil, h_pil) == (w_pp, h_pp) == (12, 5)
     assert np.array_equal(arr_pil, arr_pp)
+
+
+def test_png_truncated_idat_raises_value_error():
+    """A file cut cleanly at a chunk boundary passes every per-chunk CRC
+    but leaves an incomplete deflate stream — still a ValueError under
+    decode_png's contract, never a raw zlib.error."""
+    from querysight_spark.operators.multimodal import decode_png, encode_png
+
+    payload = encode_png(8, 8, bytes(range(64)), channels=1)
+    # keep signature + IHDR only (drop IDAT + IEND): no IDAT data at all
+    truncated = payload[: 8 + 12 + 13]
+    with pytest.raises(ValueError):
+        decode_png(truncated)
+    # cut INSIDE a chunk's CRC field (2 of IEND's 4 CRC bytes missing)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(payload[:-2])
+    # losing the whole IEND record but keeping IDAT intact still decodes
+    # (lenient chunk walk) — the data needed for pixels is all there
+    w, h, _c, _arr = decode_png(payload[:-12])
+    assert (w, h) == (8, 8)
