@@ -33,9 +33,10 @@
                 oracle; production operating points live in pytest
                 recall tests and bench.py's ANN_BENCH probes.
   * tx/tr/sk  — text analysis + splits + stratified sampling + epoch
-                upsampling + contamination, rollup tiers incl. streaming
-                absorption, self-checking sketches incl. a
-                cell-exact portable Count-Min.
+                upsampling + contamination + GPT-style sequence packing
+                (tx23: distributed prefix-sum placement map), rollup
+                tiers incl. streaming absorption, self-checking sketches
+                incl. a cell-exact portable Count-Min.
   * st01-st10 — Structured Streaming under the gate (windows, stateful
                 counts, cross-batch dedup, session windows, stream-
                 stream join, session-state absorption into a persisted

@@ -5563,3 +5563,38 @@ def tx22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).select("text")
     return bpe_merge_steps(docs, n_merges=3).orderBy("step")
+
+
+@_q(
+    "tx23_sequence_packing",
+    """WITH t AS (
+         SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         FROM documents),
+       c AS (
+         SELECT doc_id, n_tokens,
+                SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  - n_tokens AS start_offset
+         FROM t)
+       SELECT doc_id, n_tokens, start_offset,
+              CAST(FLOOR(start_offset / 512) AS BIGINT) AS pack_first,
+              CAST(FLOOR((start_offset + n_tokens - 1) / 512) AS BIGINT)
+                AS pack_last,
+              CAST(FLOOR((start_offset + n_tokens - 1) / 512)
+                   - FLOOR(start_offset / 512) + 1 AS BIGINT)
+                AS packs_spanned
+       FROM c ORDER BY doc_id""",
+)
+def tx23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing placement map: every document's
+    whitespace tokens conceptually concatenated in doc_id order and cut
+    into 512-token training sequences; each doc carries its global
+    start offset and first/last pack ids. Integer arithmetic end to end
+    — the hash checks the DISTRIBUTED prefix sum (range-partitioned
+    per-partition cumsums + a partitions-sized offset fold, never a
+    single-partition global window) against the oracle's straightforward
+    global cumulative sum."""
+    from querysight_spark.operators.textstats import pack_sequences
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return pack_sequences(docs, seq_len=512).orderBy("doc_id")

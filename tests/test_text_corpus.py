@@ -212,3 +212,53 @@ def test_bpe_merge_application_respects_token_boundaries(spark):
     # 'b a' freq 1 -> 'ab ab' wins
     assert out[1].pair == "ab ab" and out[1].merged == "abab"
     assert out[1].pair_count == 2
+
+
+def test_pack_sequences_hand_offsets_and_partition_invariance(spark):
+    """Placement map matches the hand-computed concat-and-chunk layout,
+    and is IDENTICAL for any partition count (the distributed prefix sum
+    must not depend on how ranges were cut)."""
+    from querysight_spark.operators.textstats import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),          # 3 tokens, start 0,  packs 0-0
+            (2, "d e f g"),        # 4 tokens, start 3,  packs 0-1 (crosses 5)
+            (3, "h"),              # 1 token,  start 7,  packs 1-1
+            (4, "i j k l m n o"),  # 7 tokens, start 8,  packs 1-2
+        ],
+        "doc_id long, text string",
+    )
+    want = {
+        1: (3, 0, 0, 0, 1),
+        2: (4, 3, 0, 1, 2),
+        3: (1, 7, 1, 1, 1),
+        4: (7, 8, 1, 2, 2),
+    }
+    for parts in (1, 2, 7):
+        out = {
+            r.doc_id: (
+                r.n_tokens,
+                r.start_offset,
+                r.pack_first,
+                r.pack_last,
+                r.packs_spanned,
+            )
+            for r in pack_sequences(docs, seq_len=5, num_partitions=parts).collect()
+        }
+        assert out == want, parts
+
+
+def test_pack_sequences_plan_has_no_single_partition_exchange(spark):
+    """The whole point vs a global-window cumsum: per-partition windows
+    in parallel + a bounded offsets broadcast — assert the plan shape."""
+    from querysight_spark.operators.textstats import pack_sequences
+    from querysight_spark.plans.inspect import plan_summary
+    from querysight_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    )
+    out = pack_sequences(docs, seq_len=128, num_partitions=4)
+    out.collect()
+    assert plan_summary(out)["n_single_partition"] == 0
