@@ -282,6 +282,9 @@ def mutual_information(
     its own scan-pruned column pair."""
     out = None
     for fc in feature_cols:
+        # four consumers (margins x2, total, scored join) — checkpoint the
+        # (cells-sized, tiny) contingency table so the corpus scan runs
+        # once per feature, not four times (r5 plan-audit finding)
         cells = (
             df.select(
                 F.col(fc).cast("string").alias("x"),
@@ -289,6 +292,7 @@ def mutual_information(
             )
             .groupBy("x", "y")
             .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=True)
         )
         fx = cells.groupBy("x").agg(F.sum("c").alias("cx"))
         fy = cells.groupBy("y").agg(F.sum("c").alias("cy"))

@@ -1,0 +1,92 @@
+"""Whole-inventory plan audit: run every queries() entry at a small SF,
+collect it, and flag scale-hostile physical-plan shapes:
+
+- single-partition exchanges beyond the benign 1-row-scalar-aggregate
+  pattern (the r4 weak-plan class: global sorts/windows/limits funneling
+  full tables through one task),
+- row_number windows with no partitioning,
+- high re-executed scan counts (a subtree consumed N times without a
+  persist/checkpoint).
+
+This is the X96/X98 scan-audit discipline applied to the FULL inventory
+instead of per-operator spot checks. Exit code 1 if any entry exceeds
+the thresholds, so it can gate a round.
+
+Usage: python tools/plan_audit.py [sf_dir] [name_filter...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# Entries allowed >1 single-partition exchanges, with the reason. Every
+# allowance must be a bounded-rows shape (scalar agg over partials, a
+# bounded-domain window, a collect_list over a vocabulary-sized cell
+# table) — NOT a full-table funnel. One SP exchange is always allowed:
+# a lone global scalar aggregate is the normal partial/final shape.
+ALLOWED_SINGLE_PARTITION: dict[str, str] = {
+    "an05_benford": "9-row digit-domain window + 1-row total agg",
+    "an06_ks_drift_binned": "edge scalar agg + <=n_bins ECDF window + totals",
+    "co02_funnel": "stage-table (len(stages) rows) windows + scalar aggs",
+    "ql19_coverage_metrics": "global coverage metrics: scalar aggs over partials",
+    "ql21_pattern_summary": "global summary row: scalar aggs over partials",
+    "vx03_mutual_information": "per-feature 1-row total + vocabulary-cell ordered fold",
+}
+
+# Entries allowed >6 file scans, with the reason (scans of DISTINCT
+# sources are not re-executions).
+ALLOWED_SCANS: dict[str, str] = {
+    "h08_market_share": "8 scans = 8 distinct TPC-H tables (join fan-in)",
+}
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from querysight_spark.plans.inspect import plan_summary
+    from querysight_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    filters = sys.argv[2:]
+    spark = get_spark(app_name="plan-audit", master="local[8]",
+                      shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    flagged, audited = [], 0
+    t_start = time.time()
+    for name, fn in sorted(qs.items()):
+        if filters and not any(f in name for f in filters):
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            df.collect()
+            s = plan_summary(df)
+        except Exception as e:  # audit everything; report breakage loudly
+            flagged.append((name, f"ERROR {type(e).__name__}: {e}"))
+            continue
+        audited += 1
+        issues = []
+        if s["n_single_partition"] > 1 and name not in ALLOWED_SINGLE_PARTITION:
+            issues.append(f"single_partition={s['n_single_partition']}")
+        if s["n_scans"] > 6 and name not in ALLOWED_SCANS:
+            issues.append(f"scans={s['n_scans']}")
+        if issues:
+            flagged.append((name, ", ".join(issues) + f"  (full: {s})"))
+    print(f"\naudited {audited} entries in {time.time() - t_start:.0f}s")
+    if flagged:
+        print(f"{len(flagged)} flagged:")
+        for name, why in flagged:
+            print(f"  {name}: {why}")
+    else:
+        print("0 flagged")
+    spark.stop()
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
