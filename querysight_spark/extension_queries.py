@@ -5576,7 +5576,8 @@ def tx22(spark: SparkSession, sf_dir: str) -> DataFrame:
                 SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
                   - n_tokens AS start_offset
          FROM t)
-       SELECT doc_id, n_tokens, start_offset,
+       SELECT doc_id, n_tokens,
+              CAST(start_offset AS BIGINT) AS start_offset,
               CAST(FLOOR(start_offset / 512) AS BIGINT) AS pack_first,
               CAST(FLOOR((start_offset + n_tokens - 1) / 512) AS BIGINT)
                 AS pack_last,

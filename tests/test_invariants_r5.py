@@ -68,18 +68,25 @@ def test_checkpointed_streams_are_collectable(spark):
     from querysight_spark.operators.search import collocations
     from querysight_spark.operators.textstats import remove_duplicate_spans
 
+    def _drain_to(target: int, seconds: float) -> int:
+        deadline = time.time() + seconds
+        n = _n_persistent_rdds(spark)
+        while n > target and time.time() < deadline:
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.5)
+            n = _n_persistent_rdds(spark)
+        return n
+
     docs = spark.createDataFrame(
         [(i, "a b c d e f g h i j k l") for i in range(6)],
         "doc_id long, text string",
     )
-    before = _n_persistent_rdds(spark)
+    # in a full-suite session earlier tests' collectable checkpoints may
+    # still be mid-drain — settle to a stable floor before measuring
+    before = _drain_to(0, 20)
     collocations(docs, min_count=2, k=5).collect()
     remove_duplicate_spans(docs, n=4).collect()
     # results are unreferenced now; nudge both collectors and wait for
-    # the async ContextCleaner to drain
-    deadline = time.time() + 30
-    while _n_persistent_rdds(spark) > before and time.time() < deadline:
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        time.sleep(0.5)
-    assert _n_persistent_rdds(spark) <= before
+    # the async ContextCleaner to drain our two checkpoints back out
+    assert _drain_to(before, 60) <= before
