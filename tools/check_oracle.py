@@ -2,7 +2,14 @@
 on Spark AND its oracle_sql() on DuckDB, compare row count, column names,
 and values (column-name-sorted, row-sorted, exact).
 
-Usage: python tools/check_oracle.py [sf_dir] [name_filter...]
+Usage: python tools/check_oracle.py [--strict] [--never-run] [sf_dir] [name_filter...]
+
+``--strict`` compares STRINGIFIED values instead of the numeric-tolerant
+float path — the closest local proxy for the driver's value hash (it
+catches dtype drift like DuckDB's HUGEINT window sums rendering "23.0"
+against Spark's "23", which numeric comparison forgives).
+``--never-run`` restricts to entries with no prior driver CORRECTNESS
+row — the exact set the next driver sweep checks first.
 """
 
 from __future__ import annotations
@@ -63,9 +70,29 @@ def _eq(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
     return True, ""
 
 
+def _eq_strict(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
+    if list(a.columns) != list(b.columns):
+        return False, f"columns {list(a.columns)} != {list(b.columns)}"
+    if len(a) != len(b):
+        return False, f"rows {len(a)} != {len(b)}"
+    for c in a.columns:
+        eq = a[c].astype(str) == b[c].astype(str)
+        if not eq.all():
+            i = int(np.argmin(eq.to_numpy()))
+            return False, (
+                f"strict col {c} row {i}: {a[c].iloc[i]!r} != {b[c].iloc[i]!r} "
+                f"(dtypes {a[c].dtype} vs {b[c].dtype})"
+            )
+    return True, ""
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    filters = sys.argv[2:]
+    args = [a for a in sys.argv[1:]]
+    strict = "--strict" in args
+    never_only = "--never-run" in args
+    args = [a for a in args if a not in ("--strict", "--never-run")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    filters = args[1:]
 
     import __spark_entry__ as entrymod
     from querysight_spark.session import get_spark
@@ -76,9 +103,16 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    never: set[str] | None = None
+    if never_only:
+        green, rows_only = entrymod._driver_verified()
+        never = {n for n in qs if n not in green and n not in rows_only}
+        print(f"--never-run: {len(never)} entries with no driver CORRECTNESS row")
     n_pass = n_fail = n_skip = 0
     for name, fn in qs.items():
         if filters and not any(f in name for f in filters):
+            continue
+        if never is not None and name not in never:
             continue
         t0 = time.time()
         try:
@@ -97,7 +131,7 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
-        ok, msg = _eq(sdf, ddf)
+        ok, msg = (_eq_strict if strict else _eq)(sdf, ddf)
         if ok:
             print(f"PASS {name} ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
             n_pass += 1
