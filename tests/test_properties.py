@@ -125,3 +125,73 @@ def test_normalize_python_matches_spark(spark):
     df = spark.createDataFrame([(q,) for q in qs], "q string")
     got = [r.n for r in df.select(normalize_query(F.col("q")).alias("n")).collect()]
     assert got == [_normalize(q) for q in qs]
+
+
+# --- PNG codec (pure Python — no Spark session, so hypothesis is cheap) ----
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(1, 24),
+    st.integers(1, 16),
+    st.sampled_from([1, 3]),
+    st.integers(0, 2**32 - 1),
+)
+def test_png_round_trip_property(w, h, channels, seed):
+    """decode(encode(raster)) is the identity for every size/channel
+    combo, including 1x1 and single-row/column rasters."""
+    import numpy as np
+
+    from querysight_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=w * h * channels, dtype=np.uint8)
+    W, H, C, arr = decode_png(encode_png(w, h, px.tobytes(), channels=channels))
+    assert (W, H, C) == (w, h, channels)
+    assert arr.ravel().tobytes() == px.tobytes()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(2, 12),
+    st.integers(2, 8),
+    st.sampled_from([1, 3]),
+    st.lists(st.integers(0, 4), min_size=1, max_size=8),
+    st.integers(0, 2**32 - 1),
+)
+def test_png_unfilter_inverts_any_filter_sequence(w, h, channels, ftypes, seed):
+    """_png_unfilter must invert EVERY per-row filter choice an external
+    encoder could make — filters applied here by an independent
+    spec-derived implementation."""
+    import numpy as np
+
+    from querysight_spark.operators.multimodal import _png_unfilter
+
+    rng = np.random.default_rng(seed)
+    raster = rng.integers(0, 256, size=w * h * channels, dtype=np.uint8).tobytes()
+    stride, bpp = w * channels, channels
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    prev, raw = bytes(stride), bytearray()
+    for y in range(h):
+        line = raster[y * stride : (y + 1) * stride]
+        ft = ftypes[y % len(ftypes)]
+        enc = bytearray(line)
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 1:
+                enc[i] = (line[i] - a) & 0xFF
+            elif ft == 2:
+                enc[i] = (line[i] - prev[i]) & 0xFF
+            elif ft == 3:
+                enc[i] = (line[i] - ((a + prev[i]) >> 1)) & 0xFF
+            elif ft == 4:
+                enc[i] = (line[i] - paeth(a, prev[i], c)) & 0xFF
+        raw += bytes([ft]) + bytes(enc)
+        prev = line
+    assert _png_unfilter(bytes(raw), h, stride, bpp) == raster
