@@ -34,7 +34,8 @@
                 recall tests and bench.py's ANN_BENCH probes.
   * tx/tr/sk  — text analysis + splits + stratified sampling + epoch
                 upsampling + contamination + GPT-style sequence packing
-                (tx23: distributed prefix-sum placement map), rollup
+                (tx23: distributed prefix-sum placement map; tx24: the
+                materialized fixed-length packs themselves), rollup
                 tiers incl. streaming absorption, self-checking sketches
                 incl. a cell-exact portable Count-Min.
   * st01-st10 — Structured Streaming under the gate (windows, stateful

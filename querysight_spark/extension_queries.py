@@ -5599,3 +5599,41 @@ def tx23(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     return pack_sequences(docs, seq_len=512).orderBy("doc_id")
+
+
+@_q(
+    "tx24_pack_emit",
+    """WITH t AS (
+         SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         FROM documents),
+       c AS (
+         SELECT doc_id,
+                SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  - n_tokens AS start_offset
+         FROM t),
+       w AS (
+         SELECT s.doc_id, c.start_offset + u.i - 1 AS gpos, s.words[u.i] AS word
+         FROM (SELECT doc_id, string_split(text, ' ') AS words
+               FROM documents) s
+         JOIN c USING (doc_id),
+         LATERAL (SELECT unnest(generate_series(1, len(s.words))) AS i) u)
+       SELECT CAST(FLOOR(gpos / 512) AS BIGINT) AS pack_id,
+              COUNT(*) AS n_tokens,
+              COUNT(DISTINCT doc_id) AS n_docs,
+              string_agg(word, ' ' ORDER BY gpos) AS text
+       FROM w GROUP BY 1 ORDER BY pack_id""",
+)
+def tx24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The writer half of sequence packing: materialize the actual
+    512-token training sequences the tx23 placement map lays out — one
+    row per pack with the tokens assembled in global stream order
+    (boundary docs split across packs mid-document, exactly as a
+    pretraining data writer emits them; every pack but the last carries
+    exactly 512 tokens). One corpus scan + one token-keyed shuffle with
+    per-group state bounded by the pack length; the full rebuilt text
+    of every pack sits under the hash."""
+    from querysight_spark.operators.textstats import emit_packed_sequences
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return emit_packed_sequences(docs, seq_len=512).orderBy("pack_id")

@@ -957,3 +957,51 @@ def pack_sequences(
         .cast("long")
         .alias("packs_spanned"),
     )
+
+
+def emit_packed_sequences(
+    df: DataFrame,
+    seq_len: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Materialize the training sequences ``pack_sequences`` lays out:
+    one row per pack — (pack_id, n_tokens, n_docs, text) — with each
+    pack's tokens assembled in global stream order. The writer half of
+    sequence packing: the placement map says where every doc lands,
+    this emits the actual fixed-length examples (the final pack may be
+    partial; all others carry exactly ``seq_len`` tokens, zero padding).
+
+    Plan: the placement map's start offsets broadcast/shuffle-join onto
+    the posexploded token stream (one scan of the corpus, linear), and
+    each pack's tokens regroup by ``floor(global_pos / seq_len)`` — one
+    token-keyed shuffle whose per-group state is bounded by seq_len
+    tokens (the whole point of fixed-length packs), assembled by the
+    repo's standard sorted-collect fold."""
+    place = pack_sequences(df, seq_len, id_col, text_col, num_partitions)
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("p0", "word"),
+    )
+    g = toks.join(place.select(F.col(id_col), "start_offset"), id_col).select(
+        F.col(id_col),
+        (F.col("start_offset") + F.col("p0")).alias("gpos"),
+        "word",
+    )
+    return (
+        g.groupBy(
+            F.floor(F.col("gpos") / seq_len).cast("long").alias("pack_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct(F.col(id_col)).alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("gpos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )

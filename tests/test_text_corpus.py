@@ -262,3 +262,26 @@ def test_pack_sequences_plan_has_no_single_partition_exchange(spark):
     out = pack_sequences(docs, seq_len=128, num_partitions=4)
     out.collect()
     assert plan_summary(out)["n_single_partition"] == 0
+
+
+def test_emit_packed_sequences_rebuilds_the_stream(spark):
+    """Every pack but the last is exactly seq_len tokens, boundary docs
+    split mid-document, and concatenating the packs in order reproduces
+    the original concatenated token stream exactly."""
+    from querysight_spark.operators.textstats import emit_packed_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g"), (3, "h"), (4, "i j k l m n o")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        emit_packed_sequences(docs, seq_len=5).collect(), key=lambda r: r.pack_id
+    )
+    assert [r.pack_id for r in rows] == [0, 1, 2]
+    assert [r.n_tokens for r in rows] == [5, 5, 5]  # 15 tokens pack evenly
+    assert rows[0].text == "a b c d e"      # doc 2 split mid-document
+    assert rows[1].text == "f g h i j"
+    assert rows[2].text == "k l m n o"
+    assert [r.n_docs for r in rows] == [2, 3, 1]
+    stream = " ".join(r.text for r in rows)
+    assert stream == "a b c d e f g h i j k l m n o"
