@@ -261,6 +261,11 @@ def benford_deviation(
     )
     from pyspark.sql import Window
 
+    # the partition-less window here is over the 9-row digit-domain
+    # table, not the corpus: its SinglePartition exchange carries 9 rows
+    # at any scale (allowlisted in tools/plan_audit.py), and deriving
+    # n_total from the domain rows keeps the corpus scan at exactly one
+    # — a separate count(pos) total would re-scan
     tot = Window.partitionBy()
     scored = counts.select(
         "d",
