@@ -877,6 +877,37 @@ def bpe_merge_steps(
     )
 
 
+def _pack_placement_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_partitions: int | None,
+) -> DataFrame:
+    """The un-checkpointed distributed-prefix-sum frame behind
+    ``pack_sequences``: (id, n_tokens, pid, cum_in) with cum_in the
+    within-range-partition cumulative token count. Exposed separately so
+    plan tests can assert the window runs per-partition (the public
+    function checkpoints this frame, which truncates the plan)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    if num_partitions is None:
+        num_partitions = max(1, toks.sparkSession.sparkContext.defaultParallelism)
+    part = (
+        toks.repartitionByRange(num_partitions, id_col)
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_in = (
+        Window.partitionBy("pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return part.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int = 512,
@@ -906,26 +937,13 @@ def pack_sequences(
     independently and pads the tail): ``pack_sequences`` is what
     pretraining pipelines use when examples are separator-joined and
     attention masks handle document boundaries."""
-    from pyspark.sql import Window
-
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
-    toks = df.select(
-        F.col(id_col),
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
-    )
-    if num_partitions is None:
-        num_partitions = max(1, toks.sparkSession.sparkContext.defaultParallelism)
-    part = (
-        toks.repartitionByRange(num_partitions, id_col)
-        .withColumn("pid", F.spark_partition_id())
-    )
-    w_in = (
-        Window.partitionBy("pid")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    part = part.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+    # plan-shape guards (test_text_corpus) inspect the PRE-checkpoint
+    # frame from _pack_placement_frame: the checkpoint below truncates
+    # lineage, so the returned frame's plan cannot witness the window
+    # stage at all — asserting on it would be vacuous
+    part = _pack_placement_frame(df, id_col, text_col, num_partitions)
     # two consumers (totals + final projection) and the totals round-trip
     # through the driver — materialize once
     part = part.localCheckpoint(eager=True)
@@ -937,8 +955,24 @@ def pack_sequences(
     for pid in sorted(totals):
         offsets[pid] = acc
         acc += totals[pid]
+    if not offsets:
+        # empty corpus: F.create_map() with zero args is map<void,void>
+        # and the pid lookup then fails analysis — return the empty
+        # placement map with the contract schema instead
+        return part.select(
+            F.col(id_col),
+            "n_tokens",
+            *[
+                F.lit(0).cast("long").alias(c)
+                for c in ("start_offset", "pack_first", "pack_last", "packs_spanned")
+            ],
+        )
     off = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+        *[
+            c
+            for pid in sorted(offsets)
+            for c in (F.lit(pid), F.lit(offsets[pid]).cast("long"))
+        ]
     )  # pid -> exclusive prefix of partition totals, broadcast literal
     start = off[F.col("pid")] + F.col("cum_in") - F.col("n_tokens")
     return part.select(

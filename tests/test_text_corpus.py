@@ -251,17 +251,45 @@ def test_pack_sequences_hand_offsets_and_partition_invariance(spark):
 
 def test_pack_sequences_plan_has_no_single_partition_exchange(spark):
     """The whole point vs a global-window cumsum: per-partition windows
-    in parallel + a bounded offsets broadcast — assert the plan shape."""
-    from querysight_spark.operators.textstats import pack_sequences
+    in parallel + a bounded offsets broadcast. Asserted on the
+    PRE-checkpoint placement frame — the public function checkpoints it,
+    which truncates the plan, so the returned frame's plan could never
+    witness the window stage (a global-window regression would pass a
+    post-checkpoint assertion vacuously; r5 review finding)."""
+    from querysight_spark.operators.textstats import _pack_placement_frame
     from querysight_spark.plans.inspect import plan_summary
     from querysight_spark.sources.catalog import load_table
 
     docs = load_table(spark, "documents", "/root/testdata/sf0.001").select(
         "doc_id", "text"
     )
-    out = pack_sequences(docs, seq_len=128, num_partitions=4)
-    out.collect()
-    assert plan_summary(out)["n_single_partition"] == 0
+    inner = _pack_placement_frame(docs, "doc_id", "text", 4)
+    inner.collect()
+    s = plan_summary(inner)
+    assert s["n_single_partition"] == 0
+    # and the cumsum window really is there, partitioned on pid
+    plan = inner._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "partitionBy" not in plan  # toString spells spec inline
+    assert "pid" in plan
+
+
+def test_pack_sequences_empty_input_returns_empty_map(spark):
+    """Zero documents must yield an empty placement map with the
+    contract schema, not an AnalysisException from a zero-arg
+    create_map (r5 review finding)."""
+    from querysight_spark.operators.textstats import (
+        emit_packed_sequences,
+        pack_sequences,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = pack_sequences(empty, seq_len=8)
+    assert out.columns == [
+        "doc_id", "n_tokens", "start_offset",
+        "pack_first", "pack_last", "packs_spanned",
+    ]
+    assert out.count() == 0
+    assert emit_packed_sequences(empty, seq_len=8).count() == 0
 
 
 def test_emit_packed_sequences_rebuilds_the_stream(spark):

@@ -24,24 +24,27 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# Entries allowed >1 single-partition exchanges, with the reason. Every
-# allowance must be a bounded-rows shape (scalar agg over partials, a
-# bounded-domain window, a collect_list over a vocabulary-sized cell
-# table) — NOT a full-table funnel. One SP exchange is always allowed:
-# a lone global scalar aggregate is the normal partial/final shape.
-ALLOWED_SINGLE_PARTITION: dict[str, str] = {
-    "an05_benford": "9-row digit-domain window + 1-row total agg",
-    "an06_ks_drift_binned": "edge scalar agg + <=n_bins ECDF window + totals",
-    "co02_funnel": "stage-table (len(stages) rows) windows + scalar aggs",
-    "ql19_coverage_metrics": "global coverage metrics: scalar aggs over partials",
-    "ql21_pattern_summary": "global summary row: scalar aggs over partials",
-    "vx03_mutual_information": "per-feature 1-row total + vocabulary-cell ordered fold",
+# Entries allowed extra single-partition exchanges: name -> (max_count,
+# reason). Every allowance must be a bounded-rows shape (scalar agg over
+# partials, a bounded-domain window, a collect_list over a vocabulary-
+# sized cell table) — NOT a full-table funnel. One SP exchange is always
+# allowed (a lone global scalar aggregate is the normal partial/final
+# shape); the bound here is COMPARED, not a blanket exemption, so an
+# allowlisted entry that regresses past its recorded shape still flags
+# (r5 review finding).
+ALLOWED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
+    "an05_benford": (2, "9-row digit-domain window + 1-row total agg"),
+    "an06_ks_drift_binned": (3, "edge scalar agg + <=n_bins ECDF window + totals"),
+    "co02_funnel": (4, "stage-table (len(stages) rows) windows + scalar aggs"),
+    "ql19_coverage_metrics": (2, "global coverage metrics: scalar aggs over partials"),
+    "ql21_pattern_summary": (3, "global summary row: scalar aggs over partials"),
+    "vx03_mutual_information": (6, "per-feature 1-row total + vocab-cell ordered fold"),
 }
 
-# Entries allowed >6 file scans, with the reason (scans of DISTINCT
-# sources are not re-executions).
-ALLOWED_SCANS: dict[str, str] = {
-    "h08_market_share": "8 scans = 8 distinct TPC-H tables (join fan-in)",
+# Entries allowed extra file scans: name -> (max_count, reason). Scans
+# of DISTINCT sources are not re-executions.
+ALLOWED_SCANS: dict[str, tuple[int, str]] = {
+    "h08_market_share": (8, "8 scans = 8 distinct TPC-H tables (join fan-in)"),
 }
 
 
@@ -71,10 +74,14 @@ def main() -> int:
             continue
         audited += 1
         issues = []
-        if s["n_single_partition"] > 1 and name not in ALLOWED_SINGLE_PARTITION:
-            issues.append(f"single_partition={s['n_single_partition']}")
-        if s["n_scans"] > 6 and name not in ALLOWED_SCANS:
-            issues.append(f"scans={s['n_scans']}")
+        sp_cap = ALLOWED_SINGLE_PARTITION.get(name, (1, ""))[0]
+        if s["n_single_partition"] > sp_cap:
+            issues.append(
+                f"single_partition={s['n_single_partition']} (cap {sp_cap})"
+            )
+        scan_cap = ALLOWED_SCANS.get(name, (6, ""))[0]
+        if s["n_scans"] > scan_cap:
+            issues.append(f"scans={s['n_scans']} (cap {scan_cap})")
         if issues:
             flagged.append((name, ", ".join(issues) + f"  (full: {s})"))
     print(f"\naudited {audited} entries in {time.time() - t_start:.0f}s")

@@ -44,7 +44,7 @@ def main() -> int:
             "oracle-strict",
             [sys.executable, "tools/check_oracle.py", "--strict", sf_dir],
         ),
-        ("plan-audit", [sys.executable, "tools/plan_audit.py"]),
+        ("plan-audit", [sys.executable, "tools/plan_audit.py", sf_dir]),
     ]
     ok_all = True
     for label, cmd in stages:
