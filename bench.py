@@ -91,14 +91,17 @@ def main() -> None:
     bench_index_root = tempfile.mkdtemp(prefix="qs_bench_index_")
     extension_queries.INDEX_ROOT = bench_index_root
     try:
-        _run(spark, bench_index_root)
+        _run(spark)
     finally:
         # remove the private index tree even when a query fails mid-run —
-        # by design no later run reuses it, so a leak is pure /tmp litter
+        # by design no later run reuses it, so a leak is pure /tmp litter;
+        # also reset the module global so any later ANN call in this
+        # process falls back to the default root, not the rmtree'd one
+        extension_queries.INDEX_ROOT = None
         shutil.rmtree(bench_index_root, ignore_errors=True)
 
 
-def _run(spark, bench_index_root: str) -> None:
+def _run(spark) -> None:
     import __spark_entry__ as entrymod
     from querysight_spark.extension_queries import ANN_BENCH
 

@@ -238,6 +238,9 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
+            if len(data) != 13:  # CRC-valid but wrong-length IHDR must stay
+                # inside the documented ValueError contract, not struct.error
+                raise ValueError("PNG IHDR malformed")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif tag == b"IDAT":
             idat += data

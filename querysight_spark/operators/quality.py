@@ -138,14 +138,13 @@ def ks_drift(
         F.col(value_col).alias("v"),
         (F.col(group_col) == group_a).cast("long").alias("a"),
     )
-    from pyspark.storagelevel import StorageLevel
-
     # the distinct-value table feeds BOTH the ECDF window and the totals
-    # agg — persist the (small) table so the stream is scanned once
+    # agg — localCheckpoint (not a session-lived persist, which leaks the
+    # cached blocks until LRU pressure) so the stream is scanned once
     per_v = tagged.groupBy("v").agg(
         F.sum("a").alias("ca"),
         F.sum(F.lit(1) - F.col("a")).alias("cb"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     # totals from the (small) distinct-value table, not a second pass
     # over the stream: sums of per-value group counts == group sizes
     totals = per_v.agg(

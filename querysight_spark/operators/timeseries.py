@@ -411,6 +411,8 @@ def _ewma_closed_form(
         # fold path has no such bound — use it for astronomically-scaled
         # series, or normalize first
         block_size = max(2, min(256, int(200.0 / max(1e-8, -math.log10(q)))))
+    elif int(block_size) < 1:
+        raise ValueError(f"block_size must be >= 1, got {block_size}")
     B = int(block_size)
 
     w_order = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)

@@ -90,3 +90,31 @@ def test_checkpointed_streams_are_collectable(spark):
     # results are unreferenced now; nudge both collectors and wait for
     # the async ContextCleaner to drain our two checkpoints back out
     assert _drain_to(before, 60) <= before
+
+
+def test_ks_drift_cache_is_collectable(spark):
+    """ks_drift held a session-lived persist on its distinct-value table
+    (r5 ADVICE); now a localCheckpoint, so after the result is dropped a
+    GC cycle drains the registry back to its starting floor."""
+    import gc
+    import time
+
+    from querysight_spark.operators.quality import ks_drift
+
+    def _drain_to(target: int, seconds: float) -> int:
+        deadline = time.time() + seconds
+        n = _n_persistent_rdds(spark)
+        while n > target and time.time() < deadline:
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.5)
+            n = _n_persistent_rdds(spark)
+        return n
+
+    df = spark.createDataFrame(
+        [(float(i % 13), "a" if i % 2 else "b") for i in range(60)],
+        "v double, g string",
+    )
+    before = _drain_to(0, 20)
+    ks_drift(df, "v", "g", "a", "b").collect()
+    assert _drain_to(before, 60) <= before

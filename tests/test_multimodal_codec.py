@@ -367,6 +367,27 @@ def test_png_unsupported_variant_raises_not_implemented():
         decode_image(payload)
 
 
+def test_png_malformed_ihdr_length_raises_value_error():
+    """A CRC-valid IHDR chunk of the wrong length must raise ValueError
+    (the documented contract), not escape as struct.error (r5 ADVICE)."""
+    import struct
+    import zlib
+
+    from querysight_spark.operators.multimodal import decode_png
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    # 12-byte IHDR body (one short) with a valid CRC over those 12 bytes
+    ihdr = struct.pack(">IIBBBB", 2, 1, 8, 0, 0, 0)
+    payload = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="IHDR malformed"):
+        decode_png(payload)
+
+
 def test_pil_path_matches_pure_png_decoder():
     """With PIL installed both decoders must be pixel-identical on PNG
     (the compressed-format analog of the netpbm parity test)."""

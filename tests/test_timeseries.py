@@ -313,6 +313,27 @@ def test_ewma_closed_form_matches_fold_within_tolerance(spark):
     got1 = ewma(df, alpha=1.0, method="closed_form").collect()
     assert all(r.ewma == r.value for r in got1)
 
+
+def test_ewma_closed_form_rejects_bad_block_size(spark):
+    """block_size=0 used to divide/modulo by zero into null block ids
+    (silent wrong grouping); now a ValueError up front (r5 ADVICE)."""
+    import datetime as dt
+
+    import pytest
+
+    from querysight_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [("a", 0, dt.datetime(2024, 1, 1), 1.0)],
+        "user_id string, event_id long, ts timestamp, value double",
+    )
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="block_size"):
+            ewma(df, alpha=0.25, method="closed_form", block_size=bad)
+    # 1 is the smallest legal block — still correct
+    row = ewma(df, alpha=0.25, method="closed_form", block_size=1).collect()[0]
+    assert row.ewma == 1.0
+
     import pytest
 
     with pytest.raises(ValueError, match="method"):
