@@ -5,10 +5,13 @@
                 setop/scalar/lateral/unpivot/interval/map/subquery) run
                 via spark.sql over the testdata views, i.e. straight
                 through Catalyst.
-  * h01-h19   — TPC-H-adapted composition probes (pricing summary,
-                shipping priority, local-supplier volume, market share,
-                promo effect, correlated small-quantity check,
-                large-volume customers, discounted revenue) over the
+  * h01-h22   — TPC-H-adapted composition probes, all 22 decision-
+                support shapes: pricing summary, correlated-MIN cheapest
+                supplier, EXISTS priority check, multi-join volume/share
+                queries, outer-join count distribution, max-over-view
+                top supplier, NOT-IN supplier counts, nested correlated
+                agg under IN, multi-(NOT-)EXISTS waiting suppliers,
+                anti-join sales opportunity — re-parameterized for the
                 columns the corpus carries.
   * ql01-ql28 — querysight pipeline parity (pattern hash-agg, merge,
                 coverage joins, closure, summaries, pagination incl.

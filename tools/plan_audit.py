@@ -45,6 +45,18 @@ ALLOWED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
 # of DISTINCT sources are not re-executions.
 ALLOWED_SCANS: dict[str, tuple[int, str]] = {
     "h08_market_share": (8, "8 scans = 8 distinct TPC-H tables (join fan-in)"),
+    "h02_min_cost_supplier": (
+        7,
+        "Q2 references the supply view in both the outer block and the "
+        "correlated-MIN subquery (partsupp appears twice in canonical Q2); "
+        "supplier/nation/region are re-referenced by the subquery — all "
+        "distinct logical references, no re-executed subtree",
+    ),
+    "h21_suppliers_kept_waiting": (
+        8,
+        "canonical Q21 scans lineitem 3x (l1 + EXISTS l2 + NOT EXISTS l3) "
+        "and orders 2x; the rest is dim fan-in — distinct references",
+    ),
 }
 
 
