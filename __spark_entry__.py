@@ -38,7 +38,8 @@
   * tx/tr/sk  — text analysis + splits + stratified sampling + epoch
                 upsampling + contamination + GPT-style sequence packing
                 (tx23: distributed prefix-sum placement map; tx24: the
-                materialized fixed-length packs themselves), rollup
+                materialized fixed-length packs themselves; tx25: seeded
+                deterministic shard shuffle + size accounting), rollup
                 tiers incl. streaming absorption, self-checking sketches
                 incl. a cell-exact portable Count-Min.
   * st01-st10 — Structured Streaming under the gate (windows, stateful

@@ -5637,3 +5637,59 @@ def tx24(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     return emit_packed_sequences(docs, seq_len=512).orderBy("pack_id")
+
+
+@_q(
+    "tx25_shard_shuffle",
+    """WITH t AS (
+         SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         FROM documents),
+       c AS (
+         SELECT doc_id,
+                SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  - n_tokens AS start_offset
+         FROM t),
+       w AS (
+         SELECT c.start_offset + u.i - 1 AS gpos
+         FROM (SELECT doc_id, string_split(text, ' ') AS words
+               FROM documents) s
+         JOIN c USING (doc_id),
+         LATERAL (SELECT unnest(generate_series(1, len(s.words))) AS i) u),
+       packs AS (
+         SELECT CAST(FLOOR(gpos / 512) AS BIGINT) AS pack_id,
+                COUNT(*) AS n_tokens
+         FROM w GROUP BY 1),
+       sh AS (
+         SELECT pack_id, n_tokens,
+                md5(concat('shard', CAST(pack_id AS VARCHAR))) AS shuffle_key,
+                CAST(list_sum([
+                  (strpos('0123456789abcdef',
+                          substr(md5(concat('shard', CAST(pack_id AS VARCHAR))),
+                                 i + 1, 1)) - 1)
+                  * CAST(pow(16, 7 - i) AS BIGINT)
+                  for i in range(8)]) AS BIGINT) % 8 AS shard_id
+         FROM packs)
+       SELECT shard_id, COUNT(*) AS n_rows,
+              CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+              MIN(shuffle_key) AS first_key, MAX(shuffle_key) AS last_key
+       FROM sh GROUP BY shard_id ORDER BY shard_id""",
+)
+def tx25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data last mile after tx24: a seeded deterministic
+    global shuffle of the packed sequences into 8 output shards (md5
+    shuffle keys, the tx08 bucket discipline — a pure function of pack
+    ids, stable under re-runs and any partitioning) with per-shard size
+    accounting under the hash: rows, tokens, and the first/last shuffle
+    keys, i.e. the write-order fingerprint of each shard. The actual
+    sorted-shard parquet writer (``write_shards``) shares this exact
+    layout and is pinned by pytest on determinism and balance."""
+    from querysight_spark.operators.textstats import (
+        emit_packed_sequences,
+        shard_accounting,
+        shard_layout,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    packs = emit_packed_sequences(docs, seq_len=512).select("pack_id", "n_tokens")
+    return shard_accounting(shard_layout(packs, n_shards=8, id_col="pack_id"))

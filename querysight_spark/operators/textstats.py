@@ -1039,3 +1039,82 @@ def emit_packed_sequences(
             ).alias("text"),
         )
     )
+
+def shard_layout(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "pack_id",
+    salt: str = "shard",
+) -> DataFrame:
+    """Seeded deterministic global shuffle into ``n_shards`` output shards
+    — the training-data last mile after ``emit_packed_sequences``: a
+    writer needs examples distributed uniformly across N shard files in
+    an order uncorrelated with the source order, reproducible run-to-run.
+
+    Adds (shuffle_key, shard_id, shard_pos): shuffle_key = md5(salt||id)
+    (the seeded shuffle order — same md5-bucket discipline as
+    ``assign_split``/tx08, so the layout is a pure function of ids,
+    stable under any input partitioning, re-run, or cluster size);
+    shard_id = first-8-hex-digits(shuffle_key) mod n_shards; shard_pos =
+    the row's 1-based write position within its shard in shuffle_key
+    order. Changing ``salt`` draws an independent shuffle.
+
+    Plan: one md5 projection (codegen, no data movement) + one
+    shard-keyed window for the positions — the window partitions by
+    shard_id, so at 100 TB each sort is a per-shard local sort (the sort
+    a shard writer performs anyway), never a single-partition funnel."""
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    bucket = F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+    out = df.withColumn("shuffle_key", key).withColumn(
+        "shard_id", (bucket % n_shards).cast("long")
+    )
+    w = Window.partitionBy("shard_id").orderBy("shuffle_key", id_col)
+    return out.withColumn("shard_pos", F.row_number().over(w).cast("long"))
+
+
+def shard_accounting(
+    sharded: DataFrame, token_col: str = "n_tokens"
+) -> DataFrame:
+    """Per-shard size accounting over a ``shard_layout`` frame: rows,
+    tokens, and the first/last shuffle keys (the write-order fingerprint
+    a deterministic-layout audit checks). One shard-keyed partial agg."""
+    return (
+        sharded.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(token_col)).cast("long").alias("total_tokens"),
+            F.min("shuffle_key").alias("first_key"),
+            F.max("shuffle_key").alias("last_key"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    id_col: str = "pack_id",
+    salt: str = "shard",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Materialize the ``shard_layout`` to disk: one Hive directory per
+    shard (``shard_id=K/``), rows within each shard written in
+    shuffle_key order (repartition on shard_id + sortWithinPartitions —
+    the standard sorted-shard write, no global sort). Returns the
+    accounting of what was actually WRITTEN (read back from the files,
+    not echoed from the plan), so callers audit the bytes on disk."""
+    sharded = shard_layout(df, n_shards, id_col, salt)
+    (
+        sharded.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shuffle_key", id_col)
+        .write.partitionBy("shard_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    back = df.sparkSession.read.parquet(path)
+    return shard_accounting(back, token_col)

@@ -313,3 +313,82 @@ def test_emit_packed_sequences_rebuilds_the_stream(spark):
     assert [r.n_docs for r in rows] == [2, 3, 1]
     stream = " ".join(r.text for r in rows)
     assert stream == "a b c d e f g h i j k l m n o"
+
+
+def test_shard_layout_deterministic_and_balanced(spark):
+    """tx25's layout: a pure function of (salt, id) — identical across
+    re-runs and input partitionings; uniform-ish shard sizes; every
+    shard's positions are a contiguous 1..n sequence in shuffle_key
+    order; a different salt draws a genuinely different shuffle."""
+    from querysight_spark.operators.textstats import shard_layout
+
+    rows = [(i, 10 + i % 7) for i in range(400)]
+    df = spark.createDataFrame(rows, "pack_id long, n_tokens long")
+
+    def key(frame):
+        return sorted(
+            (r.pack_id, r.shard_id, r.shard_pos, r.shuffle_key)
+            for r in frame.collect()
+        )
+
+    a = key(shard_layout(df, n_shards=8))
+    b = key(shard_layout(df.repartition(13), n_shards=8))
+    assert a == b  # partitioning-independent, re-run-stable
+
+    by_shard = {}
+    for pid, sid, pos, k in a:
+        by_shard.setdefault(sid, []).append((k, pid, pos))
+    assert set(by_shard) == set(range(8))
+    sizes = [len(v) for v in by_shard.values()]
+    # 400 rows over 8 md5-uniform shards: expect ~50 each; a loose 2x
+    # band catches a broken hash without flaking
+    assert min(sizes) >= 25 and max(sizes) <= 100
+    for sid, members in by_shard.items():
+        members.sort()  # shuffle_key order == write order
+        assert [pos for _k, _p, pos in members] == list(
+            range(1, len(members) + 1)
+        )
+
+    salted = key(shard_layout(df, n_shards=8, salt="other"))
+    assert salted != a
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_shards"):
+        shard_layout(df, n_shards=0)
+
+
+def test_write_shards_round_trip(spark, tmp_path):
+    """The sorted-shard writer: Hive dirs shard_id=0..N-1 on disk, the
+    read-back accounting equals the in-flight accounting, totals
+    conserve the corpus, and each shard's parquet rows come back in
+    shuffle_key order."""
+    from querysight_spark.operators.textstats import (
+        shard_accounting,
+        shard_layout,
+        write_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 5 + i % 3) for i in range(120)], "pack_id long, n_tokens long"
+    )
+    path = str(tmp_path / "shards")
+    written = write_shards(df, path, n_shards=4).collect()
+    planned = shard_accounting(shard_layout(df, n_shards=4)).collect()
+    assert [r.asDict() for r in written] == [r.asDict() for r in planned]
+    assert sum(r.n_rows for r in written) == 120
+    assert sum(r.total_tokens for r in written) == sum(5 + i % 3 for i in range(120))
+
+    import os
+
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("shard_id="))
+    assert dirs == [f"shard_id={k}" for k in range(4)]
+    back = spark.read.parquet(path)
+    for k in range(4):
+        keys = [
+            r.shuffle_key
+            for r in back.where(F.col("shard_id") == k)
+            .orderBy("shard_pos")
+            .collect()
+        ]
+        assert keys == sorted(keys)  # write order == shuffle_key order
