@@ -66,7 +66,9 @@
                 independence surface.
   * dq/io     — data-quality expectation suite + referential-integrity
                 orphans; CSV source round-trip; Hive-partitioned
-                parquet and ORC sink/source round-trips.
+                parquet and ORC sink/source round-trips; streaming-sink
+                small-files compaction (io05: per-batch file litter →
+                even rewrite, values + file-count under the hash).
   * lk/gr/vx  — blocked fuzzy-join record linkage (+ per-block match
                 summary), iterative PageRank vs an unrolled-CTE oracle,
                 large-star/small-star connected components, triangle

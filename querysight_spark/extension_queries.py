@@ -5693,3 +5693,80 @@ def tx25(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     packs = emit_packed_sequences(docs, seq_len=512).select("pack_id", "n_tokens")
     return shard_accounting(shard_layout(packs, n_shards=8, id_col="pack_id"))
+
+
+def io05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-sink compaction under the gate (the maintenance op every
+    streaming deploy runs): the documents export is ingested st07-style —
+    schema-enforced JSONL readStream, maxFilesPerTrigger=1, availableNow
+    — into a real parquet FILE sink, which leaves one small file per
+    micro-batch (the small-files litter this op exists to fix).
+    ``compact_files`` then rewrites the sink into evenly-sized files; the
+    COMPACTED corpus is aggregated against the original documents truth,
+    and the file-count reduction itself rides the hash as a boolean the
+    oracle pins TRUE (a no-op compaction would flip it and fail the
+    gate)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from querysight_spark.sources.layout import compact_files, dataset_file_stats
+    from querysight_spark.sources.text_corpus import DOCUMENTS_SCHEMA, write_jsonl
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"io05:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    tmp = tempfile.gettempdir()
+    export = os.path.join(tmp, f"qs_io05_jsonl_{tag}")
+    sink = os.path.join(tmp, f"qs_io05_sink_{tag}")
+    ckpt = os.path.join(tmp, f"qs_io05_ckpt_{tag}")
+    compacted = os.path.join(tmp, f"qs_io05_compact_{tag}")
+    done = os.path.join(compacted, "_compact_ok")
+    if not os.path.exists(done):
+        if not os.path.exists(os.path.join(export, "_SUCCESS")):
+            # 8 export part files -> 8 micro-batches -> >=8 sink files
+            write_jsonl(
+                load_table(spark, "documents", sf_dir).repartition(8), export
+            )
+        raw = (
+            spark.readStream.schema(DOCUMENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(export)
+        )
+        q = (
+            raw.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # 1 GiB target >> corpus size -> exactly one output file
+        compact_files(spark, sink, compacted, target_file_bytes=1 << 30)
+        with open(done, "w") as f:
+            f.write("ok")
+    n_before, bytes_before = dataset_file_stats(sink)
+    n_after, _bytes_after = dataset_file_stats(compacted)
+    back = spark.read.parquet(compacted)
+    return (
+        back.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .withColumn(
+            "compaction_reduced_files", F.lit(bool(n_after < n_before))
+        )
+        .orderBy("source", "lang")
+    )
+
+
+EXTENSION_QUERIES["io05_stream_sink_compaction"] = (
+    io05,
+    """SELECT source, lang, COUNT(*) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+              TRUE AS compaction_reduced_files
+       FROM documents GROUP BY source, lang ORDER BY source, lang""",
+)
