@@ -40,6 +40,25 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # ANN_BENCH probes is the canonical 24-query headline set, kept
 # member-identical across rounds so BENCH_r{N} vs BENCH_r{N-1} is a clean
 # per-query diff. Add new operators to the oracle gate, not here.
+# Round-6 widening (VERDICT r5 ask #1): the frozen v1 set measures only
+# r1-era families, so regressions in graph / curation / retrieval /
+# behavioral / streaming / time-series / linkage operators were invisible
+# to BENCH. headline_v2 adds one representative per previously-unbenched
+# family, published as SIBLING fields ("queries_v2" /
+# "headline_v2_total_sec") so v1's cross-round per-query diff stays
+# member-identical. v2 is now ALSO frozen: extend by appending a v3, not
+# by editing this list.
+HEADLINE_V2 = [
+    "gr02_connected_components",  # graph: large/small-star CC
+    "tx21_dup_span_removal",      # curation: exact-substring dedup
+    "ir04_bm25_indexed",          # retrieval: persisted-BM25 probe
+    "co02_funnel",                # behavioral: ordered funnel
+    "st09_stream_anomalies",      # streaming: stateful drain
+    "dd09_delta_dedup",           # incremental dedup probe
+    "ts05_ewma",                  # time-series: ordered-fold EWMA
+    "lk03_entity_resolution",     # linkage: blocked fuzzy ER
+]
+
 HEADLINE = [
     "p10_join_agg",
     "p15_five_way_join",
@@ -133,6 +152,13 @@ def _run(spark) -> None:
         cold_total += cold
         times[name] = round(best, 3)
     total = round(sum(times.values()), 3)
+    times_v2: dict[str, float] = {}
+    cold_total_v2 = 0.0
+    for name in HEADLINE_V2:
+        cold, best = timed(lambda: qs[name](spark, SF_DIR).count())
+        cold_total_v2 += cold
+        times_v2[name] = round(best, 3)
+    total_v2 = round(sum(times_v2.values()), 3)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -148,6 +174,11 @@ def _run(spark) -> None:
                 # cross-round per-query diffs never absorb the build cost
                 "ann_index_build_sec": index_build,
                 "cold_total_sec": round(cold_total, 3),
+                # versioned v2 set (round 6+): same discipline — total_v2
+                # equals sum(queries_v2.values()), cold reported beside
+                "queries_v2": times_v2,
+                "headline_v2_total_sec": total_v2,
+                "cold_total_v2_sec": round(cold_total_v2, 3),
                 "sf": sf,
             }
         )

@@ -97,5 +97,113 @@ def main() -> int:
     return 0
 
 
+
+
+def cap_recall() -> int:
+    """``--cap-recall`` mode (VERDICT r5 ask #5): measure the true-pair
+    recall COST of the dd02/dd03 scale caps on a viral-boilerplate
+    fixture where ground truth is known by construction.
+
+    Fixture: 2,000 organic sf0.1 docs + injected near-dup families of
+    sizes [200, 64, 24, 8, 3] — every member is the family boilerplate
+    text plus one member-distinct tag token, so all C(size, 2)
+    within-family pairs are true near-dups (pairwise Jaccard >> 0.5).
+    The 200-family is the "viral boilerplate" case the caps exist for:
+    its buckets/shingles blow past any cap under test, so the recall the
+    caps forfeit is exactly what this prints.
+
+    For each cap setting: recall = |found within-family pairs| / |true
+    pairs|, per family size and overall, one JSON line per (operator,
+    cap). Caps: argv values or the default 32/64/128.
+    """
+    from pyspark.sql import functions as F
+
+    from querysight_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+    from querysight_spark.session import get_spark
+    from querysight_spark.sources import load_table
+
+    caps = [int(c) for c in sys.argv[2:]] or [32, 64, 128]
+    sizes = [200, 64, 24, 8, 3]
+    spark = get_spark(app_name="text-cap-recall")
+    base = (
+        load_table(spark, "documents", "/root/testdata/sf0.1")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 2000)
+    )
+    fam_rows = []
+    for f, size in enumerate(sizes):
+        # one fixed boilerplate per family, long enough that one tag
+        # token keeps pairwise jaccard far above the 0.5 threshold
+        boiler = " ".join(f"fam{f}tok{j}" for j in range(40))
+        for i in range(size):
+            fam_rows.append((10_000_000 + f * 10_000 + i, f"{boiler} v{i}"))
+    docs = base.unionByName(
+        spark.createDataFrame(fam_rows, "doc_id long, text string")
+    ).repartition(32).persist()
+    docs.count()
+
+    fam = F.floor((F.col("doc_a") - 10_000_000) / 10_000)
+    true_per_fam = {f: s * (s - 1) // 2 for f, s in enumerate(sizes)}
+
+    def recall(found) -> dict:
+        hits = (
+            found.where(
+                (F.col("doc_a") >= 10_000_000) & (F.col("doc_b") >= 10_000_000)
+            )
+            .where(
+                fam == F.floor((F.col("doc_b") - 10_000_000) / 10_000)
+            )
+            .groupBy(fam.cast("int").alias("f"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        got = {r.f: r.n for r in hits.collect()}
+        per = {
+            f"fam{f}_size{s}": round(got.get(f, 0) / true_per_fam[f], 4)
+            for f, s in enumerate(sizes)
+        }
+        total_true = sum(true_per_fam.values())
+        per["overall"] = round(
+            sum(got.get(f, 0) for f in range(len(sizes))) / total_true, 4
+        )
+        return per
+
+    for cap in caps:
+        t0 = time.time()
+        r = recall(
+            minhash_lsh_candidates(
+                docs, num_hashes=8, shingle_size=3, bands=4,
+                max_bucket_size=cap,
+            )
+        )
+        print(
+            json.dumps(
+                {"op": "dd02_minhash_bucket_cap", "cap": cap, **r,
+                 "sec": round(time.time() - t0, 2)}
+            ),
+            flush=True,
+        )
+        t0 = time.time()
+        r = recall(
+            ngram_jaccard_pairs(
+                docs, shingle_size=3, threshold=0.5, max_shingle_df=cap
+            )
+        )
+        print(
+            json.dumps(
+                {"op": "dd03_shingle_df_cap", "cap": cap, **r,
+                 "sec": round(time.time() - t0, 2)}
+            ),
+            flush=True,
+        )
+    docs.unpersist()
+    spark.stop()
+    return 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--cap-recall":
+        sys.exit(cap_recall())
     sys.exit(main())
