@@ -57,7 +57,10 @@
                 mm05: frame-level audio energy/VAD over the decoded
                 samples; mm07: COMPRESSED-container decode — pure-
                 stdlib zlib-DEFLATE PNG encode/decode with five-filter
-                reconstruction, no PIL required).
+                reconstruction, no PIL required; mm08: baseline
+                sequential-DCT JPEG encode/decode — Annex K Huffman
+                entropy coding + float DCT, bit-exact on the
+                block-constant gate corpus, no PIL required).
   * ts/an     — time-series resample + gap-fill (forward and linear),
                 per-row ordered-fold EWMA, Brown double smoothing,
                 two-sample KS drift, CUSUM change-point alarms,

@@ -90,8 +90,13 @@ def test_decode_image_compressed_needs_pil():
         pytest.skip("PIL installed — compressed formats decode")
     except ImportError:
         pass
-    # JPEG has no native path — a genuine capability gap without PIL
+    # GIF/WebP still have no native path — a genuine capability gap
+    # without PIL (JPEG gained one in round 6: see the mm08 tests)
     with pytest.raises(NotImplementedError, match="requires PIL"):
+        decode_image(b"GIF89a not a real gif")
+    # a CORRUPT JPEG is a data error through the native path, not a
+    # capability gap — the mm07 PNG policy applied to JPEG
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0\x00\x10JFIF not a real jpeg")
 
 
@@ -420,3 +425,116 @@ def test_png_truncated_idat_raises_value_error():
     # (lenient chunk walk) — the data needed for pixels is all there
     w, h, _c, _arr = decode_png(payload[:-12])
     assert (w, h) == (8, 8)
+
+
+# --- baseline JPEG codec (mm08) ---------------------------------------------
+
+
+def test_jpeg_block_constant_exact_roundtrip():
+    """Constant 8x8 blocks are DC-only through the DCT; the DC path is
+    float64-exact, so the lossy container round-trips bit-exactly — the
+    invariant the mm08 oracle is built on."""
+    from querysight_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    blocks = np.array([[10, 200, 37, 255], [128, 0, 64, 99]], dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    w, h = img.shape[1], img.shape[0]
+    payload = encode_jpeg(w, h, img.tobytes(), channels=1)
+    W, H, C, arr = decode_jpeg(payload)
+    assert (W, H, C) == (w, h, 1)
+    assert np.array_equal(arr, img)
+    # container sanity: real JPEG framing
+    assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+
+
+def test_jpeg_general_content_within_one():
+    """All-ones quant: arbitrary (AC-heavy) content must reconstruct
+    within ±1 per pixel — float DCT/IDCT rounding only. Exercises the
+    full AC Huffman path (runs, ZRL, EOB) that block-constant images
+    never touch."""
+    from querysight_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    _, _, _, a = decode_jpeg(encode_jpeg(24, 16, gray.tobytes(), channels=1))
+    assert np.abs(a.astype(int) - gray.astype(int)).max() <= 1
+
+    rgb = rng.integers(0, 256, (8, 16, 3), dtype=np.uint8)
+    _, _, C, a3 = decode_jpeg(encode_jpeg(16, 8, rgb.tobytes(), channels=3))
+    assert C == 3
+    assert np.abs(a3.astype(int) - rgb.astype(int)).max() <= 1
+
+
+def test_jpeg_odd_dims_and_coarse_quant():
+    from querysight_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (13, 21), dtype=np.uint8)
+    W, H, _, a = decode_jpeg(encode_jpeg(21, 13, img.tobytes(), channels=1))
+    assert (W, H) == (21, 13) and a.shape == (13, 21)
+    assert np.abs(a.astype(int) - img.astype(int)).max() <= 1
+
+    # coarse quant: genuinely lossy (smaller file), error bounded by the
+    # quantization step times the IDCT's worst-case basis sum (~q/2 * 8)
+    coarse = encode_jpeg(21, 13, img.tobytes(), channels=1, quant=[16] * 64)
+    fine = encode_jpeg(21, 13, img.tobytes(), channels=1)
+    assert len(coarse) < len(fine)
+    _, _, _, ac = decode_jpeg(coarse)
+    assert np.abs(ac.astype(int) - img.astype(int)).max() <= 64
+
+
+def test_jpeg_error_contracts():
+    """ValueError for corrupt/truncated data, NotImplementedError for
+    legal-but-unsupported variants — the PNG variant policy."""
+    import struct
+
+    from querysight_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    payload = encode_jpeg(16, 8, bytes(range(128)), channels=1)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x00\x01" + payload[2:])
+    # cut inside the entropy stream
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[:-20])
+    # progressive SOF2: unsupported VARIANT, not corruption
+    sof2 = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(sof2)
+    # truncated segment length field
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[:5])
+    # missing Huffman table: strip the DHT segment
+    i = payload.index(b"\xff\xc4")
+    (dht_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+    stripped = payload[:i] + payload[i + 2 + dht_len :]
+    with pytest.raises(ValueError, match="Huffman"):
+        decode_jpeg(stripped)
+
+
+def test_jpeg_decode_image_routing():
+    """decode_image must route JPEG magic to the native decoder (no PIL
+    required) and return the standard (w, h, array) contract."""
+    from querysight_spark.operators.multimodal import encode_jpeg
+
+    blocks = np.array([[5, 250]], dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    payload = encode_jpeg(16, 8, img.tobytes(), channels=1)
+    w, h, arr = decode_image(payload, prefer_pil=False)
+    assert (w, h) == (16, 8)
+    assert np.array_equal(arr, img)
+
+
+def test_pil_path_matches_pure_jpeg_decoder_on_block_constant():
+    """With PIL installed both decoders must agree exactly on the
+    block-constant corpus (DC-only: no lossy ambiguity for libjpeg to
+    resolve differently)."""
+    pytest.importorskip("PIL")
+    from querysight_spark.operators.multimodal import encode_jpeg
+
+    blocks = np.array([[10, 200], [37, 128]], dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    payload = encode_jpeg(16, 16, img.tobytes(), channels=1)
+    w_pil, h_pil, arr_pil = decode_image(payload, prefer_pil=True)
+    w_pp, h_pp, arr_pp = decode_image(payload, prefer_pil=False)
+    assert (w_pil, h_pil) == (w_pp, h_pp) == (16, 16)
+    assert np.array_equal(arr_pil, arr_pp)
