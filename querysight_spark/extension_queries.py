@@ -5015,7 +5015,10 @@ def ir08(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     phrases = ["table hash", "slow query", "row scan"]
     q = spark.createDataFrame([(p,) for p in phrases], "query string")
-    sc = q.crossJoin(docs)
+    # ss12's spelling: broadcast the 3-row query batch explicitly so the
+    # plan is pinned to one corpus pass regardless of stats (r5 VERDICT
+    # uniformity nit — Spark already chose BroadcastNestedLoopJoin here)
+    sc = docs.crossJoin(F.broadcast(q))
     w1 = F.split("query", " ")[0]
     w2 = F.split("query", " ")[1]
 
