@@ -42,14 +42,15 @@
                 deterministic shard shuffle + size accounting), rollup
                 tiers incl. streaming absorption, self-checking sketches
                 incl. a cell-exact portable Count-Min.
-  * st01-st10 — Structured Streaming under the gate (windows, stateful
+  * st01-st11 — Structured Streaming under the gate (windows, stateful
                 counts, cross-batch dedup, session windows, stream-
                 stream join, session-state absorption into a persisted
                 tier, JSONL ingest with re-delivery suppression,
                 stream-static broadcast enrichment, stateful ring-buffer
                 anomaly detection, cross-batch stateful top-k with
-                eviction), drained availableNow vs batch
-                oracles.
+                eviction, binned-KS drift monitoring against a
+                broadcast reference histogram), drained availableNow
+                vs batch oracles.
   * aj/rj/sj/mm — as-of join, range join, salted join, multimodal
                 (incl. mm06 perceptual dHash over decoded rasters)
                 (mm04: REAL payload decode — netpbm/WAV codecs round-

@@ -5820,3 +5820,71 @@ def mm08(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload_stats(
         synth_media_corpus(docs, image_format="jpeg")
     ).orderBy("asset_id")
+
+
+_ST11_PROBS = "0.015625, 0.03125, 0.046875, 0.0625, 0.078125, 0.09375, 0.109375, 0.125, 0.140625, 0.15625, 0.171875, 0.1875, 0.203125, 0.21875, 0.234375, 0.25, 0.265625, 0.28125, 0.296875, 0.3125, 0.328125, 0.34375, 0.359375, 0.375, 0.390625, 0.40625, 0.421875, 0.4375, 0.453125, 0.46875, 0.484375, 0.5, 0.515625, 0.53125, 0.546875, 0.5625, 0.578125, 0.59375, 0.609375, 0.625, 0.640625, 0.65625, 0.671875, 0.6875, 0.703125, 0.71875, 0.734375, 0.75, 0.765625, 0.78125, 0.796875, 0.8125, 0.828125, 0.84375, 0.859375, 0.875, 0.890625, 0.90625, 0.921875, 0.9375, 0.953125, 0.96875, 0.984375"
+
+@_q(
+    "st11_stream_drift_monitor",
+    f"""WITH r AS (
+         SELECT CAST(value AS DOUBLE) AS v FROM events
+         WHERE event_type = 'view'),
+       o AS (
+         SELECT CAST(value AS DOUBLE) AS v FROM events
+         WHERE event_type = 'purchase'),
+       e AS (SELECT quantile_cont(v, [{_ST11_PROBS}]) AS edges FROM r),
+       rb AS (
+         SELECT len(list_filter(edges, x -> v >= x)) AS bucket, COUNT(*) AS cb
+         FROM r CROSS JOIN e GROUP BY 1),
+       ob AS (
+         SELECT len(list_filter(edges, x -> v >= x)) AS bucket, COUNT(*) AS ca
+         FROM o CROSS JOIN e GROUP BY 1),
+       allb AS (
+         SELECT COALESCE(ob.bucket, rb.bucket) AS bucket,
+                COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+         FROM ob FULL JOIN rb ON ob.bucket = rb.bucket),
+       tot AS (
+         SELECT (SELECT COUNT(*) FROM o) AS n_a,
+                (SELECT COUNT(*) FROM r) AS n_b),
+       ecdf AS (
+         SELECT SUM(ca) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                  AS cum_a,
+                SUM(cb) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                  AS cum_b
+         FROM allb)
+       SELECT CAST(n_a AS BIGINT) AS n_obs, CAST(n_b AS BIGINT) AS n_ref,
+              ROUND(MAX(ABS(cum_a / n_a - cum_b / n_b)), 6) AS ks_stat,
+              ROUND(1.358 * SQRT((n_a + n_b) / (n_a * n_b)), 6) AS critical,
+              MAX(ABS(cum_a / n_a - cum_b / n_b))
+                > 1.358 * SQRT((n_a + n_b) / (n_a * n_b)) AS drift
+       FROM ecdf, tot GROUP BY n_a, n_b""",
+)
+def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor (the monitoring complement of st09 —
+    round-6 continuity candidate #1): an06's binned two-sample KS run
+    against a LIVE stream. The reference corpus ('view' events) yields a
+    broadcast reference histogram — exact quantile edges + per-bucket
+    counts, <= n_bins driver rows by construction; the observed stream
+    ('purchase' events, availableNow) maintains per-bucket counts as a
+    streaming aggregation whose TOTAL state is <= n_bins rows at any
+    stream volume; the drained counts read out as the ECDF max-gap
+    decision. The oracle replays reference edges, both bucketings, and
+    the gap from the batch truth — a binning, absorb, or read-out bug
+    anywhere breaks the hash."""
+    from querysight_spark.streaming.incremental import (
+        drift_from_counts,
+        reference_histogram,
+        stream_drift_bucket_counts,
+    )
+
+    ref = load_table(spark, "events", sf_dir).where(
+        F.col("event_type") == "view"
+    )
+    edges, ref_counts, n_ref = reference_histogram(ref, "value", n_bins=64)
+    obs = _stream_events_log(spark, sf_dir, raw_columns=True).where(
+        F.col("event_type") == "purchase"
+    )
+    counts = _run_available_now(
+        stream_drift_bucket_counts(obs, edges), spark, "complete"
+    )
+    return drift_from_counts(counts, ref_counts, n_ref)

@@ -387,3 +387,103 @@ def start_session_absorb(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- streaming drift monitor (st11) -----------------------------------------
+
+
+def reference_histogram(
+    reference: DataFrame, value_col: str, n_bins: int = 64
+) -> tuple[list[float], dict[int, int], int]:
+    """The fixed monitoring reference a production drift monitor
+    broadcasts: exact interpolated quantile bin edges of the REFERENCE
+    corpus (an06's vx02 percentile parity, so the gate can replay them)
+    plus the reference's own per-bucket counts. Driver state is bounded
+    at n_bins-1 edge doubles + <= n_bins (bucket, count) rows — that
+    bounded table IS the design (the whole point of binned KS for
+    streams). Returns (edges, bucket -> ref count, n_ref)."""
+    vals = reference.select(F.col(value_col).cast("double").alias("v"))
+    probs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    edges = vals.agg(
+        F.expr(f"percentile(v, array({probs}))").alias("edges")
+    ).first()["edges"]
+    arr = F.array(*[F.lit(float(e)) for e in edges])
+    per_b = (
+        vals.select(
+            F.size(F.filter(arr, lambda e: F.col("v") >= e)).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    counts = {int(r.bucket): int(r.cnt) for r in per_b}
+    return [float(e) for e in edges], counts, sum(counts.values())
+
+
+def stream_drift_bucket_counts(
+    stream: DataFrame, edges: list[float], value_col: str = "value"
+) -> DataFrame:
+    """Streaming half of the drift monitor: bucket every arriving value
+    by the broadcast literal edge array (one JVM-side size(filter(...))
+    per row — no shuffle before the agg) and maintain per-bucket counts
+    as a streaming aggregation. State is <= n_bins rows TOTAL regardless
+    of stream volume — the bounded-state restatement of an03's
+    distinct-value table, which a stream could never hold."""
+    arr = F.array(*[F.lit(float(e)) for e in edges])
+    return (
+        stream.select(F.col(value_col).cast("double").alias("v"))
+        .select(F.size(F.filter(arr, lambda e: F.col("v") >= e)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def drift_from_counts(
+    obs_counts: DataFrame,
+    ref_counts: dict[int, int],
+    n_ref: int,
+    critical_coeff: float = 1.358,
+) -> DataFrame:
+    """Monitor read-out: two-sample binned KS between the drained
+    observed bucket counts and the broadcast reference histogram —
+    an06's ECDF max-gap over <= n_bins cumulative rows, with the
+    reference side a literal table. Output contract matches ks_drift:
+    (n_obs, n_ref, ks_stat, critical, drift)."""
+    from pyspark.sql import Window
+
+    spark = obs_counts.sparkSession
+    ref_df = spark.createDataFrame(
+        [(int(b), int(c)) for b, c in sorted(ref_counts.items())],
+        "bucket int, cb long",
+    )
+    per_b = (
+        obs_counts.select("bucket", F.col("cnt").alias("ca"))
+        .join(ref_df, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    totals = per_b.agg(F.sum("ca").alias("n_a"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = per_b.select(
+        F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
+    ).crossJoin(F.broadcast(totals))
+    nb = F.lit(int(n_ref)).cast("double")
+    # nullif guards ANSI division (the an04/X113 discipline): an empty
+    # observed stream reads out (n_obs=0, ks_stat/drift null), not an
+    # ArithmeticException mid-monitor
+    na = F.nullif(F.col("n_a"), F.lit(0))
+    gap = F.abs(F.col("cum_a") / na - F.col("cum_b") / nb)
+    crit = F.lit(critical_coeff) * F.sqrt(
+        (F.nullif(F.first("n_a"), F.lit(0)) + nb)
+        / (F.nullif(F.first("n_a"), F.lit(0)) * nb)
+    )
+    return ecdf.agg(
+        F.first("n_a").cast("long").alias("n_obs"),
+        F.lit(int(n_ref)).cast("long").alias("n_ref"),
+        F.round(F.max(gap), 6).alias("ks_stat"),
+        F.round(crit, 6).alias("critical"),
+        (F.max(gap) > crit).alias("drift"),
+    )

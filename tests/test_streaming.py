@@ -439,3 +439,43 @@ def test_stateful_topk_cross_batch_eviction(spark, tmp_path):
     # collapse artifact): its rows are exactly the final leaderboard
     last = out.where(F.col("query_id").isin([5])).count()
     assert last == 1
+
+
+def test_drift_monitor_detects_shift_and_passes_identical(spark):
+    """st11's parts in isolation: identical observed/reference
+    distributions must not alarm; a gross location shift must. The
+    bucket-count frame is the same plan in batch and streaming (groupBy
+    bucket), so the decision logic is testable without a stream."""
+    from querysight_spark.streaming.incremental import (
+        drift_from_counts,
+        reference_histogram,
+        stream_drift_bucket_counts,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(i % 100),) for i in range(2000)], "value double"
+    )
+    edges, ref_counts, n_ref = reference_histogram(ref, "value", n_bins=16)
+    assert len(edges) == 15 and n_ref == 2000
+    assert sum(ref_counts.values()) == 2000
+
+    same = drift_from_counts(
+        stream_drift_bucket_counts(ref, edges), ref_counts, n_ref
+    ).first()
+    assert same.n_obs == 2000 and same.n_ref == 2000
+    assert same.ks_stat <= same.critical and not same.drift
+
+    shifted = spark.createDataFrame(
+        [(float(i % 100) + 50.0,) for i in range(2000)], "value double"
+    )
+    alarm = drift_from_counts(
+        stream_drift_bucket_counts(shifted, edges), ref_counts, n_ref
+    ).first()
+    assert alarm.drift and alarm.ks_stat > alarm.critical
+    # a stream that saw nothing yet: null read-out (nullif-guarded ANSI
+    # division), never an alarm and never an ArithmeticException
+    empty = spark.createDataFrame([], "value double")
+    z = drift_from_counts(
+        stream_drift_bucket_counts(empty, edges), ref_counts, n_ref
+    ).first()
+    assert z.n_obs == 0 and z.ks_stat is None and z.drift is not True

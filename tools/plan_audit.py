@@ -35,6 +35,12 @@ sys.path.insert(0, REPO)
 ALLOWED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
     "an05_benford": (2, "9-row digit-domain window + 1-row total agg"),
     "an06_ks_drift_binned": (3, "edge scalar agg + <=n_bins ECDF window + totals"),
+    "st11_stream_drift_monitor": (
+        2,
+        "monitor read-out: <=n_bins ECDF window over the drained bucket "
+        "counts + the 1-row decision agg (an06's bounded shape; the "
+        "stream side is a bounded-state streaming agg, not in this plan)",
+    ),
     "co02_funnel": (4, "stage-table (len(stages) rows) windows + scalar aggs"),
     "ql19_coverage_metrics": (2, "global coverage metrics: scalar aggs over partials"),
     "ql21_pattern_summary": (3, "global summary row: scalar aggs over partials"),
