@@ -5888,3 +5888,96 @@ def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_drift_bucket_counts(obs, edges), spark, "complete"
     )
     return drift_from_counts(counts, ref_counts, n_ref)
+
+
+_TX26_ORACLE = """WITH wt AS (
+      SELECT w, COUNT(*) AS freq
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w),
+    w0 AS (
+      SELECT w, [substr(w, i, 1) for i in range(1, len(w) + 1)] AS toks, freq
+      FROM wt),
+    p1 AS (
+      SELECT u AS pr, freq FROM (
+        SELECT UNNEST([toks[i] || ' ' || toks[i+1]
+                       for i in range(1, len(toks))]) AS u, freq
+        FROM w0 WHERE len(toks) >= 2)),
+    m1 AS (
+      SELECT string_split(pr, ' ')[1] AS a, string_split(pr, ' ')[2] AS b,
+             replace(pr, ' ', '') AS m FROM (
+        SELECT pr FROM (SELECT pr, SUM(freq) AS c FROM p1 GROUP BY pr
+                        ORDER BY c DESC, pr LIMIT 1))),
+    w1 AS (
+      SELECT w, list_reduce([[t] for t in toks],
+               (acc, x) -> CASE WHEN acc[-1] = m1.a AND x[1] = m1.b
+                                THEN list_append(acc[1:len(acc)-1], m1.m)
+                                ELSE list_concat(acc, x) END) AS toks, freq
+      FROM w0 CROSS JOIN m1),
+    p2 AS (
+      SELECT u AS pr, freq FROM (
+        SELECT UNNEST([toks[i] || ' ' || toks[i+1]
+                       for i in range(1, len(toks))]) AS u, freq
+        FROM w1 WHERE len(toks) >= 2)),
+    m2 AS (
+      SELECT string_split(pr, ' ')[1] AS a, string_split(pr, ' ')[2] AS b,
+             replace(pr, ' ', '') AS m FROM (
+        SELECT pr FROM (SELECT pr, SUM(freq) AS c FROM p2 GROUP BY pr
+                        ORDER BY c DESC, pr LIMIT 1))),
+    w2 AS (
+      SELECT w, list_reduce([[t] for t in toks],
+               (acc, x) -> CASE WHEN acc[-1] = m2.a AND x[1] = m2.b
+                                THEN list_append(acc[1:len(acc)-1], m2.m)
+                                ELSE list_concat(acc, x) END) AS toks, freq
+      FROM w1 CROSS JOIN m2),
+    p3 AS (
+      SELECT u AS pr, freq FROM (
+        SELECT UNNEST([toks[i] || ' ' || toks[i+1]
+                       for i in range(1, len(toks))]) AS u, freq
+        FROM w2 WHERE len(toks) >= 2)),
+    m3 AS (
+      SELECT string_split(pr, ' ')[1] AS a, string_split(pr, ' ')[2] AS b,
+             replace(pr, ' ', '') AS m FROM (
+        SELECT pr FROM (SELECT pr, SUM(freq) AS c FROM p3 GROUP BY pr
+                        ORDER BY c DESC, pr LIMIT 1))),
+    w3 AS (
+      SELECT w, list_reduce([[t] for t in toks],
+               (acc, x) -> CASE WHEN acc[-1] = m3.a AND x[1] = m3.b
+                                THEN list_append(acc[1:len(acc)-1], m3.m)
+                                ELSE list_concat(acc, x) END) AS toks
+      FROM w2 CROSS JOIN m3),
+    enc AS (
+      SELECT w, array_to_string(toks, ' ') AS etoks,
+             CAST(len(toks) AS BIGINT) AS ntoks
+      FROM w3),
+    docw AS (
+      SELECT doc_id, u.i AS pos, s.words[u.i] AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS words
+            FROM documents) s,
+      LATERAL (SELECT UNNEST(generate_series(1, len(s.words))) AS i) u
+      WHERE s.words[u.i] <> '')
+    SELECT d.doc_id, COUNT(*) AS n_words,
+           CAST(SUM(e.ntoks) AS BIGINT) AS n_tokens,
+           string_agg(e.etoks, ' / ' ORDER BY d.pos) AS encoded
+    FROM docw d JOIN enc e ON d.w = e.w
+    GROUP BY d.doc_id ORDER BY d.doc_id"""
+
+
+@_q("tx26_bpe_encode", _TX26_ORACLE)
+def tx26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale BPE ENCODE completing the tokenizer story: the three
+    merges tx22 learns are applied back to every document through the
+    same boundary-respecting greedy fold, and the FULL encoding (per-doc
+    token count + the encoded text itself) sits under the hash. Merges
+    apply once to the vocabulary-sized word-type table and join back
+    onto the position-exploded corpus — the corpus is scanned once
+    however many merges unroll. The oracle replays learn AND encode
+    per-merge, so a fold or reassembly divergence anywhere breaks it."""
+    from querysight_spark.operators.textstats import bpe_encode, bpe_merge_steps
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    learned = bpe_merge_steps(docs.select("text"), n_merges=3).orderBy("step")
+    merges = [
+        (r.pair.split(" ")[0], r.pair.split(" ")[1], r.merged)
+        for r in learned.collect()
+    ]
+    return bpe_encode(docs, merges).orderBy("doc_id")

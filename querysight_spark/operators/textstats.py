@@ -786,6 +786,23 @@ def remove_duplicate_spans(
     )
 
 
+def _bpe_merge_fold(a: str, b: str, merged: str):
+    """Greedy left-to-right application of one BPE merge to a ``toks``
+    array column: the exact fold both the learner and the encoder use —
+    respects token boundaries and back-to-back occurrences, where an
+    in-string replace() is wrong (pinned by pytest)."""
+    a_l, b_l, m_l = F.lit(a), F.lit(b), F.lit(merged)
+    singles = F.expr("transform(toks, t -> array(t))")
+    return F.aggregate(
+        F.slice(singles, 2, F.size("toks") - 1),
+        F.slice(singles, 1, 1)[0],
+        lambda acc, x: F.when(
+            (F.element_at(acc, -1) == a_l) & (F.element_at(x, 1) == b_l),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(m_l)),
+        ).otherwise(F.concat(acc, x)),
+    )
+
+
 def bpe_merge_steps(
     df: DataFrame,
     text_col: str = "text",
@@ -847,21 +864,9 @@ def bpe_merge_steps(
         a, b = top.pr.split(" ")
         merged = a + b
         merges.append((step, top.pr, merged, int(top.c)))
-        a_l, b_l, m_l = F.lit(a), F.lit(b), F.lit(merged)
-        singles = F.expr("transform(toks, t -> array(t))")
-        folded = F.aggregate(
-            F.slice(singles, 2, F.size("toks") - 1),
-            F.slice(singles, 1, 1)[0],
-            lambda acc, x: F.when(
-                (F.element_at(acc, -1) == a_l) & (F.element_at(x, 1) == b_l),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(m_l)
-                ),
-            ).otherwise(F.concat(acc, x)),
-        )
-        nxt = cur.select(folded.alias("toks"), "freq").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        nxt = cur.select(
+            _bpe_merge_fold(a, b, merged).alias("toks"), "freq"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         nxt.count()  # materialize; caps lineage per step
         if prev is not None:
             prev.unpersist()  # each step needs only its predecessor
@@ -874,6 +879,64 @@ def bpe_merge_steps(
     spark = df.sparkSession
     return spark.createDataFrame(
         merges, "step int, pair string, merged string, pair_count long"
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-scale BPE ENCODE — the apply step completing
+    ``bpe_merge_steps``'s learn step (the tokenizer story end to end):
+    every document's words are re-tokenized through the learned merges
+    in order, using the same boundary-respecting greedy fold the learner
+    used, so encode(learn(corpus)) is self-consistent by construction.
+    ``merges`` is the learner's (pair_a, pair_b, merged) list in learned
+    order. Returns one row per document: (id, n_words, n_tokens,
+    encoded) with ``encoded`` the per-word token lists space-joined and
+    ' / '-separated — the full encoding sits under the gate hash.
+
+    Scale shape: merges apply to the WORD-TYPE table (vocabulary-sized
+    however large the corpus — the same economy as the learner), and the
+    encoded vocabulary joins back onto the position-exploded doc stream
+    by word key; per-doc reassembly is one sorted-collect fold. The k
+    folds unroll into one projection over the vocab table, so the corpus
+    itself is scanned once."""
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    ).where(F.col("w") != "")
+    vocab = words.select("w").distinct().select(
+        "w",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("toks"),
+    )
+    for a, b, merged in merges:
+        vocab = vocab.select(
+            "w", _bpe_merge_fold(a, b, merged).alias("toks")
+        )
+    enc = vocab.select(
+        "w",
+        F.array_join("toks", " ").alias("etoks"),
+        F.size("toks").cast("long").alias("ntoks"),
+    )
+    return (
+        words.join(enc, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("ntoks").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "etoks"))),
+                    lambda s: s["etoks"],
+                ),
+                " / ",
+            ).alias("encoded"),
+        )
     )
 
 

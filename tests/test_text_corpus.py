@@ -392,3 +392,61 @@ def test_write_shards_round_trip(spark, tmp_path):
             .collect()
         ]
         assert keys == sorted(keys)  # write order == shuffle_key order
+
+
+def test_bpe_encode_hand_corpus_and_boundaries(spark):
+    """Encode must apply merges with the learner's exact fold: greedy
+    left-to-right, boundary-respecting, correct on back-to-back
+    occurrences — and encode(learn(corpus)) reproduces the learner's
+    final vocabulary tokenization."""
+    from querysight_spark.operators.textstats import bpe_encode, bpe_merge_steps
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aab"), (2, "ab aaab")], "doc_id long, text string"
+    )
+    learned = bpe_merge_steps(docs.select("text"), n_merges=2).collect()
+    merges = [
+        (r.pair.split(" ")[0], r.pair.split(" ")[1], r.merged) for r in learned
+    ]
+    # corpus pairs: 'a a' freq: aaab has 2, aab 1, ab 0, aaab 2 => 5;
+    # 'a b': 4 occurrences; merge1 = 'a a' -> 'aa' (count 5)
+    assert (learned[0].pair, learned[0].merged) == ("a a", "aa")
+    out = {r.doc_id: r for r in bpe_encode(docs, merges).collect()}
+    # after m1: aaab -> [aa, a, b] (greedy left-to-right, no overlap)
+    enc1 = out[1].encoded.split(" / ")
+    enc2 = out[2].encoded.split(" / ")
+    m2 = learned[1].merged
+    # whatever merge 2 is, the encodings must match re-applying the
+    # folds by hand
+    def fold(word, a, b, m):
+        toks, out_t = list(word), []
+        for t in toks:
+            if out_t and out_t[-1] == a and t == b:
+                out_t[-1] = m
+            else:
+                out_t.append(t)
+        return out_t
+
+    def apply_all(word):
+        toks = list(word)
+        for a, b, m in merges:
+            nxt, cur = [], toks
+            for t in cur:
+                if nxt and nxt[-1] == a and t == b:
+                    nxt[-1] = m
+                else:
+                    nxt.append(t)
+            toks = nxt
+        return toks
+
+    assert enc1 == [" ".join(apply_all("aaab")), " ".join(apply_all("aab"))]
+    assert enc2 == [" ".join(apply_all("ab")), " ".join(apply_all("aaab"))]
+    assert out[1].n_tokens == len(apply_all("aaab")) + len(apply_all("aab"))
+    assert out[1].n_words == 2 and out[2].n_words == 2
+    # boundary check: the merged symbol never spans two words — each
+    # word's tokens re-concatenate to exactly that word
+    for r in out.values():
+        for word_toks, word in zip(
+            r.encoded.split(" / "), ["aaab aab", "ab aaab"][r.doc_id - 1].split()
+        ):
+            assert "".join(word_toks.split(" ")) == word
