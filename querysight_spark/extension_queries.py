@@ -5981,3 +5981,21 @@ def tx26(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in learned.collect()
     ]
     return bpe_encode(docs, merges).orderBy("doc_id")
+
+
+@_q("dd11_cosine_dups_auto", _COSINE_DUPS_ORACLE)
+def dd11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The auto-crossover cosine dedup entry: the planner helper picks
+    exact blocked-GEMM vs LSH-prefiltered from the corpus row count
+    (measured ~1e5 boundary, SCALE.md), and whichever path it picks must
+    hash-equal the exact all-pairs oracle — at gate scale that proves
+    the exact branch; the LSH branch's equality on the same construction
+    is dd06's standing evidence."""
+    from querysight_spark.operators.dedup import embedding_cosine_duplicates_auto
+
+    out = embedding_cosine_duplicates_auto(
+        _vecs_aug(spark, sf_dir),
+        threshold=0.95,
+        expected_n=_vecs_aug_expected_n(sf_dir),
+    )
+    return out.orderBy("vec_a", "vec_b")

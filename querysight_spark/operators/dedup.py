@@ -797,3 +797,41 @@ def minhash_jaccard_estimates(
             F.abs(matches / F.lit(num_hashes) - inter / union), 6
         ).alias("abs_err"),
     )
+
+
+# Measured exact-vs-LSH crossover (SCALE.md, r5 vintage curve): exact
+# blocked GEMM wins below ~1e5 vectors (LSH pays fixed per-table
+# overhead), LSH wins above (exact's pair space is quadratic). The
+# boundary is flat — both paths are within ~2x of each other for a
+# decade around it — so a footer-estimate is plenty of precision.
+COSINE_AUTO_CROSSOVER = 100_000
+
+
+def embedding_cosine_duplicates_auto(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    expected_n: int | None = None,
+    crossover: int = COSINE_AUTO_CROSSOVER,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Cosine near-dup pairs with the plan picked FOR the caller
+    (round-6 continuity item #4): exact all-pairs blocked GEMM below
+    ``crossover`` vectors, sign-LSH bucket prefilter above — the
+    measured ~1e5 boundary from SCALE.md's growth curves, so callers get
+    the right plan without reading that file. ``expected_n`` accepts any
+    row-count estimate (parquet footer metadata, catalog stats); when
+    omitted one count job runs — the same estimate then sizes the exact
+    path's block grid, so nothing is counted twice. Note the two paths
+    are NOT row-identical in general (LSH recall < 1 for borderline
+    pairs below ~0.99 cosine); dd06's equality-to-exact holds for its
+    near-verbatim duplicate construction, which is the dedup use case."""
+    n = expected_n if expected_n is not None else df.count()
+    if n <= crossover:
+        return embedding_cosine_duplicates(
+            df, id_col, vec_col, threshold, expected_n=n
+        )
+    return embedding_cosine_duplicates_lsh(
+        df, id_col, vec_col, threshold, **lsh_kwargs
+    )

@@ -1087,3 +1087,45 @@ def test_count_min_unseen_item_estimates_from_empty_cells(spark):
     cand = spark.createDataFrame([("never-seen-qzj",)], "item string")
     out = count_min_estimates(sketch, cand, "item", depth=4, width=256).collect()
     assert out[0].cms_est == 0  # empty cell -> min coalesces to 0
+
+
+def test_cosine_auto_crossover_picks_paths(spark):
+    """The auto planner: exact path at/below the crossover (row-identical
+    to the exact operator), LSH path above (row-identical to the LSH
+    operator on the same input)."""
+    import numpy as np
+
+    from querysight_spark.operators.dedup import (
+        embedding_cosine_duplicates,
+        embedding_cosine_duplicates_auto,
+        embedding_cosine_duplicates_lsh,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(40, 8))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # seed exact duplicates so there are pairs to find
+    rows += [(100 + i, rows[i][1]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_duplicates(df, threshold=0.95).collect()
+    }
+    auto_small = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_duplicates_auto(df, threshold=0.95).collect()
+    }
+    assert auto_small == exact and exact  # small corpus -> exact branch
+
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_duplicates_lsh(df, threshold=0.95).collect()
+    }
+    auto_big = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_duplicates_auto(
+            df, threshold=0.95, crossover=10
+        ).collect()
+    }
+    assert auto_big == lsh  # forced over the crossover -> LSH branch
