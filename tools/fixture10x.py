@@ -57,8 +57,10 @@ def build_fixture() -> str:
     import duckdb
 
     st = os.stat(os.path.join(SRC, "events.parquet"))
+    # v2: p_name copy-tagged (v1 left 10 copies of every part name, which
+    # inflated lk03's name blocks quadratically by construction)
     tag = hashlib.sha256(
-        f"10x:{SRC}:{st.st_mtime_ns}:{st.st_size}".encode()
+        f"10x:v2:{SRC}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:12]
     out = os.path.join("/tmp", f"qs_sf1_fixture_{tag}")
     done = os.path.join(out, "_fixture_ok")
@@ -99,7 +101,9 @@ def build_fixture() -> str:
     )
     copy(
         """SELECT p_partkey + c * 10000000 AS p_partkey,
-                  p_name, p_brand, p_type, p_size, p_retailprice
+                  CASE WHEN c = 0 THEN p_name
+                       ELSE p_name || '~' || c END AS p_name,
+                  p_brand, p_type, p_size, p_retailprice
            FROM part CROSS JOIN range(10) t(c)""",
         "part",
     )
