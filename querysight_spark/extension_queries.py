@@ -5999,3 +5999,95 @@ def dd11(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected_n=_vecs_aug_expected_n(sf_dir),
     )
     return out.orderBy("vec_a", "vec_b")
+
+
+@_q(
+    "gr07_landmark_distances",
+    """WITH RECURSIVE lp AS (
+         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       pairs AS (
+         SELECT a.l_partkey AS p1, b.l_partkey AS p2
+         FROM lp a JOIN lp b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          AND a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       edges AS (
+         SELECT p1 AS src, p2 AS dst FROM pairs
+         UNION SELECT p2, p1 FROM pairs),
+       lands AS (
+         SELECT src AS l, ROW_NUMBER() OVER (ORDER BY src) - 1 AS li
+         FROM (SELECT DISTINCT src FROM edges ORDER BY src LIMIT 3)),
+       walk AS (
+         SELECT l AS root, l AS id, 0 AS d FROM lands
+         UNION
+         SELECT w.root, e.dst AS id, w.d + 1 AS d
+         FROM walk w JOIN edges e ON e.src = w.id
+         WHERE w.d < 30),
+       md AS (SELECT root, id, MIN(d) AS d FROM walk GROUP BY 1, 2)
+       SELECT m.id AS node,
+              CAST(MIN(CASE WHEN l2.li = 0 THEN m.d END) AS BIGINT) AS dist_l0,
+              CAST(MIN(CASE WHEN l2.li = 1 THEN m.d END) AS BIGINT) AS dist_l1,
+              CAST(MIN(CASE WHEN l2.li = 2 THEN m.d END) AS BIGINT) AS dist_l2
+       FROM md m JOIN lands l2 ON m.root = l2.l
+       GROUP BY m.id ORDER BY node""",
+)
+def gr07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-distance features (graph-embedding prep — round-6
+    continuity candidate #5): hop distances from a bounded deterministic
+    landmark set (the 3 smallest nodes of the gr02 co-purchase graph) to
+    every reachable node, pivoted to one feature row per node — the
+    classic landmark/pivot embedding for graph ML and the triangle-
+    inequality distance-estimate trick. One multi_source_bfs frontier
+    loop serves ALL landmarks (O(diameter) rounds total, frontier keyed
+    by (root, node)), never K separate sweeps; nodes outside a
+    landmark's component carry null for that feature. Oracle: one
+    multi-root recursive min-distance walk, conditionally aggregated."""
+    from querysight_spark.operators.graph import multi_source_bfs
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    lp = li.where(F.col("l_partkey") % 4 == 0).distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .select("p1", "p2")
+    )
+    nodes = pairs.select(F.col("p1").alias("n")).unionByName(
+        pairs.select(F.col("p2").alias("n"))
+    )
+    lands = [r.n for r in nodes.distinct().orderBy("n").limit(3).collect()]
+    if not lands:  # no qualifying co-purchase edges at this corpus
+        return spark.createDataFrame(
+            [], "node long, dist_l0 long, dist_l1 long, dist_l2 long"
+        )
+    seeds = spark.createDataFrame([(int(x),) for x in lands], "node long")
+    res = multi_source_bfs(pairs, seeds, "p1", "p2")
+    # always 3 feature columns (the contract schema): a graph with fewer
+    # than 3 nodes leaves the missing features all-null, as the oracle's
+    # CASE does
+    return (
+        res.groupBy("node")
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("root")
+                        == F.lit(int(lands[i]) if i < len(lands) else -1),
+                        F.col("dist"),
+                    )
+                )
+                .cast("long")
+                .alias(f"dist_l{i}")
+                for i in range(3)
+            ]
+        )
+        .orderBy("node")
+    )

@@ -288,3 +288,33 @@ def test_merge_components_preserves_untouched_singletons(spark):
     }
     # {1,2} untouched; 7 bridges to new node 3 forming {3,7}; 9 stays solo
     assert got == {(1, 1), (2, 1), (3, 3), (7, 3), (9, 9)}
+
+
+def test_landmark_distance_features_shape(spark):
+    """gr07's pivot logic on a hand graph: path 1-2-3-4-5 plus isolated
+    edge 10-11. Landmarks (3 smallest nodes) = 1, 2, 3; distances pivot
+    per node; the 10-11 component is unreachable from all landmarks and
+    carries nulls only where genuinely unreached."""
+    from pyspark.sql import functions as F
+
+    from querysight_spark.operators.graph import multi_source_bfs
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    res = multi_source_bfs(edges, seeds)
+    out = {
+        r.node: (r.d0, r.d1, r.d2)
+        for r in res.groupBy("node")
+        .agg(
+            *[
+                F.min(F.when(F.col("root") == l, F.col("dist"))).alias(f"d{i}")
+                for i, l in enumerate([1, 2, 3])
+            ]
+        )
+        .collect()
+    }
+    assert out[1] == (0, 1, 2)
+    assert out[5] == (4, 3, 2)
+    assert 10 not in out and 11 not in out  # unreachable from every seed
