@@ -79,6 +79,92 @@ def openai_compatible_complete(
     return complete
 
 
+def messages_api_complete(
+    base_url: str,
+    model: str,
+    api_key: str | None = None,
+    api_key_header: str = "x-api-key",
+    version: str | None = None,
+    temperature: float = 0.0,
+    max_tokens: int = 512,
+    timeout_s: float = 30.0,
+) -> Callable[[str], str]:
+    """Build a completion callable for the OTHER widely-published LLM
+    protocol shape: a ``/v1/messages`` endpoint taking
+    ``{model, max_tokens, messages:[{role,content}]}`` and answering
+    ``{content: [{type: "text", text: ...}]}``, with the key in a named
+    header (default ``x-api-key``) and an optional dated ``*-version``
+    header. Together with ``openai_compatible_complete`` this covers the
+    two request/response schemas the reference reaches through litellm
+    (utils/ai_suggester.py:224-282) — the provider STRING routing
+    litellm adds on top is ``with_retries``'s fallback chain here.
+
+    Same discipline as the OpenAI-shape builder: endpoint/model/key are
+    explicit arguments, nothing read from the environment, stdlib urllib
+    only, driver-side over the bounded top-k batch."""
+    import json
+    import urllib.request
+
+    url = base_url.rstrip("/") + "/v1/messages"
+
+    def complete(prompt: str) -> str:
+        body = json.dumps(
+            {
+                "model": model,
+                "max_tokens": max_tokens,
+                "temperature": temperature,
+                "messages": [{"role": "user", "content": prompt}],
+            }
+        ).encode()
+        headers = {"Content-Type": "application/json"}
+        if api_key:
+            headers[api_key_header] = api_key
+        if version:
+            headers["anthropic-version"] = version
+        req = urllib.request.Request(url, data=body, headers=headers)
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            payload = json.loads(resp.read().decode())
+        parts = payload.get("content") or []
+        return "".join(
+            p.get("text", "") for p in parts if p.get("type") == "text"
+        )
+
+    return complete
+
+
+def with_retries(
+    primary: Callable[[str], str],
+    fallbacks: tuple[Callable[[str], str], ...] = (),
+    retries: int = 2,
+    backoff_s: float = 0.25,
+) -> Callable[[str], str]:
+    """Operational wrapper matching what litellm adds around providers:
+    each callable is tried ``retries + 1`` times with exponential
+    backoff, then the next fallback provider takes over — so a flaky or
+    down endpoint degrades to the next provider instead of failing the
+    page. Raises the LAST error only when every provider is exhausted.
+    Pure composition over completion callables, so the whole chain is
+    testable with canned functions — no provider-string registry to
+    mock."""
+    import time
+
+    chain = (primary, *fallbacks)
+
+    def complete(prompt: str) -> str:
+        last: Exception | None = None
+        for fn in chain:
+            for attempt in range(retries + 1):
+                try:
+                    return fn(prompt)
+                except Exception as e:  # noqa: BLE001 — provider errors vary
+                    last = e
+                    if attempt < retries:
+                        time.sleep(backoff_s * (2**attempt))
+        raise last  # type: ignore[misc]
+
+    return complete
+
+
 class RuleBasedRecommender:
     """Default: the deterministic rule cascade (H2's testable stand-in)."""
 

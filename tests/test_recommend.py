@@ -308,3 +308,116 @@ def test_llm_prompt_context_h4_parity(spark, model_map):
     assert schemas["orders"]["column_count"] == 2
     assert schemas["orders"]["data_types"] == ["bigint", "double"]
     assert "System tables" in prompts[0] and "RESPONSE FORMAT" in prompts[0]
+
+
+def test_messages_api_provider_round_trip(spark, model_map):
+    """Drive LLMRecommender through messages_api_complete against a
+    local canned /v1/messages server: request schema, key header,
+    version header, multi-part text response decode, and H3 parsing."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from querysight_spark.plans.providers import (
+        LLMRecommender,
+        messages_api_complete,
+    )
+
+    seen = {}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            seen["path"] = self.path
+            seen["key"] = self.headers.get("x-api-key")
+            seen["version"] = self.headers.get("anthropic-version")
+            seen["model"] = body["model"]
+            seen["max_tokens"] = body["max_tokens"]
+            content = (
+                "Type: [REWRITE_QUERY]\nDescription: rewrite it\n"
+                "Impact: [HIGH]\n```sql\nSELECT 1\n```"
+            )
+            out = json.dumps(
+                {
+                    "content": [
+                        {"type": "text", "text": content[: len(content) // 2]},
+                        {"type": "tool_use", "id": "x", "name": "n", "input": {}},
+                        {"type": "text", "text": content[len(content) // 2 :]},
+                    ]
+                }
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    server = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        complete = messages_api_complete(
+            f"http://127.0.0.1:{server.server_port}",
+            model="m-test",
+            api_key="k-123",
+            version="2023-06-01",
+        )
+        pats = _patterns(
+            spark,
+            [("p1", "n1", "SELECT * FROM unknown_t", 5, 5000.0, ["unknown_t"])],
+        )
+        out = LLMRecommender(complete=complete, top_k=1).recommend(
+            pats, model_map
+        ).collect()
+    finally:
+        server.shutdown()
+        server.server_close()
+    assert seen["path"] == "/v1/messages"
+    assert seen["key"] == "k-123" and seen["version"] == "2023-06-01"
+    assert seen["model"] == "m-test" and seen["max_tokens"] == 512
+    assert len(out) == 1
+    r = out[0]
+    # text parts re-concatenate across the interleaved non-text block
+    assert r.rec_type == "REWRITE_QUERY" and r.impact == "HIGH"
+    assert r.suggested_sql.strip() == "SELECT 1"
+
+
+def test_with_retries_backoff_and_fallback_chain():
+    """The litellm-shaped operational wrapper: primary retried with
+    backoff, then each fallback; the last error surfaces only when the
+    whole chain is exhausted."""
+    import pytest
+
+    from querysight_spark.plans.providers import with_retries
+
+    calls = []
+
+    def flaky(prompt):
+        calls.append("flaky")
+        if len([c for c in calls if c == "flaky"]) < 3:
+            raise OSError("transient")
+        return "ok-primary:" + prompt
+
+    assert (
+        with_retries(flaky, retries=2, backoff_s=0.0)("p") == "ok-primary:p"
+    )
+    assert calls.count("flaky") == 3  # 2 failures + 1 success
+
+    def down(prompt):
+        calls.append("down")
+        raise OSError("refused")
+
+    def backup(prompt):
+        calls.append("backup")
+        return "ok-backup"
+
+    calls.clear()
+    assert with_retries(down, (backup,), retries=1, backoff_s=0.0)("p") == "ok-backup"
+    assert calls == ["down", "down", "backup"]
+
+    calls.clear()
+    with pytest.raises(OSError, match="refused"):
+        with_retries(down, (down,), retries=0, backoff_s=0.0)("p")
