@@ -172,3 +172,36 @@ def test_sk04_heavy_hitters_topk_is_distributed(spark):
     s = plan_summary(df)
     assert s["n_take_ordered"] >= 1
     assert s["n_single_partition"] == 0
+
+
+def test_h21_multi_exists_plan_has_no_cartesian(spark):
+    """Q21's multi-(NOT-)EXISTS self-join pileup is the accidental-
+    cartesian trap (r5 VERDICT warning): every correlation is stated as
+    an l_orderkey equality, so the whole plan must be hash semi/anti
+    joins — no CartesianProduct, and any nested-loop join must at least
+    be broadcast (none expected here)."""
+    from querysight_spark.probes import PROBES
+    from querysight_spark.sources import register_views
+
+    register_views(spark, SF)
+    df = spark.sql(PROBES["h21_suppliers_kept_waiting"][0])
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    s = plan_summary(df)
+    assert s["n_broadcast_hash_joins"] + s["n_sort_merge_joins"] >= 5
+
+
+def test_h02_correlated_min_decorrelates(spark):
+    """Q2's correlated MIN must decorrelate into an aggregate + join —
+    never a per-row subquery re-execution."""
+    from querysight_spark.probes import PROBES
+    from querysight_spark.sources import register_views
+
+    register_views(spark, SF)
+    df = spark.sql(PROBES["h02_min_cost_supplier"][0])
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SubqueryExec" not in plan  # h17's decorrelation discipline
+    assert plan_summary(df)["n_take_ordered"] >= 1  # LIMIT 100 distributed
