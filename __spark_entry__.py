@@ -80,8 +80,9 @@
                 embedding z-score scaling and quartile binning.
   * co01-co03 — behavioral analytics: weekly cohort-retention triangle,
                 ordered first-touch funnel, Markov transition matrix.
-  * px01-px02 — end-to-end pipeline compositions under one hash
-                (curation chain; boilerplate-strip -> BM25 retrieval).
+  * px01-px03 — end-to-end pipeline compositions under one hash
+                (curation chain; boilerplate-strip -> BM25 retrieval;
+                clean -> dedup -> pack -> shard writer last mile).
 
 ``oracle_sql()`` carries the DuckDB-dialect equivalent for EVERY entry
 (CTE-reconstructed analog tables where needed), so the driver's

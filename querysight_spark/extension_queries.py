@@ -6091,3 +6091,83 @@ def gr07(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+@_q(
+    "px03_pack_shard_pipeline",
+    r"""WITH cleaned AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(lower(text), $$[^\w\s']$$, ' ', 'g'),
+               $$\s+$$, ' ', 'g')) AS ct
+      FROM documents),
+    filt AS (
+      SELECT doc_id, ct, len(string_split(ct, ' ')) AS n_words
+      FROM cleaned WHERE len(string_split(ct, ' ')) >= 20),
+    dedup AS (
+      SELECT doc_id, ct, n_words FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY md5(ct)) AS keeper
+        FROM filt)
+      WHERE doc_id = keeper),
+    c AS (
+      SELECT doc_id,
+             SUM(n_words) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+               - n_words AS start_offset
+      FROM dedup),
+    w AS (
+      SELECT c.start_offset + u.i - 1 AS gpos
+      FROM (SELECT doc_id, string_split(ct, ' ') AS words FROM dedup) s
+      JOIN c USING (doc_id),
+      LATERAL (SELECT UNNEST(generate_series(1, len(s.words))) AS i) u),
+    packs AS (
+      SELECT CAST(FLOOR(gpos / 512) AS BIGINT) AS pack_id,
+             COUNT(*) AS n_tokens
+      FROM w GROUP BY 1),
+    sh AS (
+      SELECT pack_id, n_tokens,
+             md5(concat('shard', CAST(pack_id AS VARCHAR))) AS shuffle_key,
+             CAST(list_sum([
+               (strpos('0123456789abcdef',
+                       substr(md5(concat('shard', CAST(pack_id AS VARCHAR))),
+                              i + 1, 1)) - 1)
+               * CAST(pow(16, 7 - i) AS BIGINT)
+               for i in range(8)]) AS BIGINT) % 8 AS shard_id
+      FROM packs)
+    SELECT shard_id, COUNT(*) AS n_rows,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(shuffle_key) AS first_key, MAX(shuffle_key) AS last_key
+    FROM sh GROUP BY shard_id ORDER BY shard_id""",
+)
+def px03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data LAST MILE end to end, composed from declared
+    operators under one hash: clean (tx10) → length floor → exact dedup
+    keep-min-id (dd01's md5) → GPT-style 512-token packing over the
+    SURVIVING corpus (tx24 — offsets shift with every upstream drop, so
+    any membership or cleaning divergence cascades into every pack
+    boundary) → seeded md5 shard shuffle with per-shard size accounting
+    (tx25). px01 gates the curation-and-split composition; this gates
+    the writer-side composition that actually feeds a trainer."""
+    from pyspark.sql.window import Window
+
+    from querysight_spark.operators.textstats import (
+        clean_text,
+        emit_packed_sequences,
+        shard_accounting,
+        shard_layout,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    cleaned = clean_text(docs).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    filt = cleaned.where(F.size(F.split("text", " ")) >= 20)
+    keeper = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    deduped = (
+        filt.withColumn("keeper", keeper)
+        .where(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "text")
+    )
+    packs = emit_packed_sequences(deduped, seq_len=512).select(
+        "pack_id", "n_tokens"
+    )
+    return shard_accounting(shard_layout(packs, n_shards=8, id_col="pack_id"))
