@@ -6171,3 +6171,54 @@ def px03(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pack_id", "n_tokens"
     )
     return shard_accounting(shard_layout(packs, n_shards=8, id_col="pack_id"))
+
+
+@_q(
+    "dq03_corpus_diff",
+    """WITH newv AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+                  AS text
+         FROM documents WHERE doc_id % 11 <> 0
+         UNION ALL
+         SELECT doc_id + 100000 AS doc_id, text FROM documents
+         WHERE doc_id % 13 = 0),
+       o AS (SELECT doc_id AS id, md5(text) AS h_old FROM documents),
+       n AS (SELECT doc_id AS id, md5(text) AS h_new FROM newv),
+       j AS (
+         SELECT COALESCE(o.id, n.id) AS id, h_old, h_new
+         FROM o FULL JOIN n ON o.id = n.id)
+       SELECT id,
+              CASE WHEN h_old IS NULL THEN 'added'
+                   WHEN h_new IS NULL THEN 'removed'
+                   WHEN h_old <> h_new THEN 'changed'
+                   ELSE 'unchanged' END AS status
+       FROM j ORDER BY id""",
+)
+def dq03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vintage diff under the gate — the training-data ops
+    question "what changed since the last crawl": the documents table
+    diffed against a deterministically mutated vintage (every 11th doc
+    dropped, every 7th rewritten, every 13th re-added under a shifted
+    id), every id's added/removed/changed/unchanged status under the
+    hash. Content compares by md5 over two narrow (id, hash)
+    projections meeting in ONE id-keyed full-outer join — the standard
+    snapshot-reconciliation shape; text never joins."""
+    from querysight_spark.operators.quality import corpus_diff
+
+    old = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    newv = (
+        old.where(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" v2"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            old.where(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return corpus_diff(old, newv).orderBy("id")

@@ -325,3 +325,51 @@ def mutual_information(
         )
         out = mi if out is None else out.unionByName(mi)
     return out
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Vintage diff between two corpus snapshots — the training-data ops
+    question "what changed since the last crawl": one row per id with
+    status ``added`` (only in new), ``removed`` (only in old),
+    ``changed`` (both, content hash differs), ``unchanged``. Content
+    compares by md5, so the full text never joins — two narrow
+    (id, hash) projections meet in one full-outer equi-join on the id
+    (a column-pruned scan on each side; at 100 TB this is the standard
+    snapshot-reconciliation shape, shuffle keyed by id only)."""
+    o = old.select(
+        F.col(id_col).alias("id"), F.md5(F.col(content_col)).alias("h_old")
+    )
+    n = new.select(
+        F.col(id_col).alias("id"), F.md5(F.col(content_col)).alias("h_new")
+    )
+    j = o.join(n, "id", "full_outer")
+    return j.select(
+        "id",
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+def corpus_diff_summary(diff: DataFrame) -> DataFrame:
+    """Reconciliation scoreboard over ``corpus_diff``: count and share
+    per status — the alerting surface a vintage-promotion gate reads.
+    Totals come from summing the (<= 4-row) per-status counts broadcast
+    back, never a second pass over the diff."""
+    per = diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+    per = per.localCheckpoint(eager=True)  # 2 consumers: rows + total
+    tot = per.agg(F.sum("n").alias("_tot"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "status", "n", F.round(F.col("n") / F.col("_tot"), 6).alias("share")
+        )
+        .orderBy("status")
+    )

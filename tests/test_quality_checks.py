@@ -182,3 +182,24 @@ def test_ks_drift_binned_approx_edges_close_to_exact(spark):
     assert approx_edges.n_a == exact_edges.n_a
     assert abs(approx_edges.ks_stat - exact_edges.ks_stat) <= 1.0 / 32 + 0.001 + 1e-6
     assert approx_edges.drift == exact_edges.drift
+
+
+def test_corpus_diff_statuses_and_summary(spark):
+    """Hand vintages: one added, one removed, one changed, one unchanged
+    — statuses exact; summary counts and shares reconcile to 1.0."""
+    from querysight_spark.operators.quality import corpus_diff, corpus_diff_summary
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (3, "c2"), (4, "d")], "doc_id long, text string"
+    )
+    d = {r.id: r.status for r in corpus_diff(old, new).collect()}
+    assert d == {1: "unchanged", 2: "removed", 3: "changed", 4: "added"}
+    s = {r.status: (r.n, r.share) for r in
+         corpus_diff_summary(corpus_diff(old, new)).collect()}
+    assert s == {
+        "added": (1, 0.25), "removed": (1, 0.25),
+        "changed": (1, 0.25), "unchanged": (1, 0.25),
+    }
