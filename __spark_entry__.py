@@ -29,8 +29,9 @@
                 positional-postings exact-phrase retrieval).
   * cl01-cl03 — embedding clustering (nearest-centroid assignment),
                 SemDeDup semantic dedup, iterative k-means refinement.
-  * ss01-ss12 — similarity search (brute force through persisted IVF+PQ,
-                filtered/grouped/batch top-k);
+  * ss01-ss14 — similarity search (brute force through persisted IVF+PQ,
+                filtered/grouped/batch top-k, incremental index upsert,
+                NSW-style graph index with beam-search probes);
                 declared in EXACT MODE (exhaustive probes, corpus-wide
                 rerank) so every entry hash-matches the brute-force
                 oracle; production operating points live in pytest

