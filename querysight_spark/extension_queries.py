@@ -6249,3 +6249,107 @@ def ss14(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_nsw_index(emb, path, dim=len(q))
     n = _corpus_n(sf_dir)
     return probe_nsw_index(spark, path, q, k=10, beam_width=n, max_hops=64)
+
+
+@_q(
+    "ts07_ohlc_bars",
+    """SELECT event_type,
+              date_trunc('hour', ts) AS bar_ts,
+              first(value ORDER BY ts, event_id) AS open_v,
+              MAX(value) AS high_v,
+              MIN(value) AS low_v,
+              last(value ORDER BY ts, event_id) AS close_v,
+              COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS total_v
+       FROM events
+       GROUP BY 1, 2
+       ORDER BY event_type, bar_ts""",
+)
+def ts07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar compression of the event stream (tick->bar downsampling,
+    the grid a sequence model trains on): per (event_type, hour) the
+    open/high/low/close with (ts, event_id) tie-breaks, the event count,
+    and a DECIMAL-exact bar total. One map-side-combinable groupBy —
+    min_by/max_by on the (ts, id) struct replace any sort or window, and
+    the decimal total is associative-exact so the hash holds at any
+    partitioning (the double-sum order hazard documented in
+    operators/timeseries.py). Oracle: DuckDB ordered-aggregate
+    first/last over the same keys."""
+    from querysight_spark.operators.timeseries import ohlc_bars
+
+    ev = load_table(spark, "events", sf_dir)
+    return ohlc_bars(ev).orderBy("event_type", "bar_ts")
+
+
+@_q(
+    "an07_mad_outliers",
+    """WITH med AS (
+         SELECT event_type, quantile_cont(value, 0.5) AS med
+         FROM events GROUP BY 1),
+       st AS (
+         SELECT e.event_type,
+                quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+                any_value(m.med) AS med
+         FROM events e JOIN med m USING (event_type) GROUP BY 1)
+       SELECT e.event_id, e.event_type, e.value,
+              ROUND(st.med, 6) AS med, ROUND(st.mad, 6) AS mad,
+              ROUND(abs(e.value - st.med) / st.mad, 6) AS score
+       FROM events e JOIN st USING (event_type)
+       WHERE st.mad > 0 AND abs(e.value - st.med) > 3.0 * st.mad
+       ORDER BY event_id""",
+)
+def an07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier flags per event_type: |x - median| > 3 * MAD,
+    the heavy-tail-safe trim a quality pipeline applies before
+    aggregating training signals (a z-score trim moves with the very
+    outliers it should drop). Three pushdown-friendly scans with only
+    group-cardinality broadcast state between them; exact percentile is
+    the gate path (quantile_cont parity, the vx02 precedent),
+    approx_percentile the documented 100 TB path. Oracle recomputes
+    median and MAD from scratch."""
+    from querysight_spark.operators.quality import mad_outliers
+
+    ev = load_table(spark, "events", sf_dir)
+    return mad_outliers(ev).orderBy("event_id")
+
+
+@_q(
+    "vx04_feature_correlation",
+    """WITH ex AS (
+         SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS v
+         FROM embeddings,
+              LATERAL (SELECT UNNEST(range(0, 8)) AS i) u),
+       st AS (
+         SELECT pos, COUNT(*) AS n,
+                list_reduce(list(v ORDER BY vec_id), (a, x) -> a + x) AS s,
+                list_reduce(list(v * v ORDER BY vec_id), (a, x) -> a + x) AS sq
+         FROM ex GROUP BY pos),
+       xy AS (
+         SELECT a.pos AS i, b.pos AS j,
+                list_reduce(list(a.v * b.v ORDER BY a.vec_id),
+                            (p, x) -> p + x) AS sxy
+         FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.pos < b.pos
+         GROUP BY 1, 2)
+       SELECT xy.i, xy.j, si.n AS n,
+              CASE WHEN (si.sq - si.s * si.s / si.n) > 0
+                    AND (sj.sq - sj.s * sj.s / sj.n) > 0
+                   THEN ROUND((xy.sxy - si.s * sj.s / si.n)
+                              / sqrt((si.sq - si.s * si.s / si.n)
+                                     * (sj.sq - sj.s * sj.s / sj.n)), 6)
+              END AS corr
+       FROM xy JOIN st si ON xy.i = si.pos JOIN st sj ON xy.j = sj.pos
+       ORDER BY i, j""",
+)
+def vx04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between the first 8 embedding
+    dimensions — the redundancy scan before feature pruning / OPQ
+    rotation training. The 28 cross products are generated MAP-SIDE per
+    row (no exploded self-join; the oracle's ex-JOIN-ex is exactly the
+    naive shape avoided), per-dim stats ride the vx01 exploded stream,
+    and every sum is an ordered fold over vec_id so both engines
+    accumulate digit-for-digit identically. Bounded d*(d-1)/2-row
+    output; constant dimensions yield NULL corr."""
+    from querysight_spark.operators.vectors import feature_correlation
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    return feature_correlation(emb, n_dims=8).orderBy("i", "j")

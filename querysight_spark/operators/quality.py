@@ -373,3 +373,51 @@ def corpus_diff_summary(diff: DataFrame) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust outlier flags per group: median absolute deviation. A row
+    is flagged when |x - median| > k * MAD — the standard-deviation-free
+    test that a handful of extreme rows cannot drag (the failure mode of
+    z-score trims on heavy-tailed quality signals).
+
+    Three narrow passes over the table, each a pushdown-friendly scan,
+    with only GROUP-CARDINALITY state between them: (1) exact per-group
+    median, (2) exact median of |x - median| with the medians broadcast
+    on, (3) the flag scan with the (group, med, mad) stats broadcast.
+    The exact ``percentile`` is the gate/oracle path (interpolation
+    parity with DuckDB quantile_cont, the vx02 precedent); at 100 TB
+    swap both calls for ``approx_percentile`` and the shape is a single
+    pass per statistic with bounded sketch state. Groups whose MAD is 0
+    (>= half the group at the median) flag nothing, matching the
+    oracle's ``mad > 0`` guard."""
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5D)").alias("med")
+    )
+    stats = (
+        df.join(F.broadcast(med), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.expr(f"percentile(abs({value_col} - med), 0.5D)").alias("mad"),
+            F.first("med").alias("med"),
+        )
+    )
+    dev = F.abs(F.col(value_col) - F.col("med"))
+    return (
+        df.join(F.broadcast(stats), group_col)
+        .where((F.col("mad") > 0) & (dev > F.lit(float(k)) * F.col("mad")))
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(value_col),
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.round(dev / F.col("mad"), 6).alias("score"),
+        )
+    )

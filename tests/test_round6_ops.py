@@ -1,0 +1,149 @@
+"""Round-6 additions: OHLC bars, MAD outliers, feature correlation."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from querysight_spark.operators.quality import mad_outliers
+from querysight_spark.operators.timeseries import ohlc_bars
+from querysight_spark.operators.vectors import feature_correlation
+
+
+def _ts(hour: int, minute: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 3, 1, hour, minute)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+
+
+# --- ohlc_bars ---------------------------------------------------------------
+
+
+def test_ohlc_open_close_tiebreak_and_extremes(spark):
+    ev = _events(
+        spark,
+        [
+            # same timestamp twice: event_id must break the tie for open
+            (2, _ts(9, 0), "buy", 50.0),
+            (1, _ts(9, 0), "buy", 10.0),
+            (3, _ts(9, 30), "buy", 99.0),
+            (4, _ts(9, 59), "buy", 20.0),
+        ],
+    )
+    row = ohlc_bars(ev).collect()[0]
+    assert row.open_v == 10.0  # event_id 1 wins the 9:00 tie
+    assert row.high_v == 99.0
+    assert row.low_v == 10.0
+    assert row.close_v == 20.0
+    assert row.n_events == 4
+    assert row.total_v == 179.0
+
+
+def test_ohlc_bars_split_by_key_and_hour(spark):
+    ev = _events(
+        spark,
+        [
+            (1, _ts(9, 5), "a", 1.0),
+            (2, _ts(10, 5), "a", 2.0),
+            (3, _ts(9, 5), "b", 3.0),
+        ],
+    )
+    out = {
+        (r.event_type, r.bar_ts.hour): r.n_events
+        for r in ohlc_bars(ev).collect()
+    }
+    assert out == {("a", 9): 1, ("a", 10): 1, ("b", 9): 1}
+
+
+def test_ohlc_decimal_total_is_exact(spark):
+    # 0.1 + 0.2 in doubles is 0.30000000000000004; the decimal path must
+    # produce exactly 0.3 regardless of partial-aggregation order
+    ev = _events(
+        spark,
+        [(i, _ts(9, i % 60), "t", v) for i, v in enumerate([0.1, 0.2] * 50)],
+    ).repartition(8)
+    row = ohlc_bars(ev).collect()[0]
+    assert row.total_v == 15.0
+
+
+# --- mad_outliers ------------------------------------------------------------
+
+
+def test_mad_flags_only_the_extreme_row(spark):
+    # group "a": tight cluster around 10 with one wild row.
+    # med = 10, MAD = 1 -> only |x-10| > 3 flags.
+    vals = [9.0, 9.0, 10.0, 10.0, 11.0, 11.0, 50.0]
+    ev = _events(
+        spark,
+        [(i, _ts(9, i), "a", v) for i, v in enumerate(vals)],
+    )
+    out = mad_outliers(ev).collect()
+    assert [(r.event_id, r.value) for r in out] == [(6, 50.0)]
+    r = out[0]
+    assert r.med == 10.0 and r.mad == 1.0
+    assert math.isclose(r.score, 40.0)
+
+
+def test_mad_zero_group_flags_nothing(spark):
+    # >= half the group at the median -> MAD 0 -> no division, no flags
+    ev = _events(
+        spark,
+        [(i, _ts(9, i), "c", 5.0) for i in range(6)] + [(9, _ts(9, 9), "c", 500.0)],
+    )
+    assert mad_outliers(ev).count() == 0
+
+
+def test_mad_k_widens_the_fence(spark):
+    vals = [9.0, 9.0, 10.0, 10.0, 11.0, 11.0, 14.5, 50.0]
+    ev = _events(
+        spark,
+        [(i, _ts(9, i), "a", v) for i, v in enumerate(vals)],
+    )
+    tight = {r.event_id for r in mad_outliers(ev, k=3.0).collect()}
+    loose = {r.event_id for r in mad_outliers(ev, k=10.0).collect()}
+    assert tight == {6, 7} and loose == {7}
+
+
+# --- feature_correlation -----------------------------------------------------
+
+
+def test_feature_correlation_known_structure(spark):
+    # dim0 = t, dim1 = 2t (corr +1), dim2 = -t (corr -1), dim3 constant
+    rows = [
+        (i, [float(i), 2.0 * i, -float(i), 7.0]) for i in range(1, 9)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r.i, r.j): r.corr for r in feature_correlation(emb, n_dims=4).collect()}
+    assert len(out) == 6  # 4 choose 2
+    assert out[(0, 1)] == 1.0
+    assert out[(0, 2)] == -1.0
+    assert out[(1, 2)] == -1.0
+    # constant dimension: NULL corr for every pair touching dim 3
+    assert out[(0, 3)] is None and out[(1, 3)] is None and out[(2, 3)] is None
+
+
+def test_feature_correlation_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    mat = rng.rand(40, 5).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {(r.i, r.j): r.corr for r in feature_correlation(emb, n_dims=5).collect()}
+    ref = np.corrcoef(mat.astype("float64").T)
+    for (i, j), c in out.items():
+        assert math.isclose(c, round(ref[i, j], 6), abs_tol=1e-6)
+
+
+def test_feature_correlation_row_count_is_bounded(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0 * i, 2.0, 3.0 * i, 4.0, float(i % 5)]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    assert feature_correlation(emb, n_dims=6).count() == 15
