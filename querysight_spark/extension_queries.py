@@ -6353,3 +6353,31 @@ def vx04(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     return feature_correlation(emb, n_dims=8).orderBy("i", "j")
+
+
+@_q("ss15_hnsw_graph_probe", _BRUTE_TOPK_ORACLE)
+def ss15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (multi-layer) graph ANN under the gate — the HNSW
+    variant the README roadmap names beyond ss14: hash-derived geometric
+    layer membership, per-layer NSW links from the shared distributed
+    builder, layer-partitioned persisted adjacency; probe = greedy
+    descent through the upper layers, then the layer-0 beam search
+    seeded at the landing node. Declared in EXACT MODE (layer 0 holds
+    the whole corpus, connected by construction; beam >= corpus floods
+    it) so the hash binds the level assignment, every layer's build, the
+    descent, and the traversal; production beams live in the pytest
+    recall tests."""
+    import os
+
+    from querysight_spark.operators.similarity import (
+        build_hnsw_index,
+        probe_hnsw_index,
+    )
+
+    path = _index_path("hnsw", sf_dir)
+    q = _query_vec(spark, sf_dir)
+    if not os.path.exists(os.path.join(path, "adj", "_SUCCESS")):
+        emb = load_table(spark, "embeddings", sf_dir)
+        build_hnsw_index(emb, path, dim=len(q))
+    n = _corpus_n(sf_dir)
+    return probe_hnsw_index(spark, path, q, k=10, beam_width=n, max_hops=64)

@@ -1057,11 +1057,36 @@ def build_nsw_index(
          provably covers the corpus.
 
     Persists ``path/adj`` (node, nbr) and ``path/vecs`` (node, v)."""
+    spark = df.sparkSession
+    v = df.select(
+        F.col(id_col).alias("node"), _as_double(F.col(vec_col)).alias("v")
+    )
+    v.write.mode("overwrite").parquet(path + "/vecs")
+    v = spark.read.parquet(path + "/vecs")  # truncate lineage
+    sym = _nsw_graph_edges(
+        v, dim, k_neighbors, n_lists, n_link_probes, seed
+    )
+    sym.write.mode("overwrite").parquet(path + "/adj")
+
+
+def _nsw_graph_edges(
+    v: DataFrame,
+    dim: int,
+    k_neighbors: int,
+    n_lists: int,
+    n_link_probes: int,
+    seed: int,
+) -> DataFrame:
+    """The NSW link builder shared by the single-layer (ss14) and
+    hierarchical (ss15) indexes: coarse-list candidates -> exact-cosine
+    per-node top-k -> symmetrize + hub-spoke/hub-ring backbone. Takes a
+    (node, v) frame, returns the symmetric (node, nbr) edge set,
+    connected by construction."""
     from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
 
     centroids = train_ivf_centroids(
-        df, n_centroids=n_lists, seed=seed, vec_col=vec_col
+        v, n_centroids=n_lists, seed=seed, vec_col="v"
     )
     C = np.array(centroids, dtype=np.float64)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
@@ -1074,11 +1099,6 @@ def build_nsw_index(
         top = np.argsort(-sims, axis=1)[:, :L]
         return pd.Series([[int(x) for x in row] for row in top])
 
-    v = df.select(
-        F.col(id_col).alias("node"), _as_double(F.col(vec_col)).alias("v")
-    )
-    v.write.mode("overwrite").parquet(path + "/vecs")
-    v = df.sparkSession.read.parquet(path + "/vecs")  # truncate lineage
     assigned = v.withColumn("lists", nearest_lists(F.col("v")))
     home = assigned.select(
         "node", "v", F.col("lists")[0].alias("list_id")
@@ -1114,16 +1134,14 @@ def build_nsw_index(
         for i in range(len(hub_ids))
         if len(hub_ids) > 1
     ]
-    spark = df.sparkSession
     edges = links.unionByName(spokes)
     if ring_rows:
         edges = edges.unionByName(
-            spark.createDataFrame(ring_rows, "node long, nbr long")
+            v.sparkSession.createDataFrame(ring_rows, "node long, nbr long")
         )
-    sym = edges.unionByName(
+    return edges.unionByName(
         edges.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
     ).distinct()
-    sym.write.mode("overwrite").parquet(path + "/adj")
 
 
 def probe_nsw_index(
@@ -1148,12 +1166,21 @@ def probe_nsw_index(
     construction graph, the visited set IS the corpus, and the read-out
     equals brute force. Production operating points (small beams) live
     in the pytest recall tests."""
+    adj = spark.read.parquet(path + "/adj")
+    vecs = spark.read.parquet(path + "/vecs")
+    entry = vecs.select(F.min("node").alias("node"))
+    return _graph_beam_topk(
+        adj, vecs, query_vec, k, beam_width, max_hops, entry, id_col
+    )
+
+
+def _scorer(vecs: DataFrame, query_vec: list[float]):
+    """(node)-frame -> (node, cosine) closure shared by the graph
+    probes: joins the persisted vectors and scores by exact cosine."""
     q = [float(x) for x in query_vec]
     dim = len(q)
     qcol = F.array(*[F.lit(x) for x in q])
     qn = float(np.sqrt(sum(x * x for x in q)))
-    adj = spark.read.parquet(path + "/adj")
-    vecs = spark.read.parquet(path + "/vecs")
 
     def score(frame):
         return frame.join(vecs, "node").select(
@@ -1165,7 +1192,24 @@ def probe_nsw_index(
             ).alias("cosine"),
         )
 
-    entry = vecs.select(F.min("node").alias("node"))
+    return score
+
+
+def _graph_beam_topk(
+    adj: DataFrame,
+    vecs: DataFrame,
+    query_vec: list[float],
+    k: int,
+    beam_width: int,
+    max_hops: int,
+    entry: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """The beam-search loop shared by ss14 (single layer) and ss15
+    (layer 0 of the hierarchy): expand frontier -> adjacency -> vectors,
+    keep the best ``beam_width`` unvisited nodes, stop when a hop
+    surfaces nothing new; exact top-k over everything visited."""
+    score = _scorer(vecs, query_vec)
     visited = score(entry).localCheckpoint(eager=True)
     frontier = visited.select("node")
     for _ in range(max_hops):
@@ -1186,4 +1230,129 @@ def probe_nsw_index(
         visited.select(F.col("node").alias(id_col), "cosine")
         .orderBy(F.col("cosine").desc(), id_col)
         .limit(k)
+    )
+
+
+def build_hnsw_index(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    level_fanout: int = 4,
+    max_level: int = 4,
+    k_neighbors: int = 12,
+    n_lists: int = 16,
+    n_link_probes: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Hierarchical NSW (the multi-layer HNSW variant the README roadmap
+    names after ss14; public algorithm family: Malkov & Yashunin's HNSW
+    paper): layer 0 holds EVERY node, and each level up keeps a
+    deterministic 1/``level_fanout`` geometric subset, so upper layers
+    form the coarse "express lanes" a probe descends before the layer-0
+    beam search.
+
+    Level assignment is hash-derived (xxhash64(node, seed) divisible by
+    fanout^l), not random — rebuilds are reproducible and an incremental
+    upsert would assign new nodes consistently. Each layer's links come
+    from the SAME distributed builder as ss14 (`_nsw_graph_edges`:
+    coarse-list candidates, per-node top-k, hub backbone — connected by
+    construction per layer), with the coarse-list count scaled to the
+    layer size; geometric layer sizes mean total build work is a
+    (fanout/(fanout-1)) factor over the layer-0 build, and the adjacency
+    is persisted PARTITIONED BY layer so probes prune to the layer they
+    are walking. Persists ``path/vecs`` (node, v, level) and
+    ``path/adj`` (node, nbr) under layer= partitions."""
+    spark = df.sparkSession
+    h = F.pmod(
+        F.xxhash64(F.col(id_col), F.lit(int(seed))),
+        F.lit(int(level_fanout) ** int(max_level)),
+    )
+    lvl = F.lit(0)
+    for l in range(1, int(max_level) + 1):
+        lvl = F.when(h % (int(level_fanout) ** l) == 0, l).otherwise(lvl)
+    v = df.select(
+        F.col(id_col).alias("node"),
+        _as_double(F.col(vec_col)).alias("v"),
+        lvl.alias("level"),
+    )
+    v.write.mode("overwrite").parquet(path + "/vecs")
+    v = spark.read.parquet(path + "/vecs")  # truncate lineage
+    per_level = {
+        int(r.level): int(r.n)
+        for r in v.groupBy("level").agg(F.count(F.lit(1)).alias("n")).collect()
+    }  # bounded: <= max_level + 1 rows
+    layers = []
+    for l in range(0, int(max_level) + 1):
+        cum = sum(n for lev, n in per_level.items() if lev >= l)
+        if cum >= 2:
+            layers.append((l, cum))
+    edges = None
+    for l, cum in layers:
+        sub = v.where(F.col("level") >= l).select("node", "v")
+        lists_l = max(1, min(int(n_lists), cum // 8))
+        e = _nsw_graph_edges(
+            sub, dim, k_neighbors, lists_l, n_link_probes, seed + l
+        ).withColumn("layer", F.lit(l))
+        edges = e if edges is None else edges.unionByName(e)
+    edges.write.mode("overwrite").partitionBy("layer").parquet(path + "/adj")
+
+
+def probe_hnsw_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    beam_width: int = 32,
+    max_hops: int = 50,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """HNSW probe: greedy descent through the upper layers (start at the
+    top layer's deterministic min-id node, hop to the best-scoring
+    neighbor while it strictly improves, drop a layer), then the ss14
+    beam search on layer 0 seeded at the descent's landing node.
+
+    Each descent hop reads ONE node's adjacency from the walked layer's
+    partition (layer-pruned scan) and collects a single row — driver
+    state is one (node, cosine) pair, and upper layers are geometrically
+    small, so the descent is O(log n) tiny jobs; all heavy lifting stays
+    in the layer-0 beam loop, which touches only frontier-incident
+    adjacency + vectors per hop.
+
+    EXACT MODE (the ss01-ss09/ss14 gate convention): layer 0 contains
+    the whole corpus and is connected by construction, so with
+    ``beam_width`` >= corpus size the beam floods it and the read-out
+    equals brute force regardless of where the descent lands."""
+    adj = spark.read.parquet(path + "/adj")
+    vecs = spark.read.parquet(path + "/vecs")
+    score = _scorer(vecs, query_vec)
+    upper = sorted(
+        (int(r.layer) for r in adj.select("layer").distinct().collect()),
+        reverse=True,
+    )  # bounded: <= max_level + 1 rows
+    top = upper[0] if upper else 0
+    cur = score(
+        vecs.where(F.col("level") >= top).select(F.min("node").alias("node"))
+    ).collect()[0]
+    for l in [x for x in upper if x > 0]:
+        for _ in range(max_hops):
+            nbrs = (
+                adj.where((F.col("layer") == l) & (F.col("node") == cur.node))
+                .select(F.col("nbr").alias("node"))
+            )
+            best = (
+                score(nbrs)
+                .orderBy(F.col("cosine").desc(), "node")
+                .limit(1)
+                .collect()
+            )
+            if best and best[0].cosine > cur.cosine:
+                cur = best[0]
+            else:
+                break
+    entry = spark.createDataFrame([(int(cur.node),)], "node long")
+    adj0 = adj.where(F.col("layer") == 0).select("node", "nbr")
+    return _graph_beam_topk(
+        adj0, vecs, query_vec, k, beam_width, max_hops, entry, id_col
     )

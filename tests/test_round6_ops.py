@@ -147,3 +147,87 @@ def test_feature_correlation_row_count_is_bounded(spark):
         "vec_id long, embedding array<float>",
     )
     assert feature_correlation(emb, n_dims=6).count() == 15
+
+
+# --- hnsw (ss15) -------------------------------------------------------------
+
+
+def test_hnsw_levels_are_geometric_and_deterministic(spark, tmp_path):
+    from querysight_spark.operators.similarity import build_hnsw_index
+    from querysight_spark.testing import make_clustered_embeddings
+
+    vecs = make_clustered_embeddings(spark, n=400, dim=16, n_clusters=8)
+    path = str(tmp_path / "h1")
+    build_hnsw_index(vecs, path, dim=16, level_fanout=4, max_level=4)
+    lv = {
+        r.level: r.n
+        for r in spark.read.parquet(path + "/vecs")
+        .groupBy("level")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    # layer 0 holds everything; each level up keeps roughly 1/4
+    assert sum(lv.values()) == 400
+    upper = sum(n for l, n in lv.items() if l >= 1)
+    assert 400 // 4 * 0.4 <= upper <= 400 // 4 * 2.5
+    # deterministic: a rebuild assigns identical levels
+    path2 = str(tmp_path / "h2")
+    build_hnsw_index(vecs, path2, dim=16, level_fanout=4, max_level=4)
+    a = {(r.node, r.level) for r in spark.read.parquet(path + "/vecs").select("node", "level").collect()}
+    b = {(r.node, r.level) for r in spark.read.parquet(path2 + "/vecs").select("node", "level").collect()}
+    assert a == b
+
+
+def test_hnsw_recall_pruning_and_flood_equals_brute(spark, tmp_path):
+    """ss15's production point must reach a recall floor with a small
+    beam, and flood mode must equal brute force exactly (the layer-0
+    connectivity-by-construction claim, descent landing irrelevant)."""
+    from querysight_spark.operators.similarity import (
+        brute_force_topk,
+        build_hnsw_index,
+        probe_hnsw_index,
+    )
+    from querysight_spark.testing import make_clustered_embeddings
+
+    k = 10
+    vecs = make_clustered_embeddings(spark, n=400, dim=32, n_clusters=10).cache()
+    path = str(tmp_path / "hnsw")
+    build_hnsw_index(vecs, path, dim=32, k_neighbors=10, n_lists=8)
+    queries = [[float(x) for x in r.embedding]
+               for r in vecs.where("vec_id % 100 = 1").collect()]
+
+    hits = 0
+    for q in queries:
+        truth = {r.vec_id for r in brute_force_topk(vecs, q, k=k).collect()}
+        got = {r.vec_id
+               for r in probe_hnsw_index(spark, path, q, k=k, beam_width=24,
+                                         max_hops=12).collect()}
+        hits += len(got & truth)
+    assert hits / (k * len(queries)) >= 0.6, hits
+    assert 1 + 24 * 12 < 400  # the beam bound proves pruning
+
+    q = queries[0]
+    truth_rows = [(r.vec_id, r.cosine)
+                  for r in brute_force_topk(vecs, q, k=k).collect()]
+    flood_rows = [(r.vec_id, r.cosine)
+                  for r in probe_hnsw_index(spark, path, q, k=k,
+                                            beam_width=400, max_hops=64).collect()]
+    assert flood_rows == truth_rows
+
+
+def test_hnsw_adjacency_is_layer_partitioned(spark, tmp_path):
+    import os
+
+    from querysight_spark.operators.similarity import build_hnsw_index
+    from querysight_spark.testing import make_clustered_embeddings
+
+    vecs = make_clustered_embeddings(spark, n=300, dim=16, n_clusters=6)
+    path = str(tmp_path / "h3")
+    build_hnsw_index(vecs, path, dim=16)
+    parts = [d for d in os.listdir(path + "/adj") if d.startswith("layer=")]
+    assert "layer=0" in parts and len(parts) >= 2
+    # every layer's edge set is symmetric
+    adj = spark.read.parquet(path + "/adj")
+    fwd = {(r.layer, r.node, r.nbr) for r in adj.collect()}
+    assert all((l, b, a) in fwd for (l, a, b) in fwd)
