@@ -1242,6 +1242,7 @@ def build_hnsw_index(
     k_neighbors: int = 12,
     n_lists: int = 16,
     n_link_probes: int = 2,
+    target_list_size: int = 256,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1259,7 +1260,12 @@ def build_hnsw_index(
     from the SAME distributed builder as ss14 (`_nsw_graph_edges`:
     coarse-list candidates, per-node top-k, hub backbone — connected by
     construction per layer), with the coarse-list count scaled to the
-    layer size; geometric layer sizes mean total build work is a
+    layer size (floor ``n_lists``, then layer_size /
+    ``target_list_size`` — per-node candidate work stays
+    ~``n_link_probes * target_list_size`` at ANY corpus size, keeping
+    the build linear; SCALE.md records the 30x-at-10x blowup a fixed
+    list count produced before this); geometric layer sizes mean total
+    build work is a
     (fanout/(fanout-1)) factor over the layer-0 build, and the adjacency
     is persisted PARTITIONED BY layer so probes prune to the layer they
     are walking. Persists ``path/vecs`` (node, v, level) and
@@ -1291,7 +1297,15 @@ def build_hnsw_index(
     edges = None
     for l, cum in layers:
         sub = v.where(F.col("level") >= l).select("node", "v")
-        lists_l = max(1, min(int(n_lists), cum // 8))
+        # list count scales with the layer: at least n_lists once the
+        # layer outgrows them, then cum/target_list_size — candidate
+        # work per node stays ~n_link_probes * target_list_size however
+        # large the layer gets (a FIXED n_lists makes list sizes, and so
+        # the scored candidate-pair count, grow linearly per node: the
+        # measured 10x corpus -> 30x build blowup in SCALE.md)
+        lists_l = max(
+            1, min(cum // 8, max(int(n_lists), cum // int(target_list_size)))
+        )
         e = _nsw_graph_edges(
             sub, dim, k_neighbors, lists_l, n_link_probes, seed + l
         ).withColumn("layer", F.lit(l))

@@ -159,7 +159,12 @@ def main() -> int:
     from bench import HEADLINE, HEADLINE_V2
     from querysight_spark.session import get_spark
 
-    filters = sys.argv[1:]
+    args = sys.argv[1:]
+    # --entries: measure ANY gate entries (exact-name filters against the
+    # full queries() inventory) instead of the headline lists — used for
+    # the per-round "new additions" exponent tables in SCALE.md
+    all_entries = "--entries" in args
+    filters = [a for a in args if a != "--entries"]
     fixture = build_fixture()
     print(json.dumps({"fixture": fixture}), flush=True)
     spark = get_spark(app_name="fixture10x")
@@ -175,7 +180,8 @@ def main() -> int:
             best = min(best, time.time() - t0)
         return best
 
-    for name in HEADLINE + HEADLINE_V2:
+    names = sorted(qs) if all_entries else list(HEADLINE + HEADLINE_V2)
+    for name in names:
         if filters and not any(f in name for f in filters):
             continue
         t1 = timed(lambda: qs[name](spark, SRC).count())
