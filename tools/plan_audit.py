@@ -33,6 +33,16 @@ sys.path.insert(0, REPO)
 # allowlisted entry that regresses past its recorded shape still flags
 # (r5 review finding).
 ALLOWED_SINGLE_PARTITION: dict[str, tuple[int, str]] = {
+    "an03_ks_drift": (
+        2,
+        "declared EXACT mode: the ECDF cumulative window over the "
+        "DISTINCT-value table + the 1-row D-statistic agg. Both were "
+        "always in the plan; the r6 persist->localCheckpoint cache-"
+        "hygiene fix (r5 ADVICE) made the window's exchange visible to "
+        "the audit (the session-lived persist hid the subtree). The "
+        "bounded-cardinality scale path is an06 (binned, <=n_bins "
+        "window); the docstring routes unbounded metrics there",
+    ),
     "an05_benford": (2, "9-row digit-domain window + 1-row total agg"),
     "an06_ks_drift_binned": (3, "edge scalar agg + <=n_bins ECDF window + totals"),
     "st11_stream_drift_monitor": (
