@@ -6381,3 +6381,37 @@ def ss15(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_hnsw_index(emb, path, dim=len(q))
     n = _corpus_n(sf_dir)
     return probe_hnsw_index(spark, path, q, k=10, beam_width=n, max_hops=64)
+
+
+@_q("ss16_hnsw_upsert_probe", _BRUTE_TOPK_ORACLE)
+def ss16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance for the graph index (the ss13 discipline
+    on ss15): the persisted HNSW is built from 80 % of the corpus, the
+    remaining 20 % is UPSERTED — leveled by the build's own hash
+    formula, linked through the persisted per-layer centroids + home
+    assignments, appended into the matching layer partitions, no
+    retrain, no re-link of existing nodes. Exact-mode probe (beam >=
+    corpus) must equal brute force over the WHOLE corpus: a delta
+    vector dropped, mis-leveled, or left unconnected anywhere breaks
+    the hash."""
+    import os
+
+    from querysight_spark.operators.similarity import (
+        build_hnsw_index,
+        probe_hnsw_index,
+        upsert_hnsw_index,
+    )
+
+    path = _index_path("hnswup", sf_dir)
+    marker = os.path.join(path, "_delta_done")
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = _query_vec(spark, sf_dir)
+    if not os.path.exists(marker):
+        build_hnsw_index(
+            emb.where(F.col("vec_id") % 5 != 0), path, dim=len(q)
+        )
+        upsert_hnsw_index(spark, path, emb.where(F.col("vec_id") % 5 == 0))
+        with open(marker, "w") as f:
+            f.write("ok")
+    n = _corpus_n(sf_dir)
+    return probe_hnsw_index(spark, path, q, k=10, beam_width=n, max_hops=64)

@@ -1059,7 +1059,8 @@ def build_nsw_index(
     Persists ``path/adj`` (node, nbr) and ``path/vecs`` (node, v)."""
     spark = df.sparkSession
     v = df.select(
-        F.col(id_col).alias("node"), _as_double(F.col(vec_col)).alias("v")
+        F.col(id_col).cast("long").alias("node"),
+        _as_double(F.col(vec_col)).alias("v"),
     )
     v.write.mode("overwrite").parquet(path + "/vecs")
     v = spark.read.parquet(path + "/vecs")  # truncate lineage
@@ -1076,18 +1077,31 @@ def _nsw_graph_edges(
     n_lists: int,
     n_link_probes: int,
     seed: int,
-) -> DataFrame:
+    centroids: list[list[float]] | None = None,
+    with_home: bool = False,
+):
     """The NSW link builder shared by the single-layer (ss14) and
     hierarchical (ss15) indexes: coarse-list candidates -> exact-cosine
     per-node top-k -> symmetrize + hub-spoke/hub-ring backbone. Takes a
     (node, v) frame, returns the symmetric (node, nbr) edge set,
-    connected by construction."""
+    connected by construction. ``centroids`` overrides the internal
+    coarse training (the hierarchical build persists them for upserts);
+    ``with_home`` additionally returns the (node, list_id) home
+    assignment frame the upsert path appends to."""
     from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
 
-    centroids = train_ivf_centroids(
-        v, n_centroids=n_lists, seed=seed, vec_col="v"
-    )
+    # id dtype is normalized ONCE here: every downstream edge/assign/vecs
+    # write must be int64 — an append-mode layout with int32 files from
+    # one writer and int64 from another fails at scan time with a
+    # per-file column-type mismatch (found the hard way in the upsert
+    # tests; the ring union silently promoted the build's files to long
+    # while appends stayed int)
+    v = v.select(F.col("node").cast("long").alias("node"), "v")
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            v, n_centroids=n_lists, seed=seed, vec_col="v"
+        )
     C = np.array(centroids, dtype=np.float64)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     L = int(min(n_link_probes, len(centroids)))
@@ -1139,9 +1153,12 @@ def _nsw_graph_edges(
         edges = edges.unionByName(
             v.sparkSession.createDataFrame(ring_rows, "node long, nbr long")
         )
-    return edges.unionByName(
+    sym = edges.unionByName(
         edges.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
     ).distinct()
+    if with_home:
+        return sym, home.select("node", "list_id")
+    return sym
 
 
 def probe_nsw_index(
@@ -1272,14 +1289,16 @@ def build_hnsw_index(
     ``path/adj`` (node, nbr) under layer= partitions."""
     spark = df.sparkSession
     h = F.pmod(
-        F.xxhash64(F.col(id_col), F.lit(int(seed))),
+        # hash the CAST id so the level is dtype-invariant (xxhash64 of
+        # an int32 and the same value as int64 differ)
+        F.xxhash64(F.col(id_col).cast("long"), F.lit(int(seed))),
         F.lit(int(level_fanout) ** int(max_level)),
     )
     lvl = F.lit(0)
     for l in range(1, int(max_level) + 1):
         lvl = F.when(h % (int(level_fanout) ** l) == 0, l).otherwise(lvl)
     v = df.select(
-        F.col(id_col).alias("node"),
+        F.col(id_col).cast("long").alias("node"),
         _as_double(F.col(vec_col)).alias("v"),
         lvl.alias("level"),
     )
@@ -1294,7 +1313,11 @@ def build_hnsw_index(
         cum = sum(n for lev, n in per_level.items() if lev >= l)
         if cum >= 2:
             layers.append((l, cum))
+    import json
+
     edges = None
+    assigns = None
+    layer_meta: dict[str, list[list[float]]] = {}
     for l, cum in layers:
         sub = v.where(F.col("level") >= l).select("node", "v")
         # list count scales with the layer: at least n_lists once the
@@ -1306,11 +1329,38 @@ def build_hnsw_index(
         lists_l = max(
             1, min(cum // 8, max(int(n_lists), cum // int(target_list_size)))
         )
-        e = _nsw_graph_edges(
-            sub, dim, k_neighbors, lists_l, n_link_probes, seed + l
-        ).withColumn("layer", F.lit(l))
+        cents = train_ivf_centroids(
+            sub, n_centroids=lists_l, seed=seed + l, vec_col="v"
+        )
+        e, home = _nsw_graph_edges(
+            sub, dim, k_neighbors, lists_l, n_link_probes, seed + l,
+            centroids=cents, with_home=True,
+        )
+        e = e.withColumn("layer", F.lit(l))
+        home = home.withColumn("layer", F.lit(l))
+        layer_meta[str(l)] = cents
         edges = e if edges is None else edges.unionByName(e)
+        assigns = home if assigns is None else assigns.unionByName(home)
     edges.write.mode("overwrite").partitionBy("layer").parquet(path + "/adj")
+    # home assignments + per-layer centroids persist so INCREMENTAL
+    # upserts can link new nodes with the build's own candidate
+    # machinery (no retrain) — the ss13 discipline for the graph index
+    assigns.write.mode("overwrite").partitionBy("layer").parquet(
+        path + "/assign"
+    )
+    with open(path + "/_hnsw.json", "w") as f:
+        json.dump(
+            {
+                "dim": int(dim),
+                "level_fanout": int(level_fanout),
+                "max_level": int(max_level),
+                "k_neighbors": int(k_neighbors),
+                "n_link_probes": int(n_link_probes),
+                "seed": int(seed),
+                "layer_centroids": layer_meta,
+            },
+            f,
+        )
 
 
 def probe_hnsw_index(
@@ -1370,3 +1420,145 @@ def probe_hnsw_index(
     return _graph_beam_topk(
         adj0, vecs, query_vec, k, beam_width, max_hops, entry, id_col
     )
+
+
+def upsert_hnsw_index(
+    spark,
+    path: str,
+    delta_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental HNSW maintenance (round-7 continuity item #1 — the
+    ss13 append discipline applied to the graph index): new vectors are
+    leveled with the build's OWN hash formula (so a node gets the same
+    layers an original build would give it), linked per layer through
+    the persisted coarse centroids + home assignments (candidates = the
+    existing members of the new node's nearest lists, plus same-list
+    delta peers), and appended — vectors, home assignments, and
+    symmetric adjacency rows land inside the matching ``layer=``
+    partitions. No retrain, no corpus re-link: per-batch work is
+    O(delta x n_link_probes x list size).
+
+    Connectivity: every new node gets its exact-cosine top-k links PLUS
+    a spoke to its home list's hub (the list's min existing node,
+    falling back to the layer's min node for an empty list), both
+    directions appended, so the flood-mode invariant — layer 0 connected,
+    exact-mode probe == brute force — survives any upsert sequence.
+    Existing nodes keep their link lists (degrees only grow); periodic
+    ``build_hnsw_index`` rebuilds re-prune, the LSM-style compaction
+    trade every append-only index makes. Caller contract (as ss13): ids
+    in ``delta_df`` are NEW — re-upserting an existing id duplicates its
+    rows. Returns the number of vectors appended."""
+    import json
+
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    with open(path + "/_hnsw.json") as f:
+        meta = json.load(f)
+    dim = int(meta["dim"])
+    fanout = int(meta["level_fanout"])
+    max_level = int(meta["max_level"])
+    k_neighbors = int(meta["k_neighbors"])
+    n_link_probes = int(meta["n_link_probes"])
+    seed = int(meta["seed"])
+    built_layers = sorted(int(l) for l in meta["layer_centroids"])
+    top_built = max(built_layers)
+
+    h = F.pmod(
+        F.xxhash64(F.col(id_col).cast("long"), F.lit(seed)),
+        F.lit(fanout ** max_level),
+    )
+    lvl = F.lit(0)
+    for l in range(1, max_level + 1):
+        lvl = F.when(h % (fanout ** l) == 0, l).otherwise(lvl)
+    delta = delta_df.select(
+        F.col(id_col).cast("long").alias("node"),
+        _as_double(F.col(vec_col)).alias("v"),
+        F.least(lvl, F.lit(top_built)).alias("level"),
+    ).localCheckpoint(eager=True)  # consumed once per touched layer + append
+    n = delta.count()
+    if n == 0:
+        return 0
+
+    assign_all = spark.read.parquet(path + "/assign")
+    vecs_all = spark.read.parquet(path + "/vecs")
+    for l in built_layers:
+        dsub = delta.where(F.col("level") >= l).select("node", "v")
+        if dsub.limit(1).count() == 0:
+            continue
+        C = np.array(meta["layer_centroids"][str(l)], dtype=np.float64)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        L = int(min(n_link_probes, len(C)))
+
+        @pandas_udf("array<int>")
+        def nearest_lists(vs: pd.Series) -> pd.Series:
+            X = np.array(vs.tolist(), dtype=np.float64)
+            top = np.argsort(-(X @ Cn.T), axis=1)[:, :L]
+            return pd.Series([[int(x) for x in row] for row in top])
+
+        dl = dsub.withColumn("lists", nearest_lists(F.col("v")))
+        d_home = dl.select("node", "v", F.col("lists")[0].alias("list_id"))
+        d_probe = dl.select("node", "v", F.explode("lists").alias("list_id"))
+        members = (
+            assign_all.where(F.col("layer") == l)  # partition-pruned
+            .select(F.col("node").alias("nbr"), "list_id")
+            .join(
+                vecs_all.select(F.col("node").alias("nbr"), F.col("v").alias("nv")),
+                "nbr",
+            )
+        )
+        # same-list delta peers are candidates too (a batch of related
+        # vectors must interlink, not only attach to the old corpus)
+        members = members.unionByName(
+            d_home.select(
+                F.col("node").alias("nbr"), "list_id", F.col("v").alias("nv")
+            )
+        )
+        cand = d_probe.join(members, "list_id").where(
+            F.col("node") != F.col("nbr")
+        )
+        qn = F.sqrt(_dot(F.col("v"), F.col("v"), dim))
+        nn = F.sqrt(_dot(F.col("nv"), F.col("nv"), dim))
+        scored = cand.select(
+            "node", "nbr",
+            (_dot(F.col("v"), F.col("nv"), dim) / (qn * nn)).alias("cos"),
+        )
+        w = Window.partitionBy("node").orderBy(F.col("cos").desc(), "nbr")
+        links = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k_neighbors)
+            .select("node", "nbr")
+        )
+        hubs = (
+            assign_all.where(F.col("layer") == l)
+            .groupBy("list_id")
+            .agg(F.min("node").alias("hub"))
+        )
+        layer_min_rows = (
+            assign_all.where(F.col("layer") == l)
+            .agg(F.min("node").alias("m"))
+            .collect()
+        )
+        layer_min = layer_min_rows[0].m
+        spokes = (
+            d_home.join(F.broadcast(hubs), "list_id", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("hub"), F.lit(layer_min)).alias("nbr"),
+            )
+            .where(F.col("nbr").isNotNull() & (F.col("node") != F.col("nbr")))
+        )
+        new_edges = links.unionByName(spokes).distinct()
+        sym = new_edges.unionByName(
+            new_edges.select(
+                F.col("nbr").alias("node"), F.col("node").alias("nbr")
+            )
+        ).distinct().withColumn("layer", F.lit(l))
+        sym.write.mode("append").partitionBy("layer").parquet(path + "/adj")
+        d_home.select("node", "list_id").withColumn(
+            "layer", F.lit(l)
+        ).write.mode("append").partitionBy("layer").parquet(path + "/assign")
+    delta.write.mode("append").parquet(path + "/vecs")
+    return n

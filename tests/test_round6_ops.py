@@ -231,3 +231,71 @@ def test_hnsw_adjacency_is_layer_partitioned(spark, tmp_path):
     adj = spark.read.parquet(path + "/adj")
     fwd = {(r.layer, r.node, r.nbr) for r in adj.collect()}
     assert all((l, b, a) in fwd for (l, a, b) in fwd)
+
+
+def test_hnsw_upsert_flood_equals_brute_over_merged_corpus(spark, tmp_path):
+    """ss16: build on 80%, upsert 20%, flood probe == brute force over
+    the WHOLE corpus — proves delta leveling, linking, and connectivity."""
+    from querysight_spark.operators.similarity import (
+        brute_force_topk,
+        build_hnsw_index,
+        probe_hnsw_index,
+        upsert_hnsw_index,
+    )
+    from querysight_spark.testing import make_clustered_embeddings
+
+    vecs = make_clustered_embeddings(spark, n=300, dim=16, n_clusters=6).cache()
+    path = str(tmp_path / "up")
+    build_hnsw_index(vecs.where("vec_id % 5 != 0"), path, dim=16, n_lists=6)
+    n_new = upsert_hnsw_index(spark, path, vecs.where("vec_id % 5 = 0"))
+    assert n_new == vecs.where("vec_id % 5 = 0").count()
+    q = [float(x) for x in vecs.where("vec_id = 3").first().embedding]
+    truth = [(r.vec_id, r.cosine) for r in brute_force_topk(vecs, q, k=10).collect()]
+    got = [(r.vec_id, r.cosine)
+           for r in probe_hnsw_index(spark, path, q, k=10, beam_width=300,
+                                     max_hops=64).collect()]
+    assert got == truth
+
+
+def test_hnsw_upsert_appends_into_layer_partitions(spark, tmp_path):
+    from querysight_spark.operators.similarity import (
+        build_hnsw_index,
+        upsert_hnsw_index,
+    )
+    from querysight_spark.testing import make_clustered_embeddings
+
+    vecs = make_clustered_embeddings(spark, n=240, dim=16, n_clusters=6)
+    path = str(tmp_path / "up2")
+    build_hnsw_index(vecs.where("vec_id < 200"), path, dim=16, n_lists=6)
+    before = spark.read.parquet(path + "/adj").count()
+    upsert_hnsw_index(spark, path, vecs.where("vec_id >= 200"))
+    adj = spark.read.parquet(path + "/adj")
+    assert adj.count() > before
+    # appended adjacency stays symmetric
+    fwd = {(r.layer, r.node, r.nbr) for r in adj.collect()}
+    assert all((l, b, a) in fwd for (l, a, b) in fwd)
+    # every new node present in layer-0 adjacency (connectivity floor)
+    new_nodes = {r.vec_id for r in vecs.where("vec_id >= 200").collect()}
+    l0 = {r.node for r in adj.where("layer = 0").select("node").collect()}
+    assert new_nodes <= l0
+
+
+def test_hnsw_upsert_levels_match_fresh_build(spark, tmp_path):
+    """A node's hash-derived level must be identical whether it arrives
+    in the original build or in a later upsert (rebuild consistency)."""
+    from querysight_spark.operators.similarity import (
+        build_hnsw_index,
+        upsert_hnsw_index,
+    )
+    from querysight_spark.testing import make_clustered_embeddings
+
+    vecs = make_clustered_embeddings(spark, n=200, dim=16, n_clusters=4)
+    full, part = str(tmp_path / "f"), str(tmp_path / "p")
+    build_hnsw_index(vecs, full, dim=16, n_lists=4)
+    build_hnsw_index(vecs.where("vec_id % 3 != 0"), part, dim=16, n_lists=4)
+    upsert_hnsw_index(spark, part, vecs.where("vec_id % 3 = 0"))
+    a = {(r.node, r.level) for r in spark.read.parquet(full + "/vecs").select("node", "level").collect()}
+    b = {(r.node, r.level) for r in spark.read.parquet(part + "/vecs").select("node", "level").collect()}
+    # levels agree except where the partial build's top layer clamped
+    top_b = max(l for _n, l in b)
+    assert {(n, min(l, top_b)) for n, l in a} == b
