@@ -6415,3 +6415,66 @@ def ss16(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write("ok")
     n = _corpus_n(sf_dir)
     return probe_hnsw_index(spark, path, q, k=10, beam_width=n, max_hops=64)
+
+
+@_q(
+    "an08_mad_outliers_approx",
+    """WITH med AS (
+         SELECT event_type, quantile_cont(value, 0.5) AS med
+         FROM events GROUP BY 1),
+       st AS (
+         SELECT e.event_type,
+                quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+                any_value(m.med) AS med
+         FROM events e JOIN med m USING (event_type) GROUP BY 1),
+       fl AS (
+         SELECT e.event_type, COUNT(*) AS n
+         FROM events e JOIN st USING (event_type)
+         WHERE st.mad > 0 AND abs(e.value - st.med) > 3.0 * st.mad
+         GROUP BY 1)
+       SELECT t.event_type,
+              COALESCE(fl.n, 0) AS exact_flags,
+              TRUE AS flags_ok
+       FROM (SELECT DISTINCT event_type FROM events) t
+       LEFT JOIN fl USING (event_type)
+       ORDER BY event_type""",
+)
+def an08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB production twin of an07, gate-checked (round-7
+    continuity item #2, the sk01 self-checking discipline): MAD outlier
+    flags recomputed with ``approx_percentile`` medians (bounded sketch
+    state, partial-aggregated, single pass per statistic — no per-group
+    value sort) must land within a declared tolerance of the exact
+    path's per-group flag counts (|Δ| <= max(3, 15 %); measured 0 drift
+    at gate scales). The oracle states the exact counts and TRUE, so an
+    approx path that drifts past the tolerance hash-mismatches — the
+    scale path itself is under the gate, not just documented."""
+    from querysight_spark.operators.quality import mad_outliers
+
+    ev = load_table(spark, "events", sf_dir)
+    groups = ev.select("event_type").distinct()
+    ex = (
+        mad_outliers(ev)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("en"))
+    )
+    ap = (
+        mad_outliers(ev, method="approx")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("an"))
+    )
+    en = F.coalesce(F.col("en"), F.lit(0))
+    an = F.coalesce(F.col("an"), F.lit(0))
+    return (
+        groups.join(ex, "event_type", "left")
+        .join(ap, "event_type", "left")
+        .select(
+            "event_type",
+            en.cast("long").alias("exact_flags"),
+            (
+                F.abs(an - en)
+                <= F.greatest(F.lit(3.0), F.lit(0.15) * en)
+            ).alias("flags_ok"),
+        )
+        .orderBy("event_type")
+    )

@@ -299,3 +299,25 @@ def test_hnsw_upsert_levels_match_fresh_build(spark, tmp_path):
     # levels agree except where the partial build's top layer clamped
     top_b = max(l for _n, l in b)
     assert {(n, min(l, top_b)) for n, l in a} == b
+
+
+# --- mad_outliers approx twin (an08) ----------------------------------------
+
+
+def test_mad_approx_matches_exact_on_clean_groups(spark):
+    vals = [9.0, 9.0, 10.0, 10.0, 11.0, 11.0, 50.0] * 8
+    ev = _events(
+        spark,
+        [(i, _ts(9 + i // 60, i % 60), "a", v) for i, v in enumerate(vals)],
+    )
+    exact = {r.event_id for r in mad_outliers(ev).collect()}
+    approx = {r.event_id for r in mad_outliers(ev, method="approx").collect()}
+    assert exact == approx and len(exact) == 8
+
+
+def test_mad_method_validation(spark):
+    import pytest
+
+    ev = _events(spark, [(1, _ts(9), "a", 1.0)])
+    with pytest.raises(ValueError):
+        mad_outliers(ev, method="bogus")

@@ -73,6 +73,14 @@ ALLOWED_SCANS: dict[str, tuple[int, str]] = {
         "canonical Q21 scans lineitem 3x (l1 + EXISTS l2 + NOT EXISTS l3) "
         "and orders 2x; the rest is dim fan-in — distinct references",
     ),
+    "an08_mad_outliers_approx": (
+        7,
+        "A/B self-check by design: the exact MAD path (3 pushdown-pruned "
+        "scans) AND its approx_percentile production twin (3 scans) run "
+        "in one plan plus the group-universe scan, so the tolerance "
+        "booleans bind both; a production caller runs ONE path (an07's "
+        "3-scan shape)",
+    ),
 }
 
 
