@@ -6478,3 +6478,93 @@ def an08(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _stream_embeddings_log(
+    spark: SparkSession,
+    sf_dir: str,
+    copies: int = 1,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream over the embeddings parquet (symlink-dir file source,
+    the _stream_events_log discipline): a stream of query vectors for
+    the serving entries. ``copies`` + ``maxFilesPerTrigger=1`` delivers
+    the same vectors in N distinct micro-batches — deterministic
+    duplicate delivery for replay-idempotence checks."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        "qs_vstream_"
+        + hashlib.sha256(f"{sf_dir}:{copies}".encode()).hexdigest()[:12],
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    for i in range(copies):
+        link = os.path.join(stream_dir, f"embeddings_{i}.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+    reader = spark.readStream.schema(
+        "vec_id bigint, embedding array<float>, label int"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(stream_dir)
+
+
+@_q(
+    "st12_stream_ann_serving",
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id % 50 = 1),
+       vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+       scored AS (
+         SELECT q.qid, vv.vec_id,
+                ROUND(list_dot_product(v, qv)
+                      / (sqrt(list_dot_product(v, v))
+                         * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+         FROM vv CROSS JOIN q)
+       SELECT qid, rk, vec_id, cosine FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY cosine DESC, vec_id) AS rk
+         FROM scored)
+       WHERE rk <= 3 ORDER BY qid, rk""",
+)
+def st12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN serving under the gate (round-7 continuity item
+    #4): a stream of query vectors — delivered TWICE across two
+    micro-batches (copies=2, one file per trigger) — is answered per
+    epoch by one batch_topk corpus pass and absorbed into epoch-keyed
+    result partitions with dynamic overwrite (the rollup-absorb journal
+    discipline, so at-least-once replay never duplicates). The read-out
+    takes each query's LATEST answer; duplicate delivery therefore
+    collapses, and the hash must equal the ss12-shape exact oracle over
+    the query subset."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from querysight_spark.streaming.incremental import (
+        latest_served_topk,
+        start_ann_serving,
+    )
+
+    corpus = load_table(spark, "embeddings", sf_dir)
+    stream = _stream_embeddings_log(
+        spark, sf_dir, copies=2, max_files_per_trigger=1
+    ).where(F.col("vec_id") % 50 == 1)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "qs_st12_"
+        + hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
+    out, ckpt = os.path.join(root, "served"), os.path.join(root, "ckpt")
+    # fresh run per invocation: the stream checkpoint remembers consumed
+    # files, so a stale root would drain zero batches and serve nothing
+    shutil.rmtree(root, ignore_errors=True)
+    q = start_ann_serving(stream, corpus, out, ckpt, k=3)
+    q.awaitTermination()
+    return latest_served_topk(spark, out).orderBy("qid", "rk")

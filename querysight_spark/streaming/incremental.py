@@ -487,3 +487,63 @@ def drift_from_counts(
         F.round(crit, 6).alias("critical"),
         (F.max(gap) > crit).alias("drift"),
     )
+
+
+def start_ann_serving(
+    queries_stream: DataFrame,
+    corpus: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    k: int = 3,
+    qid_col: str = "vec_id",
+    qvec_col: str = "embedding",
+):
+    """Streaming ANN serving (the streaming x similarity composition):
+    each micro-batch of query vectors is answered with ONE corpus pass
+    (``batch_topk``: broadcast query batch, map-side scoring, one window
+    on the query id) and the per-query top-k lands in an epoch-keyed
+    partition via dynamic overwrite — the journal discipline of
+    ``start_rollup_absorb``, so at-least-once replay of an epoch
+    rewrites the SAME partition with the same content instead of
+    appending duplicates. At 100 TB the corpus side swaps for a
+    partition-pruned persisted index probe (``probe_lsh_index`` /
+    ``probe_ivfpq_index``) inside the same foreachBatch seam; the
+    absorb/read-out contract is unchanged. Returns the started
+    StreamingQuery."""
+    from querysight_spark.operators.similarity import batch_topk
+
+    def _serve(batch_df: DataFrame, epoch_id: int) -> None:
+        qs = batch_df.select(
+            F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")
+        )
+        if qs.limit(1).count() == 0:
+            return
+        res = batch_topk(corpus, qs, k=k).withColumn(
+            "batch_id", F.lit(int(epoch_id))
+        )
+        (
+            res.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+
+    return (
+        queries_stream.writeStream.foreachBatch(_serve)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def latest_served_topk(spark, out_path: str) -> DataFrame:
+    """Read-out for ``start_ann_serving``: the LATEST epoch's answer per
+    query id (a re-queried vector supersedes its earlier answer; a
+    replayed epoch is content-identical by the journal contract). One
+    small agg over the epoch-partitioned results, partition-pruned reads
+    throughout."""
+    rows = spark.read.parquet(out_path)
+    latest = rows.groupBy("qid").agg(F.max("batch_id").alias("batch_id"))
+    return rows.join(latest, ["qid", "batch_id"]).select(
+        "qid", "rk", "vec_id", "cosine"
+    )

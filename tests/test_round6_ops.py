@@ -5,6 +5,8 @@ from __future__ import annotations
 import datetime as dt
 import math
 
+from pyspark.sql import functions as F
+
 from querysight_spark.operators.quality import mad_outliers
 from querysight_spark.operators.timeseries import ohlc_bars
 from querysight_spark.operators.vectors import feature_correlation
@@ -321,3 +323,49 @@ def test_mad_method_validation(spark):
     ev = _events(spark, [(1, _ts(9), "a", 1.0)])
     with pytest.raises(ValueError):
         mad_outliers(ev, method="bogus")
+
+
+# --- streaming ANN serving (st12) --------------------------------------------
+
+
+def test_ann_serving_replay_rewrites_not_appends(spark, tmp_path):
+    """Re-draining the same query stream into the same results root
+    (fresh checkpoint, epochs restart) must leave the read-out
+    IDENTICAL — the dynamic-overwrite journal rewrites epoch partitions
+    instead of appending duplicates."""
+    from querysight_spark.operators.similarity import batch_topk
+    from querysight_spark.streaming.incremental import (
+        latest_served_topk,
+        start_ann_serving,
+    )
+    from querysight_spark.testing import make_clustered_embeddings
+
+    vecs = make_clustered_embeddings(spark, n=120, dim=8, n_clusters=4).cache()
+    src = str(tmp_path / "src")
+    vecs.write.parquet(src)
+    out = str(tmp_path / "served")
+
+    def drain(ck):
+        stream = (
+            spark.readStream.schema("vec_id bigint, embedding array<float>, label int")
+            .parquet(src)
+            .where("vec_id % 40 = 1")
+        )
+        q = start_ann_serving(stream, vecs, out, str(tmp_path / ck), k=3)
+        q.awaitTermination()
+
+    drain("ck1")
+    first = [(r.qid, r.rk, r.vec_id, r.cosine)
+             for r in latest_served_topk(spark, out).orderBy("qid", "rk").collect()]
+    drain("ck2")  # full replay into the same journal
+    second = [(r.qid, r.rk, r.vec_id, r.cosine)
+              for r in latest_served_topk(spark, out).orderBy("qid", "rk").collect()]
+    assert first == second and len(first) == 3 * 3  # 3 queries x top-3
+
+    # read-out equals the direct batch answer
+    qs = vecs.where("vec_id % 40 = 1").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    direct = [(r.qid, r.rk, r.vec_id, r.cosine)
+              for r in batch_topk(vecs, qs, k=3).orderBy("qid", "rk").collect()]
+    assert first == direct
