@@ -2898,7 +2898,9 @@ def ss12(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.where(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return batch_topk(e, queries, k=3).orderBy("qid", "rk")
+    return batch_topk(
+        e, queries, k=3, dim=len(_query_vec(spark, sf_dir))
+    ).orderBy("qid", "rk")
 
 
 @_q(
@@ -6565,6 +6567,8 @@ def st12(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fresh run per invocation: the stream checkpoint remembers consumed
     # files, so a stale root would drain zero batches and serve nothing
     shutil.rmtree(root, ignore_errors=True)
-    q = start_ann_serving(stream, corpus, out, ckpt, k=3)
+    q = start_ann_serving(
+        stream, corpus, out, ckpt, k=3, dim=len(_query_vec(spark, sf_dir))
+    )
     q.awaitTermination()
     return latest_served_topk(spark, out).orderBy("qid", "rk")

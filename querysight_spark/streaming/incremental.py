@@ -497,6 +497,8 @@ def start_ann_serving(
     k: int = 3,
     qid_col: str = "vec_id",
     qvec_col: str = "embedding",
+    dim: int | None = None,
+    method: str = "gemm",
 ):
     """Streaming ANN serving (the streaming x similarity composition):
     each micro-batch of query vectors is answered with ONE corpus pass
@@ -518,7 +520,7 @@ def start_ann_serving(
         )
         if qs.limit(1).count() == 0:
             return
-        res = batch_topk(corpus, qs, k=k).withColumn(
+        res = batch_topk(corpus, qs, k=k, dim=dim, method=method).withColumn(
             "batch_id", F.lit(int(epoch_id))
         )
         (

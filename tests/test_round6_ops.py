@@ -369,3 +369,18 @@ def test_ann_serving_replay_rewrites_not_appends(spark, tmp_path):
     direct = [(r.qid, r.rk, r.vec_id, r.cosine)
               for r in batch_topk(vecs, qs, k=3).orderBy("qid", "rk").collect()]
     assert first == direct
+
+
+def test_batch_topk_gemm_equals_expr(spark):
+    from querysight_spark.operators.similarity import batch_topk
+    from querysight_spark.testing import make_clustered_embeddings
+
+    vecs = make_clustered_embeddings(spark, n=250, dim=16, n_clusters=5).cache()
+    qs = vecs.where("vec_id % 60 = 2").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    a = [(r.qid, r.rk, r.vec_id, r.cosine)
+         for r in batch_topk(vecs, qs, k=5, dim=16).orderBy("qid", "rk").collect()]
+    b = [(r.qid, r.rk, r.vec_id, r.cosine)
+         for r in batch_topk(vecs, qs, k=5, method="gemm").orderBy("qid", "rk").collect()]
+    assert a == b and len(a) == 5 * qs.count()
