@@ -6176,6 +6176,122 @@ def px03(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "px04_corpus_to_index_pipeline",
+    r"""WITH cleaned AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(lower(text), $$[^\w\s']$$, ' ', 'g'),
+               $$\s+$$, ' ', 'g')) AS text
+      FROM documents),
+    filt AS (
+      SELECT doc_id, text FROM cleaned
+      WHERE len(string_split(text, ' ')) >= 20),
+    dedup AS (
+      SELECT doc_id, text FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        FROM filt)
+      WHERE doc_id = keeper),
+    toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+             FROM dedup),
+    lens AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM dedup),
+    post AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks
+             WHERE term IN ('vector','spark','stream','slow')
+             GROUP BY term, doc_id),
+    postd AS (SELECT *, COUNT(*) OVER (PARTITION BY term) AS df_t FROM post),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM lens),
+    scored AS (
+      SELECT p.doc_id, p.term,
+             ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+               * (tf * (1.2 + 1.0))
+               / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS contrib
+      FROM postd p CROSS JOIN stats JOIN lens USING (doc_id)),
+    top AS (
+      SELECT doc_id,
+             ROUND(list_reduce(list(contrib ORDER BY term),
+                               (a, x) -> a + x), 6) AS score,
+             COUNT(*) AS n_terms_matched
+      FROM scored GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 10),
+    sh AS (
+      SELECT doc_id,
+             md5(concat('shard', CAST(doc_id AS VARCHAR))) AS shuffle_key,
+             CAST(list_sum([
+               (strpos('0123456789abcdef',
+                       substr(md5(concat('shard', CAST(doc_id AS VARCHAR))),
+                              i + 1, 1)) - 1)
+               * CAST(pow(16, 7 - i) AS BIGINT)
+               for i in range(8)]) AS BIGINT) % 4 AS shard_id
+      FROM dedup),
+    shp AS (
+      SELECT doc_id, shard_id,
+             ROW_NUMBER() OVER (PARTITION BY shard_id
+                                ORDER BY shuffle_key, doc_id) AS shard_pos
+      FROM sh)
+    SELECT t.doc_id, t.score, t.n_terms_matched, s.shard_id, s.shard_pos
+    FROM top t JOIN shp s USING (doc_id)
+    ORDER BY score DESC, t.doc_id""",
+)
+def px04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data last mile as one gate entry — ingest
+    through index probe under a single hash: JSONL edge ingest
+    (schema-enforced read of the documents export, io02's discipline —
+    any escaping/round-trip loss cascades into every downstream number)
+    → clean (tx10) → length floor → exact dedup keep-min-id (dd01) →
+    seeded shard layout over the survivors (tx25) → persisted inverted
+    index BUILT FROM the surviving corpus (ir04) → BM25 top-10 probe,
+    each hit joined back to its shard assignment. BM25's n_docs/avgdl/
+    df_t all shift with every upstream ingest/clean/dedup decision, and
+    shard_pos shifts with corpus membership, so the final 10 rows pin
+    the entire chain. The probe's scoring tail and the shard window are
+    the declared operators' own plans; the 10-row top side broadcasts
+    into the shard join."""
+    import os
+    import tempfile
+
+    from querysight_spark.operators.search import (
+        bm25_topk_indexed,
+        build_text_index,
+    )
+    from querysight_spark.operators.textstats import clean_text, shard_layout
+    from querysight_spark.sources.text_corpus import assert_clean, read_jsonl
+
+    tag = _corpus_tag(sf_dir, "documents")
+    export = os.path.join(tempfile.gettempdir(), f"qs_jsonl_{tag}")
+    if not os.path.exists(os.path.join(export, "_SUCCESS")):
+        from querysight_spark.sources.text_corpus import write_jsonl
+
+        write_jsonl(load_table(spark, "documents", sf_dir), export)
+    docs = assert_clean(read_jsonl(spark, export)).select("doc_id", "text")
+    from pyspark.sql.window import Window
+
+    cleaned = clean_text(docs).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    filt = cleaned.where(F.size(F.split("text", " ")) >= 20)
+    keeper = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    deduped = (
+        filt.withColumn("keeper", keeper)
+        .where(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "text")
+    )
+    index_path = os.path.join(
+        tempfile.gettempdir(), f"qs_px04_text_index_{tag}"
+    )
+    if not os.path.exists(os.path.join(index_path, "stats", "_SUCCESS")):
+        build_text_index(deduped, index_path)
+    top = bm25_topk_indexed(spark, index_path, _IR_TERMS, k=10, k1=1.2, b=0.75)
+    sharded = shard_layout(deduped, n_shards=4, id_col="doc_id").select(
+        "doc_id", "shard_id", "shard_pos"
+    )
+    return (
+        sharded.join(F.broadcast(top), "doc_id")
+        .select("doc_id", "score", "n_terms_matched", "shard_id", "shard_pos")
+        .orderBy(F.desc("score"), "doc_id")
+    )
+
+
+@_q(
     "dq03_corpus_diff",
     """WITH newv AS (
          SELECT doc_id,

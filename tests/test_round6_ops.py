@@ -384,3 +384,18 @@ def test_batch_topk_gemm_equals_expr(spark):
     b = [(r.qid, r.rk, r.vec_id, r.cosine)
          for r in batch_topk(vecs, qs, k=5, method="gemm").orderBy("qid", "rk").collect()]
     assert a == b and len(a) == 5 * qs.count()
+
+
+def test_px04_pipeline_deterministic_and_shard_consistent(spark):
+    from querysight_spark.extension_queries import EXTENSION_QUERIES
+
+    fn, _oracle = EXTENSION_QUERIES["px04_corpus_to_index_pipeline"]
+    sf = "/root/testdata/sf0.001"
+    rows = lambda: [tuple(r) for r in fn(spark, sf).collect()]  # noqa: E731
+    a = rows()
+    assert a == rows()  # re-run identical (warm index + seeded shuffle)
+    assert len(a) == 10
+    assert all(0 <= r[3] < 4 and r[4] >= 1 for r in a)  # shard_id, shard_pos
+    # scores strictly ordered desc with doc_id tiebreak
+    keys = [(-r[1], r[0]) for r in a]
+    assert keys == sorted(keys)
