@@ -132,6 +132,105 @@ def messages_api_complete(
     return complete
 
 
+def azure_openai_complete(
+    base_url: str,
+    deployment: str,
+    api_version: str,
+    api_key: str | None = None,
+    temperature: float = 0.0,
+    max_tokens: int = 512,
+    timeout_s: float = 30.0,
+) -> Callable[[str], str]:
+    """Build a completion callable for the Azure-hosted OpenAI protocol
+    variant (the third widely-published shape litellm routes to,
+    utils/ai_suggester.py:224-282): the SAME chat-completions
+    request/response schema as ``openai_compatible_complete`` but the
+    model is addressed as a DEPLOYMENT in the path
+    (``/openai/deployments/{name}/chat/completions``), the API version is
+    a required query parameter, and the key travels in an ``api-key``
+    header instead of a Bearer token.
+
+    Same discipline as the other builders: resource URL, deployment,
+    version, and key are explicit arguments — nothing read from the
+    environment, stdlib urllib only, driver-side over the bounded
+    top-k batch."""
+    import json
+    import urllib.parse
+    import urllib.request
+
+    url = (
+        base_url.rstrip("/")
+        + f"/openai/deployments/{urllib.parse.quote(deployment)}"
+        + "/chat/completions?api-version="
+        + urllib.parse.quote(api_version)
+    )
+
+    def complete(prompt: str) -> str:
+        body = json.dumps(
+            {
+                "messages": [{"role": "user", "content": prompt}],
+                "temperature": temperature,
+                "max_tokens": max_tokens,
+            }
+        ).encode()
+        headers = {"Content-Type": "application/json"}
+        if api_key:
+            headers["api-key"] = api_key
+        req = urllib.request.Request(url, data=body, headers=headers)
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            payload = json.loads(resp.read().decode())
+        return payload["choices"][0]["message"]["content"]
+
+    return complete
+
+
+def completion_for(
+    spec: str,
+    base_url: str,
+    api_key: str | None = None,
+    api_version: str | None = None,
+    **opts,
+) -> Callable[[str], str]:
+    """litellm-style ``provider/model`` string routing over the explicit
+    builders — the last piece of the reference's provider surface
+    (utils/ai_suggester.py:224-282 accepts any litellm provider string):
+
+    - ``openai/<model>`` (or any OpenAI-compatible server) →
+      ``openai_compatible_complete``
+    - ``azure/<deployment>`` → ``azure_openai_complete`` (``api_version``
+      required)
+    - ``anthropic/<model>`` → ``messages_api_complete`` (``api_version``
+      becomes the dated version header)
+
+    Unlike litellm there is NO default endpoint per provider —
+    ``base_url`` stays a required argument so the engine never phones a
+    hardcoded host (the env-clean discipline); the router only picks the
+    request/response schema. Extra keyword options pass through to the
+    builder; compose with ``with_retries`` for fallback chains."""
+    if "/" not in spec:
+        raise ValueError(
+            f"provider spec must be 'provider/model', got {spec!r}"
+        )
+    provider, model = spec.split("/", 1)
+    if provider == "openai":
+        return openai_compatible_complete(
+            base_url, model, api_key=api_key, **opts
+        )
+    if provider == "azure":
+        if not api_version:
+            raise ValueError("azure/<deployment> requires api_version")
+        return azure_openai_complete(
+            base_url, model, api_version, api_key=api_key, **opts
+        )
+    if provider == "anthropic":
+        return messages_api_complete(
+            base_url, model, api_key=api_key, version=api_version, **opts
+        )
+    raise ValueError(
+        f"unknown provider {provider!r}; expected openai|azure|anthropic"
+    )
+
+
 def with_retries(
     primary: Callable[[str], str],
     fallbacks: tuple[Callable[[str], str], ...] = (),

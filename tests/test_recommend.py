@@ -421,3 +421,107 @@ def test_with_retries_backoff_and_fallback_chain():
     calls.clear()
     with pytest.raises(OSError, match="refused"):
         with_retries(down, (down,), retries=0, backoff_s=0.0)("p")
+
+
+def test_azure_openai_provider_round_trip():
+    """azure_openai_complete: deployment-in-path URL, api-version query
+    parameter, api-key header, OpenAI response schema decode — against a
+    local canned server."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from querysight_spark.plans.providers import azure_openai_complete
+
+    seen = {}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            seen["path"] = self.path
+            seen["key"] = self.headers.get("api-key")
+            seen["auth"] = self.headers.get("Authorization")
+            seen["body_keys"] = sorted(body)
+            out = json.dumps(
+                {"choices": [{"message": {"role": "assistant", "content": "OK"}}]}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    server = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        complete = azure_openai_complete(
+            f"http://127.0.0.1:{server.server_port}",
+            deployment="my gpt",
+            api_version="2024-02-01",
+            api_key="az-key",
+        )
+        assert complete("hi") == "OK"
+    finally:
+        server.shutdown()
+        server.server_close()
+    # deployment is path-quoted; version is a query param; key header, no Bearer
+    assert seen["path"] == (
+        "/openai/deployments/my%20gpt/chat/completions?api-version=2024-02-01"
+    )
+    assert seen["key"] == "az-key" and seen["auth"] is None
+    # azure addresses the model via the deployment path — no model in body
+    assert seen["body_keys"] == ["max_tokens", "messages", "temperature"]
+
+
+def test_completion_for_provider_string_routing(monkeypatch):
+    """completion_for: litellm-style provider/model strings dispatch to
+    the matching builder with the right argument mapping; unknown
+    providers and malformed specs fail loudly; base_url stays required
+    (no hardcoded endpoints)."""
+    import pytest
+
+    from querysight_spark.plans import providers
+
+    calls = {}
+
+    def fake_openai(base_url, model, api_key=None, **kw):
+        calls["openai"] = (base_url, model, api_key, kw)
+        return lambda p: "o"
+
+    def fake_azure(base_url, deployment, api_version, api_key=None, **kw):
+        calls["azure"] = (base_url, deployment, api_version, api_key)
+        return lambda p: "a"
+
+    def fake_messages(base_url, model, api_key=None, version=None, **kw):
+        calls["anthropic"] = (base_url, model, api_key, version)
+        return lambda p: "m"
+
+    monkeypatch.setattr(providers, "openai_compatible_complete", fake_openai)
+    monkeypatch.setattr(providers, "azure_openai_complete", fake_azure)
+    monkeypatch.setattr(providers, "messages_api_complete", fake_messages)
+
+    assert providers.completion_for(
+        "openai/gpt-test", "http://h", api_key="k", timeout_s=5.0
+    )("p") == "o"
+    assert calls["openai"] == ("http://h", "gpt-test", "k", {"timeout_s": 5.0})
+
+    assert providers.completion_for(
+        "azure/dep", "http://h", api_key="k", api_version="2024-02-01"
+    )("p") == "a"
+    assert calls["azure"] == ("http://h", "dep", "2024-02-01", "k")
+
+    assert providers.completion_for(
+        "anthropic/model-x/variant", "http://h", api_version="2023-06-01"
+    )("p") == "m"
+    # split on the FIRST slash only: model keeps its own slashes
+    assert calls["anthropic"] == ("http://h", "model-x/variant", None, "2023-06-01")
+
+    with pytest.raises(ValueError, match="api_version"):
+        providers.completion_for("azure/dep", "http://h")
+    with pytest.raises(ValueError, match="unknown provider"):
+        providers.completion_for("other/m", "http://h")
+    with pytest.raises(ValueError, match="provider/model"):
+        providers.completion_for("bare-model", "http://h")
