@@ -2297,6 +2297,45 @@ def ir04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_indexed(spark, path, _IR_TERMS, k=15, k1=1.2, b=0.75)
 
 
+@_q("ir09_bm25_index_upsert", _bm25_oracle(12))
+def ir09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted-index maintenance under the gate — the
+    ss13/dd09 delta discipline applied to full-text search: the
+    UPSERT-ABLE index is built from 90% of the corpus, the remaining
+    10% is absorbed as a delta (postings append into their term-bucket
+    directories, df_t merges in only the touched termdf buckets, stats
+    merge O(1) — the base postings never rewrite), and the probe over
+    base∪delta must equal the full-corpus BM25 oracle digit for digit.
+    n_docs/avgdl/df_t all shift with the delta, so a missed or
+    double-applied absorb moves every score."""
+    import os
+    import shutil
+
+    from querysight_spark.operators.search import (
+        bm25_topk_upsertable,
+        build_text_index_upsertable,
+        upsert_text_index,
+    )
+
+    path = (
+        __import__("tempfile").gettempdir()
+        + "/qs_bm25_upsert_index_"
+        + _corpus_tag(sf_dir, "documents")
+    )
+    marker = os.path.join(path, "_UPSERT_DONE")
+    if not os.path.exists(marker):
+        # a missing marker with files present = a partial build/absorb;
+        # the only safe recovery for a mutating index is a fresh build
+        shutil.rmtree(path, ignore_errors=True)
+        docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+        build_text_index_upsertable(
+            docs.where(F.col("doc_id") % 10 != 0), path
+        )
+        upsert_text_index(spark, path, docs.where(F.col("doc_id") % 10 == 0))
+        open(marker, "w").close()
+    return bm25_topk_upsertable(spark, path, _IR_TERMS, k=12, k1=1.2, b=0.75)
+
+
 # --- clustering / semantic dedup (operators/clustering.py) ------------------
 #
 # Declared with FIXED centroids (every 50th embedding) so assignment is a

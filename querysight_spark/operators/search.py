@@ -199,6 +199,222 @@ def bm25_topk_indexed(
     return _bm25_from_parts(post, lens, stats, k, k1, b, id_col)
 
 
+def _term_bucket_col(n_buckets: int):
+    """Deterministic engine-portable term→bucket hash (first 8 md5 hex
+    digits mod N — the shard_layout/tx25 discipline): replicable in
+    plain Python for driver-side probe pruning and in SQL for oracles."""
+    return (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def _term_bucket_py(term: str, n_buckets: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def build_text_index_upsertable(
+    df: DataFrame,
+    path: str,
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the UPSERT-ABLE inverted index — the ss13/dd09 delta
+    discipline applied to full-text search. The rebuild-style index
+    (``build_text_index``) denormalizes df_t onto every posting row,
+    which is probe-optimal but makes any corpus append rewrite every
+    posting of every touched term; at 100 TB a nightly crawl delta would
+    rewrite most of the index. This layout instead NORMALIZES the
+    update-hot value:
+
+    - ``postings/``  (term, id, tf), partitioned by ``term_bucket`` —
+      append-only forever; delta files land inside matching bucket
+      directories and probes prune by bucket.
+    - ``termdf/``    (term, df_t), same bucket partitioning — the only
+      piece an upsert rewrites, vocabulary-sized (one row per distinct
+      term), and only the buckets the delta touches.
+    - ``lens/``      (id, dl) — append-only.
+    - ``stats/``     1 row (n_docs, avgdl) — O(1) incremental merge.
+
+    Probes join df_t back from the tiny filtered termdf side (broadcast),
+    so scores stay bit-identical to the rebuild index and ``bm25_topk``."""
+    import json
+    import os
+
+    from pyspark.storagelevel import StorageLevel
+
+    lens = _doc_lengths(df, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    post = term_postings(df, id_col, text_col).withColumn(
+        "term_bucket", _term_bucket_col(n_buckets)
+    )
+    (
+        post.repartition("term_bucket")
+        .sortWithinPartitions("term")
+        .write.partitionBy("term_bucket")
+        .mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    termdf = (
+        post.groupBy("term_bucket", "term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+    )
+    (
+        termdf.repartition("term_bucket")
+        .sortWithinPartitions("term")
+        .write.partitionBy("term_bucket")
+        .mode("overwrite")
+        .parquet(f"{path}/termdf")
+    )
+    lens.write.mode("overwrite").parquet(f"{path}/lens")
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+    lens.unpersist()
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/_index_meta.json", "w") as f:
+        json.dump({"n_buckets": n_buckets}, f)
+
+
+def upsert_text_index(
+    spark,
+    path: str,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Absorb a DELTA corpus into a ``build_text_index_upsertable``
+    layout in O(delta + affected termdf buckets) — the corpus postings
+    never rewrite:
+
+    1. delta postings APPEND into their ``term_bucket=`` directories;
+    2. df_t for the delta's terms merges into termdf — only the buckets
+       the delta touches are read, merged (old count + delta count), and
+       dynamically overwritten (untouched buckets' files stay put);
+    3. lens appends; stats merges incrementally from the old 1-row stats
+       and the delta's own summary (no corpus re-scan anywhere).
+
+    Delta doc ids must be NEW (append-only corpus — the ss13/dd09 delta
+    contract); re-delivering an existing id double-counts it, so feed
+    re-pushed dumps through a dedup stage (st03/st07) first. Returns the
+    number of delta documents absorbed."""
+    import json
+
+    with open(f"{path}/_index_meta.json") as f:
+        n_buckets = json.load(f)["n_buckets"]
+    # two consumers each (write + merge / stats) — localCheckpoint, not a
+    # session-lived persist (the r5 cache-hygiene discipline), and it
+    # also breaks the read-modify-write cycle on termdf below
+    delta_lens = _doc_lengths(delta, id_col, text_col).localCheckpoint(
+        eager=True
+    )
+    delta_post = (
+        term_postings(delta, id_col, text_col)
+        .withColumn("term_bucket", _term_bucket_col(n_buckets))
+        .localCheckpoint(eager=True)
+    )
+    (
+        delta_post.repartition("term_bucket")
+        .sortWithinPartitions("term")
+        .write.partitionBy("term_bucket")
+        .mode("append")
+        .parquet(f"{path}/postings")
+    )
+    affected = [
+        r.term_bucket
+        for r in delta_post.select("term_bucket").distinct().collect()
+    ]
+    delta_df_t = delta_post.groupBy("term_bucket", "term").agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    old = (
+        spark.read.parquet(f"{path}/termdf")
+        .where(F.col("term_bucket").isin(affected))
+        .select("term_bucket", "term", "df_t")
+    )
+    merged = (
+        old.join(delta_df_t, ["term_bucket", "term"], "full")
+        .select(
+            "term_bucket",
+            "term",
+            (
+                F.coalesce(F.col("df_t"), F.lit(0))
+                + F.coalesce(F.col("d"), F.lit(0))
+            ).alias("df_t"),
+        )
+        .localCheckpoint(eager=True)  # materialize BEFORE overwriting source
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition("term_bucket")
+            .sortWithinPartitions("term")
+            .write.partitionBy("term_bucket")
+            .mode("overwrite")
+            .parquet(f"{path}/termdf")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    delta_lens.write.mode("append").parquet(f"{path}/lens")
+    s_old = spark.read.parquet(f"{path}/stats").collect()[0]
+    s_new = delta_lens.agg(
+        F.count(F.lit(1)).alias("dn"), F.sum("dl").alias("dsum")
+    ).collect()[0]
+    n = int(s_old.n_docs) + int(s_new.dn)
+    total = float(s_old.avgdl) * int(s_old.n_docs) + float(s_new.dsum or 0.0)
+    spark.createDataFrame(
+        [(n, total / n)], "n_docs bigint, avgdl double"
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+    return int(s_new.dn)
+
+
+def bm25_topk_upsertable(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 probe over the upsertable layout: query terms hash to their
+    buckets DRIVER-SIDE (the md5 bucket function is plain Python), so
+    both the postings and termdf scans carry a ``term_bucket IN (...)``
+    partition filter that prunes whole directories before IO, then the
+    term-IN predicate prunes row groups inside them (term-sorted files).
+    df_t joins back from the k-term filtered termdf side (broadcast) and
+    the scoring tail is the shared one — scores are bit-identical to
+    ``bm25_topk`` over base ∪ every absorbed delta."""
+    import json
+
+    with open(f"{path}/_index_meta.json") as f:
+        n_buckets = json.load(f)["n_buckets"]
+    buckets = sorted({_term_bucket_py(t, n_buckets) for t in query_terms})
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .where(F.col("term_bucket").isin(buckets))
+        .where(F.col("term").isin(query_terms))
+        .drop("term_bucket")
+    )
+    termdf = (
+        spark.read.parquet(f"{path}/termdf")
+        .where(F.col("term_bucket").isin(buckets))
+        .where(F.col("term").isin(query_terms))
+        .select("term", "df_t")
+    )
+    post = post.join(F.broadcast(termdf), "term")
+    lens = spark.read.parquet(f"{path}/lens")
+    stats = spark.read.parquet(f"{path}/stats")
+    return _bm25_from_parts(post, lens, stats, k, k1, b, id_col)
+
+
 def tfidf_scores(
     df: DataFrame,
     query_terms: list[str],

@@ -319,3 +319,102 @@ def test_ranking_metrics_no_relevant_found(spark):
     )
     r = ranking_metrics(ranked, relevant, k=2).collect()[0]
     assert r.precision_at_k == 0.0 and r.mrr == 0.0 and r.ndcg_at_k == 0.0
+
+
+# --- upsertable index (build_text_index_upsertable / upsert / probe) ---------
+
+
+def _index_files(path):
+    import os
+
+    out = set()
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")) and not f.endswith(".crc"):
+                out.add(os.path.join(root, f))
+    return out
+
+
+def test_upsertable_index_equals_full_build_probe(spark, corpus, tmp_path):
+    from querysight_spark.operators.search import (
+        bm25_topk_upsertable,
+        build_text_index_upsertable,
+        upsert_text_index,
+    )
+
+    base = corpus.where("doc_id <= 3")
+    delta = corpus.where("doc_id > 3")
+    inc = str(tmp_path / "inc")
+    build_text_index_upsertable(base, inc, n_buckets=4)
+    assert upsert_text_index(spark, inc, delta) == 2
+
+    full = str(tmp_path / "full")
+    build_text_index_upsertable(corpus, full, n_buckets=4)
+
+    terms = ["spark", "query", "engine"]
+    got = [
+        (r.doc_id, r.score, r.n_terms_matched)
+        for r in bm25_topk_upsertable(spark, inc, terms, k=5).collect()
+    ]
+    want = [
+        (r.doc_id, r.score, r.n_terms_matched)
+        for r in bm25_topk_upsertable(spark, full, terms, k=5).collect()
+    ]
+    assert got == want and len(got) == 4  # docs 1-4 match some term
+    # ...and both equal the in-flight scorer over the union corpus
+    flight = [
+        (r.doc_id, r.score, r.n_terms_matched)
+        for r in bm25_topk(corpus, terms, k=5).collect()
+    ]
+    assert got == flight
+
+
+def test_upsert_appends_postings_and_rewrites_only_touched_termdf(
+    spark, corpus, tmp_path
+):
+    from querysight_spark.operators.search import (
+        _term_bucket_py,
+        build_text_index_upsertable,
+        upsert_text_index,
+    )
+
+    path = str(tmp_path / "ix")
+    build_text_index_upsertable(corpus.where("doc_id <= 3"), path, n_buckets=8)
+    post_before = _index_files(path + "/postings")
+    termdf_before = _index_files(path + "/termdf")
+
+    # delta = one new doc with a single repeated known term
+    delta = spark.createDataFrame([(9, "spark spark")], ["doc_id", "text"])
+    upsert_text_index(spark, path, delta)
+
+    # postings are append-only: every pre-existing file survives untouched
+    assert post_before <= _index_files(path + "/postings")
+    # termdf: only the touched bucket's files changed
+    b = _term_bucket_py("spark", 8)
+    touched = {f for f in termdf_before if f"term_bucket={b}/" in f}
+    untouched = termdf_before - touched
+    after = _index_files(path + "/termdf")
+    assert untouched <= after          # other buckets' files still there
+    assert not (touched & after)       # the spark bucket was rewritten
+
+    # df_t merged: 'spark' now in docs 1 and 9
+    got = {
+        r.term: r.df_t
+        for r in spark.read.parquet(path + "/termdf").collect()
+    }
+    assert got["spark"] == 2
+    assert got["query"] == 2  # untouched counts preserved (docs 1, 2)
+
+
+def test_upsertable_probe_prunes_term_buckets(spark, corpus, tmp_path):
+    from querysight_spark.operators.search import (
+        bm25_topk_upsertable,
+        build_text_index_upsertable,
+    )
+
+    path = str(tmp_path / "ix")
+    build_text_index_upsertable(corpus, path, n_buckets=8)
+    plan = bm25_topk_upsertable(
+        spark, path, ["spark"], k=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "term_bucket" in plan
