@@ -6727,3 +6727,70 @@ def st12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return latest_served_topk(spark, out).orderBy("qid", "rk")
+
+
+@_q("st13_stream_index_absorb", _bm25_oracle(14))
+def st13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingest absorbed into the persisted upsertable
+    BM25 index (streaming × ir09 — the crawl pipeline run continuously):
+    the index is built from 90% of the corpus, the remaining 10% arrives
+    as a JSONL stream delivered TWICE across micro-batches (every file
+    symlinked under two names, one file per trigger — deterministic
+    at-least-once delivery), and each micro-batch upserts in O(batch +
+    touched termdf buckets). Replay safety is data-level: the absorb
+    anti-joins the index's own lens table, so the duplicate deliveries
+    re-absorb nothing, and the post-drain probe must equal the
+    full-corpus BM25 oracle digit for digit."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from querysight_spark.operators.search import (
+        bm25_topk_upsertable,
+        build_text_index_upsertable,
+    )
+    from querysight_spark.sources.text_corpus import (
+        DOCUMENTS_SCHEMA,
+        write_jsonl,
+    )
+    from querysight_spark.streaming.incremental import start_index_absorb
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "qs_st13_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
+    # fresh run per invocation: the index MUTATES during the drain and
+    # the checkpoint remembers consumed files — stale state would absorb
+    # nothing (or double-absorb a partial run)
+    shutil.rmtree(root, ignore_errors=True)
+    index = os.path.join(root, "index")
+    build_text_index_upsertable(docs.where(F.col("doc_id") % 10 != 0), index)
+    export = os.path.join(root, "delta_jsonl")
+    write_jsonl(
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("doc_id") % 10 == 0)
+        .repartition(3),
+        export,
+    )
+    stream_dir = os.path.join(root, "stream")
+    os.makedirs(stream_dir, exist_ok=True)
+    parts = [
+        f for f in os.listdir(export)
+        if not f.startswith(("_", ".")) and not f.endswith(".crc")
+    ]
+    for copy in range(2):
+        for p in parts:
+            os.symlink(
+                os.path.join(export, p),
+                os.path.join(stream_dir, f"b{copy}_{p}"),
+            )
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(stream_dir)
+    )
+    q = start_index_absorb(stream, index, os.path.join(root, "ckpt"))
+    q.awaitTermination()
+    return bm25_topk_upsertable(spark, index, _IR_TERMS, k=14, k1=1.2, b=0.75)

@@ -538,6 +538,50 @@ def start_ann_serving(
     )
 
 
+def start_index_absorb(
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming corpus ingest absorbed INCREMENTALLY into a persisted
+    ``build_text_index_upsertable`` BM25 index (the streaming × ir09
+    composition — the nightly-crawl shape run continuously): each
+    micro-batch of new documents upserts in O(batch + touched termdf
+    buckets); the base postings never rewrite.
+
+    Replay safety is at the DATA level, not an epoch journal: the
+    index's own ``lens/`` table IS the set of absorbed doc ids, so each
+    batch drops in-batch duplicates and anti-joins lens before
+    absorbing — a re-delivered file (at-least-once sources) or a
+    replayed epoch (foreachBatch crash recovery) re-absorbs nothing.
+    The upsert contract ("delta ids must be new") is therefore enforced
+    here rather than assumed. At 100 TB, bucket lens by the id for a
+    co-located anti-join; the absorb path is unchanged. Returns the
+    started StreamingQuery."""
+    from querysight_spark.operators.search import upsert_text_index
+
+    def _absorb(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        seen = spark.read.parquet(f"{index_path}/lens").select(id_col)
+        fresh = (
+            batch_df.select(id_col, text_col)
+            .dropDuplicates([id_col])
+            .join(seen, id_col, "left_anti")
+        )
+        if fresh.limit(1).count() == 0:
+            return
+        upsert_text_index(spark, index_path, fresh, id_col, text_col)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_absorb)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def latest_served_topk(spark, out_path: str) -> DataFrame:
     """Read-out for ``start_ann_serving``: the LATEST epoch's answer per
     query id (a re-queried vector supersedes its earlier answer; a

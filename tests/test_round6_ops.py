@@ -399,3 +399,64 @@ def test_px04_pipeline_deterministic_and_shard_consistent(spark):
     # scores strictly ordered desc with doc_id tiebreak
     keys = [(-r[1], r[0]) for r in a]
     assert keys == sorted(keys)
+
+
+def test_stream_index_absorb_replay_is_noop(spark, tmp_path):
+    """start_index_absorb: duplicate delivery (same docs re-streamed with
+    a FRESH checkpoint — full replay, not just intra-run re-delivery)
+    absorbs nothing, because the absorb anti-joins the index's own lens."""
+    import os
+
+    from querysight_spark.operators.search import (
+        bm25_topk,
+        bm25_topk_upsertable,
+        build_text_index_upsertable,
+    )
+    from querysight_spark.sources.text_corpus import (
+        DOCUMENTS_SCHEMA,
+        write_jsonl,
+    )
+    from querysight_spark.streaming.incremental import start_index_absorb
+
+    rows = [
+        (i, f"alpha beta doc{i} " + ("spark " * (i % 3 + 1)).strip(),
+         "en", "s", 10)
+        for i in range(1, 21)
+    ]
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    index = str(tmp_path / "ix")
+    build_text_index_upsertable(
+        docs.where("doc_id % 4 != 0").select("doc_id", "text"), index
+    )
+    export = str(tmp_path / "jsonl")
+    write_jsonl(docs.where("doc_id % 4 = 0").repartition(2), export)
+
+    def drain(ck):
+        stream = (
+            spark.readStream.schema(DOCUMENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(export)
+        )
+        q = start_index_absorb(stream, index, str(tmp_path / ck))
+        q.awaitTermination()
+
+    drain("ck1")
+    probe = lambda: [  # noqa: E731
+        (r.doc_id, r.score)
+        for r in bm25_topk_upsertable(spark, index, ["spark", "alpha"], k=25)
+        .orderBy("doc_id").collect()
+    ]
+    first = probe()
+    n_lens_files = len(os.listdir(os.path.join(index, "lens")))
+    drain("ck2")  # full replay from scratch
+    assert probe() == first
+    # not even an empty append happened on the replay
+    assert len(os.listdir(os.path.join(index, "lens"))) == n_lens_files
+    # and the absorbed index equals the in-flight scorer on the union
+    flight = [
+        (r.doc_id, r.score)
+        for r in bm25_topk(
+            docs.select("doc_id", "text"), ["spark", "alpha"], k=25
+        ).orderBy("doc_id").collect()
+    ]
+    assert first == flight
