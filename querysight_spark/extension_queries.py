@@ -2336,6 +2336,70 @@ def ir09(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_upsertable(spark, path, _IR_TERMS, k=12, k1=1.2, b=0.75)
 
 
+# ir10 truth: BM25 over the corpus with the deleted stratum REMOVED —
+# same scoring SQL as _bm25_oracle but sourced from the filtered docs
+_IR10_ORACLE = f"""WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+    toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM docs),
+    lens AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM docs),
+    post AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks
+             WHERE term IN {_IR_TERMS_SQL} GROUP BY term, doc_id),
+    postd AS (SELECT *, COUNT(*) OVER (PARTITION BY term) AS df_t FROM post),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM lens),
+    scored AS (
+      SELECT p.doc_id, p.term,
+             ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+               * (tf * (1.2 + 1.0))
+               / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS contrib
+      FROM postd p CROSS JOIN stats JOIN lens USING (doc_id)
+    )
+    SELECT doc_id,
+           ROUND(list_reduce(list(contrib ORDER BY term), (a, x) -> a + x), 6)
+             AS score,
+           COUNT(*) AS n_terms_matched
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 13"""
+
+
+@_q("ir10_bm25_index_delete", _IR10_ORACLE)
+def ir10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten under the gate, completing the index
+    maintenance trio (ir09 append / st13 streaming absorb / ir10
+    delete): the upsertable index is built from the FULL corpus, one
+    stratum (doc_id % 7 = 3) is deleted — term lists recovered from the
+    forward index reading only the deleted ids' doc buckets, df_t
+    decremented in the touched termdf buckets, stats decremented O(1),
+    ids tombstoned — and the probe must equal the BM25 oracle over the
+    corpus with that stratum REMOVED, digit for digit. n_docs/avgdl/
+    df_t all shift with the deletion, so a missed or double-applied
+    decrement moves every surviving score."""
+    import os
+    import shutil
+
+    from querysight_spark.operators.search import (
+        bm25_topk_upsertable,
+        build_text_index_upsertable,
+        delete_from_text_index,
+    )
+
+    path = (
+        __import__("tempfile").gettempdir()
+        + "/qs_bm25_delete_index_"
+        + _corpus_tag(sf_dir, "documents")
+    )
+    marker = os.path.join(path, "_DELETE_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+        build_text_index_upsertable(docs, path)
+        delete_from_text_index(
+            spark, path, docs.where(F.col("doc_id") % 7 == 3).select("doc_id")
+        )
+        open(marker, "w").close()
+    return bm25_topk_upsertable(spark, path, _IR_TERMS, k=13, k1=1.2, b=0.75)
+
+
 # --- clustering / semantic dedup (operators/clustering.py) ------------------
 #
 # Declared with FIXED centroids (every 50th embedding) so assignment is a

@@ -215,6 +215,17 @@ def _term_bucket_py(term: str, n_buckets: int) -> int:
     return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % n_buckets
 
 
+def _doc_bucket_col(id_col: str, n_buckets: int):
+    """Same md5 bucket function keyed on the doc id (string form) — the
+    forward index's partition key."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % n_buckets
+    )
+
+
 def build_text_index_upsertable(
     df: DataFrame,
     path: str,
@@ -236,8 +247,15 @@ def build_text_index_upsertable(
     - ``termdf/``    (term, df_t), same bucket partitioning — the only
       piece an upsert rewrites, vocabulary-sized (one row per distinct
       term), and only the buckets the delta touches.
+    - ``forward/``   (id, term, tf), partitioned by ``doc_bucket`` — the
+      forward half of the classic inverted+forward dual (what Lucene
+      stores as term vectors): the extra copy is the price of O(deleted
+      docs) DELETES (``delete_from_text_index`` reads only the deleted
+      ids' buckets to learn which df_t counts to decrement).
     - ``lens/``      (id, dl) — append-only.
     - ``stats/``     1 row (n_docs, avgdl) — O(1) incremental merge.
+    - ``deletes/``   (id) tombstones, created by the first delete —
+      probes anti-join it; compaction folds it into postings/forward.
 
     Probes join df_t back from the tiny filtered termdf side (broadcast),
     so scores stay bit-identical to the rebuild index and ``bm25_topk``."""
@@ -253,8 +271,12 @@ def build_text_index_upsertable(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     )
-    post = term_postings(df, id_col, text_col).withColumn(
-        "term_bucket", _term_bucket_col(n_buckets)
+    # three consumers (postings, forward, termdf) — materialize the
+    # tokenize+count once instead of re-executing it per write
+    post = (
+        term_postings(df, id_col, text_col)
+        .withColumn("term_bucket", _term_bucket_col(n_buckets))
+        .localCheckpoint(eager=True)
     )
     (
         post.repartition("term_bucket")
@@ -262,6 +284,15 @@ def build_text_index_upsertable(
         .write.partitionBy("term_bucket")
         .mode("overwrite")
         .parquet(f"{path}/postings")
+    )
+    (
+        post.drop("term_bucket")
+        .withColumn("doc_bucket", _doc_bucket_col(id_col, n_buckets))
+        .repartition("doc_bucket")
+        .sortWithinPartitions(id_col)
+        .write.partitionBy("doc_bucket")
+        .mode("overwrite")
+        .parquet(f"{path}/forward")
     )
     termdf = (
         post.groupBy("term_bucket", "term")
@@ -326,6 +357,15 @@ def upsert_text_index(
         .mode("append")
         .parquet(f"{path}/postings")
     )
+    (
+        delta_post.drop("term_bucket")
+        .withColumn("doc_bucket", _doc_bucket_col(id_col, n_buckets))
+        .repartition("doc_bucket")
+        .sortWithinPartitions(id_col)
+        .write.partitionBy("doc_bucket")
+        .mode("append")
+        .parquet(f"{path}/forward")
+    )
     affected = [
         r.term_bucket
         for r in delta_post.select("term_bucket").distinct().collect()
@@ -375,6 +415,140 @@ def upsert_text_index(
     return int(s_new.dn)
 
 
+def delete_from_text_index(
+    spark,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+) -> int:
+    """Right-to-be-forgotten for the upsertable index in O(deleted docs
+    + touched termdf buckets) — the corpus postings never rewrite:
+
+    1. the deleted ids' term lists come from ``forward/`` reading ONLY
+       the ids' ``doc_bucket=`` partitions (never a postings scan);
+    2. df_t decrements merge into the touched termdf buckets (dynamic
+       overwrite; terms whose count reaches 0 drop out);
+    3. stats decrement O(1) — each deleted doc's dl is the sum of its
+       forward tf row group, no lens scan;
+    4. the ids append to ``deletes/`` tombstones; probes anti-join them
+       (postings/forward/lens keep the rows until ``compact_text_index``
+       folds the tombstones in).
+
+    Idempotent at the DATA level (the st13 discipline): ids already
+    tombstoned — or never indexed — are dropped before any counting, so
+    a re-delivered delete request decrements nothing twice. A deleted id
+    must never be re-upserted (tombstones are forever until compaction;
+    the upsert contract already requires globally-new ids). Returns the
+    number of documents actually deleted."""
+    import json
+    import os
+
+    with open(f"{path}/_index_meta.json") as f:
+        n_buckets = json.load(f)["n_buckets"]
+    todo = ids.select(F.col(id_col)).distinct()
+    if os.path.exists(f"{path}/deletes"):
+        done = spark.read.parquet(f"{path}/deletes").select(id_col)
+        todo = todo.join(done, id_col, "left_anti")
+    todo = todo.withColumn(
+        "doc_bucket", _doc_bucket_col(id_col, n_buckets)
+    ).localCheckpoint(eager=True)
+    doc_buckets = [
+        r.doc_bucket
+        for r in todo.select("doc_bucket").distinct().collect()
+    ]
+    if not doc_buckets:
+        return 0
+    fwd = (
+        spark.read.parquet(f"{path}/forward")
+        .where(F.col("doc_bucket").isin(doc_buckets))
+        .join(todo.select(id_col), id_col, "left_semi")  # only indexed ids
+        .localCheckpoint(eager=True)  # consumers: df_t dec, stats, tombstones
+    )
+    dec = (
+        fwd.withColumn("term_bucket", _term_bucket_col(n_buckets))
+        .groupBy("term_bucket", "term")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    affected = [
+        r.term_bucket for r in dec.select("term_bucket").distinct().collect()
+    ]
+    old = (
+        spark.read.parquet(f"{path}/termdf")
+        .where(F.col("term_bucket").isin(affected))
+        .select("term_bucket", "term", "df_t")
+    )
+    merged = (
+        old.join(dec, ["term_bucket", "term"], "left")
+        .select(
+            "term_bucket",
+            "term",
+            (F.col("df_t") - F.coalesce(F.col("d"), F.lit(0))).alias("df_t"),
+        )
+        .where(F.col("df_t") > 0)
+        .localCheckpoint(eager=True)  # materialize BEFORE overwriting source
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition("term_bucket")
+            .sortWithinPartitions("term")
+            .write.partitionBy("term_bucket")
+            .mode("overwrite")
+            .parquet(f"{path}/termdf")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    gone = fwd.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    s_del = gone.agg(
+        F.count(F.lit(1)).alias("dn"), F.sum("dl").alias("dsum")
+    ).collect()[0]
+    if int(s_del.dn):
+        s_old = spark.read.parquet(f"{path}/stats").collect()[0]
+        n = int(s_old.n_docs) - int(s_del.dn)
+        total = float(s_old.avgdl) * int(s_old.n_docs) - float(s_del.dsum)
+        spark.createDataFrame(
+            [(n, total / n if n else 0.0)], "n_docs bigint, avgdl double"
+        ).write.mode("overwrite").parquet(f"{path}/stats")
+        gone.select(id_col).write.mode("append").parquet(f"{path}/deletes")
+    return int(s_del.dn)
+
+
+def compact_text_index(spark, path: str) -> int:
+    """Fold the tombstones in: physically drop deleted rows from
+    postings/forward/lens and clear ``deletes/`` — the amortized
+    maintenance pass (the io05 compaction story applied to the index;
+    probes pay the anti-join until it runs). A full rewrite by design:
+    run it when the tombstone fraction justifies one, not per delete.
+    Returns the number of tombstones folded."""
+    import os
+    import shutil
+
+    if not os.path.exists(f"{path}/deletes"):
+        return 0
+    dead = spark.read.parquet(f"{path}/deletes").localCheckpoint(eager=True)
+    n = dead.count()
+    id_col = dead.columns[0]
+    for part, bucket_col in (
+        ("postings", "term_bucket"),
+        ("forward", "doc_bucket"),
+        ("lens", None),
+    ):
+        src = spark.read.parquet(f"{path}/{part}")
+        kept = src.join(dead, id_col, "left_anti").localCheckpoint(eager=True)
+        if bucket_col:
+            (
+                kept.repartition(bucket_col)
+                .write.partitionBy(bucket_col)
+                .mode("overwrite")
+                .parquet(f"{path}/{part}")
+            )
+        else:
+            kept.write.mode("overwrite").parquet(f"{path}/{part}")
+    shutil.rmtree(f"{path}/deletes", ignore_errors=True)
+    return n
+
+
 def bm25_topk_upsertable(
     spark,
     path: str,
@@ -391,8 +565,11 @@ def bm25_topk_upsertable(
     term-IN predicate prunes row groups inside them (term-sorted files).
     df_t joins back from the k-term filtered termdf side (broadcast) and
     the scoring tail is the shared one — scores are bit-identical to
-    ``bm25_topk`` over base ∪ every absorbed delta."""
+    ``bm25_topk`` over base ∪ every absorbed delta, minus every
+    tombstoned delete (the anti-join runs AFTER the term-IN filter, so
+    it touches matched candidates, not the corpus)."""
     import json
+    import os
 
     with open(f"{path}/_index_meta.json") as f:
         n_buckets = json.load(f)["n_buckets"]
@@ -403,6 +580,10 @@ def bm25_topk_upsertable(
         .where(F.col("term").isin(query_terms))
         .drop("term_bucket")
     )
+    if os.path.exists(f"{path}/deletes"):
+        post = post.join(
+            spark.read.parquet(f"{path}/deletes"), id_col, "left_anti"
+        )
     termdf = (
         spark.read.parquet(f"{path}/termdf")
         .where(F.col("term_bucket").isin(buckets))

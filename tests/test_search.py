@@ -418,3 +418,89 @@ def test_upsertable_probe_prunes_term_buckets(spark, corpus, tmp_path):
         spark, path, ["spark"], k=3
     )._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "term_bucket" in plan
+
+
+def test_delete_decrements_and_tombstones(spark, corpus, tmp_path):
+    from querysight_spark.operators.search import (
+        bm25_topk,
+        bm25_topk_upsertable,
+        build_text_index_upsertable,
+        delete_from_text_index,
+    )
+
+    path = str(tmp_path / "ix")
+    build_text_index_upsertable(corpus, path, n_buckets=4)
+    ids = spark.createDataFrame([(4,), (99,)], ["doc_id"])  # 99 never indexed
+    assert delete_from_text_index(spark, path, ids) == 1
+
+    terms = ["spark", "query", "engine"]
+    got = [
+        (r.doc_id, r.score, r.n_terms_matched)
+        for r in bm25_topk_upsertable(spark, path, terms, k=5).collect()
+    ]
+    want = [
+        (r.doc_id, r.score, r.n_terms_matched)
+        for r in bm25_topk(
+            corpus.where("doc_id != 4"), terms, k=5
+        ).collect()
+    ]
+    assert got == want and 4 not in {r[0] for r in got}
+    # df_t decremented: 'spark' was in docs 1 and 4 -> now 1
+    dft = {
+        r.term: r.df_t for r in spark.read.parquet(path + "/termdf").collect()
+    }
+    assert dft["spark"] == 1
+    # re-delivering the same delete is a no-op (data-level idempotency)
+    assert delete_from_text_index(spark, path, ids) == 0
+    assert dft == {
+        r.term: r.df_t for r in spark.read.parquet(path + "/termdf").collect()
+    }
+
+
+def test_delete_drops_zero_df_terms_and_adjusts_stats(spark, corpus, tmp_path):
+    from querysight_spark.operators.search import (
+        build_text_index_upsertable,
+        delete_from_text_index,
+    )
+
+    path = str(tmp_path / "ix")
+    build_text_index_upsertable(corpus, path, n_buckets=4)
+    # doc 5 is the only doc with 'unrelated' -> its terms must vanish
+    delete_from_text_index(
+        spark, path, spark.createDataFrame([(5,)], ["doc_id"])
+    )
+    terms = {r.term for r in spark.read.parquet(path + "/termdf").collect()}
+    assert "unrelated" not in terms and "spark" in terms
+    s = spark.read.parquet(path + "/stats").collect()[0]
+    assert s.n_docs == 4
+    # avgdl over remaining docs 1-4 (6+5+4+6 words)/4
+    assert abs(s.avgdl - (6 + 5 + 4 + 6) / 4) < 1e-9
+
+
+def test_compact_folds_tombstones_probe_unchanged(spark, corpus, tmp_path):
+    from querysight_spark.operators.search import (
+        bm25_topk_upsertable,
+        build_text_index_upsertable,
+        compact_text_index,
+        delete_from_text_index,
+    )
+
+    path = str(tmp_path / "ix")
+    build_text_index_upsertable(corpus, path, n_buckets=4)
+    delete_from_text_index(
+        spark, path, spark.createDataFrame([(2,), (5,)], ["doc_id"])
+    )
+    terms = ["spark", "query", "engine"]
+    before = [tuple(r) for r in bm25_topk_upsertable(spark, path, terms, k=5).collect()]
+    assert compact_text_index(spark, path) == 2
+    import os
+
+    assert not os.path.exists(path + "/deletes")
+    after = [tuple(r) for r in bm25_topk_upsertable(spark, path, terms, k=5).collect()]
+    assert after == before
+    # physically gone from every store
+    for part in ("postings", "forward", "lens"):
+        ids = {r.doc_id for r in spark.read.parquet(f"{path}/{part}").collect()}
+        assert not ids & {2, 5}
+    # compacting twice is a no-op
+    assert compact_text_index(spark, path) == 0
