@@ -1173,3 +1173,74 @@ def test_nsw_graph_index_recall_and_pruning(spark, tmp_path):
                   for r in probe_nsw_index(spark, path, q, k=k,
                                            beam_width=400, max_hops=64).collect()]
     assert flood_rows == truth_rows
+
+
+def test_ivfpq_delete_tombstones_and_compaction(spark, vecs, tmp_path):
+    """delete_from_ivfpq_index / compact_ivfpq_index: tombstoned ids
+    vanish from probes (remaining rows' scores untouched), re-delivered
+    deletes are no-ops, and compaction folds tombstones while leaving
+    untouched list partitions' files alone and probe results identical."""
+    import os
+
+    from querysight_spark.operators.similarity import (
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+        probe_ivfpq_index,
+    )
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    path = str(tmp_path / "ix")
+    build_ivfpq_index(vecs, path, dim=4, n_centroids=2, m=2, k=4)
+    before = [
+        (r.vec_id, r.cosine)
+        for r in probe_ivfpq_index(
+            spark, path, q, k=8, n_probes=2, rerank_df=vecs, oversample=10
+        ).collect()
+    ]
+    doomed = {before[0][0], before[2][0]}
+    ids = spark.createDataFrame([(i,) for i in doomed], ["vec_id"])
+    assert delete_from_ivfpq_index(spark, path, ids) == len(doomed)
+    assert delete_from_ivfpq_index(spark, path, ids) == 0  # idempotent
+
+    got = [
+        (r.vec_id, r.cosine)
+        for r in probe_ivfpq_index(
+            spark, path, q, k=6, n_probes=2, rerank_df=vecs, oversample=10
+        ).collect()
+    ]
+    assert got == [p for p in before if p[0] not in doomed][:6]
+
+    def files(p):
+        out = set()
+        for root, _d, fs in os.walk(p):
+            if "_deletes" in root:
+                continue
+            out |= {
+                os.path.join(root, f) for f in fs
+                if not f.startswith(("_", ".")) and not f.endswith(".crc")
+            }
+        return out
+
+    pre = files(path)
+    hit_lists = {
+        r.list_id
+        for r in spark.read.parquet(path)
+        .where(F.col("vec_id").isin(list(doomed)))
+        .select("list_id").distinct().collect()
+    }
+    assert compact_ivfpq_index(spark, path) == len(doomed)
+    post = files(path)
+    untouched = {f for f in pre if not any(f"list_id={b}/" in f for b in hit_lists)}
+    assert untouched <= post  # unaffected lists' files survived in place
+    assert not os.path.exists(path + "/_deletes")
+    left = {r.vec_id for r in spark.read.parquet(path).collect()}
+    assert not left & doomed
+    after = [
+        (r.vec_id, r.cosine)
+        for r in probe_ivfpq_index(
+            spark, path, q, k=6, n_probes=2, rerank_df=vecs, oversample=10
+        ).collect()
+    ]
+    assert after == got
+    assert compact_ivfpq_index(spark, path) == 0
