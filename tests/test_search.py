@@ -504,3 +504,72 @@ def test_compact_folds_tombstones_probe_unchanged(spark, corpus, tmp_path):
         assert not ids & {2, 5}
     # compacting twice is a no-op
     assert compact_text_index(spark, path) == 0
+
+
+def test_upsert_delete_algebra_random_sequences(spark, tmp_path):
+    """Seeded randomized op sequences: any interleaving of upserts and
+    deletes must leave the index probe equal to in-flight BM25 over the
+    surviving corpus (and compaction must not change it). The algebra
+    check for the maintenance trio."""
+    import random
+
+    from querysight_spark.operators.search import (
+        bm25_topk,
+        bm25_topk_upsertable,
+        build_text_index_upsertable,
+        compact_text_index,
+        delete_from_text_index,
+        upsert_text_index,
+    )
+
+    vocab = ["spark", "query", "engine", "stream", "data", "fast", "slow"]
+    terms = ["spark", "query", "stream"]
+
+    def doc(rng, i):
+        return (i, " ".join(rng.choices(vocab, k=rng.randint(3, 9))))
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        next_id = 100
+        docs = {i: t for i, t in (doc(rng, i) for i in range(20))}
+        path = str(tmp_path / f"ix{seed}")
+        build_text_index_upsertable(
+            spark.createDataFrame(list(docs.items()), ["doc_id", "text"]),
+            path,
+            n_buckets=4,
+        )
+        for step in range(3):
+            if rng.random() < 0.5 and len(docs) > 4:
+                dead = rng.sample(sorted(docs), rng.randint(1, 3))
+                delete_from_text_index(
+                    spark,
+                    path,
+                    spark.createDataFrame([(i,) for i in dead], ["doc_id"]),
+                )
+                for i in dead:
+                    del docs[i]
+            else:
+                fresh = dict(
+                    doc(rng, next_id + j) for j in range(rng.randint(1, 4))
+                )
+                next_id += len(fresh) + 1
+                upsert_text_index(
+                    spark,
+                    path,
+                    spark.createDataFrame(
+                        list(fresh.items()), ["doc_id", "text"]
+                    ),
+                )
+                docs.update(fresh)
+        truth_df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+        want = [tuple(r) for r in bm25_topk(truth_df, terms, k=30).collect()]
+        got = [
+            tuple(r)
+            for r in bm25_topk_upsertable(spark, path, terms, k=30).collect()
+        ]
+        assert got == want, f"seed {seed}: divergence after op sequence"
+        compact_text_index(spark, path)
+        assert want == [
+            tuple(r)
+            for r in bm25_topk_upsertable(spark, path, terms, k=30).collect()
+        ], f"seed {seed}: compaction changed the probe"
