@@ -6639,6 +6639,47 @@ def ss16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ss17_batch_index_probe",
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id % 50 = 2),
+       vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       scored AS (
+         SELECT q.qid, vv.vec_id,
+                ROUND(list_dot_product(v, qv)
+                      / (sqrt(list_dot_product(v, v))
+                         * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+         FROM vv CROSS JOIN q)
+       SELECT qid, rk, vec_id, cosine FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY cosine DESC, vec_id) AS rk
+         FROM scored)
+       WHERE rk <= 3 ORDER BY qid, rk""",
+)
+def ss17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH probe over the persisted IVF+PQ index — ss12's serving
+    shape moved onto the billion-vector layout (and the seam st12's
+    docstring promises): the whole query batch is answered by ONE
+    partition-pruned scan of the union of per-query probe lists; each
+    code row ADC-scores only for the queries probing its list, each
+    partition emits local top-k per query, one window merges. Declared
+    in exact mode (all lists probed, corpus-wide rerank shortlist) so
+    the hash must equal the ss12-shape exact oracle; the production
+    operating point (n_probes=4, oversample=10) is the bench's side of
+    the trade, same as ss09."""
+    from querysight_spark.operators.similarity import ivfpq_batch_topk
+
+    path = _ensure_ivfpq_index(spark, sf_dir)
+    e = load_table(spark, "embeddings", sf_dir)
+    queries = e.where(F.col("vec_id") % 50 == 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ivfpq_batch_topk(
+        spark, path, queries, k=3, n_probes=IVFPQ_INDEX_CENTROIDS,
+        rerank_df=e, oversample=_full_oversample(sf_dir, k=3),
+    ).orderBy("qid", "rk")
+
+
+@_q(
     "an08_mad_outliers_approx",
     """WITH med AS (
          SELECT event_type, quantile_cont(value, 0.5) AS med

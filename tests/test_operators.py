@@ -1244,3 +1244,68 @@ def test_ivfpq_delete_tombstones_and_compaction(spark, vecs, tmp_path):
     ]
     assert after == got
     assert compact_ivfpq_index(spark, path) == 0
+
+
+def test_ivfpq_batch_topk_exact_mode_and_adc_parity(spark, tmp_path):
+    """ivfpq_batch_topk: (a) exact mode (all lists + rerank) equals the
+    exact batch_topk answer per query; (b) the ADC-only path equals the
+    single-query ivfpq_topk for each query in the batch (same algebra,
+    same rounding); (c) tombstoned ids are honored."""
+    import json
+
+    import numpy as np
+
+    from querysight_spark.operators.similarity import (
+        batch_topk,
+        build_ivfpq_index,
+        delete_from_ivfpq_index,
+        ivfpq_batch_topk,
+        ivfpq_topk,
+    )
+    from querysight_spark.testing import make_clustered_embeddings
+
+    vecs = make_clustered_embeddings(spark, n=300, dim=16, n_clusters=6).cache()
+    path = str(tmp_path / "ix")
+    build_ivfpq_index(vecs, path, dim=16, n_centroids=4, m=4, k=8)
+    qs = vecs.where("vec_id % 70 = 3").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    ).cache()
+
+    exact = ivfpq_batch_topk(
+        spark, path, qs, k=4, n_probes=4, rerank_df=vecs, oversample=20
+    )
+    got = [(r.qid, r.rk, r.vec_id, r.cosine)
+           for r in exact.orderBy("qid", "rk").collect()]
+    want = [(r.qid, r.rk, r.vec_id, r.cosine)
+            for r in batch_topk(vecs, qs, k=4, dim=16).orderBy("qid", "rk").collect()]
+    assert got == want and len(got) == 4 * qs.count()
+
+    adc = ivfpq_batch_topk(spark, path, qs, k=5, n_probes=2)
+    by_q = {}
+    for r in adc.orderBy("qid", "rk").collect():
+        by_q.setdefault(r.qid, []).append((r.vec_id, r.cosine))
+    with open(path + "/_ivfpq.json") as f:
+        meta = json.load(f)
+    codes = spark.read.parquet(path)
+    for row in qs.collect():
+        single = ivfpq_topk(
+            codes, meta["centroids"], meta["codebooks"],
+            [float(x) for x in row.qvec], k=5, n_probes=2,
+        )
+        assert by_q[row.qid] == [(r.vec_id, r.cosine) for r in single.collect()]
+
+    # tombstones: delete every current top-1 and probe again
+    doomed = sorted({v[0][0] for v in by_q.values()})
+    delete_from_ivfpq_index(
+        spark, path, spark.createDataFrame([(i,) for i in doomed], ["vec_id"])
+    )
+    adc2 = ivfpq_batch_topk(spark, path, qs, k=5, n_probes=2)
+    left = {r.vec_id for r in adc2.collect()}
+    assert not left & set(doomed)
+
+    # production operating point prunes unprobed list partitions
+    plan = (
+        ivfpq_batch_topk(spark, path, qs.limit(1), k=2, n_probes=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan and "list_id" in plan
