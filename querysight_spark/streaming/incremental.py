@@ -499,20 +499,30 @@ def start_ann_serving(
     qvec_col: str = "embedding",
     dim: int | None = None,
     method: str = "gemm",
+    index_path: str | None = None,
+    n_probes: int = 4,
+    rerank_df: DataFrame | None = None,
+    oversample: int = 10,
 ):
     """Streaming ANN serving (the streaming x similarity composition):
-    each micro-batch of query vectors is answered with ONE corpus pass
-    (``batch_topk``: broadcast query batch, map-side scoring, one window
-    on the query id) and the per-query top-k lands in an epoch-keyed
-    partition via dynamic overwrite — the journal discipline of
-    ``start_rollup_absorb``, so at-least-once replay of an epoch
-    rewrites the SAME partition with the same content instead of
-    appending duplicates. At 100 TB the corpus side swaps for a
-    partition-pruned persisted index probe (``probe_lsh_index`` /
-    ``probe_ivfpq_index``) inside the same foreachBatch seam; the
-    absorb/read-out contract is unchanged. Returns the started
-    StreamingQuery."""
-    from querysight_spark.operators.similarity import batch_topk
+    each micro-batch of query vectors is answered in ONE pass and the
+    per-query top-k lands in an epoch-keyed partition via dynamic
+    overwrite — the journal discipline of ``start_rollup_absorb``, so
+    at-least-once replay of an epoch rewrites the SAME partition with
+    the same content instead of appending duplicates.
+
+    Two serving backends behind the same seam: the default answers from
+    the in-flight ``corpus`` (``batch_topk``, one corpus pass per
+    batch); pass ``index_path`` to answer from the persisted IVF+PQ
+    layout instead (``ivfpq_batch_topk``: partition-pruned union-of-
+    lists scan, per-list ADC, optional exact rerank) — the 100 TB path,
+    where the corpus never re-scans and probes touch only the visited
+    ``list_id=`` directories. The absorb/read-out contract is identical
+    for both. Returns the started StreamingQuery."""
+    from querysight_spark.operators.similarity import (
+        batch_topk,
+        ivfpq_batch_topk,
+    )
 
     def _serve(batch_df: DataFrame, epoch_id: int) -> None:
         qs = batch_df.select(
@@ -520,9 +530,16 @@ def start_ann_serving(
         )
         if qs.limit(1).count() == 0:
             return
-        res = batch_topk(corpus, qs, k=k, dim=dim, method=method).withColumn(
-            "batch_id", F.lit(int(epoch_id))
-        )
+        if index_path is not None:
+            # output schema (qid, rk, vec_id, cosine) matches batch_topk
+            res = ivfpq_batch_topk(
+                batch_df.sparkSession, index_path, qs, k=k,
+                n_probes=n_probes, rerank_df=rerank_df,
+                oversample=oversample,
+            )
+        else:
+            res = batch_topk(corpus, qs, k=k, dim=dim, method=method)
+        res = res.withColumn("batch_id", F.lit(int(epoch_id)))
         (
             res.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
