@@ -6899,3 +6899,106 @@ def st13(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = start_index_absorb(stream, index, os.path.join(root, "ckpt"))
     q.awaitTermination()
     return bm25_topk_upsertable(spark, index, _IR_TERMS, k=14, k1=1.2, b=0.75)
+
+
+_WH_ORACLE = """
+WITH ups AS (
+  SELECT o_custkey AS c_custkey, o_orderdate AS eff,
+         MAX(o_orderpriority) AS segment
+  FROM orders WHERE o_orderkey % 11 = 0 GROUP BY 1, 2),
+base AS (
+  SELECT c_custkey, c_mktsegment AS segment,
+         TIMESTAMP '1992-01-01' AS eff, 0 AS seq FROM customer
+  UNION ALL
+  SELECT c_custkey, segment, eff, 1 FROM ups),
+chg AS (
+  SELECT c_custkey, segment, eff, seq,
+         LAG(segment) OVER w AS prev,
+         ROW_NUMBER() OVER w AS rn
+  FROM base WINDOW w AS (PARTITION BY c_custkey ORDER BY eff, seq)),
+kept AS (
+  SELECT * FROM chg WHERE rn = 1 OR segment IS DISTINCT FROM prev),
+hist AS (
+  SELECT c_custkey, segment, eff AS valid_from,
+         LEAD(eff) OVER (PARTITION BY c_custkey ORDER BY eff, seq)
+           AS valid_to
+  FROM kept)
+SELECT c_custkey, segment, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM hist ORDER BY c_custkey, valid_from"""
+
+
+def _wh_inputs(spark: SparkSession, sf_dir: str):
+    """Shared wh01/wh02 inputs: the customer dimension seeded from
+    c_mktsegment, with a deterministic update log derived from orders
+    (every 11th order re-labels its customer's segment with the order
+    priority, effective at the order date; ties per (key, date)
+    aggregated by MAX)."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    ups = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_orderkey") % 11 == 0)
+        .groupBy(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderdate").alias("eff"),
+        )
+        .agg(F.max("o_orderpriority").alias("segment"))
+    )
+    return cust, ups
+
+
+@_q("wh01_scd2_history", _WH_ORACLE)
+def wh01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build (batch path): the customer dimension's full
+    type-2 history from an initial snapshot plus the orders-derived
+    update log — no-op updates compressed, each change closing the
+    previous row. One union, ONE hash exchange on the business key
+    (the lag-compress and lead-close windows share it), per-key work
+    bounded by that key's update count — the plan that holds when the
+    dimension is 10^9 keys and the log is years deep. The oracle
+    replays the same chain with SQL windows; any compression,
+    ordering, or interval-closing bug breaks the hash."""
+    import datetime as _dt
+
+    from querysight_spark.operators.scd2 import apply_scd2_history
+
+    cust, ups = _wh_inputs(spark, sf_dir)
+    hist = apply_scd2_history(
+        cust, ups, "c_custkey", ["segment"], "eff", _dt.datetime(1992, 1, 1)
+    )
+    return hist.orderBy("c_custkey", "valid_from")
+
+
+@_q("wh02_scd2_merge", _WH_ORACLE)
+def wh02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 MERGE (the day-2 operation): the same history
+    reached by a DIFFERENT plan — batch-build over updates before
+    1996-07-01, then ``merge_scd2`` folds the later batch in. The
+    delta's key set broadcasts, so the dimension-side anti/semi joins
+    stay map-side and only touched keys' open rows re-chain — the
+    trillion-row dimension is never rewritten. The oracle is wh01's
+    single-pass truth: merge != rebuild breaks the hash."""
+    import datetime as _dt
+
+    from querysight_spark.operators.scd2 import apply_scd2_history, merge_scd2
+
+    cust, ups = _wh_inputs(spark, sf_dir)
+    split = _dt.datetime(1996, 7, 1)
+    first = apply_scd2_history(
+        cust,
+        ups.where(F.col("eff") < F.lit(split)),
+        "c_custkey",
+        ["segment"],
+        "eff",
+        _dt.datetime(1992, 1, 1),
+    )
+    merged = merge_scd2(
+        first,
+        ups.where(F.col("eff") >= F.lit(split)),
+        "c_custkey",
+        ["segment"],
+        "eff",
+    )
+    return merged.orderBy("c_custkey", "valid_from")
