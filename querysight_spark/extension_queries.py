@@ -7002,3 +7002,101 @@ def wh02(spark: SparkSession, sf_dir: str) -> DataFrame:
         "eff",
     )
     return merged.orderBy("c_custkey", "valid_from")
+
+
+@_q(
+    "io06_versioned_time_travel",
+    """WITH lab AS (
+         SELECT 'v1' AS snapshot, o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderkey % 3 = 0
+         UNION ALL
+         SELECT 'v2', o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderkey % 3 IN (0, 1)
+         UNION ALL
+         SELECT 'v3', o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderpriority = '1-URGENT'
+         UNION ALL
+         SELECT 'v4', o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderkey % 3 IN (0, 1)
+         UNION ALL
+         SELECT 'delta12', o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderkey % 3 = 1)
+       SELECT snapshot, o_orderstatus,
+              COUNT(*) AS n_orders,
+              CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS total_cents,
+              TRUE AS rollback_metadata_only
+       FROM lab GROUP BY snapshot, o_orderstatus
+       ORDER BY snapshot, o_orderstatus""",
+)
+def io06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned table with time-travel under the gate: orders committed
+    as v1 (every 3rd order), v2 (append), v3 (OVERWRITE with the urgent
+    subset), v4 (rollback to v2) — then every snapshot is read back BY
+    VERSION from its manifest's file list plus the v1->v2 file-level CDC
+    (``incremental_read``), and all five reads aggregate under one hash
+    against the from-first-principles oracle. Time-travel correctness,
+    overwrite isolation, rollback fidelity, and exact-files CDC all ride
+    the same value hash; ``rollback_metadata_only`` pins that v4
+    re-listed v2's files instead of rewriting data. Scans plan from the
+    manifest (no directory LISTing — the expensive call at object-store
+    scale) over plain parquet, so pushdown and pruning are unchanged."""
+    import hashlib
+    import os
+    import tempfile
+
+    from querysight_spark.sources.versioned import (
+        incremental_read,
+        read_manifest,
+        read_version,
+        rollback,
+        write_version,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"io06:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"qs_io06_table_{tag}")
+    done = os.path.join(root, "_build_ok")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    if not os.path.exists(done):
+        write_version(spark, orders.where(F.col("o_orderkey") % 3 == 0), root)
+        write_version(spark, orders.where(F.col("o_orderkey") % 3 == 1), root)
+        write_version(
+            spark,
+            orders.where(F.col("o_orderpriority") == "1-URGENT"),
+            root,
+            mode="overwrite",
+        )
+        rollback(root, 2)
+        with open(done, "w") as f:
+            f.write("ok")
+    meta_only = read_manifest(root, 4)["files"] == read_manifest(root, 2)[
+        "files"
+    ]
+    snaps = [
+        read_version(spark, root, v).withColumn("snapshot", F.lit(f"v{v}"))
+        for v in (1, 2, 3, 4)
+    ] + [
+        incremental_read(spark, root, 1, 2).withColumn(
+            "snapshot", F.lit("delta12")
+        )
+    ]
+    union = snaps[0]
+    for s in snaps[1:]:
+        union = union.unionByName(s)
+    return (
+        union.groupBy("snapshot", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .withColumn("rollback_metadata_only", F.lit(bool(meta_only)))
+        .orderBy("snapshot", "o_orderstatus")
+    )

@@ -1,0 +1,116 @@
+"""Versioned parquet tables (sources/versioned.py): snapshot isolation,
+time-travel, rollback-as-metadata, file-level CDC, optimistic commits,
+and vacuum reachability."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from querysight_spark.sources.versioned import (
+    _commit,
+    incremental_read,
+    read_manifest,
+    read_version,
+    rollback,
+    table_version,
+    vacuum,
+    write_version,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 10).alias("v")
+    )
+
+
+def _ids(df):
+    return sorted(r.id for r in df.select("id").collect())
+
+
+def _data_files(root):
+    return sorted(
+        glob.glob(os.path.join(root, "data", "**", "*.parquet"), recursive=True)
+    )
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "table")
+
+
+def test_append_overwrite_time_travel(spark, root):
+    assert table_version(root) == 0
+    assert write_version(spark, _df(spark, 0, 5), root) == 1
+    assert write_version(spark, _df(spark, 5, 8), root) == 2
+    assert write_version(spark, _df(spark, 100, 102), root, mode="overwrite") == 3
+    # latest is the overwrite...
+    assert _ids(read_version(spark, root)) == [100, 101]
+    # ...and every prior snapshot still reads exactly as committed
+    assert _ids(read_version(spark, root, 1)) == [0, 1, 2, 3, 4]
+    assert _ids(read_version(spark, root, 2)) == list(range(8))
+
+
+def test_rollback_is_metadata_only(spark, root):
+    write_version(spark, _df(spark, 0, 5), root)
+    write_version(spark, _df(spark, 100, 102), root, mode="overwrite")
+    files_before = _data_files(root)
+    v = rollback(root, 1)
+    assert v == 3
+    assert _data_files(root) == files_before  # no data written
+    assert read_manifest(root, 3)["files"] == read_manifest(root, 1)["files"]
+    assert _ids(read_version(spark, root)) == [0, 1, 2, 3, 4]
+    # the rolled-back overwrite remains time-travel-readable
+    assert _ids(read_version(spark, root, 2)) == [100, 101]
+
+
+def test_incremental_read_is_exactly_the_new_files(spark, root):
+    write_version(spark, _df(spark, 0, 5), root)
+    write_version(spark, _df(spark, 5, 8), root)
+    write_version(spark, _df(spark, 8, 9), root)
+    assert _ids(incremental_read(spark, root, 1)) == [5, 6, 7, 8]
+    assert _ids(incremental_read(spark, root, 1, 2)) == [5, 6, 7]
+    write_version(spark, _df(spark, 0, 1), root, mode="overwrite")
+    with pytest.raises(ValueError, match="non-append"):
+        incremental_read(spark, root, 1)
+    with pytest.raises(ValueError, match="no files added"):
+        incremental_read(spark, root, 3, 3)
+
+
+def test_optimistic_commit_skips_claimed_version(spark, root):
+    write_version(spark, _df(spark, 0, 2), root)
+    # another writer claims v2 out from under us
+    m1 = read_manifest(root, 1)
+    with open(os.path.join(root, "_manifests", "v00000002.json"), "w") as f:
+        json.dump({**m1, "version": 2, "op": "append", "added": []}, f)
+    files = [os.path.join(root, f) for f in m1["files"]]
+    assert _commit(root, files, [], [], "append") == 3
+
+
+def test_vacuum_reclaims_unreachable_only(spark, root):
+    write_version(spark, _df(spark, 0, 5), root)
+    write_version(spark, _df(spark, 100, 102), root, mode="overwrite")
+    write_version(spark, _df(spark, 102, 103), root)
+    n_before = len(_data_files(root))
+    deleted = vacuum(root, retain_from=2)
+    # v1's files (unreachable from v2+) gone, nothing else
+    assert len(deleted) > 0
+    assert len(_data_files(root)) == n_before - len(deleted)
+    assert _ids(read_version(spark, root, 2)) == [100, 101]
+    assert _ids(read_version(spark, root)) == [100, 101, 102]
+    assert not os.path.exists(os.path.join(root, "_manifests", "v00000001.json"))
+
+
+def test_bad_inputs(spark, root):
+    with pytest.raises(ValueError, match="append|overwrite"):
+        write_version(spark, _df(spark, 0, 1), root, mode="replace")
+    write_version(spark, _df(spark, 0, 1), root)
+    with pytest.raises(ValueError, match="empty"):
+        # a hand-built empty snapshot refuses to scan
+        _commit(root, [], [], [], "append")
+        read_version(spark, root, 2)
