@@ -7100,3 +7100,89 @@ def io06(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rollback_metadata_only", F.lit(bool(meta_only)))
         .orderBy("snapshot", "o_orderstatus")
     )
+
+
+@_q(
+    "mm09_adpcm_roundtrip",
+    """WITH aud AS (
+         SELECT doc_id, 500 + doc_id % 300 AS n
+         FROM documents WHERE doc_id % 2 = 1)
+       SELECT concat('asset-', CAST(doc_id AS VARCHAR)) AS asset_id,
+              CAST(n AS BIGINT) AS n_samples,
+              CAST(60 + 256 * CEIL(n / 505.0) AS BIGINT) AS n_payload_bytes,
+              CAST((doc_id * 131) % 2048 - 1024
+                   + CASE WHEN n > 505
+                          THEN (doc_id * 131 + 17 * 505) % 2048 - 1024
+                          ELSE 0 END AS BIGINT) AS sum_block_starts,
+              TRUE AS mean_abs_err_le_128,
+              TRUE AS max_abs_err_le_2047
+       FROM aud ORDER BY asset_id""",
+)
+def mm09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-AUDIO container under the gate (the audio sibling of
+    mm07/mm08): every odd-doc clip is encoded as a REAL mono IMA-ADPCM
+    RIFF/WAVE (format tag 0x0011 — 4 bits/sample, adaptive step; the
+    format sox/ffmpeg call ima_adpcm) and decoded back through the
+    pure-stdlib block decoder. What rides the hash: the exact container
+    byte count (60-byte header scaffold + 256-byte blocks — a framing
+    bug shifts it), the decoded frame count via the fact chunk, the
+    BIT-EXACT block-start samples (each block header stores its
+    predictor verbatim — a block-layout or header-parse bug breaks
+    digit equality), and the lossy-path error bounds (mean |err| <= 128,
+    max <= 2047 — ADPCM's worst case on this signal's 2047-step wrap
+    discontinuities; general accuracy is pinned tighter in pytest).
+    Arrow-batched mapInPandas; payloads never leave the executors."""
+    import pandas as pd
+
+    from querysight_spark.operators.multimodal import (
+        decode_wav_adpcm,
+        encode_wav_adpcm,
+    )
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 500 + did % 300
+                i = np.arange(n, dtype=np.int64)
+                s = ((did * 131 + 17 * i) % 2048) - 1024
+                payload = encode_wav_adpcm(s, rate=8000)
+                _rate, back = decode_wav_adpcm(payload)
+                err = np.abs(back.astype(np.int64) - s)
+                starts = back[::505].astype(np.int64)
+                rows.append(
+                    (
+                        f"asset-{did}",
+                        int(len(back)),
+                        int(len(payload)),
+                        int(starts.sum()),
+                        bool(err.mean() <= 128),
+                        bool(err.max() <= 2047),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "n_samples",
+                    "n_payload_bytes",
+                    "sum_block_starts",
+                    "mean_abs_err_le_128",
+                    "max_abs_err_le_2047",
+                ],
+            )
+
+    docs = load_table(spark, "documents", sf_dir).where(
+        F.col("doc_id") % 2 == 1
+    )
+    return docs.select("doc_id").mapInPandas(
+        run,
+        schema=(
+            "asset_id string, n_samples long, n_payload_bytes long, "
+            "sum_block_starts long, mean_abs_err_le_128 boolean, "
+            "max_abs_err_le_2047 boolean"
+        ),
+    ).orderBy("asset_id")

@@ -1,13 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas stages.
 
-The decode step is REAL for uncompressed formats: netpbm images (P5
-grayscale / P6 RGB) through a pure-Python parser and PCM16 WAV audio
-through the stdlib ``wave`` module — both actual on-disk formats, parsed
-byte-for-byte, no image/audio library required. When PIL is installed it
-becomes the fast path behind the SAME interface (``decode_image``) and
-additionally handles compressed formats (JPEG/PNG); without it those
-raise the documented NotImplementedError. ``synth_media_corpus`` +
+The decode step is REAL, no media library required: netpbm images (P5
+grayscale / P6 RGB) through a pure-Python parser, zlib-DEFLATE PNG with
+five-filter scanline reconstruction (mm07), baseline sequential-DCT
+JPEG (mm08), PCM16 WAV through the stdlib ``wave`` module, and
+compressed IMA-ADPCM WAV (format tag 0x0011, mm09) through a manual
+RIFF walk — all actual on-disk formats, parsed byte-for-byte. When PIL
+is installed it becomes the fast path behind the SAME interface
+(``decode_image``) and additionally covers formats with no native
+branch here (e.g. progressive JPEG, WebP); without it those raise the
+documented NotImplementedError. ``synth_media_corpus`` +
 ``payload_stats`` close the loop: real-codec payloads generated from a
 closed-form integer formula, decoded back by the real parser, and reduced
 to integer-exact stats an engine-independent SQL oracle can verify
@@ -300,6 +303,169 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
     except (wave.Error, EOFError) as e:
         raise ValueError(f"not a decodable RIFF/WAVE payload: {e!r}") from e
     return rate, np.frombuffer(data, dtype="<i2")
+
+
+# IMA ADPCM (DVI4) constants — the published tables from the IMA
+# Digital Audio Compatibility Project spec; identical in every public
+# implementation (sox, ffmpeg, the old stdlib audioop).
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_reconstruct(code: int, pred: int, index: int) -> tuple[int, int]:
+    """One decoder step: apply a 4-bit code to (predictor, step index)."""
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if code & 1:
+        diff += step >> 2
+    if code & 2:
+        diff += step >> 1
+    if code & 4:
+        diff += step
+    if code & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[code & 7]))
+    return pred, index
+
+
+def encode_wav_adpcm(
+    samples, rate: int = 8000, block_align: int = 256
+) -> bytes:
+    """Mono IMA-ADPCM RIFF/WAVE (format tag 0x0011) — a real COMPRESSED
+    audio container (4 bits/sample vs PCM16's 16), written byte-for-byte
+    with stdlib struct: fmt chunk with samplesPerBlock extension, fact
+    chunk carrying the true frame count, data chunk of fixed-size blocks
+    (4-byte predictor/index header + low-nibble-first codes). The audio
+    sibling of ``encode_png``/``encode_jpeg``: closes the
+    compressed-container gap for the audio half of the corpus without
+    any media library. Parseable by sox/ffmpeg."""
+    import struct
+
+    s = np.asarray(samples, dtype=np.int64)
+    n = len(s)
+    if n == 0:
+        raise ValueError("ADPCM encode needs at least one sample")
+    spb = (block_align - 4) * 2 + 1  # samples per block, mono
+    index = 0
+    blocks = []
+    for start in range(0, n, spb):
+        chunk = s[start : start + spb]
+        pred = int(chunk[0])
+        blocks.append(struct.pack("<hBB", pred, index, 0))
+        nibbles = []
+        for v in chunk[1:]:
+            step = _IMA_STEP_TABLE[index]
+            delta = int(v) - pred
+            code = 0
+            if delta < 0:
+                code = 8
+                delta = -delta
+            if delta >= step:
+                code |= 4
+                delta -= step
+            if delta >= step >> 1:
+                code |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                code |= 1
+            pred, index = _ima_reconstruct(code, pred, index)
+            nibbles.append(code)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        packed = bytes(
+            nibbles[i] | (nibbles[i + 1] << 4)
+            for i in range(0, len(nibbles), 2)
+        )
+        # every block is block_align bytes; the fact chunk says where
+        # real samples end, so the tail pad decodes away cleanly
+        blocks.append(packed.ljust(block_align - 4, b"\x00"))
+    data = b"".join(blocks)
+    byte_rate = rate * block_align // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x0011, 1, rate, byte_rate, block_align, 4, 2, spb
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_adpcm(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a mono IMA-ADPCM WAV produced by any conforming encoder →
+    (sample_rate, int16 samples). Walks the RIFF chunks manually (the
+    stdlib ``wave`` module rejects non-PCM), checks the format tag, and
+    runs the published reconstruction staircase block by block."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, len(payload)
+    fmt = fact_n = data = None
+    while pos + 8 <= end:
+        tag, size = payload[pos : pos + 4], struct.unpack(
+            "<I", payload[pos + 4 : pos + 8]
+        )[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"{tag!r} chunk truncated")
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"fact":
+            fact_n = struct.unpack("<I", body[:4])[0]
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("fmt chunk malformed")
+    wtag, channels, rate, _br, block_align = struct.unpack("<HHIIH", fmt[:14])
+    if wtag != 0x0011 or channels != 1:
+        raise ValueError(
+            f"expected mono IMA-ADPCM (0x0011), got tag {wtag:#06x} "
+            f"{channels}ch"
+        )
+    spb = (
+        struct.unpack("<H", fmt[18:20])[0]
+        if len(fmt) >= 20
+        else (block_align - 4) * 2 + 1
+    )
+    out: list[int] = []
+    for start in range(0, len(data), block_align):
+        block = data[start : start + block_align]
+        if len(block) < 4:
+            raise ValueError("ADPCM block truncated")
+        pred, index, _rsvd = struct.unpack("<hBB", block[:4])
+        index = max(0, min(88, index))
+        out.append(pred)
+        produced = 1
+        for byte in block[4:]:
+            for code in (byte & 0x0F, byte >> 4):
+                if produced >= spb:
+                    break
+                pred, index = _ima_reconstruct(code, pred, index)
+                out.append(pred)
+                produced += 1
+    samples = np.array(out, dtype=np.int16)
+    if fact_n is not None:
+        if fact_n > len(samples):
+            raise ValueError(
+                f"fact chunk claims {fact_n} samples, data holds {len(samples)}"
+            )
+        samples = samples[:fact_n]
+    return rate, samples
 
 
 def decode_image(payload: bytes, prefer_pil: bool = True) -> tuple[int, int, np.ndarray]:

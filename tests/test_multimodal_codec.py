@@ -538,3 +538,100 @@ def test_pil_path_matches_pure_jpeg_decoder_on_block_constant():
     w_pp, h_pp, arr_pp = decode_image(payload, prefer_pil=False)
     assert (w_pil, h_pil) == (w_pp, h_pp) == (16, 16)
     assert np.array_equal(arr_pil, arr_pp)
+
+
+# --- IMA-ADPCM (mm09) -------------------------------------------------------
+
+
+def test_adpcm_roundtrip_small_known():
+    from querysight_spark.operators.multimodal import (
+        decode_wav_adpcm,
+        encode_wav_adpcm,
+    )
+
+    s = np.array([100, 100, 100, 100], dtype=np.int64)
+    rate, back = decode_wav_adpcm(encode_wav_adpcm(s, rate=16000))
+    assert rate == 16000 and len(back) == 4
+    # first sample is the stored predictor: exact
+    assert back[0] == 100
+    # constant signal: smallest step is 7, diff floor is step>>3 = 0...
+    # error can never exceed one step-table base entry
+    assert np.abs(back.astype(np.int64) - s).max() <= 7
+
+
+def test_adpcm_block_start_samples_exact_and_fact_truncation():
+    from querysight_spark.operators.multimodal import (
+        decode_wav_adpcm,
+        encode_wav_adpcm,
+    )
+
+    spb = (256 - 4) * 2 + 1  # 505
+    for n in (spb - 1, spb, spb + 1, 2 * spb, 2 * spb + 3):
+        s = ((np.arange(n, dtype=np.int64) * 37) % 4000) - 2000
+        payload = encode_wav_adpcm(s)
+        _r, back = decode_wav_adpcm(payload)
+        assert len(back) == n  # fact chunk truncates block padding
+        assert np.array_equal(back[::spb], s[::spb].astype(np.int16))
+        # container size is the closed form the mm09 oracle pins
+        import math
+
+        assert len(payload) == 60 + 256 * math.ceil(n / spb)
+
+
+def test_adpcm_tracks_random_walk_tightly():
+    from querysight_spark.operators.multimodal import (
+        decode_wav_adpcm,
+        encode_wav_adpcm,
+    )
+
+    rng = np.random.RandomState(42)
+    for _ in range(3):
+        w = np.clip(np.cumsum(rng.randint(-80, 81, 4000)), -30000, 30000)
+        _r, back = decode_wav_adpcm(encode_wav_adpcm(w, block_align=512))
+        err = np.abs(back.astype(np.int64) - w)
+        # adaptive step keeps a +/-80 walk within a small envelope
+        assert err.max() <= 160 and err.mean() <= 20
+
+
+def test_adpcm_survives_full_scale_jumps():
+    from querysight_spark.operators.multimodal import (
+        decode_wav_adpcm,
+        encode_wav_adpcm,
+    )
+
+    j = np.array([0, 32767, -32768, 32767, 0, -100, 100] * 80)
+    _r, back = decode_wav_adpcm(encode_wav_adpcm(j))
+    assert len(back) == len(j)
+    # clamp arithmetic never overflows int16 anywhere
+    assert back.dtype == np.int16
+
+
+def test_adpcm_rejects_malformed():
+    from querysight_spark.operators.multimodal import (
+        decode_wav_adpcm,
+        encode_wav_adpcm,
+        encode_wav_pcm16,
+    )
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav_adpcm(b"nonsense")
+    # a PCM16 WAV is a valid RIFF but the wrong format tag
+    pcm = encode_wav_pcm16(np.array([1, 2, 3]))
+    with pytest.raises(ValueError, match="0x0011|IMA|tag"):
+        decode_wav_adpcm(pcm)
+    with pytest.raises(ValueError):
+        encode_wav_adpcm(np.array([], dtype=np.int64))
+    good = encode_wav_adpcm(np.array([5] * 600))
+    with pytest.raises(ValueError, match="truncated|fmt|data"):
+        decode_wav_adpcm(good[:70])
+
+
+def test_adpcm_compresses_4x_vs_pcm16():
+    from querysight_spark.operators.multimodal import (
+        encode_wav_adpcm,
+        encode_wav_pcm16,
+    )
+
+    s = ((np.arange(20000, dtype=np.int64) * 17) % 2048) - 1024
+    adpcm, pcm = encode_wav_adpcm(s), encode_wav_pcm16(s)
+    assert len(adpcm) < 0.3 * len(pcm)
