@@ -43,15 +43,18 @@
                 deterministic shard shuffle + size accounting), rollup
                 tiers incl. streaming absorption, self-checking sketches
                 incl. a cell-exact portable Count-Min.
-  * st01-st11 — Structured Streaming under the gate (windows, stateful
+  * st01-st14 — Structured Streaming under the gate (windows, stateful
                 counts, cross-batch dedup, session windows, stream-
                 stream join, session-state absorption into a persisted
                 tier, JSONL ingest with re-delivery suppression,
                 stream-static broadcast enrichment, stateful ring-buffer
                 anomaly detection, cross-batch stateful top-k with
                 eviction, binned-KS drift monitoring against a
-                broadcast reference histogram), drained availableNow
-                vs batch oracles.
+                broadcast reference histogram, epoch-journaled ANN
+                serving, ingest absorbed into the upsertable BM25
+                index, exactly-once ingest into the versioned table
+                via txn-stamped commits), drained availableNow vs
+                batch oracles.
   * aj/rj/sj/mm — as-of join, range join, salted join, multimodal
                 (incl. mm06 perceptual dHash over decoded rasters)
                 (mm04: REAL payload decode — netpbm/WAV codecs round-
@@ -62,7 +65,11 @@
                 reconstruction, no PIL required; mm08: baseline
                 sequential-DCT JPEG encode/decode — Annex K Huffman
                 entropy coding + float DCT, bit-exact on the
-                block-constant gate corpus, no PIL required).
+                block-constant gate corpus, no PIL required; mm09:
+                compressed IMA-ADPCM WAV encode/decode — container
+                byte counts, fact-chunk frame counts, bit-exact
+                block-start predictors, and lossy error bounds under
+                the hash).
   * ts/an     — time-series resample + gap-fill (forward and linear),
                 per-row ordered-fold EWMA, Brown double smoothing,
                 two-sample KS drift, CUSUM change-point alarms,
@@ -73,7 +80,10 @@
                 orphans; CSV source round-trip; Hive-partitioned
                 parquet and ORC sink/source round-trips; streaming-sink
                 small-files compaction (io05: per-batch file litter →
-                even rewrite, values + file-count under the hash).
+                even rewrite, values + file-count under the hash);
+                io06: versioned table with manifest-planned snapshot
+                reads, time-travel, metadata-only rollback, and
+                file-level CDC all under one hash.
   * lk/gr/vx  — blocked fuzzy-join record linkage (+ per-block match
                 summary), iterative PageRank vs an unrolled-CTE oracle,
                 large-star/small-star connected components, triangle
@@ -81,9 +91,15 @@
                 embedding z-score scaling and quartile binning.
   * co01-co03 — behavioral analytics: weekly cohort-retention triangle,
                 ordered first-touch funnel, Markov transition matrix.
-  * px01-px03 — end-to-end pipeline compositions under one hash
+  * px01-px04 — end-to-end pipeline compositions under one hash
                 (curation chain; boilerplate-strip -> BM25 retrieval;
-                clean -> dedup -> pack -> shard writer last mile).
+                clean -> dedup -> pack -> shard writer last mile;
+                ingest -> clean -> dedup -> shard -> persisted BM25
+                index probe).
+  * wh01-wh02 — warehouse dimension maintenance: SCD2 type-2 history
+                build (batch chain, no-op compression) and the
+                incremental broadcast-delta MERGE, both against the
+                same SQL-window oracle.
 
 ``oracle_sql()`` carries the DuckDB-dialect equivalent for EVERY entry
 (CTE-reconstructed analog tables where needed), so the driver's

@@ -7186,3 +7186,96 @@ def mm09(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_abs_err_le_2047 boolean"
         ),
     ).orderBy("asset_id")
+
+
+@_q(
+    "st14_stream_versioned_sink",
+    """SELECT source, lang, COUNT(*) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+              TRUE AS retry_was_noop, TRUE AS replay_was_noop
+       FROM documents GROUP BY source, lang ORDER BY source, lang""",
+)
+def st14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingest into the VERSIONED table (the
+    io06 x streaming composition): the documents export streams
+    st07-style (JSONL, maxFilesPerTrigger=1, availableNow) through
+    ``start_versioned_sink`` — every micro-batch lands as one atomic
+    ``append`` version stamped with (query id, batch id). Two failure
+    modes are then exercised for real and pinned as booleans: a RETRIED
+    batch (same txn_id re-committed with the same rows) must no-op, and
+    a RESTART on the same checkpoint (no new files) must add zero
+    versions. The final snapshot aggregates against the documents
+    truth — a dropped, doubled, or torn batch anywhere breaks the
+    hash. At 100 TB this is the ingest front door: atomic batches,
+    CDC-readable via incremental_read, no file litter."""
+    import hashlib
+    import os
+    import tempfile
+
+    from querysight_spark.sources.text_corpus import DOCUMENTS_SCHEMA, write_jsonl
+    from querysight_spark.sources.versioned import (
+        read_manifest,
+        read_version,
+        start_versioned_sink,
+        table_version,
+        write_version,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"st14:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"qs_st14_{tag}")
+    export = os.path.join(base, "jsonl")
+    root = os.path.join(base, "table")
+    ckpt = os.path.join(base, "ckpt")
+    done = os.path.join(base, "_flags.json")
+    if not os.path.exists(done):
+        import json as _json
+
+        if not os.path.exists(os.path.join(export, "_SUCCESS")):
+            write_jsonl(
+                load_table(spark, "documents", sf_dir).repartition(6), export
+            )
+        stream = (
+            spark.readStream.schema(DOCUMENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(export)
+        )
+        start_versioned_sink(stream, root, ckpt).awaitTermination()
+        v_ingested = table_version(root)
+        # retry the last committed batch: same txn_id, same rows -> no-op
+        last = read_manifest(root, v_ingested)
+        retry_rows = spark.read.parquet(
+            *[os.path.join(root, f) for f in last["added"]]
+        )
+        write_version(spark, retry_rows, root, txn_id=last["txn_id"])
+        retry_noop = table_version(root) == v_ingested
+        # restart on the same checkpoint with no new input -> no batches
+        stream2 = (
+            spark.readStream.schema(DOCUMENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(export)
+        )
+        start_versioned_sink(stream2, root, ckpt).awaitTermination()
+        replay_noop = table_version(root) == v_ingested
+        with open(done, "w") as f:
+            _json.dump({"retry": retry_noop, "replay": replay_noop}, f)
+    else:
+        import json as _json
+
+        with open(done) as f:
+            flags = _json.load(f)
+        retry_noop, replay_noop = flags["retry"], flags["replay"]
+    back = read_version(spark, root)
+    return (
+        back.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .withColumn("retry_was_noop", F.lit(bool(retry_noop)))
+        .withColumn("replay_was_noop", F.lit(bool(replay_noop)))
+        .orderBy("source", "lang")
+    )

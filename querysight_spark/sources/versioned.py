@@ -80,13 +80,33 @@ def _list_parquet(commit_dir: str) -> list[str]:
     )
 
 
+def committed_txn(root: str, txn_id: str) -> int | None:
+    """Version that already committed ``txn_id``, or None. Linear in
+    retained manifests — at millions of commits this wants the
+    checkpointed latest-txn map the big formats keep; the scan is the
+    honest baseline the checkpoint would cache."""
+    for v in range(table_version(root), 0, -1):
+        path = _manifest_path(root, v)
+        if not os.path.exists(path):
+            break  # vacuumed history below here
+        if read_manifest(root, v).get("txn_id") == txn_id:
+            return v
+    return None
+
+
 def _commit(root: str, files: list[str], added: list[str],
-            removed: list[str], op: str) -> int:
+            removed: list[str], op: str, txn_id: str | None = None) -> int:
     """Atomically claim the next version number for this snapshot."""
     mdir = os.path.join(root, _MANIFESTS)
     os.makedirs(mdir, exist_ok=True)
     rel = [os.path.relpath(f, root) for f in files]
     while True:
+        # re-check inside the claim loop: a racing writer may have landed
+        # this txn while we were writing data files
+        if txn_id is not None:
+            seen = committed_txn(root, txn_id)
+            if seen is not None:
+                return seen
         version = table_version(root) + 1
         manifest = {
             "version": version,
@@ -94,6 +114,7 @@ def _commit(root: str, files: list[str], added: list[str],
             "files": rel,
             "added": [os.path.relpath(f, root) for f in added],
             "removed": [os.path.relpath(f, root) for f in removed],
+            "txn_id": txn_id,
         }
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
@@ -107,15 +128,28 @@ def _commit(root: str, files: list[str], added: list[str],
 
 
 def write_version(
-    spark: SparkSession, df: DataFrame, root: str, mode: str = "append"
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    mode: str = "append",
+    txn_id: str | None = None,
 ) -> int:
     """Commit ``df`` as a new table version.
 
     ``mode='append'`` adds the rows to the current snapshot;
     ``'overwrite'`` replaces it (previous files leave the snapshot but
-    stay on disk for time-travel). Returns the committed version."""
+    stay on disk for time-travel). Returns the committed version.
+
+    ``txn_id`` makes the commit IDEMPOTENT: if any retained manifest
+    already carries it, the write is a no-op returning that version —
+    the transactional-writer discipline that turns a retried streaming
+    micro-batch into exactly-once (see ``start_versioned_sink``)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if txn_id is not None:
+        seen = committed_txn(root, txn_id)
+        if seen is not None:
+            return seen
     current = table_version(root)
     commit_dir = os.path.join(
         root, _DATA, f"c{current + 1:08d}-{uuid.uuid4().hex[:8]}"
@@ -128,22 +162,70 @@ def write_version(
         else []
     )
     if mode == "append":
-        return _commit(root, prev + new_files, new_files, [], "append")
-    return _commit(root, new_files, new_files, prev, "overwrite")
+        return _commit(root, prev + new_files, new_files, [], "append", txn_id)
+    return _commit(root, new_files, new_files, prev, "overwrite", txn_id)
 
 
 def read_version(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Scan the table as of ``version`` (default: latest). Plans directly
     from the manifest's file list — no directory listing, and an empty
-    snapshot is an error (there is nothing to infer a schema from)."""
+    snapshot is an error (there is nothing to infer a schema from).
+
+    ``merge_schema=True`` unions the schemas across the snapshot's files
+    (columns added by later appends read as NULL in older files) — the
+    additive half of schema evolution; renames/retypes need a rewrite."""
     if version is None:
         version = table_version(root)
     files = read_manifest(root, version)["files"]
     if not files:
         raise ValueError(f"version {version} of {root} is empty")
-    return spark.read.parquet(*[os.path.join(root, f) for f in files])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[os.path.join(root, f) for f in files])
+
+
+def start_versioned_sink(
+    stream_df: DataFrame, root: str, checkpoint: str, query_name: str | None = None
+):
+    """Structured-Streaming sink INTO the versioned table with
+    exactly-once semantics: each micro-batch commits as one ``append``
+    version whose ``txn_id`` is (streaming query id, batch id). The
+    query id is read from the CHECKPOINT's metadata file, so a
+    crashed-and-retried batch (same checkpoint => same query id and
+    batch id) finds its txn already committed and no-ops, while a fresh
+    checkpoint gets a new query id and can never collide with an old
+    run's txns — the transactional-writer discipline the public
+    log-structured formats document. Downstream consumers get atomic,
+    CDC-readable versions (``incremental_read``) instead of the raw
+    file litter a parquet file sink leaves. Returns the started query;
+    callers own ``awaitTermination``."""
+
+    def _query_id() -> str:
+        # written by the engine at query start, stable across restarts
+        # on the same checkpoint
+        with open(os.path.join(checkpoint, "metadata")) as f:
+            return json.load(f)["id"]
+
+    def absorb(batch_df: DataFrame, batch_id: int) -> None:
+        write_version(
+            batch_df.sparkSession,
+            batch_df,
+            root,
+            txn_id=f"{_query_id()}:{batch_id}",
+        )
+
+    writer = stream_df.writeStream.foreachBatch(absorb).option(
+        "checkpointLocation", checkpoint
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    return writer.trigger(availableNow=True).start()
 
 
 def incremental_read(

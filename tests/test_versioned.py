@@ -114,3 +114,60 @@ def test_bad_inputs(spark, root):
         # a hand-built empty snapshot refuses to scan
         _commit(root, [], [], [], "append")
         read_version(spark, root, 2)
+
+
+def test_txn_commit_is_idempotent(spark, root):
+    from querysight_spark.sources.versioned import committed_txn
+
+    v1 = write_version(spark, _df(spark, 0, 3), root, txn_id="app:0")
+    v_dup = write_version(spark, _df(spark, 0, 3), root, txn_id="app:0")
+    assert v1 == v_dup == 1 and table_version(root) == 1
+    assert committed_txn(root, "app:0") == 1
+    assert committed_txn(root, "app:1") is None
+    # a different txn appends normally
+    assert write_version(spark, _df(spark, 3, 5), root, txn_id="app:1") == 2
+    assert _ids(read_version(spark, root)) == [0, 1, 2, 3, 4]
+
+
+def test_merge_schema_reads_added_column(spark, root):
+    write_version(spark, _df(spark, 0, 2), root)
+    write_version(
+        spark,
+        _df(spark, 2, 4).withColumn("extra", F.lit("x")),
+        root,
+    )
+    merged = read_version(spark, root, merge_schema=True)
+    assert "extra" in merged.columns
+    got = {r.id: r.extra for r in merged.collect()}
+    assert got[0] is None and got[3] == "x"
+
+
+def test_streaming_sink_exactly_once_and_fresh_checkpoint_isolated(
+    spark, root, tmp_path
+):
+    from querysight_spark.sources.versioned import start_versioned_sink
+
+    src = str(tmp_path / "in")
+    _df(spark, 0, 6).repartition(3).write.json(src)
+    schema = "id long, v long"
+    ck1 = str(tmp_path / "ck1")
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+
+    start_versioned_sink(stream(), root, ck1).awaitTermination()
+    n1 = table_version(root)
+    assert n1 >= 1 and _ids(read_version(spark, root)) == list(range(6))
+    # restart on the same checkpoint, no new files: zero new versions
+    start_versioned_sink(stream(), root, ck1).awaitTermination()
+    assert table_version(root) == n1
+    # a FRESH checkpoint re-delivers the data under a NEW query id:
+    # batch ids restart at 0 but must NOT collide with the old txns
+    ck2 = str(tmp_path / "ck2")
+    start_versioned_sink(stream(), root, ck2).awaitTermination()
+    assert table_version(root) > n1
+    assert _ids(read_version(spark, root)) == sorted(list(range(6)) * 2)
