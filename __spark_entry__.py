@@ -83,7 +83,10 @@
                 even rewrite, values + file-count under the hash);
                 io06: versioned table with manifest-planned snapshot
                 reads, time-travel, metadata-only rollback, and
-                file-level CDC all under one hash.
+                file-level CDC all under one hash; io07: manifest
+                ZONE-MAP data skipping — per-file min/max lifted from
+                parquet footers at commit, bottom-decile scan plans
+                only intersecting files.
   * lk/gr/vx  — blocked fuzzy-join record linkage (+ per-block match
                 summary), iterative PageRank vs an unrolled-CTE oracle,
                 large-star/small-star connected components, triangle
@@ -96,10 +99,15 @@
                 clean -> dedup -> pack -> shard writer last mile;
                 ingest -> clean -> dedup -> shard -> persisted BM25
                 index probe).
-  * wh01-wh02 — warehouse dimension maintenance: SCD2 type-2 history
+  * wh01-wh04 — warehouse table maintenance: SCD2 type-2 history
                 build (batch chain, no-op compression) and the
                 incremental broadcast-delta MERGE, both against the
-                same SQL-window oracle.
+                same SQL-window oracle; wh03: copy-on-write MERGE INTO
+                the versioned table rewriting only zone-map-touched
+                files (update-all/insert-all/delete in one full-outer
+                join); wh04: merge-on-read DELETION VECTORS — key
+                tombstone sidecar, anti-join reads, compaction folds
+                only affected files, 'mor' == 'cow' under one hash.
 
 ``oracle_sql()`` carries the DuckDB-dialect equivalent for EVERY entry
 (CTE-reconstructed analog tables where needed), so the driver's

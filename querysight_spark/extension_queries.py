@@ -7279,3 +7279,270 @@ def st14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("replay_was_noop", F.lit(bool(replay_noop)))
         .orderBy("source", "lang")
     )
+
+
+@_q(
+    "io07_zone_map_pruning",
+    """WITH b AS (SELECT MIN(o_orderkey)
+                    + (MAX(o_orderkey) - MIN(o_orderkey)) // 10 AS hi
+              FROM orders)
+       SELECT o_orderstatus, COUNT(*) AS n_orders,
+              CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS total_cents,
+              TRUE AS files_skipped
+       FROM orders, b WHERE o_orderkey <= b.hi
+       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+)
+def io07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest zone-map data skipping on the versioned table: orders
+    commit range-clustered on o_orderkey with per-file min/max lifted
+    from the parquet FOOTERS at commit time (metadata reads, no data
+    scan), and a bottom-decile key-range scan then plans ONLY the files
+    whose zone intersects — the manifest-level skipping the public
+    log-structured formats document, one level above parquet's own
+    row-group stats. ``files_skipped`` pins that the planner actually
+    dropped files (driver-side manifest math, zero tasks); the
+    aggregate over the kept files must equal the full-scan oracle
+    filter. At 100 TB this is the difference between a query touching
+    ~10% of files and touching all of them before row-group stats even
+    get a say."""
+    import hashlib
+    import os
+    import tempfile
+
+    from querysight_spark.sources.versioned import (
+        pruned_files,
+        read_version,
+        write_version,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"io07:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"qs_io07_table_{tag}")
+    done = os.path.join(root, "_build_ok")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    if not os.path.exists(done):
+        write_version(
+            spark,
+            orders.repartitionByRange(16, "o_orderkey"),
+            root,
+            stats_cols=["o_orderkey"],
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    row = orders.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]
+    thr = row.lo + (row.hi - row.lo) // 10
+    kept, skipped = pruned_files(root, 1, "o_orderkey", row.lo, thr)
+    scan = read_version(spark, root, prune=("o_orderkey", row.lo, thr))
+    return (
+        scan.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .withColumn("files_skipped", F.lit(bool(skipped) and bool(kept)))
+        .orderBy("o_orderstatus")
+    )
+
+
+@_q(
+    "wh03_merge_into",
+    """WITH b AS (SELECT MIN(o_orderkey)
+                    + (MAX(o_orderkey) - MIN(o_orderkey)) // 10 AS thr
+              FROM orders),
+       final AS (
+         SELECT o_orderkey, o_orderstatus,
+                CASE WHEN o_orderkey <= (SELECT thr FROM b)
+                     THEN o_totalprice + 1000
+                     ELSE o_totalprice END AS price
+         FROM orders
+         WHERE NOT (o_orderkey <= (SELECT thr FROM b)
+                    AND o_orderkey % 10 = 3)
+         UNION ALL
+         SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice + 5000
+         FROM orders WHERE o_orderkey % 1000 = 7)
+       SELECT o_orderstatus, COUNT(*) AS n_orders,
+              CAST(SUM(CAST(ROUND(price * 100) AS BIGINT))
+                AS BIGINT) AS total_cents,
+              TRUE AS untouched_files_carried
+       FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+)
+def wh03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE INTO with zone-map file pruning: one source
+    carries updates (+1000 on every bottom-decile order), deletes
+    (every 10th of those), and inserts (offset keys), and one
+    full-outer shuffle join applies all three against ONLY the files
+    whose key range the source touches — the inserts' out-of-zone keys
+    prune to nothing and the update/delete keys hit the low files, so
+    the untouched majority of the table carries into the new snapshot
+    BY REFERENCE (``untouched_files_carried`` pins it). The post-merge
+    snapshot aggregates against a from-first-principles oracle; the
+    pre-merge version stays time-travel-readable. At 100 TB a 1%-of-
+    keys merge against a key-clustered table rewrites ~1% of files
+    instead of all of them."""
+    import hashlib
+    import os
+    import tempfile
+
+    from querysight_spark.sources.versioned import (
+        merge_into,
+        read_manifest,
+        read_version,
+        write_version,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"wh03:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"qs_wh03_table_{tag}")
+    done = os.path.join(root, "_build_ok")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    row = orders.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]
+    thr = row.lo + (row.hi - row.lo) // 10
+    if not os.path.exists(done):
+        write_version(
+            spark,
+            orders.repartitionByRange(16, "o_orderkey"),
+            root,
+            stats_cols=["o_orderkey"],
+        )
+        upd = orders.where(F.col("o_orderkey") <= thr).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+            (F.col("o_orderkey") % 10 == 3).alias("_del"),
+        )
+        ins = orders.where(F.col("o_orderkey") % 1000 == 7).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            "o_orderstatus",
+            (F.col("o_totalprice") + 5000).alias("o_totalprice"),
+            F.lit(False).alias("_del"),
+        )
+        merge_into(
+            spark, upd.unionByName(ins), root, ["o_orderkey"],
+            delete_col="_del",
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    m1, m2 = read_manifest(root, 1), read_manifest(root, 2)
+    carried = bool(set(m1["files"]) & set(m2["files"])) and len(
+        m2["removed"]
+    ) < len(m1["files"])
+    return (
+        read_version(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .withColumn("untouched_files_carried", F.lit(carried))
+        .orderBy("o_orderstatus")
+    )
+
+
+@_q(
+    "wh04_deletion_vectors",
+    """WITH b AS (SELECT MIN(doc_id)
+                    + (MAX(doc_id) - MIN(doc_id)) // 5 AS thr
+              FROM documents),
+       kept AS (SELECT lang, n_chars FROM documents, b
+                WHERE doc_id > b.thr),
+       agg AS (SELECT lang, COUNT(*) AS n_docs,
+                      CAST(SUM(n_chars) AS BIGINT) AS total_chars
+               FROM kept GROUP BY lang)
+       SELECT 'cow' AS path, lang, n_docs, total_chars,
+              TRUE AS delete_rewrote_nothing, TRUE AS compact_cleared_dvs
+       FROM agg
+       UNION ALL
+       SELECT 'mor', lang, n_docs, total_chars, TRUE, TRUE FROM agg
+       ORDER BY path, lang""",
+)
+def wh04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETION VECTORS on the versioned table: deleting
+    the bottom fifth of doc_ids commits a key-tombstone sidecar and
+    REWRITES NO DATA FILE (``delete_rewrote_nothing`` pins the file
+    list byte-identical across the delete commit) — the
+    right-to-be-forgotten operation a 100 TB table cannot afford as
+    copy-on-write. The merge-on-read scan ('mor': anti-join at read
+    time) and the post-``compact_table`` scan ('cow': tombstones folded
+    into a rewrite of only the zone-touched files, vectors dropped —
+    ``compact_cleared_dvs``) must aggregate identically under one hash.
+    The ir10 tombstone discipline applied to the table format itself."""
+    import hashlib
+    import os
+    import tempfile
+
+    from querysight_spark.sources.versioned import (
+        compact_table,
+        delete_keys,
+        read_manifest,
+        read_version,
+        write_version,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"wh04:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"qs_wh04_table_{tag}")
+    done = os.path.join(root, "_build_ok")
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "n_chars"
+    )
+    row = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    thr = row.lo + (row.hi - row.lo) // 5
+    if not os.path.exists(done):
+        write_version(
+            spark,
+            docs.repartitionByRange(16, "doc_id"),
+            root,
+            stats_cols=["doc_id"],
+        )
+        delete_keys(
+            spark, root, docs.where(F.col("doc_id") <= thr).select("doc_id")
+        )
+        compact_table(spark, root)
+        with open(done, "w") as f:
+            f.write("ok")
+    m1, m2, m3 = (read_manifest(root, v) for v in (1, 2, 3))
+    no_rewrite = m2["files"] == m1["files"] and m2["dvs"] != []
+    dvs_cleared = m3["dvs"] == [] and m3["op"] == "compact"
+
+    def _agg(df: DataFrame, label: str) -> DataFrame:
+        return (
+            df.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+            )
+            .select(F.lit(label).alias("path"), "lang", "n_docs", "total_chars")
+        )
+
+    mor = _agg(read_version(spark, root, 2), "mor")
+    cow = _agg(read_version(spark, root, 3), "cow")
+    return (
+        cow.unionByName(mor)
+        .withColumn("delete_rewrote_nothing", F.lit(bool(no_rewrite)))
+        .withColumn("compact_cleared_dvs", F.lit(bool(dvs_cleared)))
+        .orderBy("path", "lang")
+    )

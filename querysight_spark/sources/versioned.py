@@ -36,6 +36,23 @@ from the manifest (no object-store LISTing, the expensive operation at
 cloud scale), pushdown/pruning work unchanged since the files are
 plain parquet, and ``incremental_read`` gives exactly-the-new-files
 CDC for append pipelines (the st02 absorb discipline upstream).
+
+On top of the snapshot log this module layers the three maintenance
+operations a 100 TB table lives on:
+
+- ZONE MAPS (``stats_cols``): per-file column min/max lifted from the
+  parquet FOOTERS at commit time (metadata reads, never a data scan)
+  and stored in the manifest, so a predicate scan plans only the files
+  whose range intersects — the manifest-level data skipping the public
+  formats document, one level above parquet's own row-group stats.
+- ``merge_into``: copy-on-write upsert that uses those zone maps to
+  rewrite ONLY the files whose key range the source actually touches;
+  untouched files carry into the new snapshot by reference.
+- DELETION VECTORS (``delete_keys``): merge-on-read deletes — a delete
+  commits a key-tombstone sidecar instead of rewriting data (the ir10
+  tombstone discipline applied to the table format itself); reads
+  anti-join the vectors, and ``compact_table`` folds them into a
+  rewrite of only the affected files when the debt justifies it.
 """
 
 from __future__ import annotations
@@ -45,9 +62,11 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MANIFESTS = "_manifests"
 _DATA = "data"
+_DV = "dv"
 
 
 def _manifest_path(root: str, version: int) -> str:
@@ -94,12 +113,59 @@ def committed_txn(root: str, txn_id: str) -> int | None:
     return None
 
 
+def _footer_stats(path: str, cols: list[str]) -> dict[str, list]:
+    """Per-column ``[min, max]`` zone map lifted from the parquet FOOTER
+    (row-group statistics) — a metadata read of a few KB, never a data
+    scan, which is what keeps stats collection O(files) at commit time.
+    Columns whose stats are absent in any row group, or whose min/max
+    isn't a JSON-portable scalar, are dropped (conservative: a file
+    with no zone map is never pruned)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict[str, list] = {}
+    for name in cols:
+        lo = hi = None
+        ok = md.num_row_groups > 0
+        for rg in range(md.num_row_groups):
+            group = md.row_group(rg)
+            stat = None
+            for ci in range(group.num_columns):
+                col = group.column(ci)
+                if col.path_in_schema == name:
+                    stat = col.statistics
+                    break
+            if stat is None or not stat.has_min_max:
+                ok = False
+                break
+            if not isinstance(stat.min, (int, float, str)) or isinstance(
+                stat.min, bool
+            ):
+                ok = False
+                break
+            lo = stat.min if lo is None else min(lo, stat.min)
+            hi = stat.max if hi is None else max(hi, stat.max)
+        if ok:
+            out[name] = [lo, hi]
+    return out
+
+
+def _collect_stats(root: str, files: list[str], cols: list[str]) -> dict:
+    return {
+        os.path.relpath(f, root): _footer_stats(f, cols) for f in files
+    }
+
+
 def _commit(root: str, files: list[str], added: list[str],
-            removed: list[str], op: str, txn_id: str | None = None) -> int:
+            removed: list[str], op: str, txn_id: str | None = None,
+            stats: dict | None = None, stats_cols: list[str] | None = None,
+            dvs: list[str] | None = None,
+            dv_key: list[str] | None = None) -> int:
     """Atomically claim the next version number for this snapshot."""
     mdir = os.path.join(root, _MANIFESTS)
     os.makedirs(mdir, exist_ok=True)
     rel = [os.path.relpath(f, root) for f in files]
+    stats = stats or {}
     while True:
         # re-check inside the claim loop: a racing writer may have landed
         # this txn while we were writing data files
@@ -115,6 +181,10 @@ def _commit(root: str, files: list[str], added: list[str],
             "added": [os.path.relpath(f, root) for f in added],
             "removed": [os.path.relpath(f, root) for f in removed],
             "txn_id": txn_id,
+            "stats": {p: stats[p] for p in rel if p in stats},
+            "stats_cols": stats_cols or [],
+            "dvs": dvs or [],
+            "dv_key": dv_key or [],
         }
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
@@ -133,6 +203,7 @@ def write_version(
     root: str,
     mode: str = "append",
     txn_id: str | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new table version.
 
@@ -143,7 +214,15 @@ def write_version(
     ``txn_id`` makes the commit IDEMPOTENT: if any retained manifest
     already carries it, the write is a no-op returning that version —
     the transactional-writer discipline that turns a retried streaming
-    micro-batch into exactly-once (see ``start_versioned_sink``)."""
+    micro-batch into exactly-once (see ``start_versioned_sink``).
+
+    ``stats_cols`` records per-file min/max ZONE MAPS for those columns
+    in the manifest (footer metadata reads, no data scan); once set on
+    a table's first commit the column list is sticky — later appends
+    stat their new files with the same list so the whole snapshot stays
+    prunable. Cluster the data on the stat column first (e.g.
+    ``df.repartitionByRange(n, col)``) or the zone maps all overlap and
+    prune nothing."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if txn_id is not None:
@@ -156,14 +235,44 @@ def write_version(
     )
     df.write.parquet(commit_dir)
     new_files = _list_parquet(commit_dir)
-    prev = (
-        [os.path.join(root, f) for f in read_manifest(root, current)["files"]]
-        if current
-        else []
-    )
+    prev_manifest = read_manifest(root, current) if current else {}
+    prev = [os.path.join(root, f) for f in prev_manifest.get("files", [])]
+    cols = list(stats_cols or prev_manifest.get("stats_cols", []))
+    stats = dict(prev_manifest.get("stats", {}))
+    if cols:
+        stats.update(_collect_stats(root, new_files, cols))
     if mode == "append":
-        return _commit(root, prev + new_files, new_files, [], "append", txn_id)
-    return _commit(root, new_files, new_files, prev, "overwrite", txn_id)
+        return _commit(
+            root, prev + new_files, new_files, [], "append", txn_id,
+            stats=stats, stats_cols=cols,
+            dvs=prev_manifest.get("dvs", []),
+            dv_key=prev_manifest.get("dv_key", []),
+        )
+    return _commit(
+        root, new_files, new_files, prev, "overwrite", txn_id,
+        stats=stats, stats_cols=cols,
+    )
+
+
+def pruned_files(
+    root: str, version: int, col: str, lo, hi
+) -> tuple[list[str], list[str]]:
+    """Split version's file list into (kept, skipped) for the predicate
+    ``col BETWEEN lo AND hi`` using the manifest zone maps. Driver-side
+    metadata only — O(files) comparisons against the already-loaded
+    manifest, the planning step the public formats run before any task
+    launches. Files without a zone map for ``col`` are kept
+    (conservative)."""
+    manifest = read_manifest(root, version)
+    stats = manifest.get("stats", {})
+    kept, skipped = [], []
+    for f in manifest["files"]:
+        zone = stats.get(f, {}).get(col)
+        if zone is not None and (zone[1] < lo or zone[0] > hi):
+            skipped.append(f)
+        else:
+            kept.append(f)
+    return kept, skipped
 
 
 def read_version(
@@ -171,6 +280,8 @@ def read_version(
     root: str,
     version: int | None = None,
     merge_schema: bool = False,
+    prune: tuple | None = None,
+    apply_dvs: bool = True,
 ) -> DataFrame:
     """Scan the table as of ``version`` (default: latest). Plans directly
     from the manifest's file list — no directory listing, and an empty
@@ -178,16 +289,51 @@ def read_version(
 
     ``merge_schema=True`` unions the schemas across the snapshot's files
     (columns added by later appends read as NULL in older files) — the
-    additive half of schema evolution; renames/retypes need a rewrite."""
+    additive half of schema evolution; renames/retypes need a rewrite.
+
+    ``prune=(col, lo, hi)`` plans only the files whose zone map
+    intersects ``[lo, hi]`` and applies the row-level BETWEEN residual
+    on top (zone maps are file-granular; parquet's own row-group stats
+    then prune within the kept files). An empty kept list returns an
+    empty frame with the snapshot's schema.
+
+    ``apply_dvs``: when the snapshot carries deletion vectors (see
+    ``delete_keys``), reads anti-join them by default — merge-on-read.
+    Pass False to see the raw files (e.g. for compaction internals)."""
     if version is None:
         version = table_version(root)
-    files = read_manifest(root, version)["files"]
+    manifest = read_manifest(root, version)
+    files = manifest["files"]
     if not files:
         raise ValueError(f"version {version} of {root} is empty")
+    if prune is not None:
+        col, lo, hi = prune
+        kept, _ = pruned_files(root, version, col, lo, hi)
+    else:
+        kept = files
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*[os.path.join(root, f) for f in files])
+    if kept:
+        df = reader.parquet(*[os.path.join(root, f) for f in kept])
+    else:
+        # predicate excluded every file; keep the schema contract
+        df = (
+            reader.parquet(os.path.join(root, files[0]))
+            .where(F.lit(False))
+        )
+    if prune is not None:
+        df = df.where(F.col(prune[0]).between(F.lit(prune[1]), F.lit(prune[2])))
+    if apply_dvs and manifest.get("dvs"):
+        tombstones = spark.read.parquet(
+            *[os.path.join(root, f) for f in manifest["dvs"]]
+        )
+        # no broadcast hint: Spark's size estimate (file-backed) picks
+        # broadcast while the DV is small and falls back to a shuffled
+        # anti-join if delete debt grows past the threshold —
+        # compact_table is the cure for that state, not an OOM'd hint
+        df = df.join(tombstones, on=manifest["dv_key"], how="left_anti")
+    return df
 
 
 def start_versioned_sink(
@@ -269,6 +415,10 @@ def rollback(root: str, to_version: int) -> int:
         [os.path.join(root, f) for f in added],
         [os.path.join(root, f) for f in removed],
         f"rollback:{to_version}",
+        stats=target.get("stats", {}),
+        stats_cols=target.get("stats_cols", []),
+        dvs=target.get("dvs", []),
+        dv_key=target.get("dv_key", []),
     )
 
 
@@ -281,19 +431,242 @@ def vacuum(root: str, retain_from: int) -> list[str]:
     retain_from = min(retain_from, latest)
     keep: set[str] = set()
     for v in range(retain_from, latest + 1):
-        keep.update(read_manifest(root, v)["files"])
+        m = read_manifest(root, v)
+        keep.update(m["files"])
+        keep.update(m.get("dvs", []))
     deleted = []
-    data_root = os.path.join(root, _DATA)
-    for dirpath, _dirs, names in os.walk(data_root):
-        for name in names:
-            if not name.endswith(".parquet") or name.startswith(("_", ".")):
-                continue  # markers/checksums aren't snapshot members
-            full = os.path.join(dirpath, name)
-            if os.path.relpath(full, root) not in keep:
-                os.unlink(full)
-                deleted.append(full)
+    for sub in (_DATA, _DV):
+        walk_root = os.path.join(root, sub)
+        for dirpath, _dirs, names in os.walk(walk_root):
+            for name in names:
+                if not name.endswith(".parquet") or name.startswith(("_", ".")):
+                    continue  # markers/checksums aren't snapshot members
+                full = os.path.join(dirpath, name)
+                if os.path.relpath(full, root) not in keep:
+                    os.unlink(full)
+                    deleted.append(full)
     for v in range(1, retain_from):
         path = _manifest_path(root, v)
         if os.path.exists(path):
             os.unlink(path)
     return sorted(deleted)
+
+
+def _touched_by_keys(
+    spark: SparkSession, root: str, manifest: dict, keys: DataFrame, col: str
+) -> tuple[list[str], list[str]]:
+    """Split the snapshot's files into (touched, untouched) for a set of
+    key values: a file is touched iff its zone map for ``col`` admits at
+    least one key (files without a zone map are always touched —
+    conservative). The check is one Spark job — distinct keys range-join
+    the BROADCAST file-range table (one row per file, bounded metadata)
+    — so the driver never holds the key set, only the touched file ids."""
+    stats = manifest.get("stats", {})
+    zoned = [
+        (f, stats[f][col][0], stats[f][col][1])
+        for f in manifest["files"]
+        if stats.get(f, {}).get(col) is not None
+    ]
+    zoned_set = {z[0] for z in zoned}
+    touched = [f for f in manifest["files"] if f not in zoned_set]
+    if zoned:
+        ranges = spark.createDataFrame(zoned, ["__file", "__lo", "__hi"])
+        hits = (
+            keys.select(F.col(col).alias("__k"))
+            .distinct()
+            .join(
+                F.broadcast(ranges),
+                (F.col("__k") >= F.col("__lo"))
+                & (F.col("__k") <= F.col("__hi")),
+            )
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        touched += [r["__file"] for r in hits]
+    touched_set = set(touched)
+    return (
+        [f for f in manifest["files"] if f in touched_set],
+        [f for f in manifest["files"] if f not in touched_set],
+    )
+
+
+def merge_into(
+    spark: SparkSession,
+    source: DataFrame,
+    root: str,
+    key_cols: list[str],
+    delete_col: str | None = None,
+    stats_prune: bool = True,
+) -> int:
+    """Copy-on-write MERGE INTO the versioned table: matched target rows
+    are replaced by their source row (update-all), source rows with no
+    match insert (insert-all), and — when ``delete_col`` names a boolean
+    source column — matched rows flagged there are removed. One
+    full-outer shuffle join decides all three cases.
+
+    The 100 TB point is WHICH files the merge rewrites: with zone maps
+    on ``key_cols[0]`` (``write_version(stats_cols=...)``) and
+    ``stats_prune=True``, only files whose key range the source actually
+    touches are read and rewritten — a 1%-of-keys source against a
+    key-clustered table rewrites ~1% of files; every other file carries
+    into the new snapshot BY REFERENCE (same path in the manifest, no
+    I/O). Without stats the merge degrades to a full rewrite, still
+    correct. Mirrors the copy-on-write merge the public log-structured
+    formats document; the merge-on-read alternative for pure deletes is
+    ``delete_keys``."""
+    version = table_version(root)
+    if version == 0:
+        raise ValueError(f"merge_into target {root} does not exist")
+    manifest = read_manifest(root, version)
+    if manifest.get("dvs"):
+        raise ValueError(
+            "merge_into on a table with outstanding deletion vectors; "
+            "run compact_table first so carried tombstones cannot "
+            "shadow freshly merged rows"
+        )
+    if stats_prune:
+        touched, untouched = _touched_by_keys(
+            spark, root, manifest, source.select(*key_cols), key_cols[0]
+        )
+    else:
+        touched, untouched = list(manifest["files"]), []
+    data_cols = None
+    src_cols = [c for c in source.columns if c != delete_col]
+    if touched:
+        base = spark.read.parquet(*[os.path.join(root, f) for f in touched])
+        data_cols = [c for c in base.columns if c not in key_cols]
+        if sorted(src_cols) != sorted(base.columns):
+            raise ValueError(
+                f"source columns {sorted(src_cols)} must match target "
+                f"{sorted(base.columns)} (update-all/insert-all merge)"
+            )
+        renamed = source.select(
+            *key_cols,
+            *[F.col(c).alias(f"__s_{c}") for c in data_cols],
+            (
+                F.col(delete_col) if delete_col else F.lit(False)
+            ).alias("__s_del"),
+            F.lit(True).alias("__s"),
+        )
+        joined = base.join(renamed, key_cols, "full_outer")
+        merged = joined.where(
+            ~(F.coalesce(F.col("__s"), F.lit(False)) & F.col("__s_del"))
+        ).select(
+            *key_cols,
+            *[
+                F.when(F.col("__s"), F.col(f"__s_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in data_cols
+            ],
+        )
+    else:
+        # no file admits any source key: the merge is pure inserts
+        merged = source.where(
+            ~F.col(delete_col) if delete_col else F.lit(True)
+        ).select(*src_cols)
+    commit_dir = os.path.join(
+        root, _DATA, f"c{version + 1:08d}-{uuid.uuid4().hex[:8]}"
+    )
+    merged.write.parquet(commit_dir)
+    new_files = _list_parquet(commit_dir)
+    cols = manifest.get("stats_cols", [])
+    stats = dict(manifest.get("stats", {}))
+    if cols:
+        stats.update(_collect_stats(root, new_files, cols))
+    return _commit(
+        root,
+        [os.path.join(root, f) for f in untouched] + new_files,
+        new_files,
+        [os.path.join(root, f) for f in touched],
+        "merge",
+        stats=stats,
+        stats_cols=cols,
+    )
+
+
+def delete_keys(
+    spark: SparkSession, root: str, keys: DataFrame
+) -> int:
+    """Merge-on-read DELETE: commits the keys as a DELETION-VECTOR
+    sidecar instead of rewriting any data file — the commit is
+    O(|keys|) regardless of table size, the right-to-be-forgotten
+    operation a 100 TB table cannot afford as copy-on-write. Reads
+    anti-join the vectors (``read_version(apply_dvs=True)``, the
+    default); ``compact_table`` folds the debt into a rewrite of only
+    the affected files. Key-based tombstones (the ir10 discipline on
+    the table format) rather than positional bitmaps: plain parquet
+    needs no stable row ids, and the anti-join broadcasts while the
+    debt is small. Repeated deletes append further vectors; deleting
+    already-deleted keys is idempotent by construction."""
+    version = table_version(root)
+    if version == 0:
+        raise ValueError(f"delete_keys target {root} does not exist")
+    manifest = read_manifest(root, version)
+    key_cols = keys.columns
+    if manifest.get("dvs") and manifest.get("dv_key") != key_cols:
+        raise ValueError(
+            f"deletion-vector key {manifest['dv_key']} != {key_cols}"
+        )
+    dv_dir = os.path.join(
+        root, _DV, f"c{version + 1:08d}-{uuid.uuid4().hex[:8]}"
+    )
+    keys.distinct().write.parquet(dv_dir)
+    return _commit(
+        root,
+        [os.path.join(root, f) for f in manifest["files"]],
+        [],
+        [],
+        "delete",
+        stats=manifest.get("stats", {}),
+        stats_cols=manifest.get("stats_cols", []),
+        dvs=manifest.get("dvs", [])
+        + [os.path.relpath(f, root) for f in _list_parquet(dv_dir)],
+        dv_key=key_cols,
+    )
+
+
+def compact_table(spark: SparkSession, root: str) -> int:
+    """Fold outstanding deletion vectors into the data: rewrite ONLY the
+    files whose zone map admits a tombstoned key (unzoned files are
+    rewritten conservatively), drop the vectors, and commit. Reads after
+    compaction pay no anti-join; files untouched by any tombstone carry
+    by reference. No-op (returns the current version) when the table
+    carries no delete debt — schedule it when the vector size or the
+    deleted fraction crosses the deploy's threshold, the maintenance
+    cadence the public formats document for merge-on-read."""
+    version = table_version(root)
+    manifest = read_manifest(root, version)
+    if not manifest.get("dvs"):
+        return version
+    tombstones = spark.read.parquet(
+        *[os.path.join(root, f) for f in manifest["dvs"]]
+    )
+    key_cols = manifest["dv_key"]
+    touched, untouched = _touched_by_keys(
+        spark, root, manifest, tombstones, key_cols[0]
+    )
+    new_files: list[str] = []
+    if touched:
+        kept_rows = spark.read.parquet(
+            *[os.path.join(root, f) for f in touched]
+        ).join(tombstones, on=key_cols, how="left_anti")
+        commit_dir = os.path.join(
+            root, _DATA, f"c{version + 1:08d}-{uuid.uuid4().hex[:8]}"
+        )
+        kept_rows.write.parquet(commit_dir)
+        new_files = _list_parquet(commit_dir)
+    cols = manifest.get("stats_cols", [])
+    stats = dict(manifest.get("stats", {}))
+    if cols and new_files:
+        stats.update(_collect_stats(root, new_files, cols))
+    return _commit(
+        root,
+        [os.path.join(root, f) for f in untouched] + new_files,
+        new_files,
+        [os.path.join(root, f) for f in touched],
+        "compact",
+        stats=stats,
+        stats_cols=cols,
+    )

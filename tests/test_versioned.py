@@ -171,3 +171,137 @@ def test_streaming_sink_exactly_once_and_fresh_checkpoint_isolated(
     start_versioned_sink(stream(), root, ck2).awaitTermination()
     assert table_version(root) > n1
     assert _ids(read_version(spark, root)) == sorted(list(range(6)) * 2)
+
+
+# --- zone maps, merge_into, deletion vectors (round 6, session 4) ----------
+
+from querysight_spark.sources.versioned import (  # noqa: E402
+    compact_table,
+    delete_keys,
+    merge_into,
+    pruned_files,
+)
+
+
+def _clustered(spark, lo, hi, parts=4):
+    # range-clustered so per-file zone maps are disjoint
+    return _df(spark, lo, hi).repartitionByRange(parts, "id")
+
+
+def test_zone_maps_recorded_and_sticky(spark, root):
+    write_version(spark, _clustered(spark, 0, 100), root, stats_cols=["id"])
+    m1 = read_manifest(root, 1)
+    assert m1["stats_cols"] == ["id"]
+    assert set(m1["stats"]) == set(m1["files"])
+    los = sorted(s["id"][0] for s in m1["stats"].values())
+    assert los[0] == 0 and all(s["id"][1] <= 99 for s in m1["stats"].values())
+    # append WITHOUT stats_cols: the column list is sticky
+    write_version(spark, _clustered(spark, 100, 200), root)
+    m2 = read_manifest(root, 2)
+    assert m2["stats_cols"] == ["id"]
+    assert set(m2["stats"]) == set(m2["files"])
+
+
+def test_pruned_read_matches_full_filter(spark, root):
+    write_version(spark, _clustered(spark, 0, 1000, 8), root, stats_cols=["id"])
+    kept, skipped = pruned_files(root, 1, "id", 10, 40)
+    assert skipped and len(kept) < len(kept) + len(skipped)
+    got = read_version(spark, root, prune=("id", 10, 40))
+    assert _ids(got) == list(range(10, 41))
+    # a range outside every zone: zero files planned, schema intact
+    empty = read_version(spark, root, prune=("id", 5000, 6000))
+    assert empty.columns == ["id", "v"] and empty.count() == 0
+    assert pruned_files(root, 1, "id", 5000, 6000)[0] == []
+
+
+def test_merge_into_rewrites_only_touched_files(spark, root):
+    write_version(spark, _clustered(spark, 0, 1000, 8), root, stats_cols=["id"])
+    m1 = read_manifest(root, 1)
+    # update ids 0-9, delete 10-14, insert 2000-2004: touches low files only
+    src = spark.range(0, 15).select(
+        F.col("id"),
+        (F.col("id") * 1000).alias("v"),
+        (F.col("id") >= 10).alias("_del"),
+    ).unionByName(
+        spark.range(2000, 2005).select(
+            F.col("id"), (F.col("id") * 1000).alias("v"),
+            F.lit(False).alias("_del"),
+        )
+    )
+    v = merge_into(spark, src, root, ["id"], delete_col="_del")
+    assert v == 2
+    m2 = read_manifest(root, 2)
+    carried = set(m1["files"]) & set(m2["files"])
+    assert carried and set(m2["removed"]) == set(m1["files"]) - carried
+    got = {r.id: r.v for r in read_version(spark, root).collect()}
+    assert got[0] == 0 and got[5] == 5000 and got[2004] == 2004000
+    assert 10 not in got and 14 not in got and got[500] == 5000
+    assert len(got) == 1000 - 15 + 10 + 5
+    # v1 still time-travels to the pre-merge rows
+    assert len(_ids(read_version(spark, root, 1))) == 1000
+
+
+def test_merge_into_pure_insert_and_schema_guard(spark, root):
+    write_version(spark, _clustered(spark, 0, 100), root, stats_cols=["id"])
+    m1 = read_manifest(root, 1)
+    v = merge_into(spark, _df(spark, 5000, 5003), root, ["id"])
+    m2 = read_manifest(root, v)
+    # no file admits the new keys: nothing rewritten, pure append
+    assert set(m1["files"]) <= set(m2["files"]) and m2["removed"] == []
+    assert len(_ids(read_version(spark, root))) == 103
+    with pytest.raises(ValueError, match="must match target"):
+        merge_into(
+            spark, _df(spark, 0, 1).withColumn("zzz", F.lit(1)), root, ["id"]
+        )
+
+
+def test_deletion_vectors_merge_on_read(spark, root):
+    write_version(spark, _clustered(spark, 0, 100), root, stats_cols=["id"])
+    files_before = _data_files(root)
+    v = delete_keys(spark, root, spark.range(10, 20).select("id"))
+    assert v == 2
+    # pure metadata + sidecar: zero data files rewritten
+    assert _data_files(root) == files_before
+    assert read_manifest(root, 2)["files"] == read_manifest(root, 1)["files"]
+    assert _ids(read_version(spark, root)) == list(range(10)) + list(
+        range(20, 100)
+    )
+    assert len(_ids(read_version(spark, root, apply_dvs=False))) == 100
+    # deleting again (overlap) stays idempotent; appends carry the DVs
+    delete_keys(spark, root, spark.range(15, 25).select("id"))
+    write_version(spark, _clustered(spark, 100, 110, 1), root)
+    assert _ids(read_version(spark, root)) == list(range(10)) + list(
+        range(25, 110)
+    )
+    with pytest.raises(ValueError, match="deletion-vector key"):
+        delete_keys(spark, root, spark.range(0, 1).select(F.col("id").alias("v")))
+    with pytest.raises(ValueError, match="outstanding deletion vectors"):
+        merge_into(spark, _df(spark, 0, 1), root, ["id"])
+
+
+def test_compact_folds_dvs_and_preserves_untouched_files(spark, root):
+    write_version(spark, _clustered(spark, 0, 1000, 8), root, stats_cols=["id"])
+    m1 = read_manifest(root, 1)
+    delete_keys(spark, root, spark.range(0, 30).select("id"))
+    before = _ids(read_version(spark, root))
+    v = compact_table(spark, root)
+    m3 = read_manifest(root, v)
+    assert m3["dvs"] == [] and m3["op"] == "compact"
+    # only the zone-touched files were rewritten
+    assert set(m1["files"]) & set(m3["files"])
+    assert _ids(read_version(spark, root)) == before == list(range(30, 1000))
+    # no debt -> no-op
+    assert compact_table(spark, root) == v
+
+
+def test_vacuum_keeps_live_dv_files_and_rollback_carries_dvs(spark, root):
+    write_version(spark, _clustered(spark, 0, 50, 2), root, stats_cols=["id"])
+    delete_keys(spark, root, spark.range(0, 5).select("id"))
+    write_version(spark, _clustered(spark, 50, 60, 1), root)
+    rollback(root, 2)  # back to the deleted-but-not-appended state
+    m4 = read_manifest(root, 4)
+    assert m4["dvs"] == read_manifest(root, 2)["dvs"]
+    assert _ids(read_version(spark, root)) == list(range(5, 50))
+    vacuum(root, retain_from=4)
+    # the DV sidecar survives vacuum (reachable from v4)
+    assert _ids(read_version(spark, root)) == list(range(5, 50))
