@@ -90,8 +90,11 @@
   * lk/gr/vx  — blocked fuzzy-join record linkage (+ per-block match
                 summary), iterative PageRank vs an unrolled-CTE oracle,
                 large-star/small-star connected components, triangle
-                enumeration, frontier BFS distances, per-dimension
-                embedding z-score scaling and quartile binning.
+                enumeration, frontier BFS distances, gr08 synchronous
+                label-propagation communities (3 unrolled rounds, min
+                tie-break) vs the same rounds as DuckDB CTEs,
+                per-dimension embedding z-score scaling and quartile
+                binning.
   * co01-co03 — behavioral analytics: weekly cohort-retention triangle,
                 ordered first-touch funnel, Markov transition matrix.
   * px01-px04 — end-to-end pipeline compositions under one hash

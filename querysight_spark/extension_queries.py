@@ -7546,3 +7546,67 @@ def wh04(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("compact_cleared_dvs", F.lit(bool(dvs_cleared)))
         .orderBy("path", "lang")
     )
+
+
+_LPA_ITER = """
+       {new} AS (
+         SELECT v, community FROM (
+           SELECT e.dst AS v, l.community,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY e.dst
+                    ORDER BY COUNT(*) DESC, l.community ASC) AS rn
+           FROM edges e JOIN {old} l ON l.v = e.src
+           GROUP BY e.dst, l.community) WHERE rn = 1)"""
+
+
+@_q(
+    "gr08_label_propagation",
+    """WITH lp AS (
+         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       pairs AS (
+         SELECT a.l_partkey AS p1, b.l_partkey AS p2
+         FROM lp a JOIN lp b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          AND a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       edges AS (
+         SELECT p1 AS src, p2 AS dst FROM pairs
+         UNION SELECT p2, p1 FROM pairs),
+       l0 AS (SELECT DISTINCT src AS v, src AS community FROM edges),"""
+    + _LPA_ITER.format(new="l1", old="l0")
+    + ","
+    + _LPA_ITER.format(new="l2", old="l1")
+    + ","
+    + _LPA_ITER.format(new="l3", old="l2")
+    + """
+       SELECT v AS node, community FROM l3 ORDER BY node""",
+)
+def gr08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (3 synchronous rounds, most-
+    frequent-neighbor label, min tie-break — the deterministic variant
+    GraphFrames ships) on gr02's part co-purchase graph. Per round:
+    one hash join + one count agg + one per-node window (bounded by
+    degree); the symmetrized edge table shuffles once and persists
+    across rounds. Oracle = the same three rounds UNROLLED as DuckDB
+    CTEs — synchronous updates make the rounds pure SQL, which is what
+    makes fixed-round LPA gate-checkable where until-convergence LPA
+    is rows-only."""
+    from querysight_spark.operators.graph import label_propagation
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    lp = li.where(F.col("l_partkey") % 4 == 0).distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .select("p1", "p2")
+    )
+    return label_propagation(pairs, "p1", "p2", iterations=3).orderBy("node")

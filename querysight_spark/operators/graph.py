@@ -1,6 +1,6 @@
 """Graph operators: iterative PageRank, connected components
-(large-star/small-star), triangle enumeration, and frontier BFS
-distances over edge DataFrames.
+(large-star/small-star), triangle enumeration, frontier BFS
+distances, and label-propagation communities over edge DataFrames.
 
 Complements the iterative fixpoint pair already in the repo (ql06b
 upstream-closure, cl03 k-means refinement) with the canonical
@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 
@@ -516,3 +517,60 @@ def personalized_pagerank(
     deg.unpersist()
     e.unpersist()
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al.,
+    2007, the deterministic variant GraphFrames ships): every node
+    starts labeled with its own id, and each round RE-labels every node
+    with the most frequent label among its neighbors, ties broken by
+    the smallest label — fully deterministic, no random visit order.
+    Returns (node, community) after ``iterations`` rounds; fixed-round
+    synchronous updates are the engine-portable contract (an
+    until-stable loop is the production variant — same round body,
+    stop when no label changes). Synchronous LPA's known caveat applies:
+    bipartite structures (e.g. an isolated edge) OSCILLATE rather than
+    converge — identical to GraphFrames' labelPropagation, and pinned
+    in tests; community detection on such shapes wants the
+    connected-components operator instead.
+
+    Scale shape: each round is one join (edges ⋈ labels on the source
+    endpoint, both sides hash-partitioned on the key) + one partial/
+    final count agg + one per-node window over its label counts —
+    no all-pairs work, and the window partitions by node (bounded by
+    degree, not corpus). The symmetrized edge table is repartitioned
+    once and persisted across rounds (the pagerank discipline); labels
+    localCheckpoint each round so the plan never deepens. Driver state
+    is the iteration counter."""
+    e = (
+        symmetrize(edges, src, dst)
+        .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("community")
+    )
+    prev = None
+    for _ in range(iterations):
+        counts = (
+            e.join(labels, e.src == labels.node)
+            .groupBy("dst", "community")
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        win = Window.partitionBy("dst").orderBy(
+            F.col("votes").desc(), F.col("community").asc()
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), "community")
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return labels

@@ -318,3 +318,38 @@ def test_landmark_distance_features_shape(spark):
     assert out[1] == (0, 1, 2)
     assert out[5] == (4, 3, 2)
     assert 10 not in out and 11 not in out  # unreachable from every seed
+
+
+def test_label_propagation_two_cliques_and_tiebreak(spark):
+    """Two 3-cliques joined by one bridge edge: after 3 synchronous
+    rounds every node of each clique carries the clique's smallest id;
+    the bridge's pull loses the vote to the clique majority. An
+    isolated edge pair (100, 101) OSCILLATES under synchronous updates
+    (each node's only vote is the other's current label — the known
+    bipartite oscillation, GraphFrames-identical): after an odd round
+    count the labels sit swapped."""
+    from querysight_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4), (100, 101)],
+        "src long, dst long",
+    )
+    got = {
+        r.node: r.community
+        for r in label_propagation(edges, iterations=3).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == got[5] == got[6]
+    assert (got[100], got[101]) == (101, 100)
+
+
+def test_label_propagation_deterministic_across_runs(spark):
+    from querysight_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 23) for i in range(23) if i != (i * 7) % 23],
+        "src long, dst long",
+    )
+    a = sorted(map(tuple, label_propagation(edges, iterations=3).collect()))
+    b = sorted(map(tuple, label_propagation(edges, iterations=3).collect()))
+    assert a == b
