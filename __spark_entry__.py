@@ -77,7 +77,9 @@
                 seasonal-profile anomaly detection, chi-square
                 independence surface.
   * dq/io     — data-quality expectation suite + referential-integrity
-                orphans; CSV source round-trip; Hive-partitioned
+                orphans; dq04: schema/statistics drift between corpus
+                vintages (two one-pass column profiles + columns-sized
+                join; type/null-rate/mean-shift verdicts); CSV source round-trip; Hive-partitioned
                 parquet and ORC sink/source round-trips; streaming-sink
                 small-files compaction (io05: per-batch file litter →
                 even rewrite, values + file-count under the hash);

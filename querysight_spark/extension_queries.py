@@ -7610,3 +7610,96 @@ def gr08(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p1", "p2")
     )
     return label_propagation(pairs, "p1", "p2", iterations=3).orderBy("node")
+
+
+_DQ04_PROF = """
+       {alias} AS (
+         SELECT COUNT(*) AS n,
+                COUNT(CASE WHEN lang IS NULL THEN 1 END) AS null_lang,
+                COUNT(DISTINCT lang) AS dist_lang,
+                COUNT(CASE WHEN source IS NULL THEN 1 END) AS null_source,
+                COUNT(DISTINCT source) AS dist_source,
+                COUNT(CASE WHEN n_chars IS NULL THEN 1 END) AS null_nc,
+                COUNT(DISTINCT n_chars) AS dist_nc,
+                AVG(CAST(n_chars AS DOUBLE)) AS mean_nc
+         FROM {src})"""
+
+
+@_q(
+    "dq04_profile_drift",
+    """WITH oldv AS (SELECT lang, source, n_chars FROM documents),
+       newv AS (
+         SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+                source, CAST(n_chars + 50 AS DOUBLE) AS n_chars
+         FROM documents WHERE doc_id % 10 <> 0),"""
+    + _DQ04_PROF.format(alias="o", src="oldv")
+    + ","
+    + _DQ04_PROF.format(alias="nn", src="newv")
+    + """
+       SELECT * FROM (
+         SELECT 'lang' AS "column", 'common' AS status,
+                FALSE AS type_changed,
+                FLOOR(1e6 * CAST(o.null_lang AS DOUBLE) / o.n) / 1e6
+                  AS null_ratio_old,
+                FLOOR(1e6 * CAST(nn.null_lang AS DOUBLE) / nn.n) / 1e6
+                  AS null_ratio_new,
+                o.dist_lang AS n_distinct_old,
+                nn.dist_lang AS n_distinct_new,
+                CAST(NULL AS DOUBLE) AS mean_old,
+                CAST(NULL AS DOUBLE) AS mean_new,
+                ABS(FLOOR(1e6 * CAST(nn.null_lang AS DOUBLE) / nn.n) / 1e6
+                    - FLOOR(1e6 * CAST(o.null_lang AS DOUBLE) / o.n) / 1e6)
+                  > 0.01 AS null_drifted,
+                FALSE AS mean_drifted
+         FROM o, nn
+         UNION ALL
+         SELECT 'n_chars', 'common', TRUE,
+                FLOOR(1e6 * CAST(o.null_nc AS DOUBLE) / o.n) / 1e6,
+                FLOOR(1e6 * CAST(nn.null_nc AS DOUBLE) / nn.n) / 1e6,
+                o.dist_nc, nn.dist_nc,
+                FLOOR(1e6 * o.mean_nc) / 1e6,
+                FLOOR(1e6 * nn.mean_nc) / 1e6,
+                ABS(FLOOR(1e6 * CAST(nn.null_nc AS DOUBLE) / nn.n) / 1e6
+                    - FLOOR(1e6 * CAST(o.null_nc AS DOUBLE) / o.n) / 1e6)
+                  > 0.01,
+                ABS(nn.mean_nc - o.mean_nc) / ABS(o.mean_nc) > 0.02
+         FROM o, nn
+         UNION ALL
+         SELECT 'source', 'common', FALSE,
+                FLOOR(1e6 * CAST(o.null_source AS DOUBLE) / o.n) / 1e6,
+                FLOOR(1e6 * CAST(nn.null_source AS DOUBLE) / nn.n) / 1e6,
+                o.dist_source, nn.dist_source,
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                ABS(FLOOR(1e6 * CAST(nn.null_source AS DOUBLE) / nn.n) / 1e6
+                    - FLOOR(1e6 * CAST(o.null_source AS DOUBLE) / o.n) / 1e6)
+                  > 0.01,
+                FALSE
+         FROM o, nn)
+       ORDER BY "column" """,
+)
+def dq04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema + statistics drift between two corpus vintages: the new
+    drop loses every 10th document, nulls lang on every 7th, and
+    retypes n_chars BIGINT -> DOUBLE (+50) — the three drift classes a
+    training-data ingest gate must catch (volume/null-rate shift, type
+    change, distribution shift). Two single-pass ``column_profile``
+    aggregations + one columns-sized full-outer join
+    (``profile_drift``), never a row-level diff (dq03 is the row-level
+    complement); at 100 TB the whole check costs two table scans. The
+    oracle recomputes both profiles and every floored metric and
+    verdict from first principles."""
+    from querysight_spark.operators.quality import column_profile, profile_drift
+
+    docs = load_table(spark, "documents", sf_dir)
+    oldv = docs.select("lang", "source", "n_chars")
+    newv = docs.where(F.col("doc_id") % 10 != 0).select(
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "source",
+        (F.col("n_chars") + 50).cast("double").alias("n_chars"),
+    )
+    cols = ["lang", "n_chars", "source"]
+    return profile_drift(
+        column_profile(oldv, cols), column_profile(newv, cols)
+    ).orderBy("column")

@@ -436,3 +436,93 @@ def mad_outliers(
             F.round(dev / F.col("mad"), 6).alias("score"),
         )
     )
+
+
+_NUMERIC_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal"
+)
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column profile in ONE aggregation pass (the expect_report
+    discipline): returns (column, dtype, n_rows, n_nulls, n_distinct,
+    mean), one row per requested column. ``mean`` is NULL for
+    non-numeric columns. Exact COUNT(DISTINCT) — swap in
+    approx_count_distinct at the marked seam when cardinality itself
+    is the bottleneck (the sk01 trade, tolerance then gate-checked the
+    an08 way)."""
+    dtypes = dict(df.dtypes)
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise ValueError(f"column_profile: {missing} not in {sorted(dtypes)}")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"_null_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"_dist_{c}"))  # exactness seam
+        if dtypes[c].startswith(_NUMERIC_PREFIXES):
+            aggs.append(F.avg(F.col(c).cast("double")).alias(f"_mean_{c}"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"_mean_{c}"))
+    from pyspark.storagelevel import StorageLevel
+
+    stats = df.agg(*aggs).persist(StorageLevel.MEMORY_AND_DISK)
+    out = None
+    for c in cols:
+        one = stats.select(
+            F.lit(c).alias("column"),
+            F.lit(dtypes[c]).alias("dtype"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_null_{c}").alias("n_nulls"),
+            F.col(f"_dist_{c}").alias("n_distinct"),
+            F.col(f"_mean_{c}").alias("mean"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+def profile_drift(
+    old_profile: DataFrame,
+    new_profile: DataFrame,
+    null_tol: float = 0.01,
+    mean_rel_tol: float = 0.02,
+) -> DataFrame:
+    """Schema + statistics drift between two vintages' column profiles
+    (``column_profile`` output): one full-outer join on column name.
+    Emits per column — status ('common'/'added'/'removed'),
+    type_changed, floored null ratios (FLOOR(x*1e6)/1e6, the tie-free
+    rounding ts05 documents), distinct counts, floored means, and two
+    verdicts: null_drifted (absolute ratio delta > null_tol) and
+    mean_drifted (relative mean shift > mean_rel_tol; NULL-safe FALSE
+    for non-numerics). The check a 100 TB ingest runs between
+    yesterday's corpus and today's drop before any training job reads
+    it — two single-pass profiles and a columns-sized join, never a
+    row-level diff (dq03 is the row-level complement)."""
+    f6 = lambda col: F.floor(col * 1e6) / 1e6  # noqa: E731
+    o, n = old_profile.alias("o"), new_profile.alias("n")
+    j = o.join(n, "column", "full_outer")
+    null_o = f6(F.col("o.n_nulls") / F.col("o.n_rows"))
+    null_n = f6(F.col("n.n_nulls") / F.col("n.n_rows"))
+    mean_o, mean_n = f6(F.col("o.mean")), f6(F.col("n.mean"))
+    rel_shift = F.abs(F.col("n.mean") - F.col("o.mean")) / F.abs(F.col("o.mean"))
+    return j.select(
+        "column",
+        F.when(F.col("o.dtype").isNull(), F.lit("added"))
+        .when(F.col("n.dtype").isNull(), F.lit("removed"))
+        .otherwise(F.lit("common"))
+        .alias("status"),
+        F.coalesce(F.col("o.dtype") != F.col("n.dtype"), F.lit(True)).alias(
+            "type_changed"
+        ),
+        null_o.alias("null_ratio_old"),
+        null_n.alias("null_ratio_new"),
+        F.col("o.n_distinct").alias("n_distinct_old"),
+        F.col("n.n_distinct").alias("n_distinct_new"),
+        mean_o.alias("mean_old"),
+        mean_n.alias("mean_new"),
+        F.coalesce(
+            F.abs(null_n - null_o) > F.lit(float(null_tol)), F.lit(True)
+        ).alias("null_drifted"),
+        F.coalesce(rel_shift > F.lit(float(mean_rel_tol)), F.lit(False)).alias(
+            "mean_drifted"
+        ),
+    )

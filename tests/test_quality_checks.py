@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import pytest
+
 from querysight_spark.operators.quality import expect_report, orphan_keys
 
 
@@ -203,3 +205,43 @@ def test_corpus_diff_statuses_and_summary(spark):
         "added": (1, 0.25), "removed": (1, 0.25),
         "changed": (1, 0.25), "unchanged": (1, 0.25),
     }
+
+
+def test_column_profile_one_pass_and_values(spark):
+    from querysight_spark.operators.quality import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 20.0), (3, "b", None), (4, "a", 30.0)],
+        "id long, tag string, val double",
+    )
+    prof = {r.column: r for r in column_profile(df, ["tag", "val"]).collect()}
+    assert prof["tag"].n_rows == 4 and prof["tag"].n_nulls == 1
+    assert prof["tag"].n_distinct == 2 and prof["tag"].mean is None
+    assert prof["val"].n_nulls == 1 and prof["val"].mean == 20.0
+    with pytest.raises(ValueError, match="not in"):
+        column_profile(df, ["nope"])
+
+
+def test_profile_drift_added_removed_and_flags(spark):
+    from querysight_spark.operators.quality import column_profile, profile_drift
+
+    old = spark.createDataFrame(
+        [(1, "x", 100), (2, "y", 200)], "id long, gone string, v long"
+    )
+    new = spark.createDataFrame(
+        [(1, 1.0, "n"), (2, None, "n")], "id long, v double, fresh string"
+    )
+    drift = {
+        r.column: r
+        for r in profile_drift(
+            column_profile(old, ["gone", "v"]),
+            column_profile(new, ["v", "fresh"]),
+        ).collect()
+    }
+    assert drift["gone"].status == "removed" and drift["gone"].type_changed
+    assert drift["fresh"].status == "added" and drift["fresh"].null_drifted
+    v = drift["v"]
+    assert v.status == "common" and v.type_changed  # bigint -> double
+    assert v.null_drifted  # 0 -> 0.5
+    assert v.mean_drifted  # 150 -> 1.0
+    assert v.null_ratio_new == 0.5 and v.mean_old == 150.0
