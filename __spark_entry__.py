@@ -69,7 +69,9 @@
                 compressed IMA-ADPCM WAV encode/decode — container
                 byte counts, fact-chunk frame counts, bit-exact
                 block-start predictors, and lossy error bounds under
-                the hash).
+                the hash; mm10: REAL VIDEO container — YUV4MPEG2
+                encode/parse with frame validation, container byte
+                counts + bit-exact luma sums under the hash).
   * ts/an     — time-series resample + gap-fill (forward and linear),
                 per-row ordered-fold EWMA, Brown double smoothing,
                 two-sample KS drift, CUSUM change-point alarms,

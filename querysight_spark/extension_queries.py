@@ -7703,3 +7703,93 @@ def dq04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_drift(
         column_profile(oldv, cols), column_profile(newv, cols)
     ).orderBy("column")
+
+
+@_q(
+    "mm10_y4m_roundtrip",
+    """WITH vids AS (
+         SELECT doc_id, 2 + doc_id % 4 AS nf
+         FROM documents WHERE doc_id % 3 = 0),
+       px AS (
+         SELECT v.doc_id, v.nf, f.range AS f, y.range AS y, x.range AS x
+         FROM vids v, range(6) f, range(16) y, range(32) x
+         WHERE f.range < v.nf)
+       SELECT concat('vid-', CAST(doc_id AS VARCHAR)) AS asset_id,
+              CAST(nf AS BIGINT) AS n_frames,
+              CAST(LENGTH('YUV4MPEG2 W32 H16 F25:1 Ip A1:1 Cmono') + 1
+                   + nf * (6 + 512) AS BIGINT) AS n_payload_bytes,
+              CAST(SUM((doc_id * 7 + f * 31 + y * 5 + x * 3) % 256)
+                AS BIGINT) AS sum_luma,
+              TRUE AS roundtrip_exact
+       FROM px GROUP BY doc_id, nf ORDER BY asset_id""",
+)
+def mm10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO-container decode under the gate: every 3rd document becomes
+    a real YUV4MPEG2 stream (the uncompressed interchange format ffmpeg
+    and mjpegtools read/write — `Cmono`, 32x16, 2-5 frames of
+    closed-form luma) encoded and parsed back byte-for-byte by the
+    pure-stdlib Y4M codec. What rides the hash: the exact container
+    byte count (stream header + per-frame FRAME markers + planes — a
+    framing bug shifts it), the frame count the parser actually walked,
+    the BIT-EXACT luma sum across every decoded frame, and the
+    roundtrip-equality pin. Arrow-batched mapInPandas; payloads never
+    leave the executors. Compressed-essence video (H.264 etc.) stays
+    behind the documented ffmpeg/PIL seam — the container walk, frame
+    validation, and plane geometry here are the real distributed
+    plumbing either way."""
+    import pandas as pd
+
+    from querysight_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    W, H = 32, 16
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf = 2 + did % 4
+                f = np.arange(nf, dtype=np.int64)[:, None, None]
+                y = np.arange(H, dtype=np.int64)[None, :, None]
+                x = np.arange(W, dtype=np.int64)[None, None, :]
+                frames = ((did * 7 + f * 31 + y * 5 + x * 3) % 256).astype(
+                    np.uint8
+                )
+                payload = encode_y4m(W, H, frames)
+                w, h, _fps, cs, back = decode_y4m(payload)
+                ok = (
+                    (w, h, cs) == (W, H, "mono")
+                    and np.array_equal(back, frames)
+                )
+                rows.append(
+                    (
+                        f"vid-{did}",
+                        int(len(back)),
+                        int(len(payload)),
+                        int(back.astype(np.int64).sum()),
+                        bool(ok),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "n_frames",
+                    "n_payload_bytes",
+                    "sum_luma",
+                    "roundtrip_exact",
+                ],
+            )
+
+    docs = load_table(spark, "documents", sf_dir).where(
+        F.col("doc_id") % 3 == 0
+    )
+    return docs.select("doc_id").mapInPandas(
+        run,
+        schema=(
+            "asset_id string, n_frames long, n_payload_bytes long, "
+            "sum_luma long, roundtrip_exact boolean"
+        ),
+    ).orderBy("asset_id")

@@ -4,9 +4,10 @@ with typed metadata, processed by Arrow-batched pandas stages.
 The decode step is REAL, no media library required: netpbm images (P5
 grayscale / P6 RGB) through a pure-Python parser, zlib-DEFLATE PNG with
 five-filter scanline reconstruction (mm07), baseline sequential-DCT
-JPEG (mm08), PCM16 WAV through the stdlib ``wave`` module, and
-compressed IMA-ADPCM WAV (format tag 0x0011, mm09) through a manual
-RIFF walk — all actual on-disk formats, parsed byte-for-byte. When PIL
+JPEG (mm08), PCM16 WAV through the stdlib ``wave`` module, compressed
+IMA-ADPCM WAV (format tag 0x0011, mm09) through a manual RIFF walk,
+and YUV4MPEG2 video streams (mm10) through a header-tokenizing frame
+walker — all actual on-disk formats, parsed byte-for-byte. When PIL
 is installed it becomes the fast path behind the SAME interface
 (``decode_image``) and additionally covers formats with no native
 branch here (e.g. progressive JPEG, WebP); without it those raise the
@@ -1408,3 +1409,114 @@ def _decode_scan(
     rgb = np.stack([r, g, b], axis=-1)
     out = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
     return w, h, 3, out
+
+
+# --- YUV4MPEG2 (Y4M) video container -----------------------------------------
+# The uncompressed video interchange format ffmpeg/mjpegtools read and
+# write (`ffmpeg -i x.mp4 x.y4m`): one ASCII stream header, then per
+# frame an ASCII `FRAME` marker followed by raw planar YUV. A REAL
+# on-disk video format parsed byte-for-byte — the container half of the
+# video story (compressed essence decode stays behind the PIL/ffmpeg
+# seam, the mm07/mm08 precedent applied to moving pictures).
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def encode_y4m(
+    width: int,
+    height: int,
+    frames: np.ndarray,
+    fps: tuple[int, int] = (25, 1),
+    colorspace: str = "mono",
+) -> bytes:
+    """Write a YUV4MPEG2 stream. ``colorspace='mono'`` takes frames of
+    shape (n, height, width) uint8 (luma only, the `Cmono` variant);
+    ``'444'`` takes (n, 3, height, width) full-resolution Y/U/V planes
+    (`C444` — no chroma subsampling, so the round-trip is lossless and
+    formula-checkable)."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    if colorspace == "mono":
+        want = (len(frames), height, width)
+    elif colorspace == "444":
+        want = (len(frames), 3, height, width)
+    else:
+        raise ValueError(f"colorspace must be mono|444, got {colorspace!r}")
+    if frames.shape != want:
+        raise ValueError(f"frames shape {frames.shape} != {want}")
+    head = (
+        f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A1:1 "
+        f"C{colorspace}"
+    ).encode("ascii")
+    out = [head, b"\n"]
+    for fr in frames:
+        out.append(b"FRAME\n")
+        out.append(fr.tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(
+    payload: bytes,
+) -> tuple[int, int, tuple[int, int], str, np.ndarray]:
+    """Parse a YUV4MPEG2 stream → (width, height, (fps_num, fps_den),
+    colorspace, frames). Real parsing, not trusted metadata: the header
+    parameters are tokenized by their tag letter in any order, every
+    frame length is validated against the plane geometry, and a
+    truncated frame raises ValueError. Supports `Cmono` (frames
+    (n, h, w)) and `C444` ((n, 3, h, w)); subsampled variants raise
+    the documented error directing to the ffmpeg seam."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = None
+    fps = (25, 1)
+    colorspace = "420jpeg"
+    for tok in payload[len(_Y4M_MAGIC):nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        try:
+            if tag == b"W":
+                width = int(val)
+            elif tag == b"H":
+                height = int(val)
+            elif tag == b"F":
+                num, den = val.split(b":")
+                fps = (int(num), int(den))
+            elif tag == b"C":
+                colorspace = val.decode("ascii")
+        except (ValueError, UnicodeDecodeError) as e:
+            raise ValueError(f"Y4M header parameter malformed: {tok!r}") from e
+    if not width or not height:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace == "mono":
+        frame_len, shape = width * height, (height, width)
+    elif colorspace == "444":
+        frame_len, shape = 3 * width * height, (3, height, width)
+    else:
+        raise NotImplementedError(
+            f"Y4M colorspace C{colorspace} (chroma-subsampled) needs the "
+            "ffmpeg/PIL seam; native support covers Cmono and C444"
+        )
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        marker_end = payload.find(b"\n", pos)
+        if marker_end < 0 or not payload[pos:marker_end].startswith(b"FRAME"):
+            raise ValueError(f"Y4M FRAME marker malformed at byte {pos}")
+        start = marker_end + 1
+        if start + frame_len > len(payload):
+            raise ValueError(
+                f"Y4M frame truncated: need {frame_len} bytes at {start}, "
+                f"have {len(payload) - start}"
+            )
+        frames.append(
+            np.frombuffer(payload[start:start + frame_len], dtype=np.uint8)
+            .reshape(shape)
+        )
+        pos = start + frame_len
+    stacked = (
+        np.array(frames, dtype=np.uint8)
+        if frames
+        else np.zeros((0, *shape), dtype=np.uint8)
+    )
+    return width, height, fps, colorspace, stacked

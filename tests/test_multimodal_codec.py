@@ -635,3 +635,62 @@ def test_adpcm_compresses_4x_vs_pcm16():
     s = ((np.arange(20000, dtype=np.int64) * 17) % 2048) - 1024
     adpcm, pcm = encode_wav_adpcm(s), encode_wav_pcm16(s)
     assert len(adpcm) < 0.3 * len(pcm)
+
+
+# --- Y4M video container (mm10) ---------------------------------------------
+
+
+def test_y4m_mono_roundtrip_bit_exact():
+    import numpy as np
+
+    from querysight_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(5, 12, 20), dtype=np.uint8)
+    payload = encode_y4m(20, 12, frames, fps=(30, 1))
+    w, h, fps, cs, back = decode_y4m(payload)
+    assert (w, h, fps, cs) == (20, 12, (30, 1), "mono")
+    assert np.array_equal(back, frames)
+
+
+def test_y4m_444_roundtrip_and_header_param_order():
+    import numpy as np
+
+    from querysight_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    frames = (
+        np.arange(2 * 3 * 4 * 6, dtype=np.uint8).reshape(2, 3, 4, 6) * 7 % 256
+    )
+    payload = encode_y4m(6, 4, frames, colorspace="444")
+    # reorder header params (spec allows any order after the magic)
+    head, rest = payload.split(b"\n", 1)
+    toks = head.split(b" ")
+    shuffled = b" ".join([toks[0]] + toks[1:][::-1]) + b"\n" + rest
+    w, h, _fps, cs, back = decode_y4m(shuffled)
+    assert (w, h, cs) == (6, 4, "444")
+    assert np.array_equal(back, frames)
+
+
+def test_y4m_error_contract():
+    import numpy as np
+    import pytest
+
+    from querysight_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    frames = np.zeros((2, 4, 4), dtype=np.uint8)
+    payload = encode_y4m(4, 4, frames)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m(payload[:-3])
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        decode_y4m(b"RIFF" + payload)
+    with pytest.raises(ValueError, match="FRAME marker"):
+        decode_y4m(payload.replace(b"FRAME", b"FRAAE", 1))
+    with pytest.raises(ValueError, match="missing W/H"):
+        decode_y4m(b"YUV4MPEG2 F25:1 Cmono\n")
+    with pytest.raises(NotImplementedError, match="420"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 C420jpeg\n")
+    with pytest.raises(ValueError, match="shape"):
+        encode_y4m(5, 4, frames)
+    # zero frames is a legal stream
+    _w, _h, _f, _c, empty = decode_y4m(encode_y4m(4, 4, frames[:0]))
+    assert empty.shape == (0, 4, 4)
