@@ -114,7 +114,10 @@
                 files (update-all/insert-all/delete in one full-outer
                 join); wh04: merge-on-read DELETION VECTORS — key
                 tombstone sidecar, anti-join reads, compaction folds
-                only affected files, 'mor' == 'cow' under one hash.
+                only affected files, 'mor' == 'cow' under one hash;
+                wh05: incremental materialized-view maintenance off
+                the table's CDC feed — per-commit delta absorb with a
+                manifest-stamped watermark, idempotent refresh.
 
 ``oracle_sql()`` carries the DuckDB-dialect equivalent for EVERY entry
 (CTE-reconstructed analog tables where needed), so the driver's

@@ -7793,3 +7793,82 @@ def mm10(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_luma long, roundtrip_exact boolean"
         ),
     ).orderBy("asset_id")
+
+
+@_q(
+    "wh05_incremental_mv",
+    """SELECT o_orderstatus,
+              COUNT(*) AS n_rows,
+              CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+              TRUE AS refreshed_per_commit, TRUE AS retry_was_noop
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+)
+def wh05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance off the versioned
+    table's CDC feed: orders land in three append commits, and after
+    each one ``refresh_aggregate_mv`` absorbs ONLY the newly added
+    files (the base version last absorbed is stamped in the MV's own
+    manifest, so every refresh is exactly the delta — the tr01/st02
+    absorb discipline driven by table-format CDC instead of a stream).
+    The MV after the third refresh must equal the direct aggregate over
+    all orders (a double-absorbed or skipped delta breaks the hash);
+    ``refreshed_per_commit`` pins that each refresh advanced the MV one
+    version, and ``retry_was_noop`` pins the idempotent-refresh
+    contract (same base version re-refreshed -> txn already committed).
+    At 100 TB: refresh cost tracks the nightly delta, never the base."""
+    import hashlib
+    import os
+    import tempfile
+
+    from querysight_spark.sources.versioned import (
+        read_version,
+        refresh_aggregate_mv,
+        table_version,
+        write_version,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"wh05:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"qs_wh05_{tag}")
+    root = os.path.join(base, "base")
+    mv = os.path.join(base, "mv")
+    done = os.path.join(base, "_flags")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    if not os.path.exists(done):
+        stepped = True
+        for k in range(3):
+            write_version(
+                spark, orders.where(F.col("o_orderkey") % 3 == k), root
+            )
+            refresh_aggregate_mv(spark, root, mv, ["o_orderstatus"], ["cents"])
+            stepped = stepped and table_version(mv) == k + 1
+        before = table_version(mv)
+        refresh_aggregate_mv(spark, root, mv, ["o_orderstatus"], ["cents"])
+        noop = table_version(mv) == before
+        with open(done, "w") as f:
+            f.write(f"{stepped}:{noop}")
+    else:
+        with open(done) as f:
+            s, n = f.read().split(":")
+        stepped, noop = s == "True", n == "True"
+    return (
+        read_version(spark, mv)
+        .select(
+            "o_orderstatus",
+            "n_rows",
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+        )
+        .withColumn("refreshed_per_commit", F.lit(bool(stepped)))
+        .withColumn("retry_was_noop", F.lit(bool(noop)))
+        .orderBy("o_orderstatus")
+    )

@@ -670,3 +670,67 @@ def compact_table(spark: SparkSession, root: str) -> int:
         stats=stats,
         stats_cols=cols,
     )
+
+
+def refresh_aggregate_mv(
+    spark: SparkSession,
+    base_root: str,
+    mv_root: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> int:
+    """Incrementally maintain the materialized view
+    ``SELECT group_cols, COUNT(*) AS n_rows, SUM(c) AS sum_<c>...``
+    over an append-only versioned base table, consuming ONLY the
+    file-level CDC since the last refresh: the base version last
+    absorbed is stamped into the MV's own manifest (``txn_id =
+    'mvref:<base_version>'``), so a refresh reads exactly the files
+    appended after it (``incremental_read``), aggregates the delta, and
+    folds it into the dimension-sized MV with one union + re-agg —
+    count/sum are self-decomposable, avg/rates derive downstream. The
+    MV commits as one overwrite version per refresh, so refreshes are
+    atomic, time-travelable, and IDEMPOTENT (a retried refresh of the
+    same base version finds its txn already committed and no-ops).
+
+    At 100 TB this is the nightly-rollup contract: refresh cost tracks
+    the DELTA (scan of new files + dimension-sized merge), never the
+    base table; the tr01/st02 absorb discipline driven by table-format
+    CDC instead of a stream. Raises (via ``incremental_read``) if the
+    range crosses an overwrite/rollback commit — a replaced snapshot
+    needs a full MV rebuild, silently absorbing it would double-count.
+    Returns the MV version (unchanged when there is nothing new)."""
+    base_v = table_version(base_root)
+    if base_v == 0:
+        raise ValueError(f"refresh_aggregate_mv: base {base_root} is empty")
+    mv_v = table_version(mv_root)
+    last = 0
+    if mv_v:
+        txn = read_manifest(mv_root, mv_v).get("txn_id") or ""
+        if not txn.startswith("mvref:"):
+            raise ValueError(
+                f"{mv_root} v{mv_v} was not committed by refresh_aggregate_mv"
+                f" (txn_id={txn!r})"
+            )
+        last = int(txn.split(":", 1)[1])
+    if last >= base_v:
+        return mv_v
+    delta = incremental_read(spark, base_root, last, base_v)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")] + [
+        F.sum(c).alias(f"sum_{c}") for c in sum_cols
+    ]
+    delta_agg = delta.groupBy(*group_cols).agg(*aggs)
+    if mv_v:
+        merged = (
+            read_version(spark, mv_root)
+            .unionByName(delta_agg)
+            .groupBy(*group_cols)
+            .agg(
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+            )
+        )
+    else:
+        merged = delta_agg
+    return write_version(
+        spark, merged, mv_root, mode="overwrite", txn_id=f"mvref:{base_v}"
+    )

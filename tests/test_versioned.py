@@ -305,3 +305,49 @@ def test_vacuum_keeps_live_dv_files_and_rollback_carries_dvs(spark, root):
     vacuum(root, retain_from=4)
     # the DV sidecar survives vacuum (reachable from v4)
     assert _ids(read_version(spark, root)) == list(range(5, 50))
+
+
+def test_refresh_aggregate_mv_incremental_and_idempotent(spark, tmp_path):
+    from querysight_spark.sources.versioned import refresh_aggregate_mv
+
+    base = str(tmp_path / "base")
+    mv = str(tmp_path / "mv")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 3).alias("g"), (F.col("id") * 2).alias("v")
+        )
+
+    write_version(spark, batch(0, 50), base)
+    assert refresh_aggregate_mv(spark, base, mv, ["g"], ["v"]) == 1
+    write_version(spark, batch(50, 80), base)
+    write_version(spark, batch(80, 100), base)
+    v = refresh_aggregate_mv(spark, base, mv, ["g"], ["v"])
+    assert v == 2  # one refresh absorbed BOTH pending commits
+    got = {r.g: (r.n_rows, r.sum_v) for r in read_version(spark, mv).collect()}
+    want = {
+        r.g: (r.n, r.s)
+        for r in batch(0, 100)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want
+    # nothing new -> no-op; retried refresh of same base version -> no-op
+    assert refresh_aggregate_mv(spark, base, mv, ["g"], ["v"]) == 2
+    assert table_version(mv) == 2
+    # an overwrite on the base poisons the CDC range: refresh must refuse
+    write_version(spark, batch(0, 10), base, mode="overwrite")
+    with pytest.raises(ValueError, match="non-append"):
+        refresh_aggregate_mv(spark, base, mv, ["g"], ["v"])
+
+
+def test_refresh_aggregate_mv_guards_foreign_mv(spark, tmp_path):
+    from querysight_spark.sources.versioned import refresh_aggregate_mv
+
+    base = str(tmp_path / "base")
+    mv = str(tmp_path / "mv")
+    write_version(spark, _df(spark, 0, 5), base)
+    write_version(spark, _df(spark, 0, 5), mv)  # not an MV commit
+    with pytest.raises(ValueError, match="not committed by refresh"):
+        refresh_aggregate_mv(spark, base, mv, ["v"], [])
