@@ -59,6 +59,23 @@ HEADLINE_V2 = [
     "lk03_entity_resolution",     # linkage: blocked fuzzy ER
 ]
 
+# Round-6 session-4 widening, same discipline (v1/v2 frozen, append a
+# new list): lakehouse-maintenance + new-family representatives. The
+# wh/io07 entries build their versioned tables once per corpus vintage
+# into /tmp (fingerprint-keyed) — that one-time build lands in the cold
+# column of the first run after a testdata regen; the timed value is the
+# steady-state manifest-planned probe, the number a deployment actually
+# repeats.
+HEADLINE_V3 = [
+    "io07_zone_map_pruning",      # manifest zone-map data skipping
+    "wh03_merge_into",            # copy-on-write pruned MERGE INTO
+    "wh04_deletion_vectors",      # merge-on-read delete + compaction
+    "wh05_incremental_mv",        # CDC-driven MV refresh
+    "gr08_label_propagation",     # synchronous LPA communities
+    "dq04_profile_drift",         # two-vintage column-profile drift
+    "mm10_y4m_roundtrip",         # video-container codec walk
+]
+
 HEADLINE = [
     "p10_join_agg",
     "p15_five_way_join",
@@ -159,6 +176,13 @@ def _run(spark) -> None:
         cold_total_v2 += cold
         times_v2[name] = round(best, 3)
     total_v2 = round(sum(times_v2.values()), 3)
+    times_v3: dict[str, float] = {}
+    cold_total_v3 = 0.0
+    for name in HEADLINE_V3:
+        cold, best = timed(lambda: qs[name](spark, SF_DIR).count())
+        cold_total_v3 += cold
+        times_v3[name] = round(best, 3)
+    total_v3 = round(sum(times_v3.values()), 3)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -179,6 +203,11 @@ def _run(spark) -> None:
                 "queries_v2": times_v2,
                 "headline_v2_total_sec": total_v2,
                 "cold_total_v2_sec": round(cold_total_v2, 3),
+                # v3 (round-6 session 4): lakehouse maintenance + new
+                # families, same sibling-field discipline
+                "queries_v3": times_v3,
+                "headline_v3_total_sec": total_v3,
+                "cold_total_v3_sec": round(cold_total_v3, 3),
                 "sf": sf,
             }
         )
