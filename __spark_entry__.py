@@ -43,7 +43,7 @@
                 deterministic shard shuffle + size accounting), rollup
                 tiers incl. streaming absorption, self-checking sketches
                 incl. a cell-exact portable Count-Min.
-  * st01-st14 — Structured Streaming under the gate (windows, stateful
+  * st01-st15 — Structured Streaming under the gate (windows, stateful
                 counts, cross-batch dedup, session windows, stream-
                 stream join, session-state absorption into a persisted
                 tier, JSONL ingest with re-delivery suppression,
@@ -53,8 +53,10 @@
                 broadcast reference histogram, epoch-journaled ANN
                 serving, ingest absorbed into the upsertable BM25
                 index, exactly-once ingest into the versioned table
-                via txn-stamped commits), drained availableNow vs
-                batch oracles.
+                via txn-stamped commits, st15 deduplicating ingest —
+                per-batch fingerprint lens anti-join, exactly-distinct
+                corpus under txn + data-level replay safety), drained
+                availableNow vs batch oracles.
   * aj/rj/sj/mm — as-of join, range join, salted join, multimodal
                 (incl. mm06 perceptual dHash over decoded rasters)
                 (mm04: REAL payload decode — netpbm/WAV codecs round-
@@ -90,7 +92,10 @@
                 file-level CDC all under one hash; io07: manifest
                 ZONE-MAP data skipping — per-file min/max lifted from
                 parquet footers at commit, bottom-decile scan plans
-                only intersecting files.
+                only intersecting files; io08: atomic small-file
+                OPTIMIZE — footer-metadata row counts pick the litter,
+                bin-packed rewrite re-clustered on the zone-map column,
+                big files carry by reference.
   * lk/gr/vx  — blocked fuzzy-join record linkage (+ per-block match
                 summary), iterative PageRank vs an unrolled-CTE oracle,
                 large-star/small-star connected components, triangle

@@ -7872,3 +7872,202 @@ def wh05(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("retry_was_noop", F.lit(bool(noop)))
         .orderBy("o_orderstatus")
     )
+
+
+@_q(
+    "io08_optimize_small_files",
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+              CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS total_cents,
+              TRUE AS file_count_reduced, TRUE AS big_files_carried
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+)
+def io08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file OPTIMIZE under the gate: 7/8ths of orders land as one
+    key-clustered commit, the rest dribbles in as six single-file
+    appends (the file litter a month of streaming micro-batches leaves
+    — st14's one-commit-per-batch shape), and ``optimize_table``
+    bin-packs ONLY the small files (row counts from parquet footers,
+    metadata reads), re-clustering them on the zone-map column so the
+    packed files stay prunable; the big files carry by reference.
+    ``file_count_reduced`` / ``big_files_carried`` pin the manifest
+    deltas; the post-optimize scan must aggregate identically to the
+    all-orders oracle (a dropped or doubled row in the pack breaks the
+    hash). io05 is the plain-directory sibling; this one is atomic and
+    time-travel-safe — readers pinned to the pre-optimize version see
+    the old files untouched."""
+    import hashlib
+    import os
+    import tempfile
+
+    from querysight_spark.sources.versioned import (
+        optimize_table,
+        read_manifest,
+        read_version,
+        table_version,
+        write_version,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"io08:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"qs_io08_table_{tag}")
+    done = os.path.join(root, "_build_ok")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    if not os.path.exists(done):
+        write_version(
+            spark,
+            orders.where(F.col("o_orderkey") % 8 != 0).repartitionByRange(
+                4, "o_orderkey"
+            ),
+            root,
+            stats_cols=["o_orderkey"],
+        )
+        for k in range(6):
+            write_version(
+                spark,
+                orders.where(
+                    (F.col("o_orderkey") % 8 == 0)
+                    & ((F.col("o_orderkey") / 8).cast("long") % 6 == k)
+                ).coalesce(1),
+                root,
+            )
+        # threshold scales with the corpus: big commit files hold
+        # ~0.22n rows each, the appends ~0.02n — 0.1n splits them
+        optimize_table(
+            spark, root, min_rows_per_file=max(1, orders.count() // 10)
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    before = read_manifest(root, 7)
+    after = read_manifest(root, table_version(root))
+    reduced = len(after["files"]) < len(before["files"])
+    carried = set(read_manifest(root, 1)["files"]) <= set(after["files"])
+    return (
+        read_version(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .withColumn("file_count_reduced", F.lit(bool(reduced)))
+        .withColumn("big_files_carried", F.lit(bool(carried)))
+        .orderBy("o_orderstatus")
+    )
+
+
+@_q(
+    "st15_stream_dedup_ingest",
+    """SELECT lang, COUNT(*) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+              TRUE AS fps_unique, TRUE AS restart_was_noop,
+              TRUE AS replay_absorbed_nothing
+       FROM documents GROUP BY lang ORDER BY lang""",
+)
+def st15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicating corpus FRONT DOOR: the versioned table seeds
+    with half the documents, then the full corpus plus verbatim
+    duplicates (every doc twice — the dd01 augmentation) streams in
+    through ``start_dedup_versioned_sink``. Every micro-batch keeps one
+    row per md5(text) fingerprint, anti-joins the table's own
+    fingerprint lens (column-pruned manifest scan), and txn-commits
+    only the novel rows. Three safety layers ride the hash: the final
+    table must hold EXACTLY one row per distinct text (a duplicate
+    ingested anywhere shifts the lang counts), a same-checkpoint
+    restart must add zero versions, and a FRESH-checkpoint full replay
+    must absorb zero rows (data-level lens, not checkpoint state —
+    the st13 discipline on the table format). At 100 TB this is
+    ingest-time dedup: each batch costs the batch + one narrow-column
+    lens scan, never a corpus x corpus pass."""
+    import hashlib
+    import os
+    import tempfile
+
+    from querysight_spark.sources.text_corpus import (
+        DOCUMENTS_SCHEMA,
+        write_jsonl,
+    )
+    from querysight_spark.sources.versioned import (
+        read_version,
+        start_dedup_versioned_sink,
+        table_version,
+        write_version,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"st15:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"qs_st15_{tag}")
+    export = os.path.join(base, "jsonl")
+    root = os.path.join(base, "table")
+    done = os.path.join(base, "_flags")
+    docs = load_table(spark, "documents", sf_dir)
+    if not os.path.exists(done):
+        aug = docs.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + 100000)
+        )
+        if not os.path.exists(os.path.join(export, "_SUCCESS")):
+            write_jsonl(aug.repartition(8), export)
+        write_version(
+            spark,
+            docs.where(F.col("doc_id") % 2 == 0).withColumn(
+                "fp", F.md5("text")
+            ),
+            root,
+        )
+
+        def stream():
+            return (
+                spark.readStream.schema(DOCUMENTS_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .json(export)
+                .withColumn("fp", F.md5("text"))
+            )
+
+        ck1 = os.path.join(base, "ck1")
+        start_dedup_versioned_sink(
+            stream(), root, ck1, "fp", "doc_id"
+        ).awaitTermination()
+        v = table_version(root)
+        start_dedup_versioned_sink(
+            stream(), root, ck1, "fp", "doc_id"
+        ).awaitTermination()
+        restart_noop = table_version(root) == v
+        ck2 = os.path.join(base, "ck2")
+        start_dedup_versioned_sink(
+            stream(), root, ck2, "fp", "doc_id"
+        ).awaitTermination()
+        replay_noop = table_version(root) == v
+        with open(done, "w") as f:
+            f.write(f"{restart_noop}:{replay_noop}")
+    else:
+        with open(done) as f:
+            a, b = f.read().split(":")
+        restart_noop, replay_noop = a == "True", b == "True"
+    final = read_version(spark, root)
+    n_rows, n_fps = (
+        final.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("fp").alias("d"),
+        )
+        .collect()[0]
+    )
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .withColumn("fps_unique", F.lit(bool(n_rows == n_fps)))
+        .withColumn("restart_was_noop", F.lit(bool(restart_noop)))
+        .withColumn("replay_absorbed_nothing", F.lit(bool(replay_noop)))
+        .orderBy("lang")
+    )

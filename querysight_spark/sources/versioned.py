@@ -734,3 +734,127 @@ def refresh_aggregate_mv(
     return write_version(
         spark, merged, mv_root, mode="overwrite", txn_id=f"mvref:{base_v}"
     )
+
+
+def optimize_table(
+    spark: SparkSession,
+    root: str,
+    min_rows_per_file: int,
+    target_rows_per_file: int | None = None,
+) -> int:
+    """Small-file OPTIMIZE: bin-pack every data file holding fewer than
+    ``min_rows_per_file`` rows (row counts read from parquet FOOTERS —
+    metadata only) into ~``target_rows_per_file``-row files; files
+    already big enough carry into the new snapshot BY REFERENCE. When
+    the table has zone maps, the rewritten rows are re-clustered with
+    ``repartitionByRange`` on the first stats column so the new files'
+    zone maps stay tight (coalescing mixed key ranges would otherwise
+    widen them into never-prunable files) and re-statted. The
+    maintenance op every streaming ingest needs — micro-batch commits
+    land one small file each (st14), and a month of them turns every
+    scan into a file-listing stall at 100 TB; io05 is the plain-
+    directory sibling, this is the snapshot-isolated version (readers
+    on older versions are untouched, the optimize is one atomic
+    commit). Refuses tables with outstanding deletion vectors — run
+    ``compact_table`` first so the rewrite folds the debt instead of
+    copying doomed rows. No-op (current version) when nothing is small
+    enough to justify a rewrite, or when only ONE small file exists
+    (rewriting one file into one file is pure churn)."""
+    import pyarrow.parquet as pq
+
+    version = table_version(root)
+    manifest = read_manifest(root, version)
+    if manifest.get("dvs"):
+        raise ValueError(
+            "optimize_table on a table with outstanding deletion vectors; "
+            "run compact_table first"
+        )
+    if target_rows_per_file is None:
+        target_rows_per_file = max(min_rows_per_file * 4, 1)
+    rows_of = {
+        f: pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        for f in manifest["files"]
+    }
+    small = [f for f in manifest["files"] if rows_of[f] < min_rows_per_file]
+    big = [f for f in manifest["files"] if rows_of[f] >= min_rows_per_file]
+    if len(small) <= 1:
+        return version
+    total = sum(rows_of[f] for f in small)
+    n_out = max(1, -(-total // target_rows_per_file))
+    packed = spark.read.parquet(*[os.path.join(root, f) for f in small])
+    cols = manifest.get("stats_cols", [])
+    if cols:
+        packed = packed.repartitionByRange(n_out, cols[0])
+    else:
+        packed = packed.repartition(n_out)
+    commit_dir = os.path.join(
+        root, _DATA, f"c{version + 1:08d}-{uuid.uuid4().hex[:8]}"
+    )
+    packed.write.parquet(commit_dir)
+    new_files = _list_parquet(commit_dir)
+    stats = dict(manifest.get("stats", {}))
+    if cols:
+        stats.update(_collect_stats(root, new_files, cols))
+    return _commit(
+        root,
+        [os.path.join(root, f) for f in big] + new_files,
+        new_files,
+        [os.path.join(root, f) for f in small],
+        "optimize",
+        stats=stats,
+        stats_cols=cols,
+    )
+
+
+def start_dedup_versioned_sink(
+    stream_df: DataFrame,
+    root: str,
+    checkpoint: str,
+    fingerprint_col: str,
+    order_col: str,
+    query_name: str | None = None,
+):
+    """Exactly-once AND exactly-distinct streaming ingest: the
+    ``start_versioned_sink`` txn discipline plus DATA-LEVEL dedup — each
+    micro-batch keeps one row per ``fingerprint_col`` (first by
+    ``order_col``, deterministic), anti-joins the table's OWN
+    fingerprint column (a column-pruned manifest-planned scan — at
+    100 TB the lens is one narrow column, and the join broadcasts the
+    batch side if Spark's size estimate allows), and commits only the
+    NOVEL rows as one txn-stamped append. The two replay-safety layers
+    compose: a retried batch no-ops on its txn id, and re-delivered or
+    re-streamed DATA (fresh checkpoint, upstream backfill, a duplicate
+    in tomorrow's drop) absorbs nothing because its fingerprints
+    already exist — the st13 lens discipline as the corpus front door.
+    Batches with no novel rows commit nothing (no empty versions).
+    Returns the started query; callers own ``awaitTermination``."""
+
+    def _query_id() -> str:
+        with open(os.path.join(checkpoint, "metadata")) as f:
+            return json.load(f)["id"]
+
+    def absorb(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(fingerprint_col).orderBy(order_col)
+        batch = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if table_version(root):
+            lens = read_version(spark, root).select(fingerprint_col)
+            batch = batch.join(lens, on=fingerprint_col, how="left_anti")
+        if batch.isEmpty():
+            return
+        write_version(
+            spark, batch, root, txn_id=f"{_query_id()}:{batch_id}"
+        )
+
+    writer = stream_df.writeStream.foreachBatch(absorb).option(
+        "checkpointLocation", checkpoint
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    return writer.trigger(availableNow=True).start()

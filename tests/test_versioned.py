@@ -351,3 +351,91 @@ def test_refresh_aggregate_mv_guards_foreign_mv(spark, tmp_path):
     write_version(spark, _df(spark, 0, 5), mv)  # not an MV commit
     with pytest.raises(ValueError, match="not committed by refresh"):
         refresh_aggregate_mv(spark, base, mv, ["v"], [])
+
+
+def test_optimize_bin_packs_small_files_only(spark, root):
+    from querysight_spark.sources.versioned import optimize_table
+
+    # one big clustered commit + six tiny streaming-style appends
+    write_version(
+        spark,
+        _df(spark, 0, 5000).repartitionByRange(2, "id"),
+        root,
+        stats_cols=["id"],
+    )
+    for k in range(6):
+        write_version(
+            spark, _df(spark, 5000 + k * 10, 5010 + k * 10).coalesce(1), root
+        )
+    m_before = read_manifest(root, table_version(root))
+    v = optimize_table(spark, root, min_rows_per_file=100)
+    m = read_manifest(root, v)
+    assert m["op"] == "optimize"
+    # the two big files carried by reference; the six small ones packed
+    big = set(read_manifest(root, 1)["files"])
+    assert big <= set(m["files"])
+    assert len(m["files"]) < len(m_before["files"])
+    assert set(m["removed"]) == set(m_before["files"]) - big
+    assert _ids(read_version(spark, root)) == list(range(0, 5000)) + list(
+        range(5000, 5060)
+    )
+    # zone maps re-statted for the packed files
+    assert set(m["stats"]) == set(m["files"])
+    # second pass: nothing small enough twice -> no-op
+    assert optimize_table(spark, root, min_rows_per_file=100) in (v, v + 1)
+
+
+def test_optimize_noop_and_dv_guard(spark, root):
+    from querysight_spark.sources.versioned import (
+        delete_keys,
+        optimize_table,
+    )
+
+    write_version(spark, _df(spark, 0, 100).coalesce(1), root)
+    # single small file: rewriting 1 file into 1 file is churn -> no-op
+    assert optimize_table(spark, root, min_rows_per_file=1000) == 1
+    delete_keys(spark, root, spark.range(0, 5).select("id"))
+    write_version(spark, _df(spark, 100, 110).coalesce(1), root)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        optimize_table(spark, root, min_rows_per_file=1000)
+
+
+def test_dedup_sink_exactly_distinct_across_batches_and_replays(
+    spark, root, tmp_path
+):
+    from querysight_spark.sources.versioned import start_dedup_versioned_sink
+
+    src = str(tmp_path / "in")
+    # 12 rows, only 4 distinct payloads; duplicates straddle files
+    rows = spark.createDataFrame(
+        [(i, f"payload-{i % 4}") for i in range(12)], "id long, body string"
+    )
+    rows.repartition(4).write.json(src)
+    schema = "id long, body string"
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .withColumn("fp", F.md5("body"))
+        )
+
+    ck1 = str(tmp_path / "ck1")
+    start_dedup_versioned_sink(stream(), root, ck1, "fp", "id").awaitTermination()
+    got = read_version(spark, root)
+    assert got.count() == 4
+    assert got.select("fp").distinct().count() == 4
+    assert sorted(r.body for r in got.collect()) == [
+        f"payload-{k}" for k in range(4)
+    ]
+    v = table_version(root)
+    # same checkpoint restart: no new batches, no new versions
+    start_dedup_versioned_sink(stream(), root, ck1, "fp", "id").awaitTermination()
+    assert table_version(root) == v
+    # FRESH checkpoint re-delivers everything: data-level lens absorbs
+    # nothing and commits nothing (no empty versions either)
+    ck2 = str(tmp_path / "ck2")
+    start_dedup_versioned_sink(stream(), root, ck2, "fp", "id").awaitTermination()
+    assert table_version(root) == v
+    assert read_version(spark, root).count() == 4
