@@ -74,6 +74,8 @@ HEADLINE_V3 = [
     "gr08_label_propagation",     # synchronous LPA communities
     "dq04_profile_drift",         # two-vintage column-profile drift
     "mm10_y4m_roundtrip",         # video-container codec walk
+    "io08_optimize_small_files",  # atomic small-file OPTIMIZE
+    "st15_stream_dedup_ingest",   # dedup front door (lens anti-join)
 ]
 
 HEADLINE = [
