@@ -156,16 +156,35 @@ def _collect_stats(root: str, files: list[str], cols: list[str]) -> dict:
     }
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A racing writer committed between this operation's snapshot read
+    and its manifest claim, and the operation's output was DERIVED from
+    that snapshot (merge/compact/optimize/overwrite/delete/rollback) —
+    blindly re-claiming would silently drop the racer's commit (lost
+    update). Re-run the operation against the new snapshot; plain
+    appends never hit this (they re-merge and retry internally)."""
+
+
 def _commit(root: str, files: list[str], added: list[str],
             removed: list[str], op: str, txn_id: str | None = None,
             stats: dict | None = None, stats_cols: list[str] | None = None,
             dvs: list[str] | None = None,
-            dv_key: list[str] | None = None) -> int:
-    """Atomically claim the next version number for this snapshot."""
+            dv_key: list[str] | None = None,
+            expected_version: int | None = None) -> int:
+    """Atomically claim the next version number for this snapshot.
+
+    ``expected_version`` is the optimistic-concurrency guard for
+    operations whose file list was DERIVED from a specific snapshot: if
+    another writer claimed a version past it, raise
+    ``ConcurrentWriteError`` instead of committing a manifest that
+    would erase the racer's files. Pure appends pass None and instead
+    RE-MERGE on retry (the caller hands us only its new files via
+    ``added``; the snapshot half of ``files`` is refreshed from the
+    latest manifest each attempt), so concurrent appends all land."""
     mdir = os.path.join(root, _MANIFESTS)
     os.makedirs(mdir, exist_ok=True)
-    rel = [os.path.relpath(f, root) for f in files]
     stats = stats or {}
+    merge_appends = expected_version is None and op == "append"
     while True:
         # re-check inside the claim loop: a racing writer may have landed
         # this txn while we were writing data files
@@ -173,7 +192,31 @@ def _commit(root: str, files: list[str], added: list[str],
             seen = committed_txn(root, txn_id)
             if seen is not None:
                 return seen
-        version = table_version(root) + 1
+        current = table_version(root)
+        if expected_version is not None and current != expected_version:
+            raise ConcurrentWriteError(
+                f"{op} planned against v{expected_version} of {root} but "
+                f"the table is at v{current}; re-run against the new "
+                "snapshot"
+            )
+        if merge_appends:
+            # lost-update guard for appends: the snapshot may have moved
+            # since the caller read it — carry the LATEST file list (and
+            # its stats/DV metadata) plus our new files
+            latest = read_manifest(root, current) if current else {}
+            base = [f for f in latest.get("files", [])]
+            rel = base + [
+                os.path.relpath(f, root)
+                for f in added
+                if os.path.relpath(f, root) not in set(base)
+            ]
+            stats = {**latest.get("stats", {}), **stats}
+            dvs = latest.get("dvs", [])
+            dv_key = latest.get("dv_key", [])
+            stats_cols = stats_cols or latest.get("stats_cols", [])
+        else:
+            rel = [os.path.relpath(f, root) for f in files]
+        version = current + 1
         manifest = {
             "version": version,
             "op": op,
@@ -250,7 +293,7 @@ def write_version(
         )
     return _commit(
         root, new_files, new_files, prev, "overwrite", txn_id,
-        stats=stats, stats_cols=cols,
+        stats=stats, stats_cols=cols, expected_version=current,
     )
 
 
@@ -404,8 +447,9 @@ def rollback(root: str, to_version: int) -> int:
     """Revert the table to ``to_version``'s snapshot as a NEW commit.
     Pure metadata — the file list is copied, no data moves, and the
     rolled-back versions remain time-travel-readable."""
+    current_v = table_version(root)
     target = read_manifest(root, to_version)
-    current = read_manifest(root, table_version(root))
+    current = read_manifest(root, current_v)
     files = [os.path.join(root, f) for f in target["files"]]
     added = sorted(set(target["files"]) - set(current["files"]))
     removed = sorted(set(current["files"]) - set(target["files"]))
@@ -415,6 +459,7 @@ def rollback(root: str, to_version: int) -> int:
         [os.path.join(root, f) for f in added],
         [os.path.join(root, f) for f in removed],
         f"rollback:{to_version}",
+        expected_version=current_v,
         stats=target.get("stats", {}),
         stats_cols=target.get("stats_cols", []),
         dvs=target.get("dvs", []),
@@ -581,6 +626,7 @@ def merge_into(
         new_files,
         [os.path.join(root, f) for f in touched],
         "merge",
+        expected_version=version,
         stats=stats,
         stats_cols=cols,
     )
@@ -619,6 +665,7 @@ def delete_keys(
         [],
         [],
         "delete",
+        expected_version=version,
         stats=manifest.get("stats", {}),
         stats_cols=manifest.get("stats_cols", []),
         dvs=manifest.get("dvs", [])
@@ -667,6 +714,7 @@ def compact_table(spark: SparkSession, root: str) -> int:
         new_files,
         [os.path.join(root, f) for f in touched],
         "compact",
+        expected_version=version,
         stats=stats,
         stats_cols=cols,
     )
@@ -801,6 +849,7 @@ def optimize_table(
         new_files,
         [os.path.join(root, f) for f in small],
         "optimize",
+        expected_version=version,
         stats=stats,
         stats_cols=cols,
     )

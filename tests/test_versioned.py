@@ -111,8 +111,9 @@ def test_bad_inputs(spark, root):
         write_version(spark, _df(spark, 0, 1), root, mode="replace")
     write_version(spark, _df(spark, 0, 1), root)
     with pytest.raises(ValueError, match="empty"):
-        # a hand-built empty snapshot refuses to scan
-        _commit(root, [], [], [], "append")
+        # a hand-built empty snapshot refuses to scan (overwrite: appends
+        # now re-merge the latest files on commit, so they can't go empty)
+        _commit(root, [], [], [], "overwrite", expected_version=1)
         read_version(spark, root, 2)
 
 
@@ -439,3 +440,43 @@ def test_dedup_sink_exactly_distinct_across_batches_and_replays(
     start_dedup_versioned_sink(stream(), root, ck2, "fp", "id").awaitTermination()
     assert table_version(root) == v
     assert read_version(spark, root).count() == 4
+
+
+def test_concurrent_writers_both_commit_once(spark, root):
+    """Two writers race write_version on the same table from separate
+    threads: the os.link manifest claim must serialize them — both land,
+    on distinct consecutive versions, with no lost or doubled rows."""
+    import threading
+
+    write_version(spark, _df(spark, 0, 10), root)
+    results = {}
+
+    def writer(name, lo, hi):
+        results[name] = write_version(spark, _df(spark, lo, hi), root)
+
+    t1 = threading.Thread(target=writer, args=("a", 100, 150))
+    t2 = threading.Thread(target=writer, args=("b", 200, 260))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert sorted(results.values()) == [2, 3]
+    assert table_version(root) == 3
+    assert _ids(read_version(spark, root)) == (
+        list(range(10)) + list(range(100, 150)) + list(range(200, 260))
+    )
+    # each commit's added list is exactly its own files
+    m2, m3 = read_manifest(root, 2), read_manifest(root, 3)
+    assert set(m2["added"]).isdisjoint(m3["added"])
+    assert set(m3["files"]) == set(m2["files"]) | set(m3["added"])
+
+
+def test_derived_op_conflict_detected(spark, root):
+    from querysight_spark.sources.versioned import ConcurrentWriteError
+
+    write_version(spark, _df(spark, 0, 5), root)
+    planned_against = table_version(root)
+    write_version(spark, _df(spark, 5, 10), root)  # racer lands v2
+    with pytest.raises(ConcurrentWriteError, match="planned against v1"):
+        _commit(
+            root, [], [], [], "overwrite", expected_version=planned_against
+        )
+    # the table is unharmed
+    assert _ids(read_version(spark, root)) == list(range(10))
