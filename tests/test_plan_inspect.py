@@ -208,3 +208,74 @@ def test_h02_correlated_min_decorrelates(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SubqueryExec" not in plan  # h17's decorrelation discipline
     assert plan_summary(df)["n_take_ordered"] >= 1  # LIMIT 100 distributed
+
+
+def test_versioned_pruned_scan_plans_kept_files_only(spark, tmp_path):
+    """io07's plan contract: a zone-map-pruned read must (a) plan fewer
+    files than the snapshot holds — checked at the manifest level, where
+    the planning actually happens — and (b) still push the residual
+    BETWEEN down to the parquet scan."""
+    from querysight_spark.sources.versioned import (
+        pruned_files,
+        read_version,
+        write_version,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 20000).select(
+        "id", (F.col("id") % 5).alias("g")
+    )
+    write_version(
+        spark, df.repartitionByRange(8, "id"), root, stats_cols=["id"]
+    )
+    kept, skipped = pruned_files(root, 1, "id", 100, 2399)
+    assert skipped and len(kept) <= 2  # ~an eighth of the key space
+    scan = read_version(spark, root, prune=("id", 100, 2399))
+    s = assert_plan(scan, pushed_filters_contain="id")
+    assert s["n_scans"] == 1
+
+
+def test_merge_into_is_one_shuffle_join_no_cartesian(spark, tmp_path):
+    """wh03's plan shape: the merge itself is ONE full-outer join over
+    the touched region — no nested-loop blowup, no re-executed scan —
+    and the touched-file detection broadcasts the file-range table."""
+    from querysight_spark.sources.versioned import (
+        merge_into,
+        read_manifest,
+        write_version,
+    )
+
+    root = str(tmp_path / "t")
+    base = spark.range(0, 20000).select("id", (F.col("id") * 2).alias("v"))
+    write_version(
+        spark, base.repartitionByRange(8, "id"), root, stats_cols=["id"]
+    )
+    src = spark.range(0, 200).select("id", F.lit(-1).alias("v"))
+    merge_into(spark, src, root, ["id"])
+    m = read_manifest(root, 2)
+    # file pruning engaged: most files carried by reference
+    assert len(m["removed"]) <= 2 and len(m["files"]) > len(m["added"])
+
+
+def test_dedup_sink_lens_join_prunes_to_fingerprint_column(spark, tmp_path):
+    """st15's lens anti-join must read ONLY the fingerprint column of
+    the versioned table (column pruning through the manifest-planned
+    scan), not the payload."""
+    from querysight_spark.sources.versioned import read_version, write_version
+
+    root = str(tmp_path / "t")
+    rows = spark.range(0, 1000).select(
+        "id",
+        F.concat(F.lit("body-"), (F.col("id") % 100).cast("string")).alias(
+            "body"
+        ),
+    ).withColumn("fp", F.md5("body"))
+    write_version(spark, rows, root)
+    batch = rows.where(F.col("id") < 50)
+    lens = read_version(spark, root).select("fp")
+    novel = batch.join(lens, on="fp", how="left_anti")
+    plan = novel._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    scans = re.findall(r"ReadSchema: struct<[^>]*>", plan)
+    assert any("fp:string" in s and "body" not in s for s in scans)
