@@ -36,6 +36,9 @@
                 rerank) so every entry hash-matches the brute-force
                 oracle; production operating points live in pytest
                 recall tests and bench.py's ANN_BENCH probes.
+  * ss18      — metadata-filtered probe over the persisted IVF+PQ
+                index (semi-join after partition pruning, before ADC;
+                exact mode equals the brute-force-filtered oracle).
   * tx/tr/sk  — text analysis + splits + stratified sampling + epoch
                 upsampling + contamination + GPT-style sequence packing
                 (tx23: distributed prefix-sum placement map; tx24: the

@@ -8071,3 +8071,42 @@ def st15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("replay_absorbed_nothing", F.lit(bool(replay_noop)))
         .orderBy("lang")
     )
+
+
+@_q(
+    "ss18_filtered_index_probe",
+    """WITH q AS (
+         SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+       )
+       SELECT vec_id,
+              ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+                    / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[])))
+                       * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+       FROM embeddings CROSS JOIN q
+       WHERE label % 3 = 1
+       ORDER BY cosine DESC, vec_id LIMIT 10""",
+)
+def ss18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered search over the PERSISTED IVF+PQ index — ss10's
+    vector-DB staple moved onto the billion-vector layout: the
+    qualifying-id semi-join lands after ``list_id`` partition pruning
+    and BEFORE any ADC math, so candidate work is qualifying rows
+    inside probed lists, never the corpus. Declared in EXACT mode (all
+    lists + corpus-wide rerank of the filtered shortlist) so it
+    hash-equals ss10's brute-force-filtered oracle; the production
+    point (n_probes=4) carries the documented selectivity-vs-recall
+    caveat and is recall-tested in pytest. At 100 TB: filter + probe
+    pruning compose multiplicatively — the scan is (probed lists) x
+    (filter selectivity) of the code table."""
+    from querysight_spark.operators.similarity import probe_ivfpq_index
+
+    path = _ensure_ivfpq_index(spark, sf_dir)
+    vecs = load_table(spark, "embeddings", sf_dir)
+    return probe_ivfpq_index(
+        spark, path, _query_vec(spark, sf_dir), k=10,
+        n_probes=IVFPQ_INDEX_CENTROIDS,
+        rerank_df=vecs,
+        oversample=_full_oversample(sf_dir),
+        filter_keys=vecs.where(F.col("label") % 3 == 1).select("vec_id"),
+    )

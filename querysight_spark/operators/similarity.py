@@ -1151,13 +1151,24 @@ def probe_ivfpq_index(
     rerank_df: DataFrame | None = None,
     oversample: int = 10,
     vec_col: str = "embedding",
+    filter_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k against a ``build_ivfpq_index`` layout: load centroids and
     codebooks driver-side, ADC-score the persisted codes (the ``list_id
     IN (probes)`` filter prunes whole partition directories before IO),
     optionally exact-rerank the shortlist against ``rerank_df``. If the
     index carries tombstones (``delete_from_ivfpq_index``), they
-    anti-join here — after partition pruning, before scoring."""
+    anti-join here — after partition pruning, before scoring.
+
+    ``filter_keys`` (a one-column frame of qualifying ids) makes this
+    the PERSISTED-index half of ``filtered_topk`` — metadata-filtered
+    vector search on the billion-vector layout: the semi-join lands
+    after partition pruning and BEFORE any ADC math, so candidate work
+    shrinks to qualifying rows inside the probed lists. Note the
+    recall caveat every vector DB documents: under a highly selective
+    filter, fixed n_probes may leave too few qualifying candidates —
+    raise n_probes (or run all lists, as the exact-mode gate entry
+    does) as selectivity tightens."""
     import json
     import os
 
@@ -1167,6 +1178,12 @@ def probe_ivfpq_index(
     if os.path.exists(path + "/_deletes"):
         codes = codes.join(
             spark.read.parquet(path + "/_deletes"), id_col, "left_anti"
+        )
+    if filter_keys is not None:
+        codes = codes.join(
+            filter_keys.select(F.col(filter_keys.columns[0]).alias(id_col)),
+            id_col,
+            "left_semi",
         )
     if rerank_df is None:
         return ivfpq_topk(

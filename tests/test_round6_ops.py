@@ -498,3 +498,41 @@ def test_ann_serving_over_persisted_index(spark, tmp_path):
     want = [(r.qid, r.rk, r.vec_id, r.cosine)
             for r in batch_topk(vecs, qs, k=3).orderBy("qid", "rk").collect()]
     assert got == want and len(got) == 3 * qs.count()
+
+
+def test_filtered_index_probe_respects_filter_and_matches_brute(spark, tmp_path):
+    """ss18's production point: the persisted-index filtered probe must
+    (a) never return an id outside the filter, and (b) at all-lists +
+    full oversample equal the brute-force filtered top-k exactly."""
+    from querysight_spark.operators.similarity import (
+        build_ivfpq_index,
+        filtered_topk,
+        probe_ivfpq_index,
+    )
+
+    rng_rows = [
+        (
+            i,
+            [float((i * 7 + j * 3) % 17 - 8) for j in range(8)],
+            i % 5,
+        )
+        for i in range(400)
+    ]
+    vecs = spark.createDataFrame(
+        rng_rows, "vec_id long, embedding array<float>, label int"
+    )
+    ix = str(tmp_path / "ix")
+    build_ivfpq_index(vecs, ix, dim=8, n_centroids=4, m=2, k=8)
+    q = [1.0] * 8
+    keys = vecs.where(F.col("label") == 2).select("vec_id")
+    got = probe_ivfpq_index(
+        spark, ix, q, k=5, n_probes=4, rerank_df=vecs, oversample=100,
+        filter_keys=keys,
+    )
+    got_rows = [(r.vec_id, r.cosine) for r in got.collect()]
+    assert all(vid % 5 == 2 for vid, _ in got_rows)
+    want = [
+        (r.vec_id, r.cosine)
+        for r in filtered_topk(vecs, q, F.col("label") == 2, k=5).collect()
+    ]
+    assert got_rows == want
