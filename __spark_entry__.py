@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``queries()`` exposes every implemented operator family (SURVEY.md §2):
-  * p01-p67   — general-operator probes (scan/filter/agg/join/window/
+  * p01-p68   — general-operator probes (scan/filter/agg/join/window/
                 setop/scalar/lateral/unpivot/interval/map/subquery) run
                 via spark.sql over the testdata views, i.e. straight
                 through Catalyst.
@@ -19,19 +19,23 @@
                 round-trip) computed by the
                 ENGINE's DataFrame plans (querysight_spark.plans.*) over
                 a deterministic query-log analog derived from `events`.
-  * dd01-dd10 — dedup family (exact, MinHash-LSH + estimator quality,
+  * dd01-dd11 — dedup family (exact, MinHash-LSH + estimator quality,
                 n-gram Jaccard, SimHash, cosine exact/LSH, clustering,
                 keep-best, incremental delta-dedup vs a persisted band
                 index).
-  * ir01-ir07 — full-text relevance (BM25 top-k in-flight and over a
+  * ir01-ir10 — full-text relevance (BM25 top-k in-flight and over a
                 persisted term-sorted inverted index, tf-idf, corpus
                 unigram/bigram-LM quality scores, vocab fingerprint,
-                positional-postings exact-phrase retrieval).
+                positional-postings exact-phrase retrieval, upsertable
+                index with O(delta) absorb and forward-index tombstone
+                delete + compaction).
   * cl01-cl03 — embedding clustering (nearest-centroid assignment),
                 SemDeDup semantic dedup, iterative k-means refinement.
-  * ss01-ss14 — similarity search (brute force through persisted IVF+PQ,
+  * ss01-ss17 — similarity search (brute force through persisted IVF+PQ,
                 filtered/grouped/batch top-k, incremental index upsert,
-                NSW-style graph index with beam-search probes);
+                NSW-style and hierarchical HNSW graph indexes with
+                beam-search probes + incremental inserts, batch serving
+                over the persisted index);
                 declared in EXACT MODE (exhaustive probes, corpus-wide
                 rerank) so every entry hash-matches the brute-force
                 oracle; production operating points live in pytest
@@ -113,8 +117,9 @@
                 (curation chain; boilerplate-strip -> BM25 retrieval;
                 clean -> dedup -> pack -> shard writer last mile;
                 ingest -> clean -> dedup -> shard -> persisted BM25
-                index probe).
-  * wh01-wh04 — warehouse table maintenance: SCD2 type-2 history
+                index probe); dq01-dq04 expectation/orphan/diff/drift
+                suite.
+  * wh01-wh05 — warehouse table maintenance: SCD2 type-2 history
                 build (batch chain, no-op compression) and the
                 incremental broadcast-delta MERGE, both against the
                 same SQL-window oracle; wh03: copy-on-write MERGE INTO
