@@ -8110,3 +8110,122 @@ def ss18(spark: SparkSession, sf_dir: str) -> DataFrame:
         oversample=_full_oversample(sf_dir),
         filter_keys=vecs.where(F.col("label") % 3 == 1).select("vec_id"),
     )
+
+
+@_q(
+    "wh06_change_feed",
+    """WITH b AS (SELECT MIN(o_orderkey)
+                    + (MAX(o_orderkey) - MIN(o_orderkey)) // 10 AS thr
+              FROM orders),
+       dec AS (SELECT o_orderkey AS k, o_totalprice AS p
+               FROM orders, b WHERE o_orderkey <= b.thr),
+       upd AS (SELECT k, p FROM dec WHERE k % 10 <> 3),
+       del2 AS (SELECT k, p FROM dec WHERE k % 10 = 3),
+       ins AS (SELECT o_orderkey + 100000000 AS k, o_totalprice + 5000 AS p
+               FROM orders WHERE o_orderkey % 1000 = 7),
+       state2 AS (
+         SELECT o_orderkey AS k,
+                CASE WHEN o_orderkey <= (SELECT thr FROM b)
+                     THEN o_totalprice + 1000 ELSE o_totalprice END AS p
+         FROM orders
+         WHERE NOT (o_orderkey <= (SELECT thr FROM b)
+                    AND o_orderkey % 10 = 3)
+         UNION ALL SELECT k, p FROM ins),
+       del3 AS (SELECT k, p FROM state2 WHERE k % 100 = 9),
+       feed AS (
+         SELECT 2 AS commit_version, 'update_pre' AS change_type, k, p
+         FROM upd
+         UNION ALL SELECT 2, 'update_post', k, p + 1000 FROM upd
+         UNION ALL SELECT 2, 'delete', k, p FROM del2
+         UNION ALL SELECT 2, 'insert', k, p FROM ins
+         UNION ALL SELECT 3, 'delete', k, p FROM del3)
+       SELECT commit_version, change_type, COUNT(*) AS n_rows,
+              CAST(SUM(CAST(ROUND(p * 100) AS BIGINT)) AS BIGINT)
+                AS sum_cents,
+              CAST(SUM(k) AS BIGINT) AS sum_keys
+       FROM feed GROUP BY commit_version, change_type
+       ORDER BY commit_version, change_type""",
+)
+def wh06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CHANGE DATA FEED over the versioned table: after a
+    copy-on-write merge (updates + deletes + inserts), a deletion-
+    vector delete, and a compaction, ``read_changes`` must replay the
+    LOGICAL history — update_pre/update_post pairs with the actual
+    before/after prices, pre-image rows for both delete flavors
+    (file-diff deletes AND newly tombstoned keys), inserts, and
+    SILENCE for the compaction (a physical rewrite is not a change;
+    the folded tombstones were already emitted by their own commit).
+    Per-commit diff work is bounded by that commit's touched files.
+    The aggregate per (commit, change_type) — counts, cent sums, key
+    sums — rides one hash against a from-first-principles SQL replay
+    of the expected feed."""
+    import hashlib
+    import os
+    import tempfile
+
+    from querysight_spark.sources.versioned import (
+        compact_table,
+        delete_keys,
+        merge_into,
+        read_changes,
+        write_version,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"wh06:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"qs_wh06_table_{tag}")
+    done = os.path.join(root, "_build_ok")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_totalprice"
+    )
+    if not os.path.exists(done):
+        row = orders.agg(
+            F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+        ).collect()[0]
+        thr = row.lo + (row.hi - row.lo) // 10
+        write_version(
+            spark,
+            orders.repartitionByRange(16, "o_orderkey"),
+            root,
+            stats_cols=["o_orderkey"],
+        )
+        upd = orders.where(F.col("o_orderkey") <= thr).select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+            (F.col("o_orderkey") % 10 == 3).alias("_del"),
+        )
+        ins = orders.where(F.col("o_orderkey") % 1000 == 7).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            (F.col("o_totalprice") + 5000).alias("o_totalprice"),
+            F.lit(False).alias("_del"),
+        )
+        merge_into(
+            spark, upd.unionByName(ins), root, ["o_orderkey"],
+            delete_col="_del",
+        )
+        delete_keys(
+            spark,
+            root,
+            orders.where(F.col("o_orderkey") % 100 == 9).select("o_orderkey"),
+        )
+        compact_table(spark, root)
+        with open(done, "w") as f:
+            f.write("ok")
+    feed = read_changes(spark, root, 1, key_cols=["o_orderkey"])
+    return (
+        feed.groupBy(
+            F.col("_commit_version").cast("int").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "sum_cents"
+            ),
+            F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        )
+        .orderBy("commit_version", "change_type")
+    )

@@ -907,3 +907,147 @@ def start_dedup_versioned_sink(
     if query_name:
         writer = writer.queryName(query_name)
     return writer.trigger(availableNow=True).start()
+
+
+def read_changes(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level CHANGE DATA FEED over ``(from_version, to_version]`` —
+    the what-changed contract downstream consumers (MV refreshers,
+    search-index absorbers, replication) subscribe to when the table is
+    no longer append-only (``incremental_read`` is the cheap
+    append-only fast path; this generalizes it):
+
+    - ``append``  commits emit their added rows as ``insert``.
+    - ``merge`` / ``overwrite`` / ``rollback`` / ``compact`` /
+      ``optimize`` commits KEY-DIFF the removed files against the added
+      files (one full-outer join per commit over the touched region
+      only — untouched files never participate, which is what zone-map
+      pruned merges buy the feed too): new-only keys emit ``insert``,
+      gone keys emit ``delete``, keys present on both sides emit
+      ``update_pre``/``update_post`` ONLY when a non-key column
+      actually changed — so a compaction or optimize rewrite (same
+      rows, new files) emits NOTHING, exactly the physical/logical
+      split the public formats document.
+    - ``delete`` commits (deletion vectors) emit the NEWLY tombstoned
+      keys' pre-image rows as ``delete`` (prior tombstones excluded).
+
+    Requires ``key_cols`` unless the range is pure appends. Output =
+    row schema + ``_change_type`` + ``_commit_version``, ordered by
+    nothing (downstream sorts). Each commit's diff work is bounded by
+    that commit's touched files — the feed never rescans the table."""
+    if to_version is None:
+        to_version = table_version(root)
+    out: DataFrame | None = None
+
+    def _read(rels: list[str]) -> DataFrame | None:
+        if not rels:
+            return None
+        return spark.read.parquet(*[os.path.join(root, f) for f in rels])
+
+    for v in range(from_version + 1, to_version + 1):
+        m = read_manifest(root, v)
+        prev = read_manifest(root, v - 1) if v > 1 else {}
+        typed: DataFrame | None = None
+        if m["op"] == "append":
+            added = _read(m["added"])
+            if added is not None:
+                typed = added.withColumn("_change_type", F.lit("insert"))
+        elif m["op"] == "delete":
+            new_dvs = [d for d in m["dvs"] if d not in set(prev.get("dvs", []))]
+            keys = _read(new_dvs)
+            base = _read(m["files"])
+            if keys is not None and base is not None:
+                prior = _read(prev.get("dvs", []))
+                if prior is not None:
+                    keys = keys.join(prior, m["dv_key"], "left_anti")
+                typed = base.join(
+                    keys.distinct(), m["dv_key"], "left_semi"
+                ).withColumn("_change_type", F.lit("delete"))
+        else:
+            if key_cols is None:
+                raise ValueError(
+                    f"read_changes needs key_cols to diff the {m['op']} "
+                    f"commit at v{v}"
+                )
+            old = _read(m["removed"])
+            # the LOGICAL pre-image: rows already tombstoned before this
+            # commit were deleted (and emitted) by their DV commit — a
+            # compaction folding them must read as silence, not deletes
+            prior_dvs = _read(prev.get("dvs", []))
+            if old is not None and prior_dvs is not None:
+                old = old.join(
+                    prior_dvs.distinct(), prev["dv_key"], "left_anti"
+                )
+            new = _read(m["added"])
+            if old is None and new is None:
+                typed = None
+            elif old is None:
+                typed = new.withColumn("_change_type", F.lit("insert"))
+            elif new is None:
+                typed = old.withColumn("_change_type", F.lit("delete"))
+            else:
+                data_cols = [c for c in old.columns if c not in key_cols]
+                o = old.select(
+                    *key_cols,
+                    F.struct(*data_cols).alias("__o"),
+                    F.lit(True).alias("__in_o"),
+                )
+                n = new.select(
+                    *key_cols,
+                    F.struct(*data_cols).alias("__n"),
+                    F.lit(True).alias("__in_n"),
+                )
+                # four consumers fan out of this one diff join (insert/
+                # delete/update_pre/update_post) — checkpoint it or each
+                # branch re-executes the join and its scans (the cl02
+                # re-execution class the plan audit gates)
+                j = o.join(n, key_cols, "full_outer").localCheckpoint(
+                    eager=True
+                )
+                ins = j.where(F.col("__in_o").isNull()).select(
+                    *key_cols,
+                    F.col("__n").alias("__row"),
+                    F.lit("insert").alias("_change_type"),
+                )
+                dele = j.where(F.col("__in_n").isNull()).select(
+                    *key_cols,
+                    F.col("__o").alias("__row"),
+                    F.lit("delete").alias("_change_type"),
+                )
+                changed = j.where(
+                    F.col("__in_o").isNotNull()
+                    & F.col("__in_n").isNotNull()
+                    & ~F.col("__o").eqNullSafe(F.col("__n"))
+                )
+                pre = changed.select(
+                    *key_cols,
+                    F.col("__o").alias("__row"),
+                    F.lit("update_pre").alias("_change_type"),
+                )
+                post = changed.select(
+                    *key_cols,
+                    F.col("__n").alias("__row"),
+                    F.lit("update_post").alias("_change_type"),
+                )
+                typed = (
+                    ins.unionByName(dele).unionByName(pre).unionByName(post)
+                    .select(
+                        *key_cols,
+                        *[F.col(f"__row.{c}").alias(c) for c in data_cols],
+                        "_change_type",
+                    )
+                )
+        if typed is None:
+            continue
+        typed = typed.withColumn("_commit_version", F.lit(v))
+        out = typed if out is None else out.unionByName(typed)
+    if out is None:
+        raise ValueError(
+            f"no changes in ({from_version}, {to_version}] of {root}"
+        )
+    return out

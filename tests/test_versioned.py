@@ -480,3 +480,66 @@ def test_derived_op_conflict_detected(spark, root):
         )
     # the table is unharmed
     assert _ids(read_version(spark, root)) == list(range(10))
+
+
+def test_change_feed_insert_update_delete_and_physical_silence(spark, root):
+    from querysight_spark.sources.versioned import (
+        compact_table,
+        delete_keys,
+        merge_into,
+        optimize_table,
+        read_changes,
+    )
+
+    write_version(
+        spark,
+        _df(spark, 0, 100).repartitionByRange(4, "id"),
+        root,
+        stats_cols=["id"],
+    )
+    # v2: merge — update 0-4 (v -> -1), delete 5-6, insert 200-201
+    src = (
+        spark.range(0, 7)
+        .select("id", F.lit(-1).alias("v"), (F.col("id") >= 5).alias("d"))
+        .unionByName(
+            spark.range(200, 202).select(
+                "id", F.lit(7).alias("v"), F.lit(False).alias("d")
+            )
+        )
+    )
+    merge_into(spark, src, root, ["id"], delete_col="d")
+    ch = read_changes(spark, root, 1, key_cols=["id"]).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r._change_type, set()).add(r.id)
+    assert by_type["insert"] == {200, 201}
+    assert by_type["delete"] == {5, 6}
+    assert by_type["update_pre"] == by_type["update_post"] == set(range(5))
+    pre = {r.id: r.v for r in ch if r._change_type == "update_pre"}
+    post = {r.id: r.v for r in ch if r._change_type == "update_post"}
+    assert pre[3] == 30 and post[3] == -1
+    # v3: DV delete emits pre-image deletes only for NEWLY tombstoned keys
+    delete_keys(spark, root, spark.range(10, 12).select("id"))
+    delete_keys(spark, root, spark.range(10, 14).select("id"))
+    ch34 = read_changes(spark, root, 2, 4, key_cols=["id"]).collect()
+    dels = {
+        (r._commit_version, r.id)
+        for r in ch34
+        if r._change_type == "delete"
+    }
+    assert dels == {(3, 10), (3, 11), (4, 12), (4, 13)}
+    # physical rewrites are logically silent: compact folds the DVs
+    # (delete events already emitted), optimize repacks — neither may
+    # emit a row-level change
+    v_compact = compact_table(spark, root)
+    assert read_changes(spark, root, 4, v_compact, key_cols=["id"]).count() == 0
+    for k in range(3):
+        write_version(spark, _df(spark, 300 + k * 5, 305 + k * 5), root)
+    v0 = table_version(root)
+    v_opt = optimize_table(spark, root, min_rows_per_file=50)
+    assert v_opt > v0
+    assert read_changes(spark, root, v0, v_opt, key_cols=["id"]).count() == 0
+    # append commits emit plain inserts without key_cols
+    ins = read_changes(spark, root, v_compact, v0)
+    assert ins.where(F.col("_change_type") != "insert").count() == 0
+    assert ins.count() == 15
