@@ -76,6 +76,8 @@ HEADLINE_V3 = [
     "mm10_y4m_roundtrip",         # video-container codec walk
     "io08_optimize_small_files",  # atomic small-file OPTIMIZE
     "st15_stream_dedup_ingest",   # dedup front door (lens anti-join)
+    "wh06_change_feed",           # row-level CDC feed (touched-file diffs)
+    "ss18_filtered_index_probe",  # filtered vector search on the index
 ]
 
 HEADLINE = [
