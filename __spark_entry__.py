@@ -119,7 +119,7 @@
                 ingest -> clean -> dedup -> shard -> persisted BM25
                 index probe); dq01-dq04 expectation/orphan/diff/drift
                 suite.
-  * wh01-wh06 — warehouse table maintenance: SCD2 type-2 history
+  * wh01-wh07 — warehouse table maintenance: SCD2 type-2 history
                 build (batch chain, no-op compression) and the
                 incremental broadcast-delta MERGE, both against the
                 same SQL-window oracle; wh03: copy-on-write MERGE INTO
@@ -133,7 +133,10 @@
                 manifest-stamped watermark, idempotent refresh; wh06:
                 row-level CHANGE DATA FEED — per-commit key diffs of
                 touched files (update_pre/update_post/insert/delete,
-                tombstone pre-images, physical rewrites silent).
+                tombstone pre-images, physical rewrites silent); wh07:
+                RETRACTABLE incremental view maintenance — signed-delta
+                folds of the feed keep the MV exact under updates and
+                deletes, compaction refreshes free.
 
 ``oracle_sql()`` carries the DuckDB-dialect equivalent for EVERY entry
 (CTE-reconstructed analog tables where needed), so the driver's

@@ -8229,3 +8229,126 @@ def wh06(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("commit_version", "change_type")
     )
+
+
+@_q(
+    "wh07_retractable_mv",
+    """WITH b AS (SELECT MIN(o_orderkey)
+                    + (MAX(o_orderkey) - MIN(o_orderkey)) // 10 AS thr
+              FROM orders),
+       base AS (SELECT o_orderkey AS k, o_orderstatus AS s,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders),
+       final AS (
+         SELECT k, s,
+                CASE WHEN k <= (SELECT thr FROM b)
+                     THEN cents + 100000 ELSE cents END AS cents
+         FROM base
+         WHERE NOT (k <= (SELECT thr FROM b) AND k % 10 = 3)
+         UNION ALL
+         SELECT k + 100000000, s, cents + 500000 FROM base
+         WHERE k % 1000 = 7),
+       kept AS (SELECT * FROM final WHERE k % 100 <> 9)
+       SELECT s AS o_orderstatus, COUNT(*) AS n_rows,
+              CAST(SUM(cents) AS BIGINT) AS sum_cents,
+              TRUE AS refreshed_per_commit, TRUE AS retry_was_noop
+       FROM kept GROUP BY s ORDER BY s""",
+)
+def wh07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTABLE incremental view maintenance — wh05 generalized to a
+    base table that UPDATES and DELETES: the MV refreshes after every
+    commit by folding the row-level change feed as signed deltas
+    (insert/update_post add, delete/update_pre retract; integer cents
+    so retraction is exact), one dimension-sized merge per refresh.
+    The script runs append -> pruned merge (update+delete+insert) ->
+    deletion-vector delete -> compaction; the compaction refresh is
+    FREE (no events). The final MV must equal the direct aggregate
+    over the final table state — a missed retraction or double-applied
+    update shifts a group. Refresh cost tracks each commit's touched
+    files, never the base: the general IVM contract a 100 TB warehouse
+    runs its dashboard rollups on."""
+    import hashlib
+    import os
+    import tempfile
+
+    from querysight_spark.sources.versioned import (
+        compact_table,
+        delete_keys,
+        merge_into,
+        read_version,
+        refresh_mv_from_feed,
+        table_version,
+        write_version,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"wh07:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    work = os.path.join(tempfile.gettempdir(), f"qs_wh07_{tag}")
+    root = os.path.join(work, "base")
+    mv = os.path.join(work, "mv")
+    done = os.path.join(work, "_flags")
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    args = (spark, root, mv, ["o_orderstatus"], ["cents"], ["o_orderkey"])
+    if not os.path.exists(done):
+        row = orders.agg(
+            F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+        ).collect()[0]
+        thr = row.lo + (row.hi - row.lo) // 10
+        stepped = True
+        write_version(
+            spark,
+            orders.repartitionByRange(16, "o_orderkey"),
+            root,
+            stats_cols=["o_orderkey"],
+        )
+        stepped = stepped and refresh_mv_from_feed(*args) == 1
+        upd = orders.where(F.col("o_orderkey") <= thr).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("cents") + 100000).alias("cents"),
+            (F.col("o_orderkey") % 10 == 3).alias("_del"),
+        )
+        ins = orders.where(F.col("o_orderkey") % 1000 == 7).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            "o_orderstatus",
+            (F.col("cents") + 500000).alias("cents"),
+            F.lit(False).alias("_del"),
+        )
+        merge_into(
+            spark, upd.unionByName(ins), root, ["o_orderkey"],
+            delete_col="_del",
+        )
+        stepped = stepped and refresh_mv_from_feed(*args) == 2
+        delete_keys(
+            spark,
+            root,
+            orders.where(F.col("o_orderkey") % 100 == 9).select("o_orderkey"),
+        )
+        stepped = stepped and refresh_mv_from_feed(*args) == 3
+        compact_table(spark, root)
+        stepped = stepped and refresh_mv_from_feed(*args) == 4
+        noop = refresh_mv_from_feed(*args) == 4 and table_version(mv) == 4
+        with open(done, "w") as f:
+            f.write(f"{stepped}:{noop}")
+    else:
+        with open(done) as f:
+            a, b = f.read().split(":")
+        stepped, noop = a == "True", b == "True"
+    return (
+        read_version(spark, mv)
+        .select(
+            "o_orderstatus",
+            "n_rows",
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+        )
+        .withColumn("refreshed_per_commit", F.lit(bool(stepped)))
+        .withColumn("retry_was_noop", F.lit(bool(noop)))
+        .orderBy("o_orderstatus")
+    )

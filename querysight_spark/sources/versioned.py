@@ -1051,3 +1051,73 @@ def read_changes(
             f"no changes in ({from_version}, {to_version}] of {root}"
         )
     return out
+
+
+def refresh_mv_from_feed(
+    spark: SparkSession,
+    base_root: str,
+    mv_root: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    key_cols: list[str],
+) -> int:
+    """General incremental view maintenance: like
+    ``refresh_aggregate_mv`` but driven by the row-level CHANGE FEED,
+    so the base table may receive UPDATES and DELETES (merge_into /
+    delete_keys), not just appends. Classic add/retract maintenance
+    for self-decomposable aggregates: each feed event folds into the
+    MV as a signed delta — ``insert``/``update_post`` contribute
+    (+1, +value), ``delete``/``update_pre`` contribute (-1, -value) —
+    then one dimension-sized union + re-agg; groups whose count
+    retracts to zero drop out. The refresh stays O(changes since the
+    watermark): the feed diffs only each commit's touched files, and
+    the fold is one pass over the events. Same manifest-stamped
+    watermark + idempotent-retry contract as the append-only refresh;
+    physical rewrites (compact/optimize) emit no events and therefore
+    cost the MV nothing. Returns the MV version."""
+    base_v = table_version(base_root)
+    if base_v == 0:
+        raise ValueError(f"refresh_mv_from_feed: base {base_root} is empty")
+    mv_v = table_version(mv_root)
+    last = 0
+    if mv_v:
+        txn = read_manifest(mv_root, mv_v).get("txn_id") or ""
+        if not txn.startswith("mvfeed:"):
+            raise ValueError(
+                f"{mv_root} v{mv_v} was not committed by refresh_mv_from_feed"
+                f" (txn_id={txn!r})"
+            )
+        last = int(txn.split(":", 1)[1])
+    if last >= base_v:
+        return mv_v
+    changes = read_changes(spark, base_root, last, base_v, key_cols=key_cols)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_post"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        changes.withColumn("__sign", sign)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("__sign").cast("long").alias("n_rows"),
+            *[
+                F.sum(F.col("__sign") * F.col(c)).alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+        )
+    )
+    if mv_v:
+        merged = (
+            read_version(spark, mv_root)
+            .unionByName(delta)
+            .groupBy(*group_cols)
+            .agg(
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+            )
+        )
+    else:
+        merged = delta
+    merged = merged.where(F.col("n_rows") > 0)
+    return write_version(
+        spark, merged, mv_root, mode="overwrite", txn_id=f"mvfeed:{base_v}"
+    )

@@ -543,3 +543,47 @@ def test_change_feed_insert_update_delete_and_physical_silence(spark, root):
     ins = read_changes(spark, root, v_compact, v0)
     assert ins.where(F.col("_change_type") != "insert").count() == 0
     assert ins.count() == 15
+
+
+def test_refresh_mv_from_feed_handles_updates_and_deletes(spark, tmp_path):
+    from querysight_spark.sources.versioned import refresh_mv_from_feed as _r
+
+    base = str(tmp_path / "base")
+    mv = str(tmp_path / "mv")
+    df = spark.range(0, 100).select(
+        "id", (F.col("id") % 4).alias("g"), (F.col("id") * 10).alias("v")
+    )
+    write_version(spark, df.repartitionByRange(4, "id"), base,
+                  stats_cols=["id"])
+    args = (spark, base, mv, ["g"], ["v"], ["id"])
+    assert _r(*args) == 1
+    # merge: move ids 0-9 to g=99 territory via update (v -> 1), delete 10-14
+    src = (
+        spark.range(0, 10)
+        .select("id", F.lit(3).alias("g"), F.lit(1).alias("v"),
+                F.lit(False).alias("d"))
+        .unionByName(
+            spark.range(10, 15).select(
+                "id", F.lit(0).alias("g"), F.lit(0).alias("v"),
+                F.lit(True).alias("d"))
+        )
+    )
+    merge_into(spark, src, base, ["id"], delete_col="d")
+    assert _r(*args) == 2
+    delete_keys(spark, base, spark.range(20, 30).select("id"))
+    assert _r(*args) == 3
+    compact_table(spark, base)
+    assert _r(*args) == 4
+    assert _r(*args) == 4  # no-op retry
+    got = {
+        r.g: (r.n_rows, r.sum_v)
+        for r in read_version(spark, mv).collect()
+    }
+    want = {
+        r.g: (r.n, r.s)
+        for r in read_version(spark, base)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want
