@@ -73,8 +73,34 @@ def _manifest_path(root: str, version: int) -> str:
     return os.path.join(root, _MANIFESTS, f"v{version:08d}.json")
 
 
+def _latest_checkpoint(root: str) -> dict | None:
+    """Newest ``ckpt-*.json`` manifest checkpoint, or None."""
+    mdir = os.path.join(root, _MANIFESTS)
+    if not os.path.isdir(mdir):
+        return None
+    ckpts = sorted(
+        f for f in os.listdir(mdir)
+        if f.startswith("ckpt-") and f.endswith(".json")
+    )
+    if not ckpts:
+        return None
+    with open(os.path.join(mdir, ckpts[-1])) as f:
+        return json.load(f)
+
+
 def table_version(root: str) -> int:
-    """Latest committed version, or 0 if the table doesn't exist yet."""
+    """Latest committed version, or 0 if the table doesn't exist yet.
+    With a manifest checkpoint present, starts at the checkpointed
+    version and walks FORWARD by existence probes — O(commits since
+    the checkpoint), no directory LISTing (the expensive object-store
+    call the public formats' _last_checkpoint pointer exists to
+    avoid); without one, falls back to the listing."""
+    ckpt = _latest_checkpoint(root)
+    if ckpt is not None:
+        v = ckpt["version"]
+        while os.path.exists(_manifest_path(root, v + 1)):
+            v += 1
+        return v
     mdir = os.path.join(root, _MANIFESTS)
     if not os.path.isdir(mdir):
         return 0
@@ -100,17 +126,54 @@ def _list_parquet(commit_dir: str) -> list[str]:
 
 
 def committed_txn(root: str, txn_id: str) -> int | None:
-    """Version that already committed ``txn_id``, or None. Linear in
-    retained manifests — at millions of commits this wants the
-    checkpointed latest-txn map the big formats keep; the scan is the
-    honest baseline the checkpoint would cache."""
-    for v in range(table_version(root), 0, -1):
+    """Version that already committed ``txn_id``, or None. With a
+    manifest checkpoint (``checkpoint_manifest``) the lookup is the
+    checkpointed txn map plus a scan of only the commits SINCE it —
+    O(delta), the bound a streaming sink needs when the table carries
+    millions of micro-batch txns. Without one, the linear scan is the
+    honest baseline; it also survives vacuumed history (the checkpoint
+    map remembers txns whose manifests were vacuumed)."""
+    ckpt = _latest_checkpoint(root)
+    floor = 0
+    if ckpt is not None:
+        hit = ckpt["txns"].get(txn_id)
+        if hit is not None:
+            return hit
+        floor = ckpt["version"]
+    for v in range(table_version(root), floor, -1):
         path = _manifest_path(root, v)
         if not os.path.exists(path):
             break  # vacuumed history below here
         if read_manifest(root, v).get("txn_id") == txn_id:
             return v
     return None
+
+
+def checkpoint_manifest(root: str) -> int:
+    """Write a manifest CHECKPOINT at the current version: the
+    _last_checkpoint discipline the public log-structured formats
+    document. ``ckpt-v{N}.json`` carries N plus the full txn-id ->
+    version map accumulated so far (previous checkpoint's map + the
+    manifests since), so ``table_version`` plans by forward existence
+    probes instead of directory listings and ``committed_txn`` answers
+    from the map + an O(delta) tail scan. Run it on the maintenance
+    cadence (e.g. every K streaming batches, beside compact/optimize);
+    cost is O(commits since the last checkpoint). Returns the
+    checkpointed version."""
+    prev = _latest_checkpoint(root)
+    floor = prev["version"] if prev else 0
+    txns = dict(prev["txns"]) if prev else {}
+    latest = table_version(root)
+    for v in range(floor + 1, latest + 1):
+        t = read_manifest(root, v).get("txn_id")
+        if t is not None:
+            txns[t] = v
+    path = os.path.join(root, _MANIFESTS, f"ckpt-{latest:08d}.json")
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"version": latest, "txns": txns}, f)
+    os.replace(tmp, path)
+    return latest
 
 
 def _footer_stats(path: str, cols: list[str]) -> dict[str, list]:

@@ -587,3 +587,76 @@ def test_refresh_mv_from_feed_handles_updates_and_deletes(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_merge_retry_after_conflict_converges(spark, root):
+    """The documented ConcurrentWriteError recovery path: a merge that
+    loses to a concurrent append re-runs against the new snapshot and
+    lands with BOTH the append's rows and the merge's effects."""
+    from unittest import mock
+
+    from querysight_spark.sources.versioned import (
+        ConcurrentWriteError,
+        merge_into,
+    )
+    import querysight_spark.sources.versioned as vmod
+
+    write_version(
+        spark, _clustered(spark, 0, 100), root, stats_cols=["id"]
+    )
+    src = spark.range(0, 10).select("id", F.lit(-1).alias("v"))
+
+    real_commit = vmod._commit
+    fired = {"done": False}
+
+    def racing_commit(*args, **kwargs):
+        # an appender lands between the merge's snapshot read and its
+        # manifest claim, exactly once
+        if not fired["done"] and kwargs.get("expected_version") == 1:
+            fired["done"] = True
+            write_version(spark, _df(spark, 500, 505), root)
+        return real_commit(*args, **kwargs)
+
+    with mock.patch.object(vmod, "_commit", side_effect=racing_commit):
+        with pytest.raises(ConcurrentWriteError, match="planned against"):
+            merge_into(spark, src, root, ["id"])
+    # retry against the new snapshot converges
+    merge_into(spark, src, root, ["id"])
+    got = {r.id: r.v for r in read_version(spark, root).collect()}
+    assert got[5] == -1 and got[50] == 500 and got[502] == 5020
+    assert len(got) == 105
+
+
+def test_manifest_checkpoint_bounds_planning_and_survives_vacuum(spark, root):
+    from querysight_spark.sources.versioned import (
+        checkpoint_manifest,
+        committed_txn,
+    )
+
+    for k in range(6):
+        write_version(spark, _df(spark, k * 5, k * 5 + 5), root,
+                      txn_id=f"load:{k}")
+    assert checkpoint_manifest(root) == 6
+    # version planning now walks forward from the checkpoint
+    assert table_version(root) == 6
+    write_version(spark, _df(spark, 100, 105), root, txn_id="load:6")
+    assert table_version(root) == 7
+    # txn lookups: from the checkpoint map (old) and the tail scan (new)
+    assert committed_txn(root, "load:2") == 3
+    assert committed_txn(root, "load:6") == 7
+    assert committed_txn(root, "nope") is None
+    # idempotent retry of a checkpointed txn still no-ops
+    assert write_version(spark, _df(spark, 0, 5), root, txn_id="load:2") == 3
+    # vacuum history below the checkpoint: the map still remembers
+    vacuum(root, retain_from=6)
+    assert not os.path.exists(
+        os.path.join(root, "_manifests", "v00000002.json")
+    )
+    assert committed_txn(root, "load:1") == 2
+    assert table_version(root) == 7
+    # a second checkpoint accumulates the delta on top of the first
+    assert checkpoint_manifest(root) == 7
+    assert committed_txn(root, "load:6") == 7
+    assert _ids(read_version(spark, root)) == sorted(
+        list(range(30)) + list(range(100, 105))
+    )
