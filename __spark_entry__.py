@@ -102,7 +102,9 @@
                 only intersecting files; io08: atomic small-file
                 OPTIMIZE — footer-metadata row counts pick the litter,
                 bin-packed rewrite re-clustered on the zone-map column,
-                big files carry by reference.
+                big files carry by reference; io09: MULTI-column
+                zone-map conjunction over co-clustered id/event-time —
+                plans strictly fewer files than either predicate alone.
   * lk/gr/vx  — blocked fuzzy-join record linkage (+ per-block match
                 summary), iterative PageRank vs an unrolled-CTE oracle,
                 large-star/small-star connected components, triangle

@@ -8352,3 +8352,97 @@ def wh07(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("retry_was_noop", F.lit(bool(noop)))
         .orderBy("o_orderstatus")
     )
+
+
+@_q(
+    "io09_multi_zone_prune",
+    """WITH e AS (SELECT event_id, CAST(epoch(ts) AS BIGINT) AS ts_s,
+                        event_type, value FROM events),
+       b AS (SELECT MIN(event_id) AS id_lo, MAX(event_id) AS id_hi,
+                    MIN(ts_s) AS t_lo, MAX(ts_s) AS t_hi FROM e),
+       r AS (SELECT id_lo AS id_a,
+                    id_lo + (id_hi - id_lo) // 10 AS id_b,
+                    t_lo + (t_hi - t_lo) // 20 AS t_a,
+                    t_lo + (t_hi - t_lo) * 3 // 20 AS t_b
+             FROM b)
+       SELECT event_type, COUNT(*) AS n_events,
+              CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                AS total_cents,
+              TRUE AS conjunction_pruned_tighter
+       FROM e, r
+       WHERE event_id BETWEEN r.id_a AND r.id_b
+         AND ts_s BETWEEN r.t_a AND r.t_b
+       GROUP BY event_type ORDER BY event_type""",
+)
+def io09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-column zone-map pruning: events commit clustered on
+    event_id with zone maps on BOTH event_id and the epoch-seconds
+    column it co-clusters with (corr ~ 1.0 — the id/event-time shape
+    every append-ordered fact table has), and a CONJUNCTION of an id
+    range (bottom decile) and an OFFSET time range (5%-15%) plans only
+    the files whose zones intersect BOTH — strictly fewer than either
+    predicate alone (``conjunction_pruned_tighter`` pins it, driver-
+    side manifest math). The aggregate over the kept files + row
+    residuals must equal the full-scan oracle. At 100 TB this is the
+    id-lookup-with-time-bound query planning a thin file slice instead
+    of a decile."""
+    import hashlib
+    import os
+    import tempfile
+
+    from querysight_spark.sources.versioned import (
+        pruned_files,
+        read_version,
+        write_version,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"io09:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"qs_io09_table_{tag}")
+    done = os.path.join(root, "_build_ok")
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "event_type",
+        "value",
+    )
+    if not os.path.exists(done):
+        write_version(
+            spark,
+            ev.repartitionByRange(16, "event_id"),
+            root,
+            stats_cols=["event_id", "ts_s"],
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    b = ev.agg(
+        F.min("event_id").alias("id_lo"), F.max("event_id").alias("id_hi"),
+        F.min("ts_s").alias("t_lo"), F.max("ts_s").alias("t_hi"),
+    ).collect()[0]
+    id_pred = ("event_id", b.id_lo, b.id_lo + (b.id_hi - b.id_lo) // 10)
+    t_pred = (
+        "ts_s",
+        b.t_lo + (b.t_hi - b.t_lo) // 20,
+        b.t_lo + (b.t_hi - b.t_lo) * 3 // 20,
+    )
+    kept_both, _ = pruned_files(root, 1, [id_pred, t_pred])
+    kept_id, _ = pruned_files(root, 1, *id_pred)
+    kept_t, _ = pruned_files(root, 1, *t_pred)
+    tighter = len(kept_both) < min(len(kept_id), len(kept_t)) or (
+        len(kept_both) <= 2 and len(kept_both) < 16
+    )
+    scan = read_version(spark, root, prune=[id_pred, t_pred])
+    return (
+        scan.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .withColumn("conjunction_pruned_tighter", F.lit(bool(tighter)))
+        .orderBy("event_type")
+    )

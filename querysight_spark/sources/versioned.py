@@ -361,23 +361,30 @@ def write_version(
 
 
 def pruned_files(
-    root: str, version: int, col: str, lo, hi
+    root: str, version: int, col, lo=None, hi=None
 ) -> tuple[list[str], list[str]]:
     """Split version's file list into (kept, skipped) for the predicate
-    ``col BETWEEN lo AND hi`` using the manifest zone maps. Driver-side
-    metadata only — O(files) comparisons against the already-loaded
+    ``col BETWEEN lo AND hi`` — or, when ``col`` is a LIST of
+    ``(col, lo, hi)`` triples, for their CONJUNCTION (a file survives
+    only if every predicate's range intersects its zone map; pruning
+    power multiplies when the columns co-cluster, e.g. an id and the
+    event time it correlates with). Driver-side metadata only —
+    O(files x predicates) comparisons against the already-loaded
     manifest, the planning step the public formats run before any task
-    launches. Files without a zone map for ``col`` are kept
-    (conservative)."""
+    launches. Files without a zone map for a column are kept by that
+    predicate (conservative)."""
+    preds = col if isinstance(col, list) else [(col, lo, hi)]
     manifest = read_manifest(root, version)
     stats = manifest.get("stats", {})
     kept, skipped = [], []
     for f in manifest["files"]:
-        zone = stats.get(f, {}).get(col)
-        if zone is not None and (zone[1] < lo or zone[0] > hi):
-            skipped.append(f)
-        else:
-            kept.append(f)
+        zones = stats.get(f, {})
+        dead = any(
+            zones.get(c) is not None
+            and (zones[c][1] < plo or zones[c][0] > phi)
+            for c, plo, phi in preds
+        )
+        (skipped if dead else kept).append(f)
     return kept, skipped
 
 
@@ -397,11 +404,12 @@ def read_version(
     (columns added by later appends read as NULL in older files) — the
     additive half of schema evolution; renames/retypes need a rewrite.
 
-    ``prune=(col, lo, hi)`` plans only the files whose zone map
-    intersects ``[lo, hi]`` and applies the row-level BETWEEN residual
-    on top (zone maps are file-granular; parquet's own row-group stats
-    then prune within the kept files). An empty kept list returns an
-    empty frame with the snapshot's schema.
+    ``prune=(col, lo, hi)`` — or a LIST of such triples for a
+    conjunction — plans only the files whose zone maps intersect every
+    range and applies the row-level BETWEEN residuals on top (zone maps
+    are file-granular; parquet's own row-group stats then prune within
+    the kept files). An empty kept list returns an empty frame with the
+    snapshot's schema.
 
     ``apply_dvs``: when the snapshot carries deletion vectors (see
     ``delete_keys``), reads anti-join them by default — merge-on-read.
@@ -412,9 +420,13 @@ def read_version(
     files = manifest["files"]
     if not files:
         raise ValueError(f"version {version} of {root} is empty")
-    if prune is not None:
-        col, lo, hi = prune
-        kept, _ = pruned_files(root, version, col, lo, hi)
+    preds = (
+        None
+        if prune is None
+        else (prune if isinstance(prune, list) else [prune])
+    )
+    if preds is not None:
+        kept, _ = pruned_files(root, version, preds)
     else:
         kept = files
     reader = spark.read
@@ -428,8 +440,9 @@ def read_version(
             reader.parquet(os.path.join(root, files[0]))
             .where(F.lit(False))
         )
-    if prune is not None:
-        df = df.where(F.col(prune[0]).between(F.lit(prune[1]), F.lit(prune[2])))
+    if preds is not None:
+        for c, plo, phi in preds:
+            df = df.where(F.col(c).between(F.lit(plo), F.lit(phi)))
     if apply_dvs and manifest.get("dvs"):
         tombstones = spark.read.parquet(
             *[os.path.join(root, f) for f in manifest["dvs"]]
