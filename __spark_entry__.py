@@ -50,7 +50,7 @@
                 deterministic shard shuffle + size accounting), rollup
                 tiers incl. streaming absorption, self-checking sketches
                 incl. a cell-exact portable Count-Min.
-  * st01-st15 — Structured Streaming under the gate (windows, stateful
+  * st01-st16 — Structured Streaming under the gate (windows, stateful
                 counts, cross-batch dedup, session windows, stream-
                 stream join, session-state absorption into a persisted
                 tier, JSONL ingest with re-delivery suppression,
@@ -62,8 +62,10 @@
                 index, exactly-once ingest into the versioned table
                 via txn-stamped commits, st15 deduplicating ingest —
                 per-batch fingerprint lens anti-join, exactly-distinct
-                corpus under txn + data-level replay safety), drained
-                availableNow vs batch oracles.
+                corpus under txn + data-level replay safety; st16 the
+                COMMIT LOG AS A STREAM — manifests tailed by the file
+                source drive retractable MV refreshes end-to-end),
+                drained availableNow vs batch oracles.
   * aj/rj/sj/mm — as-of join, range join, salted join, multimodal
                 (incl. mm06 perceptual dHash over decoded rasters)
                 (mm04: REAL payload decode — netpbm/WAV codecs round-

@@ -8446,3 +8446,130 @@ def io09(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("conjunction_pruned_tighter", F.lit(bool(tighter)))
         .orderBy("event_type")
     )
+
+
+@_q(
+    "st16_manifest_log_stream",
+    """WITH b AS (SELECT MIN(o_orderkey)
+                    + (MAX(o_orderkey) - MIN(o_orderkey)) // 10 AS thr
+              FROM orders),
+       base AS (SELECT o_orderkey AS k, o_orderstatus AS s,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders),
+       final AS (
+         SELECT k, s,
+                CASE WHEN k <= (SELECT thr FROM b)
+                     THEN cents + 100000 ELSE cents END AS cents
+         FROM base
+         WHERE NOT (k <= (SELECT thr FROM b) AND k % 10 = 3)
+         UNION ALL
+         SELECT k + 100000000, s, cents + 500000 FROM base
+         WHERE k % 1000 = 7),
+       kept AS (SELECT * FROM final WHERE k % 100 <> 9)
+       SELECT s AS o_orderstatus, COUNT(*) AS n_rows,
+              CAST(SUM(cents) AS BIGINT) AS sum_cents,
+              TRUE AS stream_drove_refreshes, TRUE AS restart_was_noop
+       FROM kept GROUP BY s ORDER BY s""",
+)
+def st16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMMIT LOG AS A STREAM: the versioned table's manifest
+    directory is tailed by Structured Streaming's file source (every
+    commit = one immutable v*.json — exactly-once file tracking makes
+    the log a change stream for free), and each manifest event drives
+    ``refresh_mv_from_feed``. The wh07 script replays (append ->
+    pruned merge with update/delete/insert -> DV delete -> compact),
+    but here NO refresh is called by hand — the stream drain alone
+    must carry the MV to the same final state the direct aggregate
+    gives (``stream_drove_refreshes``), and a checkpoint restart with
+    no new commits must add zero MV versions (``restart_was_noop``;
+    the refresh's manifest watermark makes re-delivered events no-op,
+    so the safety is doubled). This closes the CDC loop: writers
+    commit, the log streams, the retractable MV follows — the wiring
+    a 100 TB warehouse runs between its bronze tables and its
+    dashboards."""
+    import hashlib
+    import os
+    import tempfile
+
+    from querysight_spark.sources.versioned import (
+        compact_table,
+        delete_keys,
+        merge_into,
+        read_version,
+        start_feed_mv_sink,
+        table_version,
+        write_version,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"st16:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    work = os.path.join(tempfile.gettempdir(), f"qs_st16_{tag}")
+    root = os.path.join(work, "base")
+    mv = os.path.join(work, "mv")
+    ck = os.path.join(work, "ck")
+    done = os.path.join(work, "_flags")
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    args = (spark, root, mv, ["o_orderstatus"], ["cents"], ["o_orderkey"])
+    if not os.path.exists(done):
+        row = orders.agg(
+            F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+        ).collect()[0]
+        thr = row.lo + (row.hi - row.lo) // 10
+        write_version(
+            spark,
+            orders.repartitionByRange(16, "o_orderkey"),
+            root,
+            stats_cols=["o_orderkey"],
+        )
+        upd = orders.where(F.col("o_orderkey") <= thr).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("cents") + 100000).alias("cents"),
+            (F.col("o_orderkey") % 10 == 3).alias("_del"),
+        )
+        ins = orders.where(F.col("o_orderkey") % 1000 == 7).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            "o_orderstatus",
+            (F.col("cents") + 500000).alias("cents"),
+            F.lit(False).alias("_del"),
+        )
+        merge_into(
+            spark, upd.unionByName(ins), root, ["o_orderkey"],
+            delete_col="_del",
+        )
+        delete_keys(
+            spark,
+            root,
+            orders.where(F.col("o_orderkey") % 100 == 9).select("o_orderkey"),
+        )
+        compact_table(spark, root)
+        # the stream alone drives every refresh
+        start_feed_mv_sink(*args, checkpoint=ck).awaitTermination()
+        drove = table_version(mv) >= 1
+        v = table_version(mv)
+        start_feed_mv_sink(*args, checkpoint=ck).awaitTermination()
+        noop = table_version(mv) == v
+        with open(done, "w") as f:
+            f.write(f"{drove}:{noop}")
+    else:
+        with open(done) as f:
+            a, b = f.read().split(":")
+        drove, noop = a == "True", b == "True"
+    return (
+        read_version(spark, mv)
+        .select(
+            "o_orderstatus",
+            "n_rows",
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+        )
+        .withColumn("stream_drove_refreshes", F.lit(bool(drove)))
+        .withColumn("restart_was_noop", F.lit(bool(noop)))
+        .orderBy("o_orderstatus")
+    )

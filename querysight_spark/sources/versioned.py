@@ -1197,3 +1197,49 @@ def refresh_mv_from_feed(
     return write_version(
         spark, merged, mv_root, mode="overwrite", txn_id=f"mvfeed:{base_v}"
     )
+
+
+def start_feed_mv_sink(
+    spark: SparkSession,
+    base_root: str,
+    mv_root: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    key_cols: list[str],
+    checkpoint: str,
+    query_name: str | None = None,
+):
+    """The manifest log IS the stream: tails ``_manifests/v*.json`` with
+    Structured Streaming's file source — every committed version is one
+    immutable file, so the source's exactly-once file tracking turns
+    the commit log into a change stream with no extra machinery — and
+    runs ``refresh_mv_from_feed`` per micro-batch. The refresh keeps
+    its own manifest-stamped watermark and is idempotent, so the
+    composition is doubly replay-safe: a re-delivered manifest event
+    triggers a refresh that no-ops, and a crashed-and-restarted query
+    resumes from either side's state without double-applying deltas.
+    This closes the CDC loop end-to-end: writers commit (batch or
+    ``start_versioned_sink``), the log streams, the retractable MV
+    follows — updates and deletes included. Returns the started query;
+    callers own ``awaitTermination``."""
+    stream = (
+        spark.readStream.schema("version LONG, op STRING")
+        .option("pathGlobFilter", "v*.json")
+        .option("maxFilesPerTrigger", 1)
+        .json(os.path.join(base_root, _MANIFESTS))
+    )
+
+    def absorb(batch_df: DataFrame, batch_id: int) -> None:
+        # the batch rows are only the trigger; the refresh reads the
+        # authoritative state from the manifests via its own watermark
+        refresh_mv_from_feed(
+            batch_df.sparkSession, base_root, mv_root,
+            group_cols, sum_cols, key_cols,
+        )
+
+    writer = stream.writeStream.foreachBatch(absorb).option(
+        "checkpointLocation", checkpoint
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    return writer.trigger(availableNow=True).start()

@@ -660,3 +660,46 @@ def test_manifest_checkpoint_bounds_planning_and_survives_vacuum(spark, root):
     assert _ids(read_version(spark, root)) == sorted(
         list(range(30)) + list(range(100, 105))
     )
+
+
+def test_feed_mv_sink_tails_manifest_log(spark, tmp_path):
+    from querysight_spark.sources.versioned import (
+        start_feed_mv_sink,
+    )
+
+    base = str(tmp_path / "base")
+    mv = str(tmp_path / "mv")
+    ck = str(tmp_path / "ck")
+    df = spark.range(0, 60).select(
+        "id", (F.col("id") % 3).alias("g"), (F.col("id") * 2).alias("v")
+    )
+    write_version(spark, df.repartitionByRange(4, "id"), base,
+                  stats_cols=["id"])
+    src = spark.range(0, 10).select(
+        "id", F.lit(0).alias("g"), F.lit(100).alias("v"),
+        (F.col("id") % 2 == 0).alias("d")
+    )
+    merge_into(spark, src, base, ["id"], delete_col="d")
+    delete_keys(spark, base, spark.range(20, 25).select("id"))
+    args = (spark, base, mv, ["g"], ["v"], ["id"])
+    start_feed_mv_sink(*args, checkpoint=ck).awaitTermination()
+    got = {r.g: (r.n_rows, r.sum_v) for r in read_version(spark, mv).collect()}
+    want = {
+        r.g: (r.n, r.s)
+        for r in read_version(spark, base)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want
+    # restart with no new commits: no new MV versions
+    v = table_version(mv)
+    start_feed_mv_sink(*args, checkpoint=ck).awaitTermination()
+    assert table_version(mv) == v
+    # a new commit flows through on the next drain
+    write_version(spark, spark.range(100, 110).select(
+        "id", (F.col("id") % 3).alias("g"), (F.col("id") * 2).alias("v")
+    ), base)
+    start_feed_mv_sink(*args, checkpoint=ck).awaitTermination()
+    got2 = {r.g: r.n_rows for r in read_version(spark, mv).collect()}
+    assert sum(got2.values()) == sum(got[k][0] for k in got) + 10
