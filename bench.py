@@ -78,6 +78,9 @@ HEADLINE_V3 = [
     "st15_stream_dedup_ingest",   # dedup front door (lens anti-join)
     "wh06_change_feed",           # row-level CDC feed (touched-file diffs)
     "ss18_filtered_index_probe",  # filtered vector search on the index
+    "wh07_retractable_mv",        # signed-delta IVM off the feed
+    "io09_multi_zone_prune",      # multi-column zone-map conjunction
+    "st16_manifest_log_stream",   # commit log as a stream -> MV
 ]
 
 HEADLINE = [
