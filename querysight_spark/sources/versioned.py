@@ -619,6 +619,7 @@ def merge_into(
     key_cols: list[str],
     delete_col: str | None = None,
     stats_prune: bool = True,
+    txn_id: str | None = None,
 ) -> int:
     """Copy-on-write MERGE INTO the versioned table: matched target rows
     are replaced by their source row (update-all), source rows with no
@@ -635,7 +636,17 @@ def merge_into(
     I/O). Without stats the merge degrades to a full rewrite, still
     correct. Mirrors the copy-on-write merge the public log-structured
     formats document; the merge-on-read alternative for pure deletes is
-    ``delete_keys``."""
+    ``delete_keys``.
+
+    ``txn_id`` makes the merge IDEMPOTENT like ``write_version``'s: a
+    retried merge command (orchestrator replay, crashed driver) finds
+    its txn already committed and no-ops — required for exactly-once
+    CDC command application, since a merge re-run would double-apply
+    its updates where a re-appended file would merely duplicate."""
+    if txn_id is not None:
+        seen = committed_txn(root, txn_id)
+        if seen is not None:
+            return seen
     version = table_version(root)
     if version == 0:
         raise ValueError(f"merge_into target {root} does not exist")
@@ -702,6 +713,7 @@ def merge_into(
         new_files,
         [os.path.join(root, f) for f in touched],
         "merge",
+        txn_id=txn_id,
         expected_version=version,
         stats=stats,
         stats_cols=cols,
@@ -709,7 +721,8 @@ def merge_into(
 
 
 def delete_keys(
-    spark: SparkSession, root: str, keys: DataFrame
+    spark: SparkSession, root: str, keys: DataFrame,
+    txn_id: str | None = None,
 ) -> int:
     """Merge-on-read DELETE: commits the keys as a DELETION-VECTOR
     sidecar instead of rewriting any data file — the commit is
@@ -721,7 +734,13 @@ def delete_keys(
     the table format) rather than positional bitmaps: plain parquet
     needs no stable row ids, and the anti-join broadcasts while the
     debt is small. Repeated deletes append further vectors; deleting
-    already-deleted keys is idempotent by construction."""
+    already-deleted keys is idempotent by construction; ``txn_id``
+    additionally short-circuits a RETRIED delete command entirely (no
+    duplicate vector files)."""
+    if txn_id is not None:
+        seen = committed_txn(root, txn_id)
+        if seen is not None:
+            return seen
     version = table_version(root)
     if version == 0:
         raise ValueError(f"delete_keys target {root} does not exist")
@@ -741,6 +760,7 @@ def delete_keys(
         [],
         [],
         "delete",
+        txn_id=txn_id,
         expected_version=version,
         stats=manifest.get("stats", {}),
         stats_cols=manifest.get("stats_cols", []),

@@ -703,3 +703,21 @@ def test_feed_mv_sink_tails_manifest_log(spark, tmp_path):
     start_feed_mv_sink(*args, checkpoint=ck).awaitTermination()
     got2 = {r.g: r.n_rows for r in read_version(spark, mv).collect()}
     assert sum(got2.values()) == sum(got[k][0] for k in got) + 10
+
+
+def test_maintenance_txns_are_idempotent(spark, root):
+    """Retried CDC commands must not double-apply: merge_into and
+    delete_keys short-circuit on an already-committed txn_id."""
+    write_version(spark, _clustered(spark, 0, 100), root, stats_cols=["id"])
+    src = spark.range(0, 5).select("id", F.lit(-1).alias("v"))
+    v = merge_into(spark, src, root, ["id"], txn_id="cmd:merge:1")
+    assert merge_into(spark, src, root, ["id"], txn_id="cmd:merge:1") == v
+    got = {r.id: r.v for r in read_version(spark, root).collect()}
+    assert got[0] == -1 and len(got) == 100
+    d = delete_keys(spark, root, spark.range(50, 60).select("id"),
+                    txn_id="cmd:del:1")
+    files_before = _data_files(root)
+    assert delete_keys(spark, root, spark.range(50, 60).select("id"),
+                       txn_id="cmd:del:1") == d
+    assert table_version(root) == d and _data_files(root) == files_before
+    assert len(_ids(read_version(spark, root))) == 90
