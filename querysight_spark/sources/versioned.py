@@ -547,9 +547,23 @@ def vacuum(root: str, retain_from: int) -> list[str]:
     """Delete data files unreachable from every manifest >=
     ``retain_from`` (and drop the older manifests). Time-travel before
     ``retain_from`` dies here — this is the one destructive operation,
-    so it returns the deleted paths for the caller's audit log."""
+    so it returns the deleted paths for the caller's audit log.
+
+    Before dropping history, vacuum writes a manifest CHECKPOINT so
+    the txn-id map of the deleted manifests survives — a very late
+    retry of an old streaming batch must still find its txn committed
+    (no double-append), even though the manifest that carried it is
+    gone. Superseded checkpoints are dropped; the newest one stays."""
     latest = table_version(root)
     retain_from = min(retain_from, latest)
+    checkpoint_manifest(root)
+    mdir = os.path.join(root, _MANIFESTS)
+    ckpts = sorted(
+        f for f in os.listdir(mdir)
+        if f.startswith("ckpt-") and f.endswith(".json")
+    )
+    for stale in ckpts[:-1]:
+        os.unlink(os.path.join(mdir, stale))
     keep: set[str] = set()
     for v in range(retain_from, latest + 1):
         m = read_manifest(root, v)

@@ -721,3 +721,31 @@ def test_maintenance_txns_are_idempotent(spark, root):
                        txn_id="cmd:del:1") == d
     assert table_version(root) == d and _data_files(root) == files_before
     assert len(_ids(read_version(spark, root))) == 90
+
+
+def test_vacuum_preserves_txn_idempotency_via_checkpoint(spark, root):
+    """A late retry of a vacuumed-away txn must still no-op: vacuum
+    checkpoints the txn map before dropping old manifests, and keeps
+    only the newest checkpoint file."""
+    from querysight_spark.sources.versioned import checkpoint_manifest
+
+    for k in range(5):
+        write_version(spark, _df(spark, k * 3, k * 3 + 3), root,
+                      txn_id=f"b:{k}")
+    checkpoint_manifest(root)  # an older checkpoint to supersede
+    write_version(spark, _df(spark, 50, 53), root, txn_id="b:5")
+    vacuum(root, retain_from=5)
+    assert not os.path.exists(
+        os.path.join(root, "_manifests", "v00000002.json")
+    )
+    # retried txns from the vacuumed era: no-op, no new version
+    assert write_version(spark, _df(spark, 0, 3), root, txn_id="b:1") == 2
+    assert table_version(root) == 6
+    ckpts = [
+        f for f in os.listdir(os.path.join(root, "_manifests"))
+        if f.startswith("ckpt-")
+    ]
+    assert len(ckpts) == 1
+    assert _ids(read_version(spark, root)) == sorted(
+        list(range(15)) + [50, 51, 52]
+    )
