@@ -85,6 +85,7 @@ def messages_api_complete(
     api_key: str | None = None,
     api_key_header: str = "x-api-key",
     version: str | None = None,
+    version_header: str = "x-api-version",
     temperature: float = 0.0,
     max_tokens: int = 512,
     timeout_s: float = 30.0,
@@ -93,8 +94,12 @@ def messages_api_complete(
     protocol shape: a ``/v1/messages`` endpoint taking
     ``{model, max_tokens, messages:[{role,content}]}`` and answering
     ``{content: [{type: "text", text: ...}]}``, with the key in a named
-    header (default ``x-api-key``) and an optional dated ``*-version``
-    header. Together with ``openai_compatible_complete`` this covers the
+    header (default ``x-api-key``) and an optional dated version header
+    whose NAME is itself an explicit argument (``version_header``,
+    neutral default ``x-api-version``) — hosted deployments of this
+    protocol shape each publish their own dated header name, and keeping
+    it caller-supplied keeps the engine free of any vendor literal.
+    Together with ``openai_compatible_complete`` this covers the
     two request/response schemas the reference reaches through litellm
     (utils/ai_suggester.py:224-282) — the provider STRING routing
     litellm adds on top is ``with_retries``'s fallback chain here.
@@ -120,7 +125,7 @@ def messages_api_complete(
         if api_key:
             headers[api_key_header] = api_key
         if version:
-            headers["anthropic-version"] = version
+            headers[version_header] = version
         req = urllib.request.Request(url, data=body, headers=headers)
         with urllib.request.urlopen(req, timeout=timeout_s) as resp:
             payload = json.loads(resp.read().decode())

@@ -57,8 +57,10 @@ operations a 100 TB table lives on:
 
 from __future__ import annotations
 
+import bisect
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,6 +69,22 @@ from pyspark.sql import functions as F
 _MANIFESTS = "_manifests"
 _DATA = "data"
 _DV = "dv"
+
+# every data/DV directory is named c{claimed_version:08d}-{hex} at write
+# time — the commit number embedded in the path is each file's vintage
+_COMMIT_DIR_RE = re.compile(r"(?:^|/)c(\d{8})-[0-9a-f]+/")
+
+
+def _commit_of(rel: str) -> int:
+    """The commit number embedded in a data/DV file's path (its write
+    VINTAGE). Appends that lose a manifest race land at a higher version
+    than their directory name, but never lower — so ``vintage(file) <
+    vintage(dv)`` is exactly "the file's rows were already visible when
+    the delete was computed", the per-file scope a deletion vector
+    applies to. Unrecognized paths report 0 (oldest: every DV applies),
+    the conservative pre-scoping behavior."""
+    m = _COMMIT_DIR_RE.search(rel)
+    return int(m.group(1)) if m else 0
 
 
 def _manifest_path(root: str, version: int) -> str:
@@ -372,7 +390,8 @@ def pruned_files(
     O(files x predicates) comparisons against the already-loaded
     manifest, the planning step the public formats run before any task
     launches. Files without a zone map for a column are kept by that
-    predicate (conservative)."""
+    predicate (conservative); a ``None`` bound is open-ended (treated
+    as -inf/+inf), so ``(col, lo, None)`` means ``col >= lo``."""
     preds = col if isinstance(col, list) else [(col, lo, hi)]
     manifest = read_manifest(root, version)
     stats = manifest.get("stats", {})
@@ -381,11 +400,60 @@ def pruned_files(
         zones = stats.get(f, {})
         dead = any(
             zones.get(c) is not None
-            and (zones[c][1] < plo or zones[c][0] > phi)
+            and (
+                (plo is not None and zones[c][1] < plo)
+                or (phi is not None and zones[c][0] > phi)
+            )
             for c, plo, phi in preds
         )
         (skipped if dead else kept).append(f)
     return kept, skipped
+
+
+def _read_with_dvs(
+    spark: SparkSession,
+    root: str,
+    files: list[str],
+    dvs: list[str],
+    dv_key: list[str],
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Read ``files`` with deletion vectors applied PER-FILE-SCOPE: a
+    vector tombstones only rows in files committed strictly before it
+    (``_commit_of``), so a key re-inserted AFTER its delete stays
+    visible — the file-scoped merge-on-read contract the public formats
+    implement with per-file DV pointers, recovered here from the commit
+    number every path already carries. Files sharing the same applicable
+    DV suffix read as one scan, so a table with one delete commit and no
+    later appends plans exactly the single anti-join it always did."""
+    dvs_sorted = sorted(dvs, key=_commit_of)
+    ws = [_commit_of(d) for d in dvs_sorted]
+    groups: dict[int, list[str]] = {}
+    for f in files:
+        # applicable DVs = the suffix with vintage > the file's vintage
+        idx = bisect.bisect_right(ws, _commit_of(f))
+        groups.setdefault(idx, []).append(f)
+    out: DataFrame | None = None
+    for idx in sorted(groups):
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        part = reader.parquet(*[os.path.join(root, f) for f in groups[idx]])
+        if dvs_sorted[idx:]:
+            # no broadcast hint: Spark's size estimate (file-backed)
+            # picks broadcast while the DV is small and falls back to a
+            # shuffled anti-join if delete debt grows past the
+            # threshold — compact_table is the cure, not an OOM'd hint
+            tombstones = spark.read.parquet(
+                *[os.path.join(root, d) for d in dvs_sorted[idx:]]
+            )
+            part = part.join(tombstones, on=dv_key, how="left_anti")
+        out = (
+            part
+            if out is None
+            else out.unionByName(part, allowMissingColumns=merge_schema)
+        )
+    return out
 
 
 def read_version(
@@ -412,8 +480,11 @@ def read_version(
     snapshot's schema.
 
     ``apply_dvs``: when the snapshot carries deletion vectors (see
-    ``delete_keys``), reads anti-join them by default — merge-on-read.
-    Pass False to see the raw files (e.g. for compaction internals)."""
+    ``delete_keys``), reads anti-join them by default — merge-on-read,
+    scoped per file so a vector only tombstones rows committed before
+    it (a key re-inserted by a later append stays visible; see
+    ``_read_with_dvs``). Pass False to see the raw files (e.g. for
+    compaction internals)."""
     if version is None:
         version = table_version(root)
     manifest = read_manifest(root, version)
@@ -432,26 +503,25 @@ def read_version(
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    if kept:
-        df = reader.parquet(*[os.path.join(root, f) for f in kept])
-    else:
+    if not kept:
         # predicate excluded every file; keep the schema contract
         df = (
             reader.parquet(os.path.join(root, files[0]))
             .where(F.lit(False))
         )
+    elif apply_dvs and manifest.get("dvs"):
+        df = _read_with_dvs(
+            spark, root, kept, manifest["dvs"], manifest["dv_key"],
+            merge_schema=merge_schema,
+        )
+    else:
+        df = reader.parquet(*[os.path.join(root, f) for f in kept])
     if preds is not None:
         for c, plo, phi in preds:
-            df = df.where(F.col(c).between(F.lit(plo), F.lit(phi)))
-    if apply_dvs and manifest.get("dvs"):
-        tombstones = spark.read.parquet(
-            *[os.path.join(root, f) for f in manifest["dvs"]]
-        )
-        # no broadcast hint: Spark's size estimate (file-backed) picks
-        # broadcast while the DV is small and falls back to a shuffled
-        # anti-join if delete debt grows past the threshold —
-        # compact_table is the cure for that state, not an OOM'd hint
-        df = df.join(tombstones, on=manifest["dv_key"], how="left_anti")
+            if plo is not None:
+                df = df.where(F.col(c) >= F.lit(plo))
+            if phi is not None:
+                df = df.where(F.col(c) <= F.lit(phi))
     return df
 
 
@@ -554,6 +624,10 @@ def vacuum(root: str, retain_from: int) -> list[str]:
     retry of an old streaming batch must still find its txn committed
     (no double-append), even though the manifest that carried it is
     gone. Superseded checkpoints are dropped; the newest one stays."""
+    if retain_from < 1:
+        raise ValueError(
+            f"vacuum retain_from must be >= 1, got {retain_from}"
+        )
     latest = table_version(root)
     retain_from = min(retain_from, latest)
     checkpoint_manifest(root)
@@ -747,7 +821,11 @@ def delete_keys(
     the affected files. Key-based tombstones (the ir10 discipline on
     the table format) rather than positional bitmaps: plain parquet
     needs no stable row ids, and the anti-join broadcasts while the
-    debt is small. Repeated deletes append further vectors; deleting
+    debt is small. Vectors are PER-FILE SCOPED on read (via the commit
+    number in every path): a vector tombstones only rows committed
+    before it, so appending a deleted key later RE-INSERTS it — reads,
+    the change feed, and compaction all agree (``_read_with_dvs``).
+    Repeated deletes append further vectors; deleting
     already-deleted keys is idempotent by construction; ``txn_id``
     additionally short-circuits a RETRIED delete command entirely (no
     duplicate vector files)."""
@@ -806,9 +884,12 @@ def compact_table(spark: SparkSession, root: str) -> int:
     )
     new_files: list[str] = []
     if touched:
-        kept_rows = spark.read.parquet(
-            *[os.path.join(root, f) for f in touched]
-        ).join(tombstones, on=key_cols, how="left_anti")
+        # per-file DV scoping (matches read_version): a vector folds
+        # only into files committed before it, so a key re-inserted
+        # after its delete survives the compaction
+        kept_rows = _read_with_dvs(
+            spark, root, touched, manifest["dvs"], key_cols
+        )
         commit_dir = os.path.join(
             root, _DATA, f"c{version + 1:08d}-{uuid.uuid4().hex[:8]}"
         )
@@ -1070,11 +1151,19 @@ def read_changes(
         elif m["op"] == "delete":
             new_dvs = [d for d in m["dvs"] if d not in set(prev.get("dvs", []))]
             keys = _read(new_dvs)
-            base = _read(m["files"])
-            if keys is not None and base is not None:
-                prior = _read(prev.get("dvs", []))
-                if prior is not None:
-                    keys = keys.join(prior, m["dv_key"], "left_anti")
+            if keys is not None and m["files"]:
+                # pre-image = the rows LOGICALLY visible at v-1 (prior
+                # DVs applied with per-file scope, matching
+                # read_version): a key already tombstoned and not
+                # re-inserted emits nothing; a re-inserted key's live
+                # row emits as the delete it really is
+                if prev.get("dvs"):
+                    base = _read_with_dvs(
+                        spark, root, prev["files"], prev["dvs"],
+                        prev["dv_key"],
+                    )
+                else:
+                    base = _read(prev["files"])
                 typed = base.join(
                     keys.distinct(), m["dv_key"], "left_semi"
                 ).withColumn("_change_type", F.lit("delete"))
@@ -1084,15 +1173,17 @@ def read_changes(
                     f"read_changes needs key_cols to diff the {m['op']} "
                     f"commit at v{v}"
                 )
-            old = _read(m["removed"])
             # the LOGICAL pre-image: rows already tombstoned before this
             # commit were deleted (and emitted) by their DV commit — a
-            # compaction folding them must read as silence, not deletes
-            prior_dvs = _read(prev.get("dvs", []))
-            if old is not None and prior_dvs is not None:
-                old = old.join(
-                    prior_dvs.distinct(), prev["dv_key"], "left_anti"
+            # compaction folding them must read as silence, not deletes.
+            # Prior DVs apply per-file-scoped (matching read_version) so
+            # a re-inserted row's removal still reads as a real change.
+            if m["removed"] and prev.get("dvs"):
+                old = _read_with_dvs(
+                    spark, root, m["removed"], prev["dvs"], prev["dv_key"]
                 )
+            else:
+                old = _read(m["removed"])
             new = _read(m["added"])
             if old is None and new is None:
                 typed = None

@@ -330,7 +330,7 @@ def test_messages_api_provider_round_trip(spark, model_map):
             body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
             seen["path"] = self.path
             seen["key"] = self.headers.get("x-api-key")
-            seen["version"] = self.headers.get("anthropic-version")
+            seen["version"] = self.headers.get("x-dated-version")
             seen["model"] = body["model"]
             seen["max_tokens"] = body["max_tokens"]
             content = (
@@ -364,6 +364,7 @@ def test_messages_api_provider_round_trip(spark, model_map):
             model="m-test",
             api_key="k-123",
             version="2023-06-01",
+            version_header="x-dated-version",
         )
         pats = _patterns(
             spark,

@@ -749,3 +749,74 @@ def test_vacuum_preserves_txn_idempotency_via_checkpoint(spark, root):
     assert _ids(read_version(spark, root)) == sorted(
         list(range(15)) + [50, 51, 52]
     )
+
+
+def test_dv_scope_reinsert_after_delete(spark, root):
+    """Deletion vectors are PER-FILE SCOPED: a key appended AFTER its
+    delete is visible again — reads, the change feed, and a second
+    delete all agree (the append-shadowing bug class where a carried
+    vector silently hides re-inserted rows until compaction)."""
+    from querysight_spark.sources.versioned import (
+        delete_keys,
+        read_changes,
+    )
+
+    write_version(spark, _df(spark, 0, 10), root, stats_cols=["id"])
+    delete_keys(spark, root, spark.range(3, 5).select("id"))
+    assert _ids(read_version(spark, root)) == [0, 1, 2, 5, 6, 7, 8, 9]
+    # re-insert one of the deleted keys: the older vector must not
+    # shadow the new row
+    write_version(spark, _df(spark, 3, 4), root)
+    assert _ids(read_version(spark, root)) == [0, 1, 2, 3, 5, 6, 7, 8, 9]
+    ch = read_changes(spark, root, 2, 3, key_cols=["id"]).collect()
+    assert [(r.id, r._change_type) for r in ch] == [(3, "insert")]
+    # deleting the re-inserted key again is a REAL change: the feed
+    # emits its live pre-image row, and the read hides it
+    delete_keys(spark, root, spark.range(3, 4).select("id"))
+    ch = read_changes(spark, root, 3, 4, key_cols=["id"]).collect()
+    assert [(r.id, r.v, r._change_type) for r in ch] == [(3, 30, "delete")]
+    assert _ids(read_version(spark, root)) == [0, 1, 2, 5, 6, 7, 8, 9]
+
+
+def test_compact_preserves_reinserted_rows(spark, root):
+    """Compaction folds each vector only into files older than it, so a
+    re-inserted key survives the rewrite; the fold itself stays
+    logically silent in the change feed."""
+    from querysight_spark.sources.versioned import (
+        compact_table,
+        delete_keys,
+        read_changes,
+    )
+
+    write_version(spark, _df(spark, 0, 10), root, stats_cols=["id"])
+    delete_keys(spark, root, spark.range(3, 5).select("id"))
+    write_version(spark, _df(spark, 3, 4), root)
+    before = _ids(read_version(spark, root))
+    v = compact_table(spark, root)
+    assert read_manifest(root, v)["dvs"] == []
+    assert _ids(read_version(spark, root)) == before
+    assert before == [0, 1, 2, 3, 5, 6, 7, 8, 9]
+    assert read_changes(spark, root, v - 1, v, key_cols=["id"]).count() == 0
+
+
+def test_open_ended_prune_and_vacuum_validation(spark, root):
+    """pruned_files/read_version treat a None bound as open-ended
+    (col >= lo or col <= hi); vacuum rejects retain_from < 1 loudly."""
+    from querysight_spark.sources.versioned import pruned_files
+
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 10).alias("v")
+    ).repartitionByRange(4, "id")
+    write_version(spark, df, root, stats_cols=["id"])
+    kept_lo, skipped_lo = pruned_files(root, 1, "id", 80, None)
+    assert skipped_lo  # zone maps prune the low files
+    assert _ids(read_version(spark, root, prune=("id", 80, None))) == list(
+        range(80, 100)
+    )
+    kept_hi, skipped_hi = pruned_files(root, 1, "id", None, 19)
+    assert skipped_hi
+    assert _ids(read_version(spark, root, prune=("id", None, 19))) == list(
+        range(20)
+    )
+    with pytest.raises(ValueError, match="retain_from"):
+        vacuum(root, 0)
