@@ -117,13 +117,10 @@ def bm25_topk(
     stats as a 1×1 broadcast, doc lengths joined on the doc key, global
     top-k via TakeOrderedAndProject (sort key = rounded score, ties by
     id — fully deterministic). No driver-side collect anywhere."""
-    from pyspark.storagelevel import StorageLevel
-
-    # lens feeds the corpus stats AND the per-doc join; persist the tiny
-    # (id, dl) table so the raw corpus isn't re-scanned per consumer
-    lens = _doc_lengths(df, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # lens feeds the corpus stats AND the per-doc join; localCheckpoint
+    # (not a session-lived persist) materializes the tiny (id, dl) table
+    # once without leaking cached blocks past this query
+    lens = _doc_lengths(df, id_col, text_col).localCheckpoint(eager=True)
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
@@ -173,6 +170,7 @@ def build_text_index(
     )
     lens.write.mode("overwrite").parquet(f"{path}/lens")
     stats.write.mode("overwrite").parquet(f"{path}/stats")
+    lens.unpersist()
 
 
 def bm25_topk_indexed(
@@ -270,6 +268,11 @@ def build_text_index_upsertable(
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        # exact integer token total: incremental stats merges add/
+        # subtract this and DERIVE avgdl, so repeated upserts/deletes
+        # accumulate zero float drift (scores stay bit-identical to a
+        # rebuild at any delta depth)
+        F.sum("dl").cast("long").alias("total_dl"),
     )
     # three consumers (postings, forward, termdf) — materialize the
     # tokenize+count once instead of re-executing it per write
@@ -313,12 +316,86 @@ def build_text_index_upsertable(
         json.dump({"n_buckets": n_buckets}, f)
 
 
+def _txn_paths(path: str, txn_id: str) -> tuple[str, str, str, str]:
+    """(commit marker, pending pre-listing, stage dir, stage-done marker)
+    for one index-maintenance transaction."""
+    import os
+
+    d = os.path.join(path, "txns")
+    return (
+        os.path.join(d, f"{txn_id}.json"),
+        os.path.join(d, f"{txn_id}.pending.json"),
+        os.path.join(d, f"{txn_id}.stage"),
+        os.path.join(d, f"{txn_id}.stage.done.json"),
+    )
+
+
+def _dir_listing(path: str, subs: list[str]) -> dict[str, list[str]]:
+    """Relative parquet-file listing of each append-only subdir — the
+    pre-write snapshot a crashed transaction rolls back to."""
+    import os
+
+    out: dict[str, list[str]] = {}
+    for sub in subs:
+        root = os.path.join(path, sub)
+        names = []
+        for dirpath, _dirs, files in os.walk(root):
+            for name in files:
+                if name.endswith(".parquet"):
+                    names.append(
+                        os.path.relpath(os.path.join(dirpath, name), root)
+                    )
+        out[sub] = sorted(names)
+    return out
+
+
+def _rollback_strays(path: str, listing: dict[str, list[str]]) -> None:
+    """Delete parquet files a crashed attempt appended (present on disk,
+    absent from the pre-write listing) — append rollback; destructive
+    pieces republish from the immutable stage instead."""
+    import os
+
+    for sub, names in listing.items():
+        keep = set(names)
+        root = os.path.join(path, sub)
+        for dirpath, _dirs, files in os.walk(root):
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, name)
+                if os.path.relpath(full, root) not in keep:
+                    os.unlink(full)
+
+
+def _atomic_json(target: str, payload: dict) -> None:
+    import json
+    import os
+    import uuid
+
+    os.makedirs(os.path.dirname(target), exist_ok=True)
+    tmp = target + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, target)
+
+
+def _stats_total(s_old) -> int:
+    """Exact token total from a stats row: the integer ``total_dl`` when
+    the index carries it, else reconstructed once from avgdl x n_docs
+    (pre-upgrade indexes; exact thereafter since we write total_dl)."""
+    d = s_old.asDict()
+    if d.get("total_dl") is not None:
+        return int(d["total_dl"])
+    return round(float(d["avgdl"]) * int(d["n_docs"]))
+
+
 def upsert_text_index(
     spark,
     path: str,
     delta: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    txn_id: str | None = None,
 ) -> int:
     """Absorb a DELTA corpus into a ``build_text_index_upsertable``
     layout in O(delta + affected termdf buckets) — the corpus postings
@@ -329,16 +406,42 @@ def upsert_text_index(
        the delta touches are read, merged (old count + delta count), and
        dynamically overwritten (untouched buckets' files stay put);
     3. lens appends; stats merges incrementally from the old 1-row stats
-       and the delta's own summary (no corpus re-scan anywhere).
+       and the delta's own summary (no corpus re-scan anywhere), on the
+       exact integer token total (zero drift across deltas).
 
     Delta doc ids must be NEW (append-only corpus — the ss13/dd09 delta
     contract); re-delivering an existing id double-counts it, so feed
     re-pushed dumps through a dedup stage (st03/st07) first. Returns the
-    number of delta documents absorbed."""
+    number of delta documents absorbed.
+
+    ``txn_id`` makes the multi-write upsert CRASH-ATOMIC (the versioned
+    table's txn discipline): a committed txn no-ops on retry, and a
+    retry of a CRASHED attempt first rolls back its partial appends
+    (pre-write file listing) and republishes the destructive pieces
+    from an immutable stage computed before any live write — so a
+    foreachBatch replay can never duplicate postings or double-count
+    df_t. Without ``txn_id`` the five writes are NOT atomic: a crash
+    between them leaves a partially absorbed delta, and replay safety
+    falls to the caller (``start_index_absorb`` passes a per-epoch
+    txn id for exactly this reason)."""
     import json
+    import os
+    import shutil
 
     with open(f"{path}/_index_meta.json") as f:
         n_buckets = json.load(f)["n_buckets"]
+    append_subs = ["postings", "forward", "lens"]
+    if txn_id is not None:
+        commit_p, pending_p, stage_p, done_p = _txn_paths(path, txn_id)
+        if os.path.exists(commit_p):
+            with open(commit_p) as f:
+                return int(json.load(f)["count"])
+        if os.path.exists(pending_p):
+            # crashed attempt: roll its partial appends back first
+            with open(pending_p) as f:
+                _rollback_strays(path, json.load(f))
+        else:
+            _atomic_json(pending_p, _dir_listing(path, append_subs))
     # two consumers each (write + merge / stats) — localCheckpoint, not a
     # session-lived persist (the r5 cache-hygiene discipline), and it
     # also breaks the read-modify-write cycle on termdf below
@@ -350,6 +453,60 @@ def upsert_text_index(
         .withColumn("term_bucket", _term_bucket_col(n_buckets))
         .localCheckpoint(eager=True)
     )
+    if txn_id is not None and os.path.exists(done_p):
+        # stage survives from the crashed attempt — computed from the
+        # pre-write state, so it is the correct final image no matter
+        # how far the crashed publication got
+        merged = spark.read.parquet(os.path.join(stage_p, "termdf"))
+        new_stats = spark.read.parquet(os.path.join(stage_p, "stats"))
+        with open(done_p) as f:
+            n_delta = int(json.load(f)["count"])
+    else:
+        affected = [
+            r.term_bucket
+            for r in delta_post.select("term_bucket").distinct().collect()
+        ]
+        delta_df_t = delta_post.groupBy("term_bucket", "term").agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        old = (
+            spark.read.parquet(f"{path}/termdf")
+            .where(F.col("term_bucket").isin(affected))
+            .select("term_bucket", "term", "df_t")
+        )
+        merged = (
+            old.join(delta_df_t, ["term_bucket", "term"], "full")
+            .select(
+                "term_bucket",
+                "term",
+                (
+                    F.coalesce(F.col("df_t"), F.lit(0))
+                    + F.coalesce(F.col("d"), F.lit(0))
+                ).alias("df_t"),
+            )
+            .localCheckpoint(eager=True)  # materialize BEFORE overwrite
+        )
+        s_old = spark.read.parquet(f"{path}/stats").collect()[0]
+        s_new = delta_lens.agg(
+            F.count(F.lit(1)).alias("dn"), F.sum("dl").alias("dsum")
+        ).collect()[0]
+        n = int(s_old.n_docs) + int(s_new.dn)
+        total = _stats_total(s_old) + int(s_new.dsum or 0)
+        new_stats = spark.createDataFrame(
+            [(n, total / n, total)],
+            "n_docs bigint, avgdl double, total_dl bigint",
+        )
+        n_delta = int(s_new.dn)
+        if txn_id is not None:
+            merged.write.mode("overwrite").parquet(
+                os.path.join(stage_p, "termdf")
+            )
+            new_stats.write.mode("overwrite").parquet(
+                os.path.join(stage_p, "stats")
+            )
+            _atomic_json(done_p, {"count": n_delta})
+            merged = spark.read.parquet(os.path.join(stage_p, "termdf"))
+            new_stats = spark.read.parquet(os.path.join(stage_p, "stats"))
     (
         delta_post.repartition("term_bucket")
         .sortWithinPartitions("term")
@@ -366,30 +523,7 @@ def upsert_text_index(
         .mode("append")
         .parquet(f"{path}/forward")
     )
-    affected = [
-        r.term_bucket
-        for r in delta_post.select("term_bucket").distinct().collect()
-    ]
-    delta_df_t = delta_post.groupBy("term_bucket", "term").agg(
-        F.count(F.lit(1)).alias("d")
-    )
-    old = (
-        spark.read.parquet(f"{path}/termdf")
-        .where(F.col("term_bucket").isin(affected))
-        .select("term_bucket", "term", "df_t")
-    )
-    merged = (
-        old.join(delta_df_t, ["term_bucket", "term"], "full")
-        .select(
-            "term_bucket",
-            "term",
-            (
-                F.coalesce(F.col("df_t"), F.lit(0))
-                + F.coalesce(F.col("d"), F.lit(0))
-            ).alias("df_t"),
-        )
-        .localCheckpoint(eager=True)  # materialize BEFORE overwriting source
-    )
+    delta_lens.write.mode("append").parquet(f"{path}/lens")
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -402,17 +536,13 @@ def upsert_text_index(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    delta_lens.write.mode("append").parquet(f"{path}/lens")
-    s_old = spark.read.parquet(f"{path}/stats").collect()[0]
-    s_new = delta_lens.agg(
-        F.count(F.lit(1)).alias("dn"), F.sum("dl").alias("dsum")
-    ).collect()[0]
-    n = int(s_old.n_docs) + int(s_new.dn)
-    total = float(s_old.avgdl) * int(s_old.n_docs) + float(s_new.dsum or 0.0)
-    spark.createDataFrame(
-        [(n, total / n)], "n_docs bigint, avgdl double"
-    ).write.mode("overwrite").parquet(f"{path}/stats")
-    return int(s_new.dn)
+    new_stats.write.mode("overwrite").parquet(f"{path}/stats")
+    if txn_id is not None:
+        _atomic_json(commit_p, {"count": n_delta})
+        os.unlink(pending_p)
+        shutil.rmtree(stage_p, ignore_errors=True)
+        os.unlink(done_p)
+    return n_delta
 
 
 def delete_from_text_index(
@@ -420,6 +550,7 @@ def delete_from_text_index(
     path: str,
     ids: DataFrame,
     id_col: str = "doc_id",
+    txn_id: str | None = None,
 ) -> int:
     """Right-to-be-forgotten for the upsertable index in O(deleted docs
     + touched termdf buckets) — the corpus postings never rewrite:
@@ -439,54 +570,123 @@ def delete_from_text_index(
     a re-delivered delete request decrements nothing twice. A deleted id
     must never be re-upserted (tombstones are forever until compaction;
     the upsert contract already requires globally-new ids). Returns the
-    number of documents actually deleted."""
+    number of documents actually deleted.
+
+    ``txn_id``: same crash-atomicity discipline as ``upsert_text_index``
+    — a committed delete no-ops on retry; a crashed attempt rolls back
+    its partial tombstone append and republishes termdf/stats from the
+    immutable stage. Without it the tombstone append lands FIRST (the
+    data-level marker), so a crash between writes leaves df_t counts
+    conservatively high rather than double-decremented, and a retry
+    re-absorbs nothing."""
     import json
     import os
+    import shutil
 
     with open(f"{path}/_index_meta.json") as f:
         n_buckets = json.load(f)["n_buckets"]
-    todo = ids.select(F.col(id_col)).distinct()
-    if os.path.exists(f"{path}/deletes"):
-        done = spark.read.parquet(f"{path}/deletes").select(id_col)
-        todo = todo.join(done, id_col, "left_anti")
-    todo = todo.withColumn(
-        "doc_bucket", _doc_bucket_col(id_col, n_buckets)
-    ).localCheckpoint(eager=True)
-    doc_buckets = [
-        r.doc_bucket
-        for r in todo.select("doc_bucket").distinct().collect()
-    ]
-    if not doc_buckets:
-        return 0
-    fwd = (
-        spark.read.parquet(f"{path}/forward")
-        .where(F.col("doc_bucket").isin(doc_buckets))
-        .join(todo.select(id_col), id_col, "left_semi")  # only indexed ids
-        .localCheckpoint(eager=True)  # consumers: df_t dec, stats, tombstones
-    )
-    dec = (
-        fwd.withColumn("term_bucket", _term_bucket_col(n_buckets))
-        .groupBy("term_bucket", "term")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    affected = [
-        r.term_bucket for r in dec.select("term_bucket").distinct().collect()
-    ]
-    old = (
-        spark.read.parquet(f"{path}/termdf")
-        .where(F.col("term_bucket").isin(affected))
-        .select("term_bucket", "term", "df_t")
-    )
-    merged = (
-        old.join(dec, ["term_bucket", "term"], "left")
-        .select(
-            "term_bucket",
-            "term",
-            (F.col("df_t") - F.coalesce(F.col("d"), F.lit(0))).alias("df_t"),
+    if txn_id is not None:
+        commit_p, pending_p, stage_p, done_p = _txn_paths(path, txn_id)
+        if os.path.exists(commit_p):
+            with open(commit_p) as f:
+                return int(json.load(f)["count"])
+        if os.path.exists(pending_p):
+            with open(pending_p) as f:
+                _rollback_strays(path, json.load(f))
+        else:
+            _atomic_json(pending_p, _dir_listing(path, ["deletes"]))
+    if txn_id is not None and os.path.exists(done_p):
+        merged = spark.read.parquet(os.path.join(stage_p, "termdf"))
+        new_stats = spark.read.parquet(os.path.join(stage_p, "stats"))
+        gone_ids = spark.read.parquet(os.path.join(stage_p, "tombstones"))
+        with open(done_p) as f:
+            n_del = int(json.load(f)["count"])
+    else:
+        todo = ids.select(F.col(id_col)).distinct()
+        if os.path.exists(f"{path}/deletes"):
+            done = spark.read.parquet(f"{path}/deletes").select(id_col)
+            todo = todo.join(done, id_col, "left_anti")
+        todo = todo.withColumn(
+            "doc_bucket", _doc_bucket_col(id_col, n_buckets)
+        ).localCheckpoint(eager=True)
+        doc_buckets = [
+            r.doc_bucket
+            for r in todo.select("doc_bucket").distinct().collect()
+        ]
+        if not doc_buckets:
+            if txn_id is not None:
+                _atomic_json(commit_p, {"count": 0})
+                os.unlink(pending_p)
+            return 0
+        fwd = (
+            spark.read.parquet(f"{path}/forward")
+            .where(F.col("doc_bucket").isin(doc_buckets))
+            .join(todo.select(id_col), id_col, "left_semi")  # indexed ids
+            .localCheckpoint(eager=True)  # df_t dec, stats, tombstones
         )
-        .where(F.col("df_t") > 0)
-        .localCheckpoint(eager=True)  # materialize BEFORE overwriting source
-    )
+        dec = (
+            fwd.withColumn("term_bucket", _term_bucket_col(n_buckets))
+            .groupBy("term_bucket", "term")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        affected = [
+            r.term_bucket
+            for r in dec.select("term_bucket").distinct().collect()
+        ]
+        old = (
+            spark.read.parquet(f"{path}/termdf")
+            .where(F.col("term_bucket").isin(affected))
+            .select("term_bucket", "term", "df_t")
+        )
+        merged = (
+            old.join(dec, ["term_bucket", "term"], "left")
+            .select(
+                "term_bucket",
+                "term",
+                (
+                    F.col("df_t") - F.coalesce(F.col("d"), F.lit(0))
+                ).alias("df_t"),
+            )
+            .where(F.col("df_t") > 0)
+            .localCheckpoint(eager=True)  # materialize BEFORE overwrite
+        )
+        gone = fwd.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+        s_del = gone.agg(
+            F.count(F.lit(1)).alias("dn"), F.sum("dl").alias("dsum")
+        ).collect()[0]
+        n_del = int(s_del.dn)
+        if not n_del:
+            if txn_id is not None:
+                _atomic_json(commit_p, {"count": 0})
+                os.unlink(pending_p)
+            return 0
+        s_old = spark.read.parquet(f"{path}/stats").collect()[0]
+        n = int(s_old.n_docs) - n_del
+        total = _stats_total(s_old) - int(s_del.dsum)
+        new_stats = spark.createDataFrame(
+            [(n, total / n if n else 0.0, total)],
+            "n_docs bigint, avgdl double, total_dl bigint",
+        )
+        gone_ids = gone.select(id_col).localCheckpoint(eager=True)
+        if txn_id is not None:
+            merged.write.mode("overwrite").parquet(
+                os.path.join(stage_p, "termdf")
+            )
+            new_stats.write.mode("overwrite").parquet(
+                os.path.join(stage_p, "stats")
+            )
+            gone_ids.write.mode("overwrite").parquet(
+                os.path.join(stage_p, "tombstones")
+            )
+            _atomic_json(done_p, {"count": n_del})
+            merged = spark.read.parquet(os.path.join(stage_p, "termdf"))
+            new_stats = spark.read.parquet(os.path.join(stage_p, "stats"))
+            gone_ids = spark.read.parquet(
+                os.path.join(stage_p, "tombstones")
+            )
+    # tombstones FIRST: they are the data-level idempotency marker, so a
+    # crash mid-sequence leaves a retry decrementing nothing twice
+    gone_ids.write.mode("append").parquet(f"{path}/deletes")
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -499,19 +699,13 @@ def delete_from_text_index(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    gone = fwd.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    s_del = gone.agg(
-        F.count(F.lit(1)).alias("dn"), F.sum("dl").alias("dsum")
-    ).collect()[0]
-    if int(s_del.dn):
-        s_old = spark.read.parquet(f"{path}/stats").collect()[0]
-        n = int(s_old.n_docs) - int(s_del.dn)
-        total = float(s_old.avgdl) * int(s_old.n_docs) - float(s_del.dsum)
-        spark.createDataFrame(
-            [(n, total / n if n else 0.0)], "n_docs bigint, avgdl double"
-        ).write.mode("overwrite").parquet(f"{path}/stats")
-        gone.select(id_col).write.mode("append").parquet(f"{path}/deletes")
-    return int(s_del.dn)
+    new_stats.write.mode("overwrite").parquet(f"{path}/stats")
+    if txn_id is not None:
+        _atomic_json(commit_p, {"count": n_del})
+        os.unlink(pending_p)
+        shutil.rmtree(stage_p, ignore_errors=True)
+        os.unlink(done_p)
+    return n_del
 
 
 def compact_text_index(spark, path: str) -> int:

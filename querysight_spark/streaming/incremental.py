@@ -568,16 +568,29 @@ def start_index_absorb(
     micro-batch of new documents upserts in O(batch + touched termdf
     buckets); the base postings never rewrite.
 
-    Replay safety is at the DATA level, not an epoch journal: the
-    index's own ``lens/`` table IS the set of absorbed doc ids, so each
-    batch drops in-batch duplicates and anti-joins lens before
-    absorbing — a re-delivered file (at-least-once sources) or a
-    replayed epoch (foreachBatch crash recovery) re-absorbs nothing.
-    The upsert contract ("delta ids must be new") is therefore enforced
-    here rather than assumed. At 100 TB, bucket lens by the id for a
-    co-located anti-join; the absorb path is unchanged. Returns the
-    started StreamingQuery."""
+    Replay safety is two-layered. DATA level: the index's own ``lens/``
+    table IS the set of absorbed doc ids, so each batch drops in-batch
+    duplicates and anti-joins lens before absorbing — a re-delivered
+    file (at-least-once sources) re-absorbs nothing. TXN level: the
+    upsert itself is multi-write, so each epoch passes a (query id,
+    batch id) txn_id and ``upsert_text_index`` makes the absorb
+    crash-atomic — a foreachBatch retry of an epoch that died BETWEEN
+    the index's writes rolls the partial attempt back and republishes,
+    instead of trusting the lens anti-join (which lands mid-sequence
+    and can miss a half-absorbed batch). The upsert contract ("delta
+    ids must be new") is therefore enforced here rather than assumed.
+    At 100 TB, bucket lens by the id for a co-located anti-join; the
+    absorb path is unchanged. Returns the started StreamingQuery."""
+    import json
+    import os
+
     from querysight_spark.operators.search import upsert_text_index
+
+    def _query_id() -> str:
+        # written by the engine at query start, stable across restarts
+        # on the same checkpoint (the start_versioned_sink discipline)
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            return json.load(f)["id"]
 
     def _absorb(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -589,7 +602,10 @@ def start_index_absorb(
         )
         if fresh.limit(1).count() == 0:
             return
-        upsert_text_index(spark, index_path, fresh, id_col, text_col)
+        upsert_text_index(
+            spark, index_path, fresh, id_col, text_col,
+            txn_id=f"{_query_id()}:{epoch_id}",
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(_absorb)

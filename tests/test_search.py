@@ -573,3 +573,133 @@ def test_upsert_delete_algebra_random_sequences(spark, tmp_path):
             tuple(r)
             for r in bm25_topk_upsertable(spark, path, terms, k=30).collect()
         ], f"seed {seed}: compaction changed the probe"
+
+
+def test_upsert_txn_crash_rollback_and_replay(spark, corpus, tmp_path, monkeypatch):
+    """A txn-stamped upsert that dies BETWEEN its writes (after the live
+    postings append) is rolled back and replayed exactly once on retry:
+    no duplicate postings, no double-counted df_t, scores identical to
+    the in-flight scorer; a retry of the COMMITTED txn no-ops."""
+    import glob
+
+    import pyspark.sql.readwriter as rw
+
+    from querysight_spark.operators.search import (
+        bm25_topk,
+        bm25_topk_upsertable,
+        build_text_index_upsertable,
+        upsert_text_index,
+    )
+
+    base = corpus.where("doc_id <= 3")
+    delta = corpus.where("doc_id > 3")
+    path = str(tmp_path / "ix")
+    build_text_index_upsertable(base, path, n_buckets=4)
+
+    real = rw.DataFrameWriter.parquet
+    state = {"crash": True}
+
+    def flaky(self, p, *a, **kw):
+        out = real(self, p, *a, **kw)
+        if state["crash"] and "txns" not in p and p.endswith("/postings"):
+            state["crash"] = False
+            raise RuntimeError("simulated crash after postings append")
+        return out
+
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", flaky)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        upsert_text_index(spark, path, delta, txn_id="q:7")
+    # the crashed attempt left stray postings files behind
+    assert upsert_text_index(spark, path, delta, txn_id="q:7") == 2
+
+    terms = ["spark", "query", "engine"]
+    got = [
+        (r.doc_id, r.score, r.n_terms_matched)
+        for r in bm25_topk_upsertable(spark, path, terms, k=5).collect()
+    ]
+    flight = [
+        (r.doc_id, r.score, r.n_terms_matched)
+        for r in bm25_topk(corpus, terms, k=5).collect()
+    ]
+    assert got == flight
+    post = spark.read.parquet(path + "/postings")
+    assert (
+        post.groupBy("term", "doc_id").count().where("count > 1").count()
+        == 0
+    )
+    # committed txn: a further retry returns the recorded count and
+    # writes nothing new
+    files_before = sorted(
+        glob.glob(path + "/postings/**/*.parquet", recursive=True)
+    )
+    assert upsert_text_index(spark, path, delta, txn_id="q:7") == 2
+    assert files_before == sorted(
+        glob.glob(path + "/postings/**/*.parquet", recursive=True)
+    )
+
+
+def test_delete_txn_crash_rollback_and_replay(spark, corpus, tmp_path, monkeypatch):
+    """Same crash-atomicity for deletes: a txn attempt dying after the
+    tombstone append rolls back and replays without double-decrementing
+    df_t or double-subtracting stats."""
+    import pyspark.sql.readwriter as rw
+
+    from querysight_spark.operators.search import (
+        build_text_index_upsertable,
+        delete_from_text_index,
+    )
+
+    path = str(tmp_path / "ix")
+    build_text_index_upsertable(corpus, path, n_buckets=4)
+    s0 = spark.read.parquet(path + "/stats").collect()[0]
+
+    real = rw.DataFrameWriter.parquet
+    state = {"crash": True}
+
+    def flaky(self, p, *a, **kw):
+        out = real(self, p, *a, **kw)
+        if state["crash"] and "txns" not in p and p.endswith("/deletes"):
+            state["crash"] = False
+            raise RuntimeError("simulated crash after tombstone append")
+        return out
+
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", flaky)
+    ids = spark.createDataFrame([(4,)], ["doc_id"])
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        delete_from_text_index(spark, path, ids, txn_id="d:1")
+    assert delete_from_text_index(spark, path, ids, txn_id="d:1") == 1
+    # df_t decremented exactly once ('spark' in docs 1 and 4 -> 1)
+    dft = {
+        r.term: r.df_t
+        for r in spark.read.parquet(path + "/termdf").collect()
+    }
+    assert dft["spark"] == 1
+    # one tombstone row, stats subtracted exactly once (doc 4 dl = 6)
+    assert spark.read.parquet(path + "/deletes").count() == 1
+    s1 = spark.read.parquet(path + "/stats").collect()[0]
+    assert int(s1.n_docs) == int(s0.n_docs) - 1
+    assert int(s1.total_dl) == int(s0.total_dl) - 6
+    # committed txn retries no-op
+    assert delete_from_text_index(spark, path, ids, txn_id="d:1") == 1
+    assert spark.read.parquet(path + "/deletes").count() == 1
+
+
+def test_incremental_stats_exact_total(spark, corpus, tmp_path):
+    """Many small upserts accumulate ZERO stats drift: the integer
+    total_dl merges exactly, and avgdl (derived at write) is
+    bit-identical to a one-shot rebuild's."""
+    from querysight_spark.operators.search import (
+        build_text_index_upsertable,
+        upsert_text_index,
+    )
+
+    inc = str(tmp_path / "inc")
+    build_text_index_upsertable(corpus.where("doc_id = 1"), inc, n_buckets=4)
+    for d in range(2, 6):
+        upsert_text_index(spark, inc, corpus.where(f"doc_id = {d}"))
+    full = str(tmp_path / "full")
+    build_text_index_upsertable(corpus, full, n_buckets=4)
+    si = spark.read.parquet(inc + "/stats").collect()[0]
+    sf = spark.read.parquet(full + "/stats").collect()[0]
+    assert (si.n_docs, si.total_dl) == (sf.n_docs, sf.total_dl)
+    assert si.avgdl == sf.avgdl
