@@ -8355,6 +8355,117 @@ def wh07(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "wh08_schema_evolution",
+    """WITH b AS (SELECT MIN(doc_id)
+                    + (MAX(doc_id) - MIN(doc_id)) // 2 AS thr
+              FROM documents),
+       evolved AS (
+         SELECT lang, n_chars,
+                CASE WHEN doc_id > (SELECT thr FROM b)
+                     THEN CAST(n_chars % 97 AS DOUBLE) / 97
+                     ELSE NULL END AS quality
+         FROM documents)
+       SELECT lang, COUNT(*) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+              COUNT(quality) AS n_scored,
+              CAST(SUM(CAST(ROUND(quality * 10000) AS BIGINT)) AS BIGINT)
+                AS quality_bps,
+              TRUE AS evolve_was_metadata_only,
+              TRUE AS feed_silent_on_evolve
+       FROM evolved GROUP BY lang ORDER BY lang""",
+)
+def wh08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION on the versioned table (ALTER TABLE ADD COLUMN
+    as a metadata-only commit): the lower half of the corpus lands
+    pre-evolution, ``evolve_table_schema`` records a ``quality double``
+    column WITHOUT touching a data file (``evolve_was_metadata_only``
+    pins the file list byte-identical), and the upper half appends
+    scored. Reads plan with the manifest-recorded schema, so the old
+    files NULL-backfill — the aggregate over the mixed snapshot must
+    match a from-first-principles oracle, and the row-level change feed
+    reads the evolve commit as silence (``feed_silent_on_evolve``).
+    At 100 TB this is the only affordable ADD COLUMN: the public
+    formats do it in the metadata layer, never as a rewrite
+    (reference has no table format at all — utils/cache_manager.py
+    is latest-only)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from querysight_spark.sources.versioned import (
+        evolve_table_schema,
+        read_changes,
+        read_manifest,
+        read_version,
+        write_version,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"wh08:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"qs_wh08_table_{tag}")
+    done = os.path.join(root, "_build_ok")
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "n_chars"
+    )
+    row = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    thr = row.lo + (row.hi - row.lo) // 2
+    if not os.path.exists(done):
+        write_version(
+            spark,
+            docs.where(F.col("doc_id") <= thr).repartitionByRange(
+                8, "doc_id"
+            ),
+            root,
+            stats_cols=["doc_id"],
+        )
+        evolve_table_schema(spark, root, {"quality": "double"})
+        write_version(
+            spark,
+            docs.where(F.col("doc_id") > thr)
+            .withColumn(
+                "quality",
+                (F.col("n_chars") % 97).cast("double") / F.lit(97.0),
+            )
+            .repartitionByRange(8, "doc_id"),
+            root,
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    m1, m2 = read_manifest(root, 1), read_manifest(root, 2)
+    meta_only = (
+        m2["op"] == "evolve"
+        and m2["files"] == m1["files"]
+        and m2["added"] == []
+    )
+    feed_silent = (
+        read_changes(spark, root, 0, 3)
+        .where(F.col("_commit_version") == 2)
+        .count()
+        == 0
+    )
+    return (
+        read_version(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.count("quality").alias("n_scored"),
+            F.sum(
+                F.round(F.col("quality") * 10000, 0).cast("long")
+            ).alias("quality_bps"),
+        )
+        .withColumn("evolve_was_metadata_only", F.lit(bool(meta_only)))
+        .withColumn("feed_silent_on_evolve", F.lit(bool(feed_silent)))
+        .orderBy("lang")
+    )
+
+
+@_q(
     "io09_multi_zone_prune",
     """WITH e AS (SELECT event_id, CAST(epoch(ts) AS BIGINT) AS ts_s,
                         event_type, value FROM events),

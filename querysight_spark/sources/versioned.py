@@ -251,7 +251,8 @@ def _commit(root: str, files: list[str], added: list[str],
             stats: dict | None = None, stats_cols: list[str] | None = None,
             dvs: list[str] | None = None,
             dv_key: list[str] | None = None,
-            expected_version: int | None = None) -> int:
+            expected_version: int | None = None,
+            schema: dict | None = None) -> int:
     """Atomically claim the next version number for this snapshot.
 
     ``expected_version`` is the optimistic-concurrency guard for
@@ -295,8 +296,23 @@ def _commit(root: str, files: list[str], added: list[str],
             dvs = latest.get("dvs", [])
             dv_key = latest.get("dv_key", [])
             stats_cols = stats_cols or latest.get("stats_cols", [])
+            sch = schema or latest.get("schema")
         else:
             rel = [os.path.relpath(f, root) for f in files]
+            # evolved schemas carry forward through every non-overwrite
+            # commit; an overwrite resets schema tracking to the new
+            # data, and a rollback restores its TARGET's schema (passed
+            # explicitly by the caller, absent = pre-evolution)
+            if schema is not None:
+                sch = schema
+            elif (
+                op != "overwrite"
+                and not op.startswith("rollback")
+                and current
+            ):
+                sch = read_manifest(root, current).get("schema")
+            else:
+                sch = None
         version = current + 1
         manifest = {
             "version": version,
@@ -310,6 +326,8 @@ def _commit(root: str, files: list[str], added: list[str],
             "dvs": dvs or [],
             "dv_key": dv_key or [],
         }
+        if sch is not None:
+            manifest["schema"] = sch
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -354,6 +372,8 @@ def write_version(
         if seen is not None:
             return seen
     current = table_version(root)
+    if mode == "append" and current:
+        _check_schema_compatible(df, read_manifest(root, current))
     commit_dir = os.path.join(
         root, _DATA, f"c{current + 1:08d}-{uuid.uuid4().hex[:8]}"
     )
@@ -375,6 +395,89 @@ def write_version(
     return _commit(
         root, new_files, new_files, prev, "overwrite", txn_id,
         stats=stats, stats_cols=cols, expected_version=current,
+    )
+
+
+def _schema_of(manifest: dict):
+    """The manifest-recorded table schema as a StructType, or None when
+    the table predates/never used schema evolution (readers then infer
+    from the files, the original behavior)."""
+    if not manifest.get("schema"):
+        return None
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(manifest["schema"])
+
+
+def _check_schema_compatible(df: DataFrame, manifest: dict) -> None:
+    """Append-time gate on evolved tables: every appended column must
+    exist in the recorded schema with the SAME type (incompatible type
+    changes are refused — a retype needs a rewrite, not an append), and
+    unknown columns need an ``evolve_table_schema`` commit first.
+    Appends may OMIT evolved columns; reads backfill them as NULL."""
+    recorded = manifest.get("schema")
+    if not recorded:
+        return
+    rec = {f["name"]: f["type"] for f in recorded["fields"]}
+    for f in json.loads(df.schema.json())["fields"]:
+        if f["name"] not in rec:
+            raise ValueError(
+                f"column {f['name']!r} is not in the table schema; "
+                "commit it with evolve_table_schema first"
+            )
+        if f["type"] != rec[f["name"]]:
+            raise ValueError(
+                f"incompatible type change for column {f['name']!r}: "
+                f"table has {rec[f['name']]!r}, append has {f['type']!r} "
+                "(retypes need a rewrite, not schema evolution)"
+            )
+
+
+def evolve_table_schema(
+    spark: SparkSession, root: str, add_cols: dict[str, str]
+) -> int:
+    """ALTER TABLE ADD COLUMNS as a METADATA-ONLY commit (op
+    ``evolve``): the new nullable columns are recorded in the manifest
+    schema, no data file moves, and every subsequent read plans with
+    the recorded schema so pre-evolution files backfill the new columns
+    as NULL — the additive schema evolution the public formats
+    implement in the metadata layer (Delta/Iceberg ADD COLUMN is a
+    commit, never a rewrite; at 100 TB that is the only affordable
+    kind). Existing columns are refused (renames/retypes are rewrites
+    by design); the change feed reads an evolve commit as silence.
+    ``add_cols`` maps name -> DDL type string (e.g. ``{"seg":
+    "string"}``). Returns the committed version."""
+    version = table_version(root)
+    if version == 0:
+        raise ValueError(f"evolve_table_schema target {root} does not exist")
+    manifest = read_manifest(root, version)
+    cur = _schema_of(manifest)
+    if cur is None:
+        # first evolution: pin the inferred snapshot schema as the base
+        cur = spark.read.parquet(
+            *[os.path.join(root, f) for f in manifest["files"]]
+        ).schema
+    names = set(cur.fieldNames())
+    new = cur
+    for name, dtype in add_cols.items():
+        if name in names:
+            raise ValueError(
+                f"column {name!r} already exists; type changes and "
+                "renames need a rewrite, not schema evolution"
+            )
+        new = new.add(name, dtype, True)
+    return _commit(
+        root,
+        [os.path.join(root, f) for f in manifest["files"]],
+        [],
+        [],
+        "evolve",
+        expected_version=version,
+        stats=manifest.get("stats", {}),
+        stats_cols=manifest.get("stats_cols", []),
+        dvs=manifest.get("dvs", []),
+        dv_key=manifest.get("dv_key", []),
+        schema=json.loads(new.json()),
     )
 
 
@@ -417,6 +520,7 @@ def _read_with_dvs(
     dvs: list[str],
     dv_key: list[str],
     merge_schema: bool = False,
+    schema=None,
 ) -> DataFrame:
     """Read ``files`` with deletion vectors applied PER-FILE-SCOPE: a
     vector tombstones only rows in files committed strictly before it
@@ -436,7 +540,9 @@ def _read_with_dvs(
     out: DataFrame | None = None
     for idx in sorted(groups):
         reader = spark.read
-        if merge_schema:
+        if schema is not None:
+            reader = reader.schema(schema)
+        elif merge_schema:
             reader = reader.option("mergeSchema", "true")
         part = reader.parquet(*[os.path.join(root, f) for f in groups[idx]])
         if dvs_sorted[idx:]:
@@ -500,8 +606,13 @@ def read_version(
         kept, _ = pruned_files(root, version, preds)
     else:
         kept = files
+    sch = _schema_of(manifest)
     reader = spark.read
-    if merge_schema:
+    if sch is not None:
+        # evolved table: plan with the manifest-recorded schema so
+        # pre-evolution files backfill the added columns as NULL
+        reader = reader.schema(sch)
+    elif merge_schema:
         reader = reader.option("mergeSchema", "true")
     if not kept:
         # predicate excluded every file; keep the schema contract
@@ -512,7 +623,7 @@ def read_version(
     elif apply_dvs and manifest.get("dvs"):
         df = _read_with_dvs(
             spark, root, kept, manifest["dvs"], manifest["dv_key"],
-            merge_schema=merge_schema,
+            merge_schema=merge_schema, schema=sch,
         )
     else:
         df = reader.parquet(*[os.path.join(root, f) for f in kept])
@@ -571,12 +682,17 @@ def incremental_read(
     ``(from_version, to_version]`` — exactly the new files, never a
     rescan of the base. Raises if the range crosses an overwrite or
     rollback (appends-only is what makes file-level CDC exact; a
-    replaced snapshot needs a diff, not a file union)."""
+    replaced snapshot needs a diff, not a file union). ``evolve``
+    commits add no files and pass through; when the range crosses one,
+    the read plans with the end manifest's schema so pre-evolution
+    appends backfill the added columns as NULL."""
     if to_version is None:
         to_version = table_version(root)
     added: list[str] = []
     for v in range(from_version + 1, to_version + 1):
         m = read_manifest(root, v)
+        if m["op"] == "evolve":
+            continue
         if m["op"] != "append":
             raise ValueError(
                 f"incremental_read crosses non-append commit v{v} ({m['op']})"
@@ -586,7 +702,11 @@ def incremental_read(
         raise ValueError(
             f"no files added in ({from_version}, {to_version}] of {root}"
         )
-    return spark.read.parquet(*[os.path.join(root, f) for f in added])
+    reader = spark.read
+    sch = _schema_of(read_manifest(root, to_version))
+    if sch is not None:
+        reader = reader.schema(sch)
+    return reader.parquet(*[os.path.join(root, f) for f in added])
 
 
 def rollback(root: str, to_version: int) -> int:
@@ -610,6 +730,7 @@ def rollback(root: str, to_version: int) -> int:
         stats_cols=target.get("stats_cols", []),
         dvs=target.get("dvs", []),
         dv_key=target.get("dv_key", []),
+        schema=target.get("schema"),
     )
 
 
@@ -754,7 +875,13 @@ def merge_into(
     data_cols = None
     src_cols = [c for c in source.columns if c != delete_col]
     if touched:
-        base = spark.read.parquet(*[os.path.join(root, f) for f in touched])
+        reader = spark.read
+        sch = _schema_of(manifest)
+        if sch is not None:
+            # evolved table: NULL-backfill pre-evolution files so the
+            # source (which carries the full schema) matches
+            reader = reader.schema(sch)
+        base = reader.parquet(*[os.path.join(root, f) for f in touched])
         data_cols = [c for c in base.columns if c not in key_cols]
         if sorted(src_cols) != sorted(base.columns):
             raise ValueError(
@@ -1126,6 +1253,10 @@ def read_changes(
       split the public formats document.
     - ``delete`` commits (deletion vectors) emit the NEWLY tombstoned
       keys' pre-image rows as ``delete`` (prior tombstones excluded).
+    - ``evolve`` commits (schema evolution) move no rows and read as
+      SILENCE; commits after one emit with the evolved schema, and the
+      cross-boundary union backfills the added columns as NULL on the
+      older commits' rows.
 
     Requires ``key_cols`` unless the range is pure appends. Output =
     row schema + ``_change_type`` + ``_commit_version``, ordered by
@@ -1135,17 +1266,23 @@ def read_changes(
         to_version = table_version(root)
     out: DataFrame | None = None
 
-    def _read(rels: list[str]) -> DataFrame | None:
+    def _read(rels: list[str], manifest: dict | None = None) -> DataFrame | None:
         if not rels:
             return None
-        return spark.read.parquet(*[os.path.join(root, f) for f in rels])
+        reader = spark.read
+        sch = _schema_of(manifest) if manifest else None
+        if sch is not None:
+            reader = reader.schema(sch)
+        return reader.parquet(*[os.path.join(root, f) for f in rels])
 
     for v in range(from_version + 1, to_version + 1):
         m = read_manifest(root, v)
         prev = read_manifest(root, v - 1) if v > 1 else {}
         typed: DataFrame | None = None
+        if m["op"] == "evolve":
+            continue
         if m["op"] == "append":
-            added = _read(m["added"])
+            added = _read(m["added"], m)
             if added is not None:
                 typed = added.withColumn("_change_type", F.lit("insert"))
         elif m["op"] == "delete":
@@ -1160,10 +1297,10 @@ def read_changes(
                 if prev.get("dvs"):
                     base = _read_with_dvs(
                         spark, root, prev["files"], prev["dvs"],
-                        prev["dv_key"],
+                        prev["dv_key"], schema=_schema_of(prev),
                     )
                 else:
-                    base = _read(prev["files"])
+                    base = _read(prev["files"], prev)
                 typed = base.join(
                     keys.distinct(), m["dv_key"], "left_semi"
                 ).withColumn("_change_type", F.lit("delete"))
@@ -1180,11 +1317,12 @@ def read_changes(
             # a re-inserted row's removal still reads as a real change.
             if m["removed"] and prev.get("dvs"):
                 old = _read_with_dvs(
-                    spark, root, m["removed"], prev["dvs"], prev["dv_key"]
+                    spark, root, m["removed"], prev["dvs"], prev["dv_key"],
+                    schema=_schema_of(m),
                 )
             else:
-                old = _read(m["removed"])
-            new = _read(m["added"])
+                old = _read(m["removed"], m)
+            new = _read(m["added"], m)
             if old is None and new is None:
                 typed = None
             elif old is None:
@@ -1246,7 +1384,13 @@ def read_changes(
         if typed is None:
             continue
         typed = typed.withColumn("_commit_version", F.lit(v))
-        out = typed if out is None else out.unionByName(typed)
+        out = (
+            typed
+            if out is None
+            # allowMissingColumns: commits straddling a schema evolution
+            # differ by the added columns — NULL-backfill, never fail
+            else out.unionByName(typed, allowMissingColumns=True)
+        )
     if out is None:
         raise ValueError(
             f"no changes in ({from_version}, {to_version}] of {root}"

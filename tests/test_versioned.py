@@ -820,3 +820,96 @@ def test_open_ended_prune_and_vacuum_validation(spark, root):
     )
     with pytest.raises(ValueError, match="retain_from"):
         vacuum(root, 0)
+
+
+def test_schema_evolution_column_add(spark, root):
+    """ALTER-style column add: a metadata-only evolve commit records the
+    schema; reads NULL-backfill pre-evolution files; appends are gated
+    (unknown columns and retypes refused); time travel and rollback see
+    the pre-evolution schema; the change feed is silent on the evolve
+    and NULL-backfills across the boundary."""
+    from querysight_spark.sources.versioned import (
+        evolve_table_schema,
+        read_changes,
+    )
+
+    write_version(spark, _df(spark, 0, 5), root)
+    files_before = _data_files(root)
+    v = evolve_table_schema(spark, root, {"tag": "string"})
+    assert v == 2 and _data_files(root) == files_before  # metadata only
+    assert read_manifest(root, 2)["op"] == "evolve"
+    # pre-evolution rows read with the new column as NULL
+    cur = read_version(spark, root)
+    assert cur.columns == ["id", "v", "tag"]
+    assert cur.where(F.col("tag").isNotNull()).count() == 0
+    # post-evolution append carries the column; omitting it stays legal
+    tagged = spark.range(5, 8).select(
+        F.col("id"), (F.col("id") * 10).alias("v"),
+        F.lit("new").alias("tag"),
+    )
+    write_version(spark, tagged, root)
+    write_version(spark, _df(spark, 8, 10), root)  # omits tag -> NULL
+    cur = read_version(spark, root)
+    assert cur.count() == 10
+    assert _ids(cur.where(F.col("tag") == "new")) == [5, 6, 7]
+    assert _ids(cur.where(F.col("tag").isNull())) == [0, 1, 2, 3, 4, 8, 9]
+    # gates: unknown column and incompatible retype refused
+    with pytest.raises(ValueError, match="not in the table schema"):
+        write_version(
+            spark, tagged.withColumn("extra", F.lit(1)), root
+        )
+    with pytest.raises(ValueError, match="incompatible type change"):
+        write_version(
+            spark,
+            spark.range(1).select(
+                F.col("id"), (F.col("id") * 10).alias("v"),
+                F.lit(3).alias("tag"),
+            ),
+            root,
+        )
+    with pytest.raises(ValueError, match="already exists"):
+        evolve_table_schema(spark, root, {"v": "string"})
+    # time travel: the pre-evolution snapshot has the original schema
+    assert read_version(spark, root, 1).columns == ["id", "v"]
+    # change feed: evolve silent, boundary union NULL-backfills
+    ch = read_changes(spark, root, 0)  # appends+evolve: no key_cols needed
+    assert set(ch.columns) == {"id", "v", "tag", "_change_type",
+                               "_commit_version"}
+    assert ch.where(F.col("_commit_version") == 2).count() == 0
+    assert _ids(ch.where(F.col("tag") == "new")) == [5, 6, 7]
+    # incremental_read across the evolve boundary: schema unified
+    inc = incremental_read(spark, root, 0)
+    assert inc.count() == 10 and "tag" in inc.columns
+    # rollback to pre-evolution restores the old schema
+    rollback(root, 1)
+    assert read_version(spark, root).columns == ["id", "v"]
+
+
+def test_schema_evolution_with_merge_and_dvs(spark, root):
+    """Evolution composes with the maintenance surface: MERGE INTO on an
+    evolved table NULL-backfills the touched pre-evolution files, and
+    deletion vectors carry the evolved schema through."""
+    from querysight_spark.sources.versioned import (
+        delete_keys,
+        evolve_table_schema,
+        merge_into,
+    )
+
+    write_version(
+        spark,
+        _df(spark, 0, 100).repartitionByRange(4, "id"),
+        root,
+        stats_cols=["id"],
+    )
+    evolve_table_schema(spark, root, {"tag": "string"})
+    src = spark.range(0, 3).select(
+        F.col("id"), (F.col("id") * 10).alias("v"),
+        F.lit("merged").alias("tag"),
+    )
+    merge_into(spark, src, root, ["id"])
+    cur = read_version(spark, root)
+    assert cur.count() == 100
+    assert _ids(cur.where(F.col("tag") == "merged")) == [0, 1, 2]
+    delete_keys(spark, root, spark.range(50, 60).select("id"))
+    cur = read_version(spark, root)
+    assert cur.count() == 90 and "tag" in cur.columns
