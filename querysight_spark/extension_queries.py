@@ -8684,3 +8684,278 @@ def st16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("restart_was_noop", F.lit(bool(noop)))
         .orderBy("o_orderstatus")
     )
+
+
+@_q(
+    "st17_cdc_command_stream",
+    """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS s,
+                            o_totalprice AS price FROM orders),
+       final AS (
+         SELECT k, s,
+                price + CASE WHEN k % 10 = 1 THEN 1000
+                             WHEN k % 10 = 2 THEN 2000 ELSE 0 END AS price
+         FROM base WHERE k % 10 NOT IN (3, 4))
+       SELECT s AS o_orderstatus, COUNT(*) AS n_rows,
+              CAST(SUM(CAST(ROUND(price * 100) AS BIGINT)) AS BIGINT)
+                AS sum_cents,
+              TRUE AS redelivery_was_noop, TRUE AS replay_was_noop
+       FROM final GROUP BY s ORDER BY s""",
+)
+def st17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE CDC COMMAND APPLICATION: a JSONL command stream
+    (merge / merge-with-deletes / delete-keys, each carrying its own
+    command id) drains through foreachBatch, and every command applies
+    to the versioned table stamped with ``txn_id=cmd_id`` — the
+    orchestrator-replay discipline ``merge_into``/``delete_keys`` grew
+    for this. Two failure modes are exercised for real and pinned: a
+    REDELIVERED command (the middle merge re-applied by hand after the
+    stream) must no-op on its committed txn, and a FULL REPLAY of the
+    stream on a fresh checkpoint (every command re-delivered) must add
+    zero versions. The final snapshot aggregates against a
+    from-first-principles oracle — a double-applied merge or delete
+    anywhere breaks the hash, not just a boolean. At 100 TB this is how
+    upstream CDC (Debezium-style command logs) lands in the lakehouse:
+    at-least-once delivery in, exactly-once application out."""
+    import hashlib
+    import json as _json
+    import os
+    import tempfile
+
+    from querysight_spark.sources.versioned import (
+        delete_keys,
+        merge_into,
+        read_version,
+        table_version,
+        write_version,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"st17:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    work = os.path.join(tempfile.gettempdir(), f"qs_st17_{tag}")
+    root = os.path.join(work, "table")
+    cmd_dir = os.path.join(work, "commands")
+    done = os.path.join(work, "_flags.json")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def _apply(cmd_row) -> int:
+        """One CDC command -> one txn-stamped table commit. The command
+        payload is a predicate over the upstream source (rem class mod
+        10), the shape a real command log carries as key lists."""
+        rem = int(cmd_row.rem)
+        if cmd_row.kind == "delete":
+            return delete_keys(
+                spark,
+                root,
+                orders.where(F.col("o_orderkey") % 10 == rem).select(
+                    "o_orderkey"
+                ),
+                txn_id=cmd_row.cmd_id,
+            )
+        upd = orders.where(F.col("o_orderkey") % 10 == rem).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + float(cmd_row.bump)).alias(
+                "o_totalprice"
+            ),
+            F.lit(False).alias("_del"),
+        )
+        if cmd_row.kind == "merge_delete":
+            upd = upd.unionByName(
+                orders.where(
+                    F.col("o_orderkey") % 10 == int(cmd_row.del_rem)
+                ).select(
+                    "o_orderkey",
+                    "o_orderstatus",
+                    "o_totalprice",
+                    F.lit(True).alias("_del"),
+                )
+            )
+        return merge_into(
+            spark, upd, root, ["o_orderkey"], delete_col="_del",
+            txn_id=cmd_row.cmd_id,
+        )
+
+    def _absorb(batch_df: DataFrame, epoch_id: int) -> None:
+        # the command stream is tiny by contract (commands, not data);
+        # apply in sequence order — deletes ride behind their merges
+        for r in sorted(batch_df.collect(), key=lambda r: int(r.seq)):
+            _apply(r)
+
+    def _drain(ckpt: str) -> None:
+        (
+            spark.readStream.schema(
+                "seq int, cmd_id string, kind string, rem int, "
+                "del_rem int, bump double"
+            )
+            .json(cmd_dir)
+            .writeStream.foreachBatch(_absorb)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    if not os.path.exists(done):
+        os.makedirs(cmd_dir, exist_ok=True)
+        cmds = [
+            {"seq": 1, "cmd_id": "cmd-m1", "kind": "merge",
+             "rem": 1, "del_rem": None, "bump": 1000.0},
+            {"seq": 2, "cmd_id": "cmd-m2", "kind": "merge_delete",
+             "rem": 2, "del_rem": 3, "bump": 2000.0},
+            {"seq": 3, "cmd_id": "cmd-d1", "kind": "delete",
+             "rem": 4, "del_rem": None, "bump": None},
+        ]
+        with open(os.path.join(cmd_dir, "commands.jsonl"), "w") as f:
+            for c in cmds:
+                f.write(_json.dumps(c) + "\n")
+        write_version(
+            spark,
+            orders.repartitionByRange(16, "o_orderkey"),
+            root,
+            stats_cols=["o_orderkey"],
+        )
+        _drain(os.path.join(work, "ckpt1"))
+        v_applied = table_version(root)
+        # redeliver the middle command by hand: committed txn -> no-op
+        cmd2 = spark.read.json(
+            os.path.join(cmd_dir, "commands.jsonl")
+        ).where(F.col("seq") == 2).collect()[0]
+        _apply(cmd2)
+        redelivery_noop = table_version(root) == v_applied
+        # replay the WHOLE stream on a fresh checkpoint: every command
+        # re-delivered, zero new versions
+        _drain(os.path.join(work, "ckpt2"))
+        replay_noop = table_version(root) == v_applied
+        with open(done, "w") as f:
+            _json.dump(
+                {"redelivery": redelivery_noop, "replay": replay_noop}, f
+            )
+    else:
+        with open(done) as f:
+            flags = _json.load(f)
+        redelivery_noop = flags["redelivery"]
+        replay_noop = flags["replay"]
+    return (
+        read_version(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("sum_cents"),
+        )
+        .withColumn("redelivery_was_noop", F.lit(bool(redelivery_noop)))
+        .withColumn("replay_was_noop", F.lit(bool(replay_noop)))
+        .orderBy("o_orderstatus")
+    )
+
+
+@_q(
+    "io10_zorder_optimize",
+    """WITH b AS (SELECT MIN(o_orderkey) AS klo, MAX(o_orderkey) AS khi,
+                         MIN(o_custkey) AS clo, MAX(o_custkey) AS chi
+                  FROM orders),
+       r AS (SELECT klo + (khi - klo) * 2 // 5 AS k1,
+                    klo + (khi - klo) // 2 AS k2,
+                    clo + (chi - clo) * 2 // 5 AS c1,
+                    clo + (chi - clo) // 2 AS c2 FROM b)
+       SELECT o_orderstatus, COUNT(*) AS n_rows,
+              CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+              TRUE AS zorder_beats_key_cluster,
+              TRUE AS zorder_beats_cust_cluster
+       FROM orders, r
+       WHERE o_orderkey BETWEEN r.k1 AND r.k2
+         AND o_custkey BETWEEN r.c1 AND r.c2
+       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+)
+def io10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER OPTIMIZE on the versioned table: orders first commit
+    range-clustered on o_orderkey alone (and, in a sibling table, on
+    o_custkey alone), then ``zorder_table`` rewrites the snapshot on
+    the Morton interleave of (o_orderkey, o_custkey) as one atomic
+    commit. A two-predicate conjunction (a ~10 percent window on EACH
+    key — ~1 percent of the data) is then planned against all three
+    layouts, and the Z-ordered snapshot must keep STRICTLY fewer files
+    than either single-column cluster (the pinned booleans): a range
+    cluster leaves the other column's zone maps spanning the whole
+    domain, while the interleave gives both columns locality — the
+    Z-ORDER BY win the public formats document for OPTIMIZE. The
+    pruned read's aggregate matches the from-first-principles oracle,
+    so the skipping is also provably lossless. At 100 TB this is the
+    difference between a multi-dimensional dashboard predicate reading
+    ~1 percent of files and reading ~10 percent."""
+    import hashlib
+    import os
+    import tempfile
+
+    from querysight_spark.sources.versioned import (
+        pruned_files,
+        read_version,
+        table_version,
+        write_version,
+        zorder_table,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"io10:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    work = os.path.join(tempfile.gettempdir(), f"qs_io10_{tag}")
+    root_z = os.path.join(work, "zorder")  # key-clustered then z-ordered
+    root_c = os.path.join(work, "bycust")  # cust-clustered control
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    row = orders.agg(
+        F.min("o_orderkey").alias("klo"), F.max("o_orderkey").alias("khi"),
+        F.min("o_custkey").alias("clo"), F.max("o_custkey").alias("chi"),
+    ).collect()[0]
+    k1 = row.klo + (row.khi - row.klo) * 2 // 5
+    k2 = row.klo + (row.khi - row.klo) // 2
+    c1 = row.clo + (row.chi - row.clo) * 2 // 5
+    c2 = row.clo + (row.chi - row.clo) // 2
+    stats_cols = ["o_orderkey", "o_custkey"]
+    if not os.path.exists(os.path.join(work, "_build_ok")):
+        write_version(
+            spark,
+            orders.repartitionByRange(64, "o_orderkey"),
+            root_z,
+            stats_cols=stats_cols,
+        )
+        zorder_table(
+            spark, root_z, stats_cols, bits=8, target_files=64
+        )
+        write_version(
+            spark,
+            orders.repartitionByRange(64, "o_custkey"),
+            root_c,
+            stats_cols=["o_custkey", "o_orderkey"],
+        )
+        with open(os.path.join(work, "_build_ok"), "w") as f:
+            f.write("ok")
+    preds = [("o_orderkey", k1, k2), ("o_custkey", c1, c2)]
+    kept_key, _ = pruned_files(root_z, 1, preds)  # v1: key-clustered
+    kept_z, _ = pruned_files(root_z, 2, preds)    # v2: z-ordered
+    kept_cust, _ = pruned_files(root_c, 1, preds)
+    beats_key = len(kept_z) < len(kept_key)
+    beats_cust = len(kept_z) < len(kept_cust)
+    return (
+        read_version(spark, root_z, prune=preds)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("sum_cents"),
+        )
+        .withColumn("zorder_beats_key_cluster", F.lit(bool(beats_key)))
+        .withColumn("zorder_beats_cust_cluster", F.lit(bool(beats_cust)))
+        .orderBy("o_orderstatus")
+    )

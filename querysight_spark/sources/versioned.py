@@ -1173,6 +1173,68 @@ def optimize_table(
     )
 
 
+def zorder_table(
+    spark: SparkSession,
+    root: str,
+    cols: list[str],
+    bits: int = 8,
+    target_files: int = 16,
+) -> int:
+    """Z-ORDER OPTIMIZE: rewrite the snapshot re-clustered on the Morton
+    interleave of ``cols`` (``sources/layout.zorder_value`` — pure
+    column arithmetic, no UDF) and re-stat the zone maps for every
+    clustering column. A single-column range cluster leaves the OTHER
+    columns' per-file ranges spanning the whole domain (their zone maps
+    prune nothing); the interleave gives every listed column locality,
+    so multi-predicate conjunctions plan strictly fewer files — the
+    Z-ORDER BY the public formats bolt onto OPTIMIZE, here as one
+    atomic snapshot commit (readers on older versions untouched).
+    Refuses outstanding deletion vectors (compact first); the change
+    feed reads the rewrite as silence (same rows, new files). At
+    100 TB: run it on the hot predicate pair, not every column —
+    interleaving k columns spends the same bit budget k ways, so each
+    added column widens every other column's effective buckets."""
+    from querysight_spark.sources.layout import zorder_value
+
+    version = table_version(root)
+    manifest = read_manifest(root, version)
+    if manifest.get("dvs"):
+        raise ValueError(
+            "zorder_table on a table with outstanding deletion vectors; "
+            "run compact_table first"
+        )
+    df = read_version(spark, root, version)
+    row = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    mins = [row[f"lo_{c}"] for c in cols]
+    maxs = [row[f"hi_{c}"] for c in cols]
+    z = zorder_value(cols, mins, maxs, bits).alias("_z")
+    clustered = (
+        df.select("*", z)
+        .repartitionByRange(target_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    commit_dir = os.path.join(
+        root, _DATA, f"c{version + 1:08d}-{uuid.uuid4().hex[:8]}"
+    )
+    clustered.write.parquet(commit_dir)
+    new_files = _list_parquet(commit_dir)
+    stats = _collect_stats(root, new_files, cols)
+    return _commit(
+        root,
+        new_files,
+        new_files,
+        [os.path.join(root, f) for f in manifest["files"]],
+        "zorder",
+        expected_version=version,
+        stats=stats,
+        stats_cols=cols,
+    )
+
+
 def start_dedup_versioned_sink(
     stream_df: DataFrame,
     root: str,

@@ -913,3 +913,45 @@ def test_schema_evolution_with_merge_and_dvs(spark, root):
     delete_keys(spark, root, spark.range(50, 60).select("id"))
     cur = read_version(spark, root)
     assert cur.count() == 90 and "tag" in cur.columns
+
+
+def test_zorder_table_multi_predicate_pruning(spark, root):
+    """Z-order rewrite: same rows (the commit is logically silent),
+    strictly better conjunction pruning than the single-column range
+    cluster, and DV refusal."""
+    from querysight_spark.sources.versioned import (
+        delete_keys,
+        pruned_files,
+        read_changes,
+        zorder_table,
+    )
+
+    df = spark.range(0, 4096).select(
+        F.col("id").alias("x"),
+        # decorrelated second key: bit-reversed-ish mix
+        ((F.col("id") * 2654435761) % 4096).alias("y"),
+        (F.col("id") % 7).alias("g"),
+    )
+    write_version(
+        spark, df.repartitionByRange(64, "x"), root, stats_cols=["x", "y"]
+    )
+    v = zorder_table(spark, root, ["x", "y"], bits=8, target_files=64)
+    assert read_manifest(root, v)["op"] == "zorder"
+    preds = [("x", 1024, 1433), ("y", 1024, 1433)]
+    kept_range, _ = pruned_files(root, 1, preds)
+    kept_z, _ = pruned_files(root, 2, preds)
+    assert len(kept_z) < len(kept_range)
+    # lossless: pruned read equals the full-filter read, rows unchanged
+    got = read_version(spark, root, prune=preds)
+    want = read_version(spark, root, 1).where(
+        F.col("x").between(1024, 1433) & F.col("y").between(1024, 1433)
+    )
+    assert sorted(r.x for r in got.collect()) == sorted(
+        r.x for r in want.collect()
+    )
+    # logically silent in the feed
+    assert read_changes(spark, root, 1, 2, key_cols=["x"]).count() == 0
+    # refuses outstanding delete debt
+    delete_keys(spark, root, spark.range(0, 5).select(F.col("id").alias("x")))
+    with pytest.raises(ValueError, match="deletion vectors"):
+        zorder_table(spark, root, ["x", "y"])
