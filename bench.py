@@ -7,20 +7,32 @@ Headline set = the heaviest representative of each operator family:
 5-way join, pattern hash-agg pipeline, window running-sum, MinHash LSH
 dedup, n-gram Jaccard, cosine top-k, quality scoring.
 
-Timing discipline (round 3 change): each query runs THREE times — one
-untimed execution compiles its whole-stage-codegen classes and lets the
-JIT warm them, then two timed executions whose MINIMUM is the
-steady-state latency reported in "queries"/"value". Measured first-run
-spikes on this host
-are 4-25x the steady state AND vary 5x run-to-run (the same query: 10 s,
-34 s, 50 s across runs — C2 compile contention across 32 task threads),
-so cold timings drown the signal the bench exists to track. Cold cost is
-one-time per query shape per JVM — amortized to noise in any production
-session — but it is still REPORTED as "cold_total_sec" so the number is
-not hidden. The timed value is best-of-2: the host also shows transient
-multi-second stalls (a 1.2 s query intermittently reading 15 s with no
-matching GC pause in -Xlog:gc), and min-of-N is the standard guard
-against one stall landing on the single timed run.
+Timing discipline (round 3, hardened round 7): each query runs FOUR
+times — one untimed execution compiles its whole-stage-codegen classes
+and lets the JIT warm them, then three timed executions whose MINIMUM is
+the steady-state latency reported in "queries"/"value". Measured
+first-run spikes on this host are 4-25x the steady state AND vary 5x
+run-to-run (C2 compile contention across 32 task threads), so cold
+timings drown the signal the bench exists to track. Cold cost is still
+REPORTED as "cold_total_sec" so the number is not hidden; min-of-3
+guards against the host's transient multi-second stalls landing on a
+timed run.
+
+Noise controls (round 7, after BENCH_r06's +36% uniform-slowdown scare):
+
+- FRESH JVM PER SUITE: v1, v2, and v3 each run in their own subprocess
+  (own SparkSession/JVM), so a heap aged by 46 earlier queries — or GC
+  debt from another suite — cannot bleed into a suite's timings, and
+  the canonical v1 number is measured first in a clean JVM every round.
+- CALIBRATION PROBE: each suite JVM first times a fixed-work,
+  scan-free, data-independent job (a 2^28-row codegen arithmetic fold;
+  same work every round, every host). Its best-of-3 lands beside the
+  suite's numbers as "calibration_sec". A slow host inflates probe and
+  suite together, so value / (calibration_sec / local-baseline) is the
+  host-normalized reading — the local baseline and the method live in
+  SCALE.md. The reported totals stay RAW (no silent normalization);
+  the probe makes an environmental swing diagnosable from the BENCH
+  file alone instead of via an A/B worktree resample.
 """
 
 from __future__ import annotations
@@ -107,119 +119,168 @@ HEADLINE = [
     "aj01_asof_join",
 ]
 
+N_TIMED = 3  # best-of-3 (round-7 hardening; was best-of-2)
 
-def main() -> None:
+
+def _timed(run) -> tuple[float, float]:
+    t0 = time.time()
+    run()  # compile + JIT warm (untimed)
+    cold = time.time() - t0
+    best = float("inf")
+    for _ in range(N_TIMED):
+        t0 = time.time()
+        run()
+        best = min(best, time.time() - t0)
+    return cold, best
+
+
+def _calibration(spark) -> float:
+    """Fixed-work host-speed probe: 2^28 rows of codegen arithmetic
+    folded to one sum, 64 partitions, no IO, no shuffle beyond the
+    final 1-row agg. Identical work every round and host — its
+    best-of-3 moves with the machine, not with this repo's code."""
+
+    def run():
+        spark.range(0, 1 << 28, 1, 64).selectExpr(
+            "sum((id * 2654435761) % 1000003) AS s"
+        ).collect()
+
+    _cold, best = _timed(run)
+    return round(best, 3)
+
+
+def _run_suite(suite: str) -> None:
+    """Child process: one suite in its own fresh JVM; prints one JSON
+    line {"suite", "queries", "total", "cold_total", "calibration_sec"
+    [, "ann_index_build_sec"]}."""
     import __spark_entry__ as entrymod
     from querysight_spark.extension_queries import ANN_BENCH
     from querysight_spark.session import get_spark
 
-    spark = get_spark(app_name="querysight-bench")
+    spark = get_spark(app_name=f"querysight-bench-{suite}")
     qs = entrymod.queries()
-
     # warm the JVM/scan path once (excluded from timings)
     qs["p01_scan_filter_project"](spark, SF_DIR).count()
-
-    # ANN: declared queries() entries run exact mode for the driver's hash
-    # gate; the bench times the production approximate probes instead.
-    # Index build (train + encode + write, amortized over many queries) is
-    # reported separately, not inside the per-probe timings. The build goes
-    # into a bench-PRIVATE fresh root: with the shared /tmp root, indexes
-    # left warm by earlier same-session runs made ann_index_build_sec read
-    # 0.0 (r4 VERDICT) — this guarantees a real cold build every round.
-    import shutil
-    import tempfile
-
-    from querysight_spark import extension_queries
-
-    bench_index_root = tempfile.mkdtemp(prefix="qs_bench_index_")
-    extension_queries.INDEX_ROOT = bench_index_root
-    try:
-        _run(spark)
-    finally:
-        # remove the private index tree even when a query fails mid-run —
-        # by design no later run reuses it, so a leak is pure /tmp litter;
-        # also reset the module global so any later ANN call in this
-        # process falls back to the default root, not the rmtree'd one
-        extension_queries.INDEX_ROOT = None
-        shutil.rmtree(bench_index_root, ignore_errors=True)
-
-
-def _run(spark) -> None:
-    import __spark_entry__ as entrymod
-    from querysight_spark.extension_queries import ANN_BENCH
-
-    qs = entrymod.queries()
-    t0 = time.time()
-    for prepare, _probe in ANN_BENCH.values():
-        prepare(spark, SF_DIR)
-    index_build = round(time.time() - t0, 3)
-
-    def timed(run) -> tuple[float, float]:
-        t0 = time.time()
-        run()  # compile + JIT warm (untimed)
-        cold = time.time() - t0
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            run()
-            best = min(best, time.time() - t0)
-        return cold, best
+    calibration = _calibration(spark)
 
     times: dict[str, float] = {}
     cold_total = 0.0
-    for name in HEADLINE:
-        cold, best = timed(lambda: qs[name](spark, SF_DIR).count())
-        cold_total += cold
-        times[name] = round(best, 3)
-    for name, (_prepare, probe) in ANN_BENCH.items():
-        cold, best = timed(lambda: probe(spark, SF_DIR).count())
-        cold_total += cold
-        times[name] = round(best, 3)
-    total = round(sum(times.values()), 3)
-    times_v2: dict[str, float] = {}
-    cold_total_v2 = 0.0
-    for name in HEADLINE_V2:
-        cold, best = timed(lambda: qs[name](spark, SF_DIR).count())
-        cold_total_v2 += cold
-        times_v2[name] = round(best, 3)
-    total_v2 = round(sum(times_v2.values()), 3)
-    times_v3: dict[str, float] = {}
-    cold_total_v3 = 0.0
-    for name in HEADLINE_V3:
-        cold, best = timed(lambda: qs[name](spark, SF_DIR).count())
-        cold_total_v3 += cold
-        times_v3[name] = round(best, 3)
-    total_v3 = round(sum(times_v3.values()), 3)
+    out: dict = {"suite": suite, "calibration_sec": calibration}
 
+    names = {"v1": HEADLINE, "v2": HEADLINE_V2, "v3": HEADLINE_V3}[suite]
+    for name in names:
+        cold, best = _timed(lambda: qs[name](spark, SF_DIR).count())
+        cold_total += cold
+        times[name] = round(best, 3)
+
+    if suite == "v1":
+        # ANN: declared queries() entries run exact mode for the driver's
+        # hash gate; the bench times the production approximate probes.
+        # Index build (train + encode + write, amortized over many
+        # queries) is reported separately, not inside per-probe timings.
+        # A bench-PRIVATE fresh root guarantees a real cold build every
+        # round (shared /tmp roots made the build read 0.0 in r4).
+        import shutil
+        import tempfile
+
+        from querysight_spark import extension_queries
+
+        bench_index_root = tempfile.mkdtemp(prefix="qs_bench_index_")
+        extension_queries.INDEX_ROOT = bench_index_root
+        try:
+            t0 = time.time()
+            for prepare, _probe in ANN_BENCH.values():
+                prepare(spark, SF_DIR)
+            out["ann_index_build_sec"] = round(time.time() - t0, 3)
+            for name, (_prepare, probe) in ANN_BENCH.items():
+                cold, best = _timed(
+                    lambda: probe(spark, SF_DIR).count()
+                )
+                cold_total += cold
+                times[name] = round(best, 3)
+        finally:
+            extension_queries.INDEX_ROOT = None
+            shutil.rmtree(bench_index_root, ignore_errors=True)
+
+    out["queries"] = times
+    out["total"] = round(sum(times.values()), 3)
+    out["cold_total"] = round(cold_total, 3)
+    spark.stop()
+    print("\n" + json.dumps(out))
+
+
+def _collect(suite: str) -> dict:
+    """Run one suite in a FRESH JVM (subprocess) and parse its JSON."""
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--suite", suite],
+        capture_output=True,
+        text=True,
+        env=os.environ.copy(),
+    )
+    # Spark console progress can glue onto stdout lines; try-parse every
+    # line that could carry the payload, newest first
+    for line in reversed(r.stdout.splitlines()):
+        start = line.find('{"suite"')
+        if start == -1:
+            continue
+        try:
+            return json.loads(line[start:])
+        except json.JSONDecodeError:
+            continue
+    raise RuntimeError(
+        f"suite {suite} produced no result JSON; stderr tail: "
+        f"{r.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    if "--suite" in sys.argv:
+        _run_suite(sys.argv[sys.argv.index("--suite") + 1])
+        return
+    # canonical v1 first, in a clean JVM, every round; then v2/v3 in
+    # their own JVMs so no suite's heap state bleeds into another's
+    v1 = _collect("v1")
+    v2 = _collect("v2")
+    v3 = _collect("v3")
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
-                "value": total,
+                "value": v1["total"],
                 "unit": "sec",
-                "queries": times,
+                "queries": v1["queries"],
                 # one-time index build as a SIBLING field, not a queries[]
                 # entry: total must equal sum(queries.values()) so
                 # cross-round per-query diffs never absorb the build cost
-                "ann_index_build_sec": index_build,
-                "cold_total_sec": round(cold_total, 3),
+                "ann_index_build_sec": v1.get("ann_index_build_sec"),
+                "cold_total_sec": v1["cold_total"],
                 # versioned v2 set (round 6+): same discipline — total_v2
                 # equals sum(queries_v2.values()), cold reported beside
-                "queries_v2": times_v2,
-                "headline_v2_total_sec": total_v2,
-                "cold_total_v2_sec": round(cold_total_v2, 3),
+                "queries_v2": v2["queries"],
+                "headline_v2_total_sec": v2["total"],
+                "cold_total_v2_sec": v2["cold_total"],
                 # v3 (round-6 session 4): lakehouse maintenance + new
                 # families, same sibling-field discipline
-                "queries_v3": times_v3,
-                "headline_v3_total_sec": total_v3,
-                "cold_total_v3_sec": round(cold_total_v3, 3),
+                "queries_v3": v3["queries"],
+                "headline_v3_total_sec": v3["total"],
+                "cold_total_v3_sec": v3["cold_total"],
+                # round-7 noise controls: each suite ran in its own fresh
+                # JVM; calibration_sec is the fixed-work host-speed probe
+                # timed inside each suite's JVM (method + local baselines
+                # in SCALE.md "Bench noise controls")
+                "fresh_jvm_per_suite": True,
+                "timed_runs_per_query": N_TIMED,
+                "calibration_sec": v1["calibration_sec"],
+                "calibration_v2_sec": v2["calibration_sec"],
+                "calibration_v3_sec": v3["calibration_sec"],
                 "sf": sf,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

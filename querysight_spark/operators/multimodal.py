@@ -472,12 +472,12 @@ def decode_wav_adpcm(payload: bytes) -> tuple[int, np.ndarray]:
 def decode_image(payload: bytes, prefer_pil: bool = True) -> tuple[int, int, np.ndarray]:
     """Decode an image payload to (width, height, uint8 pixel array —
     (h, w) grayscale or (h, w, c)). PIL is the fast path when installed
-    (and the only path for exotic variants — progressive JPEG, palette
-    PNG, ...); binary netpbm, 8-bit gray/truecolor PNG, and baseline
-    sequential JPEG always decode through the pure-Python parsers, so
-    the interface works in library-free containers; both paths are
-    pixel-identical on netpbm/PNG (pinned by pytest when PIL is
-    present)."""
+    (and the only path for exotic variants — arithmetic-coded JPEG,
+    palette PNG, ...); binary netpbm, 8-bit gray/truecolor PNG, and
+    baseline OR progressive sequential-DCT JPEG always decode through
+    the pure-Python parsers, so the interface works in library-free
+    containers; both paths are pixel-identical on netpbm/PNG (pinned by
+    pytest when PIL is present)."""
     if _HAS_PIL and prefer_pil:
         try:
             arr = np.asarray(_PILImage.open(io.BytesIO(payload)))
@@ -645,10 +645,17 @@ def synth_media_corpus(docs: DataFrame, image_format: str = "pgm") -> DataFrame:
     constant block is DC-only through the DCT, and the DC path is exact
     in float64, so these lossy-container payloads decode BIT-EXACTLY and
     the mm08 oracle can replay the formula digit-for-digit; general
-    (AC-coefficient) content is covered by pytest tolerance tests."""
-    if image_format not in ("pgm", "png", "jpeg"):
+    (AC-coefficient) content is covered by pytest tolerance tests.
+
+    "jpeg_progressive" writes the SAME block-constant images as real
+    PROGRESSIVE (SOF2) JPEGs (``encode_jpeg_progressive``, one
+    successive-approximation level on both DC and AC) — the multi-scan
+    spectral-selection + refinement script the mm11 gate replays against
+    the same formula oracle; exactness argument identical to "jpeg"."""
+    if image_format not in ("pgm", "png", "jpeg", "jpeg_progressive"):
         raise ValueError(
-            f"image_format must be 'pgm', 'png', or 'jpeg', got {image_format!r}"
+            "image_format must be 'pgm', 'png', 'jpeg', or "
+            f"'jpeg_progressive', got {image_format!r}"
         )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -657,15 +664,20 @@ def synth_media_corpus(docs: DataFrame, image_format: str = "pgm") -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 if did % 2 == 0:
-                    if image_format == "jpeg":
+                    if image_format in ("jpeg", "jpeg_progressive"):
                         bw, bh = 2 + did % 4, 1 + did % 3  # blocks per axis
                         b = np.arange(bw * bh, dtype=np.int64)
                         bv = ((did * 31 + 7 * b) % 256).astype(np.uint8)
                         px2 = np.repeat(
                             np.repeat(bv.reshape(bh, bw), 8, axis=0), 8, axis=1
                         )
+                        enc = (
+                            encode_jpeg
+                            if image_format == "jpeg"
+                            else encode_jpeg_progressive
+                        )
                         payloads.append(
-                            encode_jpeg(bw * 8, bh * 8, px2.tobytes(), channels=1)
+                            enc(bw * 8, bh * 8, px2.tobytes(), channels=1)
                         )
                         types.append("image")
                         ids.append(f"asset-{did}")
@@ -1213,6 +1225,39 @@ def _extend(bits: int, s: int) -> int:
     return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
 
 
+def _parse_dqt(seg: bytes, qtabs: dict[int, np.ndarray]) -> None:
+    p = 0
+    while p < len(seg):
+        pq, tq = seg[p] >> 4, seg[p] & 0x0F
+        p += 1
+        if pq == 1:
+            raise NotImplementedError(
+                "16-bit quantization tables require PIL"
+            )
+        if p + 64 > len(seg):
+            raise ValueError("DQT truncated")
+        zz = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int64)
+        nat = np.zeros(64, dtype=np.int64)
+        nat[np.array(_ZIGZAG)] = zz
+        qtabs[tq] = nat
+        p += 64
+
+
+def _parse_dht(seg: bytes, htabs: dict) -> None:
+    p = 0
+    while p < len(seg):
+        tc, th = seg[p] >> 4, seg[p] & 0x0F
+        p += 1
+        bits = list(seg[p : p + 16])
+        p += 16
+        cnt = sum(bits)
+        vals = list(seg[p : p + cnt])
+        if len(vals) != cnt:
+            raise ValueError("DHT truncated")
+        p += cnt
+        htabs[(tc, th)] = _huff_decode_table(bits, vals)
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """Baseline sequential-DCT JPEG decoder, pure stdlib + numpy: marker
     walk (DQT / SOF0 / DHT / DRI / SOS, APPn+COM skipped), interleaved
@@ -1222,9 +1267,19 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     YCbCr->RGB. Returns (w, h, channels, uint8 array (h, w) or
     (h, w, 3)).
 
+    PROGRESSIVE (SOF2, Huffman) decodes natively too (round 7): DC and
+    AC scans — spectral selection bands and successive-approximation
+    first/refinement passes, per-band EOB runs, interleaved DC /
+    single-component AC block orders, tables redefinable between scans
+    — accumulate into a per-component coefficient store that the shared
+    dequantize + IDCT tail reconstructs once at EOI. ~10% of crawled
+    web JPEGs are progressive, so a curation pipeline without this
+    branch drops a tenth of its image corpus in library-free
+    containers.
+
     Contract: ValueError for corrupt/truncated data, NotImplementedError
-    for legal-but-unsupported variants (progressive SOF2, arithmetic
-    coding, 12-bit precision, >2 sampling factors) — decode_image routes
+    for legal-but-unsupported variants (arithmetic coding, lossless,
+    12-bit precision, >2 sampling factors) — decode_image routes
     those to PIL when installed, mirroring the PNG variant policy."""
     import struct
 
@@ -1234,6 +1289,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (w, h, comps) comps = [(cid, hsamp, vsamp, qid)]
+    progressive = False
     restart_interval = 0
     n = len(payload)
     while pos + 4 <= n:
@@ -1252,24 +1308,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         if len(seg) != seglen - 2:
             raise ValueError("JPEG segment truncated")
         if marker == 0xFFDB:  # DQT
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 0x0F
-                p += 1
-                if pq == 1:
-                    raise NotImplementedError(
-                        "16-bit quantization tables require PIL"
-                    )
-                if p + 64 > len(seg):
-                    raise ValueError("DQT truncated")
-                zz = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(
-                    np.int64
-                )
-                nat = np.zeros(64, dtype=np.int64)
-                nat[np.array(_ZIGZAG)] = zz
-                qtabs[tq] = nat
-                p += 64
-        elif marker in (0xFFC0, 0xFFC1):  # SOF0/1 baseline(+ext) sequential
+            _parse_dqt(seg, qtabs)
+        elif marker in (0xFFC0, 0xFFC1, 0xFFC2):  # SOF0/1 seq, SOF2 prog
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("12-bit JPEG precision requires PIL")
@@ -1283,29 +1323,25 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                     )
                 comps.append((cid, hs, vs, qid))
             frame = (fw, fh, comps)
-        elif marker in (0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+            progressive = marker == 0xFFC2
+        elif marker in (0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise NotImplementedError(
-                "progressive/arithmetic/lossless JPEG requires PIL"
+                "arithmetic/lossless/differential JPEG requires PIL"
             )
         elif marker == 0xFFC4:  # DHT
-            p = 0
-            while p < len(seg):
-                tc, th = seg[p] >> 4, seg[p] & 0x0F
-                p += 1
-                bits = list(seg[p : p + 16])
-                p += 16
-                cnt = sum(bits)
-                vals = list(seg[p : p + cnt])
-                if len(vals) != cnt:
-                    raise ValueError("DHT truncated")
-                p += cnt
-                htabs[(tc, th)] = _huff_decode_table(bits, vals)
+            _parse_dht(seg, htabs)
         elif marker == 0xFFDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xFFDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if progressive:
+                # the progressive walker owns the rest of the stream
+                # (many scans, tables redefinable between them)
+                return _decode_progressive(
+                    payload, pos - 2, frame, qtabs, htabs, restart_interval
+                )
             ns = seg[0]
             scan = []
             for si in range(ns):
@@ -1397,6 +1433,532 @@ def _decode_scan(
         p = planes[cid]
         p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         full.append(p[:h, :w])
+    if len(full) == 1:
+        out = np.floor(full[0] + 0.5)
+        return w, h, 1, np.clip(out, 0, 255).astype(np.uint8)
+    if len(full) != 3:
+        raise NotImplementedError(f"{len(full)}-component JPEG requires PIL")
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    out = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+    return w, h, 3, out
+
+
+# Progressive AC scans need EOBn symbols ((r<<4)|0 for r=1..14) that the
+# sequential Annex-K table has no codes for — a flat 8-bit canonical
+# table over every symbol a progressive AC scan can emit (EOB0..EOB14,
+# ZRL, and (run,size) for size 1..10). Kraft sum 176/256 < 1, largest
+# code 175 (never all-ones), so it is a valid DHT payload.
+_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    sorted(
+        [r << 4 for r in range(15)]
+        + [0xF0]
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    ),
+)
+
+
+def encode_jpeg_progressive(
+    w: int,
+    h: int,
+    pixels: bytes,
+    channels: int = 1,
+    quant: list[int] | None = None,
+    dc_al: int = 1,
+    ac_al: int = 1,
+) -> bytes:
+    """Progressive (SOF2) JPEG encoder, pure stdlib + numpy: the same
+    quantized coefficients as ``encode_jpeg`` (grayscale or 4:4:4
+    YCbCr, Annex-K tables) delivered as a progressive scan script —
+    interleaved DC first scan at point transform ``dc_al`` + DC
+    refinement bit scans, then per-component AC first scans
+    (Ss=1..63, Al=``ac_al``) with real EOB-run accumulation and AC
+    refinement scans (the T.81 G.1.2.3 correction-bit algorithm).
+    Setting ``dc_al=ac_al=0`` degenerates to spectral selection only.
+
+    Exists for the decoder's differential gate: progressive and
+    baseline encodings of the SAME image quantize identically, so
+    ``decode_jpeg`` must return pixel-identical arrays for both — any
+    drift in either side's scan logic breaks the comparison."""
+    import struct
+
+    if channels not in (1, 3):
+        raise ValueError(f"channels must be 1 or 3, got {channels}")
+    if len(pixels) != w * h * channels:
+        raise ValueError(f"expected {w * h * channels} bytes, got {len(pixels)}")
+    q = np.ones(64, dtype=np.int64) if quant is None else np.asarray(
+        quant, dtype=np.int64
+    )
+    if q.shape != (64,) or q.min() < 1 or q.max() > 255:
+        raise ValueError("quant must be 64 values in 1..255")
+    arr = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64)
+    if channels == 1:
+        planes = [arr.reshape(h, w)]
+    else:
+        rgb = arr.reshape(h, w, 3)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    bw, bh = -(-w // 8), -(-h // 8)
+    zig = np.array(_ZIGZAG)
+    qz = q[zig]
+    # quantized zig-zag coefficients per component, all blocks upfront
+    coefs: list[np.ndarray] = []
+    for p in planes:
+        pp = np.empty((bh * 8, bw * 8))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1 : h, :]
+        pp[:, w:] = pp[:, w - 1 : w]
+        blocks = (
+            pp.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        )
+        S = np.einsum("ux,ijxy,vy->ijuv", _DCT_C, blocks, _DCT_C)
+        zz = S.reshape(bh, bw, 64)[..., zig]
+        coefs.append(np.floor(zz / qz + 0.5).astype(np.int64))
+    dc_tab = _huff_canonical(*_DC_LUM)
+    ac_tab = _huff_canonical(*_AC_PROG)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            body += bytes([ci + 1, 0x01])  # DC table 0, AC table 1 (prog)
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xFFDA, body)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, bytes([0]) + bytes(int(q[z]) for z in _ZIGZAG))
+    sof = struct.pack(">BHHB", 8, h, w, channels)
+    for ci in range(channels):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg(0xFFC2, sof)  # SOF2 progressive
+    for cls, tid, (bits, vals) in (
+        (0, 0, _DC_LUM),
+        (1, 1, _AC_PROG),
+    ):
+        out += seg(
+            0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        )
+
+    # --- DC first scan (interleaved, point transform dc_al) ---
+    wr = _BitWriter()
+    pred = [0] * channels
+    for bi in range(bh * bw):
+        byi, bxi = divmod(bi, bw)
+        for ci in range(channels):
+            t = int(coefs[ci][byi, bxi, 0]) >> dc_al  # arithmetic
+            diff = t - pred[ci]
+            pred[ci] = t
+            s, bits = _category(diff)
+            code, ln = dc_tab[s]
+            wr.put(code, ln)
+            if s:
+                wr.put(bits, s)
+    out += sos(list(range(channels)), 0, 0, 0, dc_al)
+    out += wr.flush()
+    # --- DC refinement scans (one bit per block per position) ---
+    for al in range(dc_al - 1, -1, -1):
+        wr = _BitWriter()
+        for bi in range(bh * bw):
+            byi, bxi = divmod(bi, bw)
+            for ci in range(channels):
+                wr.put((int(coefs[ci][byi, bxi, 0]) >> al) & 1, 1)
+        out += sos(list(range(channels)), 0, 0, al + 1, al)
+        out += wr.flush()
+    # --- AC first scans (per component, with EOB runs) ---
+    for ci in range(channels):
+        wr = _BitWriter()
+        state = {"eobrun": 0}
+
+        def flush_eobrun(wr=wr, state=state) -> None:
+            n = state["eobrun"]
+            if n == 0:
+                return
+            r = n.bit_length() - 1
+            code, ln = ac_tab[r << 4]
+            wr.put(code, ln)
+            if r:
+                wr.put(n - (1 << r), r)
+            state["eobrun"] = 0
+
+        for bi in range(bh * bw):
+            byi, bxi = divmod(bi, bw)
+            blk = coefs[ci][byi, bxi]
+            # sign-magnitude point transform (T.81 G.1.2.2)
+            v = [
+                (1 if int(blk[k]) >= 0 else -1) * (abs(int(blk[k])) >> ac_al)
+                for k in range(64)
+            ]
+            last_nz = 0
+            for k in range(63, 0, -1):
+                if v[k]:
+                    last_nz = k
+                    break
+            if last_nz == 0:
+                state["eobrun"] += 1
+                if state["eobrun"] == 0x7FFF:
+                    flush_eobrun()
+                continue
+            flush_eobrun()
+            run = 0
+            for k in range(1, last_nz + 1):
+                if v[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_tab[0xF0]
+                    wr.put(code, ln)
+                    run -= 16
+                s, bits = _category(v[k])
+                code, ln = ac_tab[(run << 4) | s]
+                wr.put(code, ln)
+                wr.put(bits, s)
+                run = 0
+            if last_nz < 63:
+                state["eobrun"] += 1
+                if state["eobrun"] == 0x7FFF:
+                    flush_eobrun()
+        flush_eobrun()
+        out += sos([ci], 1, 63, 0, ac_al)
+        out += wr.flush()
+    # --- AC refinement scans (T.81 G.1.2.3 / libjpeg jcphuff) ---
+    for al in range(ac_al - 1, -1, -1):
+        for ci in range(channels):
+            wr = _BitWriter()
+            state = {"eobrun": 0, "pending": []}
+
+            def flush_eobrun_r(wr=wr, state=state) -> None:
+                n = state["eobrun"]
+                if n > 0:
+                    r = n.bit_length() - 1
+                    code, ln = ac_tab[r << 4]
+                    wr.put(code, ln)
+                    if r:
+                        wr.put(n - (1 << r), r)
+                    state["eobrun"] = 0
+                for b in state["pending"]:
+                    wr.put(b, 1)
+                state["pending"] = []
+
+            for bi in range(bh * bw):
+                byi, bxi = divmod(bi, bw)
+                blk = coefs[ci][byi, bxi]
+                absv = [abs(int(blk[k])) >> al for k in range(64)]
+                eob = 0  # last newly-visible coefficient this pass
+                for k in range(1, 64):
+                    if absv[k] == 1:
+                        eob = k
+                r = 0
+                br_bits: list[int] = []
+                for k in range(1, 64):
+                    t = absv[k]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob:
+                        flush_eobrun_r()
+                        code, ln = ac_tab[0xF0]
+                        wr.put(code, ln)
+                        r -= 16
+                        for b in br_bits:
+                            wr.put(b, 1)
+                        br_bits = []
+                    if t > 1:
+                        # already visible: buffer its correction bit
+                        br_bits.append(t & 1)
+                        continue
+                    flush_eobrun_r()
+                    code, ln = ac_tab[(r << 4) | 1]
+                    wr.put(code, ln)
+                    wr.put(1 if int(blk[k]) >= 0 else 0, 1)
+                    for b in br_bits:
+                        wr.put(b, 1)
+                    br_bits = []
+                    r = 0
+                if r > 0 or br_bits:
+                    state["eobrun"] += 1
+                    state["pending"].extend(br_bits)
+                    if state["eobrun"] == 0x7FFF:
+                        flush_eobrun_r()
+            flush_eobrun_r()
+            out += sos([ci], 1, 63, al + 1, al)
+            out += wr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _prog_dc_first(blk, br, table, pred, cs, al) -> None:
+    s = _read_symbol(br, table)
+    pred[cs] += _extend(br.bits(s), s)
+    # DC successive approximation is an ARITHMETIC point transform
+    # (ITU T.81 G.1.2.1): first scan carries value >> Al, refinements
+    # OR the lower bits back in — Python's arithmetic shifts match
+    blk[0] = pred[cs] << al
+
+
+def _prog_ac_first(blk, br, table, ss, se, al, state) -> None:
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _read_symbol(br, table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            state["eobrun"] = (1 << r) - 1  # EOBn: this block included
+            if r:
+                state["eobrun"] += br.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run overflows spectral band")
+        # AC point transform is SIGN-MAGNITUDE (T.81 G.1.2.2); Python's
+        # << on a negative int is arithmetic, which coincides
+        blk[k] = _extend(br.bits(s), s) << al
+        k += 1
+
+
+def _prog_ac_refine(blk, br, table, ss, se, al, state) -> None:
+    # the T.81 G.2 / libjpeg decode_mcu_AC_refine algorithm: correction
+    # bits for already-nonzero coefficients, run-positioned +/-1<<Al
+    # insertions for newly visible ones, EOB runs with correction tails
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _read_symbol(br, table)
+            r, s = rs >> 4, rs & 0x0F
+            s_val = 0
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += br.bits(r)
+                    break
+                # r == 15 (ZRL): pass over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid AC refinement symbol")
+                s_val = p1 if br.bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if br.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s_val:
+                if k > se:
+                    raise ValueError("JPEG AC refinement overflows band")
+                blk[k] = s_val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:  # correction-bit tail for the EOB-run block
+            if blk[k] != 0:
+                if br.bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _progressive_scan(
+    data: bytes,
+    pos: int,
+    store: dict,
+    by_id: dict,
+    sc: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    htabs: dict,
+    restart_interval: int,
+    mcux: int,
+    mcuy: int,
+    nib: dict,
+) -> int:
+    """Entropy-decode ONE progressive scan into the coefficient store;
+    returns the stream position after the scan's data."""
+    br = _BitReader(data, pos)
+    state = {"eobrun": 0}
+    pred = {cs: 0 for cs, _td, _ta in sc}
+    units_done = 0
+
+    def maybe_restart() -> None:
+        nonlocal units_done
+        units_done += 1
+        if restart_interval and units_done % restart_interval == 0:
+            m = br.align_to_marker()
+            if m is not None and 0xFFD0 <= m <= 0xFFD7:
+                br.pos += 2
+                for cs in pred:
+                    pred[cs] = 0
+                state["eobrun"] = 0
+            else:
+                raise ValueError("expected JPEG restart marker")
+
+    if ss == 0:  # DC scan (first or refinement); may be interleaved
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        tables = {}
+        for cs, td, _ta in sc:
+            if ah == 0:
+                if (0, td) not in htabs:
+                    raise ValueError(f"missing DC Huffman table {td}")
+                tables[cs] = htabs[(0, td)]
+        if len(sc) > 1:
+            total = mcux * mcuy
+            for mi in range(total):
+                my, mx = divmod(mi, mcux)
+                for cs, _td, _ta in sc:
+                    hs, vs, _qid = by_id[cs]
+                    for v8 in range(vs):
+                        for h8 in range(hs):
+                            blk = store[cs][my * vs + v8, mx * hs + h8]
+                            if ah == 0:
+                                _prog_dc_first(
+                                    blk, br, tables[cs], pred, cs, al
+                                )
+                            elif br.bit():
+                                blk[0] |= 1 << al
+                maybe_restart()
+        else:
+            cs = sc[0][0]
+            hib, wib = nib[cs]
+            for bi in range(hib * wib):
+                byi, bxi = divmod(bi, wib)
+                blk = store[cs][byi, bxi]
+                if ah == 0:
+                    _prog_dc_first(blk, br, tables[cs], pred, cs, al)
+                elif br.bit():
+                    blk[0] |= 1 << al
+                maybe_restart()
+    else:  # AC scan: exactly one component (T.81 B.2.3)
+        if len(sc) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        cs, _td, ta = sc[0]
+        if (1, ta) not in htabs:
+            raise ValueError(f"missing AC Huffman table {ta}")
+        table = htabs[(1, ta)]
+        hib, wib = nib[cs]
+        for bi in range(hib * wib):
+            byi, bxi = divmod(bi, wib)
+            blk = store[cs][byi, bxi]
+            if ah == 0:
+                _prog_ac_first(blk, br, table, ss, se, al, state)
+            else:
+                _prog_ac_refine(blk, br, table, ss, se, al, state)
+            maybe_restart()
+    br.align_to_marker()
+    return br.pos
+
+
+def _decode_progressive(
+    data: bytes,
+    pos: int,
+    frame: tuple,
+    qtabs: dict[int, np.ndarray],
+    htabs: dict,
+    restart_interval: int,
+) -> tuple[int, int, int, np.ndarray]:
+    """Progressive (SOF2) tail: walk every scan from the first SOS,
+    accumulating coefficients per component (tables redefinable between
+    scans), then dequantize + IDCT once at EOI — the T.81 G.2 decoder
+    re-expressed on the baseline decoder's primitives."""
+    import struct
+
+    w, h, comps = frame
+    hmax = max(hs for _cid, hs, _vs, _qid in comps)
+    vmax = max(vs for _cid, _hs, vs, _qid in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {cid: (hs, vs, qid) for cid, hs, vs, qid in comps}
+    # interleaved DC scans address the padded MCU grid; non-interleaved
+    # scans address the component's own (possibly smaller) block grid
+    store = {
+        cid: np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
+        for cid, hs, vs, _qid in comps
+    }
+    nib = {}
+    for cid, hs, vs, _qid in comps:
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        nib[cid] = (-(-ch // 8), -(-cw // 8))
+    ri = restart_interval
+    n = len(data)
+    saw_scan = False
+    while pos + 2 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker stream desynchronized")
+        marker = (data[pos] << 8) | data[pos + 1]
+        pos += 2
+        if marker == 0xFFD9:  # EOI
+            break
+        if 0xFFD0 <= marker <= 0xFFD7:
+            continue
+        if pos + 2 > n:
+            raise ValueError("JPEG segment length truncated")
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("JPEG segment truncated")
+        if marker == 0xFFC4:
+            _parse_dht(seg, htabs)
+        elif marker == 0xFFDB:
+            _parse_dqt(seg, qtabs)
+        elif marker == 0xFFDD:
+            (ri,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xFFDA:
+            ns = seg[0]
+            sc = [
+                (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0x0F)
+                for i in range(ns)
+            ]
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            pos = _progressive_scan(
+                data, pos + seglen, store, by_id, sc, ss, se,
+                a >> 4, a & 0x0F, htabs, ri, mcux, mcuy, nib,
+            )
+            saw_scan = True
+            continue
+        pos += seglen
+    if not saw_scan:
+        raise ValueError("progressive JPEG has no SOS scan")
+    # reconstruct: dequantize + batch IDCT per component, then the same
+    # upsample/crop/color tail as the baseline decoder
+    zig = np.array(_ZIGZAG)
+    full = []
+    for cid, hs, vs, qid in comps:
+        if qid not in qtabs:
+            raise ValueError(f"missing quantization table {qid}")
+        coefs = store[cid]  # (nby, nbx, 64) in zig-zag order
+        S = np.zeros_like(coefs, dtype=np.float64)
+        S[..., zig] = coefs * qtabs[qid][zig]
+        nby, nbx = coefs.shape[:2]
+        S = S.reshape(nby, nbx, 8, 8)
+        blocks = (
+            np.einsum("ux,ijuv,vy->ijxy", _DCT_C, S, _DCT_C) + 128.0
+        )
+        plane = blocks.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        plane = np.repeat(
+            np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+        )
+        full.append(plane[:h, :w])
     if len(full) == 1:
         out = np.floor(full[0] + 0.5)
         return w, h, 1, np.clip(out, 0, 255).astype(np.uint8)

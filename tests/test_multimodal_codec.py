@@ -496,10 +496,16 @@ def test_jpeg_error_contracts():
     # cut inside the entropy stream
     with pytest.raises(ValueError):
         decode_jpeg(payload[:-20])
-    # progressive SOF2: unsupported VARIANT, not corruption
+    # SOF2 label on a BASELINE scan script: progressive decodes natively
+    # now (round 7), so a full-band Ss=0/Se=63 scan under SOF2 is a DATA
+    # error (T.81 forbids it in progressive mode), not a capability gap
     sof2 = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="Se"):
         decode_jpeg(sof2)
+    # arithmetic-coded SOF9: still a capability gap -> PIL
+    sof9 = payload.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(sof9)
     # truncated segment length field
     with pytest.raises(ValueError):
         decode_jpeg(payload[:5])
@@ -694,3 +700,72 @@ def test_y4m_error_contract():
     # zero frames is a legal stream
     _w, _h, _f, _c, empty = decode_y4m(encode_y4m(4, 4, frames[:0]))
     assert empty.shape == (0, 4, 4)
+
+
+def test_progressive_jpeg_matches_baseline_exactly():
+    """Differential gate for the progressive decoder: baseline and
+    progressive encodings share the quantize step, so decode_jpeg must
+    return PIXEL-IDENTICAL arrays for both — across grayscale/color,
+    odd dimensions, and successive-approximation depths (dc_al/ac_al 0
+    = spectral selection only, 2 = two refinement passes per band)."""
+    from querysight_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    quant = [16, 11, 10, 16, 24, 40, 51, 61] * 8
+    for (w, h, ch) in [(16, 8, 1), (13, 11, 1), (24, 17, 3), (7, 5, 3)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (xx * 3 + yy * 5) % 256
+        img = np.clip(
+            base[..., None] + rng.integers(-40, 40, size=(h, w, ch)), 0, 255
+        )
+        pix = (img if ch == 3 else img[..., 0]).astype(np.uint8).tobytes()
+        want = decode_jpeg(encode_jpeg(w, h, pix, channels=ch, quant=quant))
+        for dc_al, ac_al in [(0, 0), (1, 1), (2, 2), (1, 2)]:
+            pr = encode_jpeg_progressive(
+                w, h, pix, channels=ch, quant=quant,
+                dc_al=dc_al, ac_al=ac_al,
+            )
+            assert b"\xff\xc0" not in pr[:200] and b"\xff\xc2" in pr[:200]
+            got = decode_jpeg(pr)
+            assert got[:3] == want[:3]
+            assert np.array_equal(got[3], want[3]), (w, h, ch, dc_al, ac_al)
+
+
+def test_progressive_jpeg_multi_block_eob_runs():
+    """A mostly-flat image leaves long runs of AC-empty blocks — the
+    EOBn (run-length) path on both encoder and decoder; the decode must
+    still be exact vs baseline, and the progressive payload smaller
+    than one EOB symbol per block would allow."""
+    from querysight_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    w = h = 64  # 64 blocks, almost all AC-silent
+    img = np.full((h, w), 130, dtype=np.uint8)
+    img[:8, :8] = np.arange(64, dtype=np.uint8).reshape(8, 8) * 3
+    pix = img.tobytes()
+    want = decode_jpeg(encode_jpeg(w, h, pix, channels=1))
+    pr = encode_jpeg_progressive(w, h, pix, channels=1, dc_al=1, ac_al=1)
+    got = decode_jpeg(pr)
+    assert np.array_equal(got[3], want[3])
+
+
+def test_progressive_jpeg_decode_image_routing():
+    """decode_image routes progressive payloads through the native
+    decoder with no PIL in the environment."""
+    from querysight_spark.operators.multimodal import (
+        encode_jpeg_progressive,
+    )
+
+    blocks = np.array([[5, 250]], dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    payload = encode_jpeg_progressive(16, 8, img.tobytes(), channels=1)
+    w, h, arr = decode_image(payload, prefer_pil=False)
+    assert (w, h) == (16, 8)
+    assert np.array_equal(arr, img)  # all-ones quant: DC-only exact

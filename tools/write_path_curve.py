@@ -1,0 +1,144 @@
+"""Lakehouse WRITE-path cost curve: what does a commit cost as the
+table's history and file count grow, and what does a manifest
+checkpoint buy back?
+
+Streams micro-batch-style appends (one 1-row file per version, each
+txn-stamped like start_versioned_sink's batches) and at growing version
+counts measures:
+
+  * append_commit_sec — mean wall of the last 5 appends (parquet write
+    is ~constant; the metadata tail grows with the manifest)
+  * manifest_bytes — the self-contained file list a commit rewrites
+  * table_version_sec — snapshot discovery (listing vs forward probes)
+  * txn_miss_sec — committed_txn on an UNKNOWN txn id (the check every
+    commit pays; worst case = full history scan without a checkpoint)
+  * txn_oldest_hit_sec — committed_txn on the FIRST txn ever (a very
+    late replay; map hit with a checkpoint, full scan without)
+
+each BEFORE and AFTER checkpoint_manifest at that version — the
+numeric evidence for the X168 O(delta) claim. Prints one JSON line per
+measurement point; paste the table into SCALE.md.
+
+Usage: python tools/write_path_curve.py [n_versions] [point,point,...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_VERSIONS = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+POINTS = (
+    [int(x) for x in sys.argv[2].split(",")]
+    if len(sys.argv) > 2
+    else [50, 100, 200, 400]
+)
+
+
+def _best_of(fn, n: int = 5) -> float:
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from querysight_spark.session import get_spark
+    from querysight_spark.sources.versioned import (
+        _manifest_path,
+        checkpoint_manifest,
+        committed_txn,
+        table_version,
+        write_version,
+    )
+
+    spark = get_spark(app_name="write-path-curve")
+    work = tempfile.mkdtemp(prefix="qs_write_curve_")
+    root = os.path.join(work, "table")
+    try:
+        append_window: list[float] = []
+        v = 0
+        for point in sorted(p for p in POINTS if p <= N_VERSIONS):
+            while v < point:
+                v += 1
+                df = spark.range(v, v + 1).select(
+                    F.col("id"), (F.col("id") * 10).alias("x")
+                )
+                t0 = time.perf_counter()
+                write_version(spark, df, root, txn_id=f"t:{v}")
+                append_window.append(time.perf_counter() - t0)
+
+            def read_metrics() -> dict:
+                return {
+                    "table_version_ms": round(
+                        _best_of(lambda: table_version(root)) * 1000, 2
+                    ),
+                    "txn_miss_ms": round(
+                        _best_of(lambda: committed_txn(root, "nope")) * 1000,
+                        2,
+                    ),
+                    "txn_oldest_hit_ms": round(
+                        _best_of(lambda: committed_txn(root, "t:1")) * 1000,
+                        2,
+                    ),
+                }
+
+            manifest_bytes = os.path.getsize(_manifest_path(root, v))
+            pre = read_metrics()  # checkpoint-free regime up to here
+            t0 = time.perf_counter()
+            checkpoint_manifest(root)
+            ckpt_sec = time.perf_counter() - t0
+            post = read_metrics()
+            # a few appends WITH the checkpoint present (commit pays
+            # forward probes instead of a listing + full txn scan)
+            ckpt_appends = []
+            for _ in range(3):
+                v += 1
+                df = spark.range(v, v + 1).select(
+                    F.col("id"), (F.col("id") * 10).alias("x")
+                )
+                t0 = time.perf_counter()
+                write_version(spark, df, root, txn_id=f"t:{v}")
+                ckpt_appends.append(time.perf_counter() - t0)
+            # drop the checkpoint so growth to the next point stays in
+            # the no-checkpoint baseline regime
+            mdir = os.path.join(root, "_manifests")
+            for name in os.listdir(mdir):
+                if name.startswith("ckpt-"):
+                    os.unlink(os.path.join(mdir, name))
+            print(
+                json.dumps(
+                    {
+                        "versions": point,
+                        "files": point,
+                        "append_commit_sec": round(
+                            sum(append_window[-5:]) / 5, 3
+                        ),
+                        "append_with_ckpt_sec": round(
+                            sum(ckpt_appends) / len(ckpt_appends), 3
+                        ),
+                        "manifest_bytes": manifest_bytes,
+                        "checkpoint_sec": round(ckpt_sec, 3),
+                        "pre_checkpoint": pre,
+                        "post_checkpoint": post,
+                    }
+                )
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
