@@ -1023,6 +1023,13 @@ class _BitWriter:
             self.put(0x7F, 8 - self.n)  # pad with 1s per spec
         return bytes(self.buf)
 
+    def restart(self, idx: int) -> None:
+        """Pad to a byte boundary and emit RST(idx % 8) — restart
+        markers sit OUTSIDE the entropy coding, so no byte stuffing."""
+        if self.n:
+            self.put(0x7F, 8 - self.n)
+        self.buf += bytes([0xFF, 0xD0 + (idx % 8)])
+
 
 def _category(v: int) -> tuple[int, int]:
     """(size, raw bits) for DC-diff / AC coefficient category coding."""
@@ -1470,6 +1477,7 @@ def encode_jpeg_progressive(
     quant: list[int] | None = None,
     dc_al: int = 1,
     ac_al: int = 1,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive (SOF2) JPEG encoder, pure stdlib + numpy: the same
     quantized coefficients as ``encode_jpeg`` (grayscale or 4:4:4
@@ -1541,6 +1549,8 @@ def encode_jpeg_progressive(
     for ci in range(channels):
         sof += bytes([ci + 1, 0x11, 0])
     out += seg(0xFFC2, sof)  # SOF2 progressive
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     for cls, tid, (bits, vals) in (
         (0, 0, _DC_LUM),
         (1, 1, _AC_PROG),
@@ -1552,7 +1562,12 @@ def encode_jpeg_progressive(
     # --- DC first scan (interleaved, point transform dc_al) ---
     wr = _BitWriter()
     pred = [0] * channels
+    rst = 0
     for bi in range(bh * bw):
+        if restart_interval and bi and bi % restart_interval == 0:
+            wr.restart(rst)
+            rst += 1
+            pred = [0] * channels
         byi, bxi = divmod(bi, bw)
         for ci in range(channels):
             t = int(coefs[ci][byi, bxi, 0]) >> dc_al  # arithmetic
@@ -1568,7 +1583,11 @@ def encode_jpeg_progressive(
     # --- DC refinement scans (one bit per block per position) ---
     for al in range(dc_al - 1, -1, -1):
         wr = _BitWriter()
+        rst = 0
         for bi in range(bh * bw):
+            if restart_interval and bi and bi % restart_interval == 0:
+                wr.restart(rst)
+                rst += 1
             byi, bxi = divmod(bi, bw)
             for ci in range(channels):
                 wr.put((int(coefs[ci][byi, bxi, 0]) >> al) & 1, 1)
@@ -1590,7 +1609,12 @@ def encode_jpeg_progressive(
                 wr.put(n - (1 << r), r)
             state["eobrun"] = 0
 
+        rst = 0
         for bi in range(bh * bw):
+            if restart_interval and bi and bi % restart_interval == 0:
+                flush_eobrun()
+                wr.restart(rst)
+                rst += 1
             byi, bxi = divmod(bi, bw)
             blk = coefs[ci][byi, bxi]
             # sign-magnitude point transform (T.81 G.1.2.2)
@@ -1649,7 +1673,12 @@ def encode_jpeg_progressive(
                     wr.put(b, 1)
                 state["pending"] = []
 
+            rst = 0
             for bi in range(bh * bw):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    flush_eobrun_r()
+                    wr.restart(rst)
+                    rst += 1
                 byi, bxi = divmod(bi, bw)
                 blk = coefs[ci][byi, bxi]
                 absv = [abs(int(blk[k])) >> al for k in range(64)]
@@ -1799,9 +1828,14 @@ def _progressive_scan(
     units_done = 0
 
     def maybe_restart() -> None:
+        # called BEFORE each unit (baseline discipline): a restart is
+        # only expected when another unit follows, never after the last
         nonlocal units_done
-        units_done += 1
-        if restart_interval and units_done % restart_interval == 0:
+        if (
+            restart_interval
+            and units_done
+            and units_done % restart_interval == 0
+        ):
             m = br.align_to_marker()
             if m is not None and 0xFFD0 <= m <= 0xFFD7:
                 br.pos += 2
@@ -1810,6 +1844,7 @@ def _progressive_scan(
                 state["eobrun"] = 0
             else:
                 raise ValueError("expected JPEG restart marker")
+        units_done += 1
 
     if ss == 0:  # DC scan (first or refinement); may be interleaved
         if se != 0:
@@ -1824,6 +1859,7 @@ def _progressive_scan(
             total = mcux * mcuy
             for mi in range(total):
                 my, mx = divmod(mi, mcux)
+                maybe_restart()
                 for cs, _td, _ta in sc:
                     hs, vs, _qid = by_id[cs]
                     for v8 in range(vs):
@@ -1835,18 +1871,17 @@ def _progressive_scan(
                                 )
                             elif br.bit():
                                 blk[0] |= 1 << al
-                maybe_restart()
         else:
             cs = sc[0][0]
             hib, wib = nib[cs]
             for bi in range(hib * wib):
                 byi, bxi = divmod(bi, wib)
+                maybe_restart()
                 blk = store[cs][byi, bxi]
                 if ah == 0:
                     _prog_dc_first(blk, br, tables[cs], pred, cs, al)
                 elif br.bit():
                     blk[0] |= 1 << al
-                maybe_restart()
     else:  # AC scan: exactly one component (T.81 B.2.3)
         if len(sc) != 1:
             raise ValueError("progressive AC scan must be single-component")
@@ -1857,12 +1892,12 @@ def _progressive_scan(
         hib, wib = nib[cs]
         for bi in range(hib * wib):
             byi, bxi = divmod(bi, wib)
+            maybe_restart()
             blk = store[cs][byi, bxi]
             if ah == 0:
                 _prog_ac_first(blk, br, table, ss, se, al, state)
             else:
                 _prog_ac_refine(blk, br, table, ss, se, al, state)
-            maybe_restart()
     br.align_to_marker()
     return br.pos
 

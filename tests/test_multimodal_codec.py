@@ -769,3 +769,33 @@ def test_progressive_jpeg_decode_image_routing():
     w, h, arr = decode_image(payload, prefer_pil=False)
     assert (w, h) == (16, 8)
     assert np.array_equal(arr, img)  # all-ones quant: DC-only exact
+
+
+def test_progressive_jpeg_restart_markers():
+    """DRI + RSTn in progressive scans: DC predictors and EOB runs
+    reset at each marker, and an interval that exactly divides the
+    block count must NOT demand a marker after the final unit. Decode
+    stays pixel-exact vs baseline at every interval."""
+    from querysight_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(3)
+    quant = [16, 11, 10, 16, 24, 40, 51, 61] * 8
+    w, h = 32, 24  # 12 blocks: intervals 3, 4, 6 divide exactly
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.clip(
+        ((xx * 3 + yy * 5) % 256) + rng.integers(-40, 40, size=(h, w)),
+        0, 255,
+    ).astype(np.uint8)
+    want = decode_jpeg(encode_jpeg(w, h, img.tobytes(), quant=quant))
+    for ri in (1, 3, 4, 5, 6):
+        pr = encode_jpeg_progressive(
+            w, h, img.tobytes(), quant=quant,
+            dc_al=1, ac_al=1, restart_interval=ri,
+        )
+        assert b"\xff\xdd" in pr  # DRI present
+        got = decode_jpeg(pr)
+        assert np.array_equal(got[3], want[3]), ri
