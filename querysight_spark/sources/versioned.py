@@ -1013,9 +1013,12 @@ def compact_table(spark: SparkSession, root: str) -> int:
     if touched:
         # per-file DV scoping (matches read_version): a vector folds
         # only into files committed before it, so a key re-inserted
-        # after its delete survives the compaction
+        # after its delete survives the compaction. Evolved tables
+        # rewrite with the recorded schema so a rewrite straddling the
+        # evolution boundary cannot drop the added columns.
         kept_rows = _read_with_dvs(
-            spark, root, touched, manifest["dvs"], key_cols
+            spark, root, touched, manifest["dvs"], key_cols,
+            schema=_schema_of(manifest),
         )
         commit_dir = os.path.join(
             root, _DATA, f"c{version + 1:08d}-{uuid.uuid4().hex[:8]}"
@@ -1147,7 +1150,14 @@ def optimize_table(
         return version
     total = sum(rows_of[f] for f in small)
     n_out = max(1, -(-total // target_rows_per_file))
-    packed = spark.read.parquet(*[os.path.join(root, f) for f in small])
+    reader = spark.read
+    sch = _schema_of(manifest)
+    if sch is not None:
+        # evolved table: bin-pack with the recorded schema so small
+        # files straddling the evolution boundary keep the added
+        # columns (NULL-backfilled for pre-evolution rows)
+        reader = reader.schema(sch)
+    packed = reader.parquet(*[os.path.join(root, f) for f in small])
     cols = manifest.get("stats_cols", [])
     if cols:
         packed = packed.repartitionByRange(n_out, cols[0])

@@ -955,3 +955,43 @@ def test_zorder_table_multi_predicate_pruning(spark, root):
     delete_keys(spark, root, spark.range(0, 5).select(F.col("id").alias("x")))
     with pytest.raises(ValueError, match="deletion vectors"):
         zorder_table(spark, root, ["x", "y"])
+
+
+def test_maintenance_preserves_evolved_columns(spark, root):
+    """OPTIMIZE and compaction rewrites that straddle a schema-evolution
+    boundary keep the added column (NULL-backfilled for pre-evolution
+    rows) instead of letting a mixed-schema raw read drop it."""
+    from querysight_spark.sources.versioned import (
+        compact_table,
+        delete_keys,
+        evolve_table_schema,
+        optimize_table,
+    )
+
+    # many tiny pre-evolution files + tagged post-evolution files
+    for k in range(3):
+        write_version(
+            spark, _df(spark, k * 4, k * 4 + 4).repartition(2), root,
+            stats_cols=["id"],
+        )
+    evolve_table_schema(spark, root, {"tag": "string"})
+    write_version(
+        spark,
+        spark.range(12, 16).select(
+            F.col("id"), (F.col("id") * 10).alias("v"),
+            F.lit("new").alias("tag"),
+        ).repartition(2),
+        root,
+    )
+    v = optimize_table(spark, root, min_rows_per_file=10)
+    opt = read_version(spark, root, v)
+    assert "tag" in opt.columns
+    assert _ids(opt.where(F.col("tag") == "new")) == [12, 13, 14, 15]
+    assert _ids(opt.where(F.col("tag").isNull())) == list(range(12))
+    # compaction across the boundary keeps the column too
+    delete_keys(spark, root, spark.range(0, 2).select("id"))
+    compact_table(spark, root)
+    cur = read_version(spark, root)
+    assert "tag" in cur.columns
+    assert _ids(cur.where(F.col("tag") == "new")) == [12, 13, 14, 15]
+    assert _ids(cur) == list(range(2, 16))
