@@ -61,6 +61,7 @@ import bisect
 import json
 import os
 import re
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -328,6 +329,9 @@ def _commit(root: str, files: list[str], added: list[str],
         }
         if sch is not None:
             manifest["schema"] = sch
+        # commit wall-clock, for DESCRIBE HISTORY / timestamp travel;
+        # ordering truth stays the version number (clocks can skew)
+        manifest["ts"] = time.time()
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -1181,6 +1185,52 @@ def optimize_table(
         stats=stats,
         stats_cols=cols,
     )
+
+
+def table_history(root: str) -> list[dict]:
+    """DESCRIBE HISTORY: one dict per retained commit, newest first —
+    version, op, wall-clock ts (None for pre-round-7 manifests), txn_id,
+    file counts and added/removed deltas, DV debt, and whether a schema
+    is recorded. Driver-side metadata only (manifests are small JSON);
+    vacuumed versions are absent, like the public formats' RETAIN
+    window."""
+    out = []
+    for v in range(table_version(root), 0, -1):
+        path = _manifest_path(root, v)
+        if not os.path.exists(path):
+            break  # vacuumed history below here
+        m = read_manifest(root, v)
+        out.append(
+            {
+                "version": v,
+                "op": m["op"],
+                "ts": m.get("ts"),
+                "txn_id": m.get("txn_id"),
+                "n_files": len(m["files"]),
+                "n_added": len(m.get("added", [])),
+                "n_removed": len(m.get("removed", [])),
+                "n_dvs": len(m.get("dvs", [])),
+                "has_schema": bool(m.get("schema")),
+            }
+        )
+    return out
+
+
+def version_at_timestamp(root: str, ts: float) -> int:
+    """TIMESTAMP AS OF: the latest retained version whose commit time is
+    <= ``ts`` (pass to ``read_version``). Commit clocks can skew, so the
+    scan takes the MAX qualifying version rather than assuming
+    monotonicity; raises if every retained commit is newer (use plain
+    version travel for vacuumed history)."""
+    best = 0
+    for row in table_history(root):
+        if row["ts"] is not None and row["ts"] <= ts:
+            best = max(best, row["version"])
+    if best == 0:
+        raise ValueError(
+            f"no retained commit of {root} at or before ts={ts}"
+        )
+    return best
 
 
 def zorder_table(

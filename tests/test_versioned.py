@@ -995,3 +995,36 @@ def test_maintenance_preserves_evolved_columns(spark, root):
     assert "tag" in cur.columns
     assert _ids(cur.where(F.col("tag") == "new")) == [12, 13, 14, 15]
     assert _ids(cur) == list(range(2, 16))
+
+
+def test_table_history_and_timestamp_travel(spark, root):
+    """DESCRIBE HISTORY rows newest-first with ops/deltas/ts; TIMESTAMP
+    AS OF resolves the latest commit at-or-before a wall-clock point and
+    refuses timestamps older than retained history."""
+    import time as _time
+
+    from querysight_spark.sources.versioned import (
+        delete_keys,
+        table_history,
+        version_at_timestamp,
+    )
+
+    t0 = _time.time() - 1.0
+    write_version(spark, _df(spark, 0, 5), root, txn_id="a:1")
+    t_mid = _time.time()
+    _time.sleep(0.02)
+    write_version(spark, _df(spark, 5, 8), root)
+    delete_keys(spark, root, spark.range(0, 2).select("id"))
+    hist = table_history(root)
+    assert [r["version"] for r in hist] == [3, 2, 1]
+    assert [r["op"] for r in hist] == ["delete", "append", "append"]
+    assert hist[0]["n_dvs"] >= 1 and hist[1]["n_dvs"] == 0
+    assert hist[2]["txn_id"] == "a:1"
+    assert all(r["ts"] is not None for r in hist)
+    assert version_at_timestamp(root, t_mid) == 1
+    assert version_at_timestamp(root, _time.time()) == 3
+    assert _ids(
+        read_version(spark, root, version_at_timestamp(root, t_mid))
+    ) == [0, 1, 2, 3, 4]
+    with pytest.raises(ValueError, match="no retained commit"):
+        version_at_timestamp(root, t0)
