@@ -1478,6 +1478,7 @@ def encode_jpeg_progressive(
     dc_al: int = 1,
     ac_al: int = 1,
     restart_interval: int = 0,
+    ac_bands: list[tuple[int, int]] | None = None,
 ) -> bytes:
     """Progressive (SOF2) JPEG encoder, pure stdlib + numpy: the same
     quantized coefficients as ``encode_jpeg`` (grayscale or 4:4:4
@@ -1486,7 +1487,9 @@ def encode_jpeg_progressive(
     refinement bit scans, then per-component AC first scans
     (Ss=1..63, Al=``ac_al``) with real EOB-run accumulation and AC
     refinement scans (the T.81 G.1.2.3 correction-bit algorithm).
-    Setting ``dc_al=ac_al=0`` degenerates to spectral selection only.
+    Setting ``dc_al=ac_al=0`` degenerates to spectral selection only;
+    ``ac_bands`` splits the AC spectrum into multiple scans (default
+    one 1..63 band — real encoders ship scripts like [(1,5),(6,63)]).
 
     Exists for the decoder's differential gate: progressive and
     baseline encodings of the SAME image quantize identically, so
@@ -1517,19 +1520,28 @@ def encode_jpeg_progressive(
     bw, bh = -(-w // 8), -(-h // 8)
     zig = np.array(_ZIGZAG)
     qz = q[zig]
-    # quantized zig-zag coefficients per component, all blocks upfront
+    # quantized zig-zag coefficients per component, all blocks upfront —
+    # the FDCT runs per block with encode_jpeg's EXACT expression
+    # (operation order changes float rounding at quantization
+    # boundaries, and the differential gate needs both encoders to
+    # quantize bit-identically)
     coefs: list[np.ndarray] = []
     for p in planes:
         pp = np.empty((bh * 8, bw * 8))
         pp[:h, :w] = p
         pp[h:, :w] = p[h - 1 : h, :]
         pp[:, w:] = pp[:, w - 1 : w]
-        blocks = (
-            pp.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
-        )
-        S = np.einsum("ux,ijxy,vy->ijuv", _DCT_C, blocks, _DCT_C)
-        zz = S.reshape(bh, bw, 64)[..., zig]
-        coefs.append(np.floor(zz / qz + 0.5).astype(np.int64))
+        cc = np.empty((bh, bw, 64), dtype=np.int64)
+        for byi in range(bh):
+            for bxi in range(bw):
+                blk = (
+                    pp[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8]
+                    - 128.0
+                )
+                S = _DCT_C @ blk @ _DCT_C.T
+                zz = S.reshape(-1)[zig]
+                cc[byi, bxi] = np.floor(zz / qz + 0.5).astype(np.int64)
+        coefs.append(cc)
     dc_tab = _huff_canonical(*_DC_LUM)
     ac_tab = _huff_canonical(*_AC_PROG)
 
@@ -1593,8 +1605,14 @@ def encode_jpeg_progressive(
                 wr.put((int(coefs[ci][byi, bxi, 0]) >> al) & 1, 1)
         out += sos(list(range(channels)), 0, 0, al + 1, al)
         out += wr.flush()
-    # --- AC first scans (per component, with EOB runs) ---
+    # --- AC first scans (per component x band, with EOB runs) ---
+    bands = list(ac_bands or [(1, 63)])
+    if bands[0][0] != 1 or bands[-1][1] != 63 or any(
+        bands[i][1] + 1 != bands[i + 1][0] for i in range(len(bands) - 1)
+    ):
+        raise ValueError(f"ac_bands must tile 1..63, got {bands}")
     for ci in range(channels):
+      for b_ss, b_se in bands:
         wr = _BitWriter()
         state = {"eobrun": 0}
 
@@ -1623,7 +1641,7 @@ def encode_jpeg_progressive(
                 for k in range(64)
             ]
             last_nz = 0
-            for k in range(63, 0, -1):
+            for k in range(b_se, b_ss - 1, -1):
                 if v[k]:
                     last_nz = k
                     break
@@ -1634,7 +1652,7 @@ def encode_jpeg_progressive(
                 continue
             flush_eobrun()
             run = 0
-            for k in range(1, last_nz + 1):
+            for k in range(b_ss, last_nz + 1):
                 if v[k] == 0:
                     run += 1
                     continue
@@ -1647,16 +1665,17 @@ def encode_jpeg_progressive(
                 wr.put(code, ln)
                 wr.put(bits, s)
                 run = 0
-            if last_nz < 63:
+            if last_nz < b_se:
                 state["eobrun"] += 1
                 if state["eobrun"] == 0x7FFF:
                     flush_eobrun()
         flush_eobrun()
-        out += sos([ci], 1, 63, 0, ac_al)
+        out += sos([ci], b_ss, b_se, 0, ac_al)
         out += wr.flush()
     # --- AC refinement scans (T.81 G.1.2.3 / libjpeg jcphuff) ---
     for al in range(ac_al - 1, -1, -1):
         for ci in range(channels):
+          for b_ss, b_se in bands:
             wr = _BitWriter()
             state = {"eobrun": 0, "pending": []}
 
@@ -1683,12 +1702,12 @@ def encode_jpeg_progressive(
                 blk = coefs[ci][byi, bxi]
                 absv = [abs(int(blk[k])) >> al for k in range(64)]
                 eob = 0  # last newly-visible coefficient this pass
-                for k in range(1, 64):
+                for k in range(b_ss, b_se + 1):
                     if absv[k] == 1:
                         eob = k
                 r = 0
                 br_bits: list[int] = []
-                for k in range(1, 64):
+                for k in range(b_ss, b_se + 1):
                     t = absv[k]
                     if t == 0:
                         r += 1
@@ -1719,7 +1738,7 @@ def encode_jpeg_progressive(
                     if state["eobrun"] == 0x7FFF:
                         flush_eobrun_r()
             flush_eobrun_r()
-            out += sos([ci], 1, 63, al + 1, al)
+            out += sos([ci], b_ss, b_se, al + 1, al)
             out += wr.flush()
     out += b"\xff\xd9"
     return bytes(out)

@@ -799,3 +799,38 @@ def test_progressive_jpeg_restart_markers():
         assert b"\xff\xdd" in pr  # DRI present
         got = decode_jpeg(pr)
         assert np.array_equal(got[3], want[3]), ri
+
+
+def test_progressive_jpeg_spectral_band_splits():
+    """Real encoder scan scripts split the AC spectrum into multiple
+    bands (libjpeg ships [(1,5),(6,63)]): per-band EOB runs and
+    refinement passes must still decode pixel-exact vs baseline, with
+    and without restart markers."""
+    from querysight_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(5)  # the seed that exposed the FDCT
+    quant = [16, 11, 10, 16, 24, 40, 51, 61] * 8  # rounding-parity bug
+    w, h, ch = 32, 24, 1
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.clip(
+        ((xx * 3 + yy * 5) % 256) + rng.integers(-40, 40, size=(h, w)),
+        0, 255,
+    ).astype(np.uint8)
+    want = decode_jpeg(encode_jpeg(w, h, img.tobytes(), quant=quant))
+    for bands in [[(1, 5), (6, 63)], [(1, 2), (3, 9), (10, 63)]]:
+        for ri in (0, 3):
+            pr = encode_jpeg_progressive(
+                w, h, img.tobytes(), quant=quant, dc_al=1, ac_al=1,
+                restart_interval=ri, ac_bands=bands,
+            )
+            got = decode_jpeg(pr)
+            assert np.array_equal(got[3], want[3]), (bands, ri)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="tile"):
+        encode_jpeg_progressive(
+            w, h, img.tobytes(), ac_bands=[(1, 5), (7, 63)]
+        )
