@@ -9009,3 +9009,151 @@ def mm11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload_stats(
         synth_media_corpus(docs, image_format="jpeg_progressive")
     ).orderBy("asset_id")
+
+
+@_q(
+    "px05_lakehouse_lifecycle",
+    """WITH base AS (SELECT o_orderkey AS k, o_custkey AS c,
+                            o_orderstatus AS s, o_totalprice AS price
+                     FROM orders),
+       state AS (
+         SELECT k, c, s,
+                CASE WHEN k % 10 = 1 THEN price + 1000 ELSE price END
+                  AS price,
+                CASE WHEN k % 10 = 1 THEN 'hot' ELSE NULL END AS pclass
+         FROM base WHERE k % 10 <> 3),
+       b AS (SELECT MIN(k) AS klo, MAX(k) AS khi,
+                    MIN(c) AS clo, MAX(c) AS chi FROM base),
+       r AS (SELECT klo + (khi - klo) * 2 // 5 AS k1,
+                    klo + (khi - klo) // 2 AS k2,
+                    clo + (chi - clo) * 2 // 5 AS c1,
+                    clo + (chi - clo) // 2 AS c2 FROM b)
+       SELECT s AS o_orderstatus,
+              COALESCE(pclass, 'none') AS priority_class,
+              COUNT(*) AS n_rows,
+              CAST(SUM(CAST(ROUND(price * 100) AS BIGINT)) AS BIGINT)
+                AS sum_cents,
+              TRUE AS replay_was_noop, TRUE AS zorder_pruned_files
+       FROM state, r
+       WHERE k BETWEEN r.k1 AND r.k2 AND c BETWEEN r.c1 AND r.c2
+       GROUP BY s, pclass ORDER BY s, priority_class""",
+)
+def px05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAKEHOUSE LIFECYCLE under one hash — every round-7 surface
+    composed in production order: (1) orders ingest key-clustered with
+    zone maps; (2) ``evolve_table_schema`` adds a ``priority_class``
+    column as a metadata-only commit; (3) a txn-stamped CDC command
+    pair applies — a MERGE that bumps and classifies every rem-1 order
+    (carrying the evolved column) and a merge-on-read DELETE of the
+    rem-3 keys; (4) ``compact_table`` folds the delete debt (per-file
+    DV scoping); (5) ``zorder_table`` re-clusters the snapshot on
+    (o_orderkey, o_custkey); (6) the read is a two-predicate pruned
+    conjunction over the Z-ordered files, NULL-backfilled rows and all.
+    Replaying both CDC commands after the fact must no-op on the txn
+    map (``replay_was_noop``) and the conjunction must actually skip
+    files (``zorder_pruned_files``); the final aggregate hashes against
+    a from-first-principles oracle, so a fault in ANY stage — schema
+    carry, DV scope, merge pruning, compaction, Morton layout, zone
+    planning — surfaces as a value mismatch, not a green boolean."""
+    import hashlib
+    import os
+    import tempfile
+
+    from querysight_spark.sources.versioned import (
+        compact_table,
+        delete_keys,
+        evolve_table_schema,
+        merge_into,
+        pruned_files,
+        read_version,
+        table_version,
+        write_version,
+        zorder_table,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"px05:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    work = os.path.join(tempfile.gettempdir(), f"qs_px05_{tag}")
+    root = os.path.join(work, "table")
+    done = os.path.join(work, "_flags")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    row = orders.agg(
+        F.min("o_orderkey").alias("klo"), F.max("o_orderkey").alias("khi"),
+        F.min("o_custkey").alias("clo"), F.max("o_custkey").alias("chi"),
+    ).collect()[0]
+    k1 = row.klo + (row.khi - row.klo) * 2 // 5
+    k2 = row.klo + (row.khi - row.klo) // 2
+    c1 = row.clo + (row.chi - row.clo) * 2 // 5
+    c2 = row.clo + (row.chi - row.clo) // 2
+
+    def _merge_cmd() -> int:
+        return merge_into(
+            spark,
+            orders.where(F.col("o_orderkey") % 10 == 1).select(
+                "o_orderkey", "o_custkey", "o_orderstatus",
+                (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+                F.lit("hot").alias("priority_class"),
+            ),
+            root,
+            ["o_orderkey"],
+            txn_id="px05:m1",
+        )
+
+    def _delete_cmd() -> int:
+        return delete_keys(
+            spark,
+            root,
+            orders.where(F.col("o_orderkey") % 10 == 3).select(
+                "o_orderkey"
+            ),
+            txn_id="px05:d1",
+        )
+
+    if not os.path.exists(done):
+        write_version(
+            spark,
+            orders.repartitionByRange(32, "o_orderkey"),
+            root,
+            stats_cols=["o_orderkey", "o_custkey"],
+        )
+        evolve_table_schema(spark, root, {"priority_class": "string"})
+        _merge_cmd()
+        _delete_cmd()
+        compact_table(spark, root)
+        zorder_table(
+            spark, root, ["o_orderkey", "o_custkey"], target_files=32
+        )
+        v = table_version(root)
+        _merge_cmd()  # redelivered commands: txn map no-ops both
+        _delete_cmd()
+        replay_noop = table_version(root) == v
+        with open(done, "w") as f:
+            f.write(str(bool(replay_noop)))
+    else:
+        with open(done) as f:
+            replay_noop = f.read() == "True"
+    preds = [("o_orderkey", k1, k2), ("o_custkey", c1, c2)]
+    kept, skipped = pruned_files(root, table_version(root), preds)
+    return (
+        read_version(spark, root, prune=preds)
+        .groupBy(
+            "o_orderstatus",
+            F.coalesce(F.col("priority_class"), F.lit("none")).alias(
+                "priority_class"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("sum_cents"),
+        )
+        .withColumn("replay_was_noop", F.lit(bool(replay_noop)))
+        .withColumn("zorder_pruned_files", F.lit(bool(skipped)))
+        .orderBy("o_orderstatus", "priority_class")
+    )
