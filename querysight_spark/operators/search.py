@@ -714,10 +714,19 @@ def compact_text_index(spark, path: str) -> int:
     maintenance pass (the io05 compaction story applied to the index;
     probes pay the anti-join until it runs). A full rewrite by design:
     run it when the tombstone fraction justifies one, not per delete.
-    Returns the number of tombstones folded."""
+    Returns the number of tombstones folded.
+
+    Compaction also GARBAGE-COLLECTS the txn journal (``txns/``): a
+    maintenance txn replayed after the compaction that absorbed it
+    falls back to the DATA-level guards — ``start_index_absorb``
+    anti-joins lens before upserting, and a replayed delete finds its
+    ids neither indexed nor tombstoned and no-ops — so the markers are
+    only needed between compactions, the bound that keeps the journal
+    from growing one file per streaming epoch forever."""
     import os
     import shutil
 
+    shutil.rmtree(f"{path}/txns", ignore_errors=True)
     if not os.path.exists(f"{path}/deletes"):
         return 0
     dead = spark.read.parquet(f"{path}/deletes").localCheckpoint(eager=True)

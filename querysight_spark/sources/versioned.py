@@ -461,6 +461,8 @@ def evolve_table_schema(
         cur = spark.read.parquet(
             *[os.path.join(root, f) for f in manifest["files"]]
         ).schema
+    from pyspark.sql.types import StructType
+
     names = set(cur.fieldNames())
     new = cur
     for name, dtype in add_cols.items():
@@ -469,7 +471,11 @@ def evolve_table_schema(
                 f"column {name!r} already exists; type changes and "
                 "renames need a rewrite, not schema evolution"
             )
-        new = new.add(name, dtype, True)
+        # fromDDL accepts the SQL type vocabulary ("bigint", "string",
+        # "array<double>", ...) — StructType.add alone only parses the
+        # narrower JSON type names
+        (field,) = StructType.fromDDL(f"`{name}` {dtype}").fields
+        new = new.add(field.name, field.dataType, True)
     return _commit(
         root,
         [os.path.join(root, f) for f in manifest["files"]],
@@ -1282,7 +1288,14 @@ def zorder_table(
     )
     clustered.write.parquet(commit_dir)
     new_files = _list_parquet(commit_dir)
-    stats = _collect_stats(root, new_files, cols)
+    # keep previously-statted columns prunable too: the rewrite stats
+    # the UNION of the table's historical stats_cols and the zorder
+    # cols, so a predicate on a formerly-clustered column still plans
+    # from zone maps (looser after the re-cluster, but never blind)
+    stat_cols = cols + [
+        c for c in manifest.get("stats_cols", []) if c not in cols
+    ]
+    stats = _collect_stats(root, new_files, stat_cols)
     return _commit(
         root,
         new_files,
@@ -1291,7 +1304,7 @@ def zorder_table(
         "zorder",
         expected_version=version,
         stats=stats,
-        stats_cols=cols,
+        stats_cols=stat_cols,
     )
 
 

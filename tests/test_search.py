@@ -703,3 +703,28 @@ def test_incremental_stats_exact_total(spark, corpus, tmp_path):
     sf = spark.read.parquet(full + "/stats").collect()[0]
     assert (si.n_docs, si.total_dl) == (sf.n_docs, sf.total_dl)
     assert si.avgdl == sf.avgdl
+
+
+def test_compact_gc_txn_journal(spark, corpus, tmp_path):
+    """Compaction clears the txn journal; a maintenance txn replayed
+    afterwards falls back to the data-level guards (a replayed delete
+    finds its ids neither indexed nor tombstoned and no-ops)."""
+    import os
+
+    from querysight_spark.operators.search import (
+        build_text_index_upsertable,
+        compact_text_index,
+        delete_from_text_index,
+        upsert_text_index,
+    )
+
+    path = str(tmp_path / "ix")
+    build_text_index_upsertable(corpus.where("doc_id <= 3"), path, n_buckets=4)
+    upsert_text_index(spark, path, corpus.where("doc_id > 3"), txn_id="u:1")
+    ids = spark.createDataFrame([(4,)], ["doc_id"])
+    assert delete_from_text_index(spark, path, ids, txn_id="d:1") == 1
+    assert os.path.isdir(path + "/txns")
+    assert compact_text_index(spark, path) == 1
+    assert not os.path.exists(path + "/txns")
+    # replayed delete txn: marker gone, but the rows are gone too -> 0
+    assert delete_from_text_index(spark, path, ids, txn_id="d:1") == 0

@@ -1028,3 +1028,63 @@ def test_table_history_and_timestamp_travel(spark, root):
     ) == [0, 1, 2, 3, 4]
     with pytest.raises(ValueError, match="no retained commit"):
         version_at_timestamp(root, t0)
+
+
+def test_zorder_keeps_prior_stats_cols_prunable(spark, root):
+    """A Z-order rewrite stats the UNION of the zorder columns and the
+    table's historical stats_cols, so predicates on a formerly
+    clustered column still prune (looser, never blind), and later
+    appends inherit the union."""
+    from querysight_spark.sources.versioned import pruned_files, zorder_table
+
+    df = spark.range(0, 4096).select(
+        F.col("id").alias("x"),
+        ((F.col("id") * 2654435761) % 4096).alias("y"),
+        (F.col("id") % 5).alias("g"),
+    )
+    write_version(
+        spark, df.repartitionByRange(32, "g"), root, stats_cols=["g"]
+    )
+    v = zorder_table(spark, root, ["x", "y"], target_files=32)
+    m = read_manifest(root, v)
+    assert m["stats_cols"] == ["x", "y", "g"]
+    # every file has a g zone map recorded
+    assert all("g" in m["stats"][f] for f in m["files"])
+    kept, _ = pruned_files(root, v, [("x", 0, 100), ("y", 0, 100)])
+    assert len(kept) < len(m["files"])  # zorder pruning works
+
+
+def test_streaming_sink_respects_evolution_gate(spark, root, tmp_path):
+    """Once a table opts into managed schema (first evolve), the
+    exactly-once sink inherits write_version's gate: a micro-batch
+    carrying an unknown column fails the stream atomically (nothing
+    half-lands), and after the column is evolved in, the same data
+    absorbs cleanly with NULL backfill on pre-evolution rows.
+    Pre-evolution tables stay schema-on-read (legacy mergeSchema)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from querysight_spark.sources.versioned import (
+        evolve_table_schema,
+        start_versioned_sink,
+    )
+
+    write_version(spark, _df(spark, 0, 4), root)
+    evolve_table_schema(spark, root, {"tag": "string"})  # schema managed
+    src = str(tmp_path / "in")
+    spark.range(4, 8).select(
+        F.col("id"), (F.col("id") * 10).alias("v"),
+        F.lit("t").alias("tag"), F.lit(1).alias("extra"),
+    ).write.json(src)
+    sch = "id long, v long, tag string, extra long"
+    stream = spark.readStream.schema(sch).json(src)
+    q = start_versioned_sink(stream, root, str(tmp_path / "ck1"))
+    with pytest.raises(StreamingQueryException, match="not in the table schema"):
+        q.awaitTermination()
+    assert table_version(root) == 2  # nothing half-landed
+    evolve_table_schema(spark, root, {"extra": "bigint"})
+    stream2 = spark.readStream.schema(sch).json(src)
+    start_versioned_sink(stream2, root, str(tmp_path / "ck2")).awaitTermination()
+    cur = read_version(spark, root)
+    assert _ids(cur) == list(range(8))
+    assert _ids(cur.where(F.col("tag").isNull())) == [0, 1, 2, 3]
+    assert _ids(cur.where(F.col("extra") == 1)) == [4, 5, 6, 7]
