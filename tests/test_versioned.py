@@ -1088,3 +1088,62 @@ def test_streaming_sink_respects_evolution_gate(spark, root, tmp_path):
     assert _ids(cur) == list(range(8))
     assert _ids(cur.where(F.col("tag").isNull())) == [0, 1, 2, 3]
     assert _ids(cur.where(F.col("extra") == 1)) == [4, 5, 6, 7]
+
+
+def test_zorder_racing_append_conflicts_cleanly(spark, root):
+    """A Z-order rewrite planned against a snapshot an append just moved
+    must raise ConcurrentWriteError (never erase the racer's files), and
+    the retry against the fresh snapshot converges with every row
+    present — the X167 discipline extended to the round-7 ops."""
+    from querysight_spark.sources.versioned import (
+        ConcurrentWriteError,
+        zorder_table,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("x"),
+        ((F.col("id") * 2654435761) % 1000).alias("y"),
+    )
+    write_version(spark, df.repartitionByRange(8, "x"), root,
+                  stats_cols=["x", "y"])
+    # move the snapshot between the zorder's plan and its commit by
+    # appending from inside a monkeypatched _collect_stats... simpler:
+    # plan the zorder, land an append first, then commit via the public
+    # API by racing two threads with a barrier
+    import threading
+
+    errs, out = [], []
+    barrier = threading.Barrier(2)
+
+    def do_zorder():
+        barrier.wait()
+        try:
+            out.append(zorder_table(spark, root, ["x", "y"],
+                                    target_files=8))
+        except ConcurrentWriteError as e:
+            errs.append(e)
+
+    def do_append():
+        barrier.wait()
+        out.append(
+            write_version(
+                spark,
+                spark.range(1000, 1100).select(
+                    F.col("id").alias("x"),
+                    ((F.col("id") * 2654435761) % 1000).alias("y"),
+                ),
+                root,
+            )
+        )
+
+    t1 = threading.Thread(target=do_zorder)
+    t2 = threading.Thread(target=do_append)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    if errs:  # zorder lost the race: retry against the fresh snapshot
+        zorder_table(spark, root, ["x", "y"], target_files=8)
+    # whichever interleaving happened, all 1100 rows survive
+    assert read_version(spark, root).count() == 1100
+    # the final snapshot never references vanished files
+    m = read_manifest(root, table_version(root))
+    import os as _os
+    assert all(_os.path.exists(_os.path.join(root, f)) for f in m["files"])
