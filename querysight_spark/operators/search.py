@@ -430,18 +430,6 @@ def upsert_text_index(
 
     with open(f"{path}/_index_meta.json") as f:
         n_buckets = json.load(f)["n_buckets"]
-    append_subs = ["postings", "forward", "lens"]
-    if txn_id is not None:
-        commit_p, pending_p, stage_p, done_p = _txn_paths(path, txn_id)
-        if os.path.exists(commit_p):
-            with open(commit_p) as f:
-                return int(json.load(f)["count"])
-        if os.path.exists(pending_p):
-            # crashed attempt: roll its partial appends back first
-            with open(pending_p) as f:
-                _rollback_strays(path, json.load(f))
-        else:
-            _atomic_json(pending_p, _dir_listing(path, append_subs))
     # two consumers each (write + merge / stats) — localCheckpoint, not a
     # session-lived persist (the r5 cache-hygiene discipline), and it
     # also breaks the read-modify-write cycle on termdf below
@@ -453,6 +441,37 @@ def upsert_text_index(
         .withColumn("term_bucket", _term_bucket_col(n_buckets))
         .localCheckpoint(eager=True)
     )
+    if txn_id is not None:
+        commit_p, pending_p, stage_p, done_p = _txn_paths(path, txn_id)
+        if os.path.exists(commit_p):
+            with open(commit_p) as f:
+                return int(json.load(f)["count"])
+        if os.path.exists(pending_p):
+            # crashed attempt: roll its partial appends back first (the
+            # listing carries its own scoped sub-paths)
+            with open(pending_p) as f:
+                _rollback_strays(path, json.load(f))
+        else:
+            # scope the pre-write listing to the DELTA's bucket
+            # directories (+ the flat lens dir): a replayed epoch's
+            # strays can only live where its own appends land, so the
+            # snapshot stays O(delta buckets), not O(index files)
+            tb = [
+                r.term_bucket
+                for r in delta_post.select("term_bucket").distinct().collect()
+            ]
+            db = [
+                r.db
+                for r in delta_post.select(
+                    _doc_bucket_col(id_col, n_buckets).alias("db")
+                ).distinct().collect()
+            ]
+            subs = (
+                [f"postings/term_bucket={b}" for b in sorted(tb)]
+                + [f"forward/doc_bucket={b}" for b in sorted(db)]
+                + ["lens"]
+            )
+            _atomic_json(pending_p, _dir_listing(path, subs))
     if txn_id is not None and os.path.exists(done_p):
         # stage survives from the crashed attempt — computed from the
         # pre-write state, so it is the correct final image no matter
