@@ -9157,3 +9157,46 @@ def px05(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("zorder_pruned_files", F.lit(bool(skipped)))
         .orderBy("o_orderstatus", "priority_class")
     )
+
+
+@_q(
+    "mm12_jpeg_preview_stats",
+    """WITH img AS (
+         SELECT doc_id, 2 + doc_id % 4 AS bw, 1 + doc_id % 3 AS bh
+         FROM documents WHERE doc_id % 2 = 0
+       ),
+       bpx AS (
+         SELECT doc_id, bw, bh, (doc_id * 31 + 7 * b) % 256 AS v
+         FROM img, LATERAL (SELECT UNNEST(range(0, bw * bh)) AS b) u
+       )
+       SELECT concat('asset-', CAST(doc_id AS VARCHAR)) AS asset_id,
+              'image' AS media_type,
+              CAST(bw AS INT) AS width, CAST(bh AS INT) AS height,
+              CAST(COUNT(*) AS BIGINT) AS n_units,
+              CAST(SUM(v) AS BIGINT) AS sum_v,
+              CAST(SUM(v * v) AS BIGINT) AS sumsq_v,
+              CAST(MIN(v) AS BIGINT) AS min_v,
+              CAST(MAX(v) AS BIGINT) AS max_v
+       FROM bpx GROUP BY doc_id, bw, bh ORDER BY asset_id""",
+)
+def mm12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DC-scan THUMBNAIL pass over the progressive corpus — the read
+    pattern progressive encoding exists to serve: decode_jpeg_preview
+    entropy-decodes only the DC scans (first + refinement bits) and
+    byte-skips every AC scan, yielding one pixel per 8x8 block. On the
+    block-constant corpus the preview equals the block-value formula
+    EXACTLY (a DC-only block is constant at DC/8 + 128), so the whole
+    skip-and-refine path — including successive-approximation DC
+    reassembly — is value-hashed against the oracle with n_units = one
+    per block, 1/64th of mm11's full-decode unit count. At 100 TB this
+    is the difference between thumbnailing a corpus by reading a small
+    prefix of each payload's scans and paying the full inverse DCT."""
+    from querysight_spark.operators.multimodal import (
+        preview_stats,
+        synth_media_corpus,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") % 2 == 0)
+    return preview_stats(
+        synth_media_corpus(docs, image_format="jpeg_progressive")
+    ).orderBy("asset_id")

@@ -729,6 +729,40 @@ def _int_stats(v: np.ndarray) -> tuple[int, int, int, int, int]:
     )
 
 
+def preview_stats(media: DataFrame) -> DataFrame:
+    """DC-PREVIEW decode -> integer-exact stats over the 1/8-scale
+    thumbnails of progressive-JPEG image payloads: decode_jpeg_preview
+    reads the DC scans and byte-skips every AC scan, so the per-doc
+    work is a small prefix of the payload — the thumbnail pass a
+    100 TB image corpus runs instead of a full decode. Same
+    Arrow-batched mapInPandas shape as payload_stats; non-image rows
+    are excluded by the pushed filter."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, _ch, arr = decode_jpeg_preview(bytes(payload))
+                rows.append((aid, w, h) + _int_stats(arr.ravel()))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "width", "height"] + _STATS_COLS[1:],
+            )
+
+    return (
+        media.where(F.col("media_type") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(run, schema=_IMG_STATS_SCHEMA)
+        .select(
+            "asset_id",
+            F.lit("image").alias("media_type"),
+            "width",
+            "height",
+            *_STATS_COLS[1:],
+        )
+    )
+
+
 def payload_stats(media: DataFrame) -> DataFrame:
     """REAL payload decode → integer-exact stats, the mm04 operator: each
     payload is parsed by the actual codec for its media_type (netpbm
@@ -1742,6 +1776,148 @@ def encode_jpeg_progressive(
             out += wr.flush()
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def _skip_entropy(data: bytes, pos: int) -> int:
+    """Advance past a scan's entropy-coded bytes WITHOUT decoding them:
+    entropy data contains no bare 0xFF (stuffed as FF 00), so the next
+    non-RST marker boundary is found by byte scan — what lets a DC-only
+    preview skip whole AC scans at IO speed."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        nxt = data[pos + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:  # stuffing / RST
+            pos += 2
+            continue
+        return pos
+    raise ValueError("JPEG entropy stream truncated")
+
+
+def decode_jpeg_preview(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """1/8-scale DC PREVIEW of a PROGRESSIVE JPEG: decode only the DC
+    scans (first + any refinements) and byte-skip every AC scan's
+    entropy data — one output pixel per 8x8 block, no IDCT (a DC-only
+    block is constant at DC/8 + 128 under the orthonormal transform).
+    This is the thumbnail path progressive encoding exists to serve:
+    the DC scan is a small prefix of the payload, so a 100 TB corpus
+    thumbnails at a fraction of full-decode cost. Returns
+    (preview_w, preview_h, channels, uint8 array). Baseline JPEGs
+    raise NotImplementedError (their single scan interleaves AC with
+    DC — nothing to skip; decode fully and downsample instead)."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError(f"not a JPEG (signature {payload[:2]!r})")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict = {}
+    frame = None
+    progressive = False
+    ri = 0
+    n = len(payload)
+    store = by_id = nib = None
+    mcux = mcuy = hmax = vmax = 0
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker stream desynchronized")
+        marker = (payload[pos] << 8) | payload[pos + 1]
+        pos += 2
+        if marker == 0xFFD9:
+            break
+        if 0xFFD0 <= marker <= 0xFFD7:
+            continue
+        if pos + 2 > n:
+            raise ValueError("JPEG segment length truncated")
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        seg = payload[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("JPEG segment truncated")
+        if marker == 0xFFDB:
+            _parse_dqt(seg, qtabs)
+        elif marker == 0xFFC4:
+            _parse_dht(seg, htabs)
+        elif marker == 0xFFDD:
+            (ri,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xFFC2:
+            prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("12-bit JPEG precision requires PIL")
+            comps = []
+            for ci in range(nc):
+                cid, hv, qid = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0x0F, qid))
+            frame = (fw, fh, comps)
+            progressive = True
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-fw // (8 * hmax))
+            mcuy = -(-fh // (8 * vmax))
+            by_id = {cid: (hs, vs, qid) for cid, hs, vs, qid in comps}
+            store = {
+                cid: np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
+                for cid, hs, vs, _qid in comps
+            }
+            nib = {
+                cid: (
+                    -(-(-(-(fh * vs) // vmax)) // 8),
+                    -(-(-(-(fw * hs) // hmax)) // 8),
+                )
+                for cid, hs, vs, _qid in comps
+            }
+        elif marker in (0xFFC0, 0xFFC1):
+            raise NotImplementedError(
+                "DC-only preview needs a progressive (SOF2) payload; "
+                "baseline scans interleave AC — decode fully instead"
+            )
+        elif marker == 0xFFDA:
+            if not progressive or frame is None:
+                raise ValueError("JPEG SOS before SOF2")
+            ns = seg[0]
+            sc = [
+                (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0x0F)
+                for i in range(ns)
+            ]
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            if ss == 0:  # DC scan: decode it
+                pos = _progressive_scan(
+                    payload, pos + seglen, store, by_id, sc, ss, se,
+                    a >> 4, a & 0x0F, htabs, ri, mcux, mcuy, nib,
+                )
+            else:  # AC scan: byte-skip its entropy data
+                pos = _skip_entropy(payload, pos + seglen)
+            continue
+        pos += seglen
+    if frame is None:
+        raise ValueError("progressive JPEG has no SOF2 frame")
+    w, h, comps = frame
+    pw, ph = -(-w // 8), -(-h // 8)
+    full = []
+    for cid, hs, vs, qid in comps:
+        if qid not in qtabs:
+            raise ValueError(f"missing quantization table {qid}")
+        dc = store[cid][..., 0].astype(np.float64) * qtabs[qid][0]
+        plane = dc / 8.0 + 128.0
+        plane = np.repeat(
+            np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+        )
+        full.append(plane[:ph, :pw])
+    if len(full) == 1:
+        out = np.floor(full[0] + 0.5)
+        return pw, ph, 1, np.clip(out, 0, 255).astype(np.uint8)
+    if len(full) != 3:
+        raise NotImplementedError(f"{len(full)}-component JPEG requires PIL")
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    out = np.clip(
+        np.floor(np.stack([r, g, b], axis=-1) + 0.5), 0, 255
+    ).astype(np.uint8)
+    return pw, ph, 3, out
 
 
 def _prog_dc_first(blk, br, table, pred, cs, al) -> None:

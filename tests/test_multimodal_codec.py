@@ -834,3 +834,34 @@ def test_progressive_jpeg_spectral_band_splits():
         encode_jpeg_progressive(
             w, h, img.tobytes(), ac_bands=[(1, 5), (7, 63)]
         )
+
+
+def test_progressive_jpeg_dc_preview():
+    """decode_jpeg_preview: exact block values on block-constant images
+    at every SA depth and restart interval, ~block-mean accuracy on
+    general content, baseline refusal (nothing to skip)."""
+    from querysight_spark.operators.multimodal import (
+        decode_jpeg_preview,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    bv = np.array([[5, 130, 250, 17], [99, 0, 255, 64]], dtype=np.uint8)
+    img = np.repeat(np.repeat(bv, 8, axis=0), 8, axis=1)  # 16x32
+    for dc_al, ac_al, ri in [(0, 0, 0), (1, 1, 0), (2, 2, 3)]:
+        pr = encode_jpeg_progressive(
+            32, 16, img.tobytes(), channels=1,
+            dc_al=dc_al, ac_al=ac_al, restart_interval=ri,
+        )
+        w, h, ch, arr = decode_jpeg_preview(pr)
+        assert (w, h, ch) == (4, 2, 1)
+        assert np.array_equal(arr, bv), (dc_al, ac_al, ri)
+    rng = np.random.default_rng(9)
+    img3 = rng.integers(0, 256, size=(16, 32, 3)).astype(np.uint8)
+    pr = encode_jpeg_progressive(32, 16, img3.tobytes(), channels=3)
+    w, h, ch, arr = decode_jpeg_preview(pr)
+    means = img3.reshape(2, 8, 4, 8, 3).mean(axis=(1, 3))
+    assert (w, h, ch) == (4, 2, 3)
+    assert np.abs(arr.astype(float) - means).max() <= 1.0
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg_preview(encode_jpeg(32, 16, img.tobytes(), channels=1))
