@@ -736,16 +736,42 @@ def compact_text_index(spark, path: str) -> int:
     Returns the number of tombstones folded.
 
     Compaction also GARBAGE-COLLECTS the txn journal (``txns/``): a
-    maintenance txn replayed after the compaction that absorbed it
-    falls back to the DATA-level guards — ``start_index_absorb``
-    anti-joins lens before upserting, and a replayed delete finds its
-    ids neither indexed nor tombstoned and no-ops — so the markers are
-    only needed between compactions, the bound that keeps the journal
-    from growing one file per streaming epoch forever."""
+    COMMITTED maintenance txn replayed after the compaction that
+    absorbed it falls back to the DATA-level guards —
+    ``start_index_absorb`` anti-joins lens before upserting, and a
+    replayed delete finds its ids neither indexed nor tombstoned and
+    no-ops — so COMMIT markers are only needed between compactions,
+    the bound that keeps the journal from growing one file per
+    streaming epoch forever. That argument covers committed txns ONLY:
+    a ``*.pending.json`` marker means an UNCOMMITTED transaction whose
+    pre-write listing is the retry's only way to roll back the crashed
+    attempt's partial postings/forward/lens appends — and worse, a
+    compaction run over those partial appends would ABSORB them into
+    its rewritten files, which the retry's rollback would then delete
+    as strays. So compaction REFUSES to run while any pending marker
+    exists (crashed txn awaiting retry, or an upsert/delete in
+    flight): retry or finish the transaction first, then compact.
+    With no pending markers, the whole journal (commit markers plus
+    any stage leftovers orphaned by a crash AFTER the commit marker
+    landed — their txns short-circuit on the marker, so the stage is
+    garbage) is safe to drop."""
     import os
     import shutil
 
-    shutil.rmtree(f"{path}/txns", ignore_errors=True)
+    txns_dir = f"{path}/txns"
+    if os.path.isdir(txns_dir):
+        pending = sorted(
+            f for f in os.listdir(txns_dir) if f.endswith(".pending.json")
+        )
+        if pending:
+            raise RuntimeError(
+                f"compact_text_index({path}): {len(pending)} uncommitted "
+                f"transaction(s) have pending rollback listings "
+                f"({pending[:3]}...); retry or complete them before "
+                "compacting — compacting now would absorb their partial "
+                "appends and strand the rollback"
+            )
+        shutil.rmtree(txns_dir, ignore_errors=True)
     if not os.path.exists(f"{path}/deletes"):
         return 0
     dead = spark.read.parquet(f"{path}/deletes").localCheckpoint(eager=True)

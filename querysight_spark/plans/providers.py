@@ -96,7 +96,16 @@ def messages_api_complete(
     ``{content: [{type: "text", text: ...}]}``, with the key in a named
     header (default ``x-api-key``) and an optional dated version header
     whose NAME is itself an explicit argument (``version_header``,
-    neutral default ``x-api-version``) — hosted deployments of this
+    neutral default ``x-api-version``).
+
+    **BREAKING (round 7):** earlier releases sent the version value
+    under a hardcoded vendor-specific header name; the name is now
+    caller-supplied and the default is the NEUTRAL ``x-api-version``.
+    A caller that passes ``version=`` against a hosted endpoint that
+    expects its own published dated-header name MUST now also pass
+    ``version_header="<that provider's header name>"`` — otherwise the
+    endpoint sees an unknown header and can answer 400
+    missing-version. Hosted deployments of this
     protocol shape each publish their own dated header name, and keeping
     it caller-supplied keeps the engine free of any vendor literal.
     Together with ``openai_compatible_complete`` this covers the

@@ -78,12 +78,16 @@ _COMMIT_DIR_RE = re.compile(r"(?:^|/)c(\d{8})-[0-9a-f]+/")
 
 def _commit_of(rel: str) -> int:
     """The commit number embedded in a data/DV file's path (its write
-    VINTAGE). Appends that lose a manifest race land at a higher version
-    than their directory name, but never lower — so ``vintage(file) <
-    vintage(dv)`` is exactly "the file's rows were already visible when
-    the delete was computed", the per-file scope a deletion vector
-    applies to. Unrecognized paths report 0 (oldest: every DV applies),
-    the conservative pre-scoping behavior."""
+    VINTAGE) — the FALLBACK scope source for manifests written before
+    the ``fv``/``dvv`` maps existed. Since round 8 every commit records
+    each file's ACTUAL committed version in the manifest (``fv`` for
+    data files, ``dvv`` for deletion vectors), which closes the
+    multi-retry race the path-derived vintage had: an append that loses
+    two or more manifest races can land at a version HIGHER than the
+    one in its directory name, above an interleaved delete — the
+    recorded map says so, the path cannot. Unrecognized paths report 0
+    (oldest: every DV applies), the conservative pre-scoping
+    behavior."""
     m = _COMMIT_DIR_RE.search(rel)
     return int(m.group(1)) if m else 0
 
@@ -253,7 +257,10 @@ def _commit(root: str, files: list[str], added: list[str],
             dvs: list[str] | None = None,
             dv_key: list[str] | None = None,
             expected_version: int | None = None,
-            schema: dict | None = None) -> int:
+            schema: dict | None = None,
+            file_versions: dict | None = None,
+            dv_versions: dict | None = None,
+            extra: dict | None = None) -> int:
     """Atomically claim the next version number for this snapshot.
 
     ``expected_version`` is the optimistic-concurrency guard for
@@ -263,7 +270,23 @@ def _commit(root: str, files: list[str], added: list[str],
     would erase the racer's files. Pure appends pass None and instead
     RE-MERGE on retry (the caller hands us only its new files via
     ``added``; the snapshot half of ``files`` is refreshed from the
-    latest manifest each attempt), so concurrent appends all land."""
+    latest manifest each attempt), so concurrent appends all land.
+
+    Every manifest records each member file's ACTUAL committed version
+    (``fv``: data files, ``dvv``: deletion vectors): carried files keep
+    their prior entry, this commit's new files get the version CLAIMED
+    here — inside the claim loop, so an append that loses N manifest
+    races records the number it really landed at, not the one in its
+    directory name. That map is what makes deletion-vector scoping
+    exact under concurrency (see ``_read_with_dvs``). ``file_versions``
+    / ``dv_versions`` are caller hints for files re-entering the
+    snapshot from an older manifest (rollback passes its target's
+    maps); unknown files fall back to the path-derived ``_commit_of``
+    (pre-map manifests, conservative).
+
+    ``extra`` merges additional caller keys into the manifest (e.g.
+    ``zorder_cols`` so an incremental re-cluster can find the last
+    matching layout commit)."""
     mdir = os.path.join(root, _MANIFESTS)
     os.makedirs(mdir, exist_ok=True)
     stats = stats or {}
@@ -282,22 +305,22 @@ def _commit(root: str, files: list[str], added: list[str],
                 f"the table is at v{current}; re-run against the new "
                 "snapshot"
             )
+        prev_m = read_manifest(root, current) if current else {}
         if merge_appends:
             # lost-update guard for appends: the snapshot may have moved
             # since the caller read it — carry the LATEST file list (and
             # its stats/DV metadata) plus our new files
-            latest = read_manifest(root, current) if current else {}
-            base = [f for f in latest.get("files", [])]
+            base = [f for f in prev_m.get("files", [])]
             rel = base + [
                 os.path.relpath(f, root)
                 for f in added
                 if os.path.relpath(f, root) not in set(base)
             ]
-            stats = {**latest.get("stats", {}), **stats}
-            dvs = latest.get("dvs", [])
-            dv_key = latest.get("dv_key", [])
-            stats_cols = stats_cols or latest.get("stats_cols", [])
-            sch = schema or latest.get("schema")
+            stats = {**prev_m.get("stats", {}), **stats}
+            dvs = prev_m.get("dvs", [])
+            dv_key = prev_m.get("dv_key", [])
+            stats_cols = stats_cols or prev_m.get("stats_cols", [])
+            sch = schema or prev_m.get("schema")
         else:
             rel = [os.path.relpath(f, root) for f in files]
             # evolved schemas carry forward through every non-overwrite
@@ -311,10 +334,36 @@ def _commit(root: str, files: list[str], added: list[str],
                 and not op.startswith("rollback")
                 and current
             ):
-                sch = read_manifest(root, current).get("schema")
+                sch = prev_m.get("schema")
             else:
                 sch = None
         version = current + 1
+        added_rel = {os.path.relpath(f, root) for f in added}
+        prev_fv = prev_m.get("fv", {})
+        hint_fv = file_versions or {}
+        fv = {}
+        for p in rel:
+            if p in prev_fv:
+                fv[p] = prev_fv[p]
+            elif p in hint_fv:
+                fv[p] = hint_fv[p]
+            elif p in added_rel:
+                fv[p] = version
+            else:
+                fv[p] = _commit_of(p)
+        prev_dvv = prev_m.get("dvv", {})
+        hint_dvv = dv_versions or {}
+        dvv = {}
+        for d in dvs or []:
+            if d in prev_dvv:
+                dvv[d] = prev_dvv[d]
+            elif d in hint_dvv:
+                dvv[d] = hint_dvv[d]
+            else:
+                # new vectors only enter via a delete commit — they
+                # scope to the version claimed HERE; anything else
+                # carrying an unmapped vector predates the maps
+                dvv[d] = version if op == "delete" else _commit_of(d)
         manifest = {
             "version": version,
             "op": op,
@@ -326,7 +375,11 @@ def _commit(root: str, files: list[str], added: list[str],
             "stats_cols": stats_cols or [],
             "dvs": dvs or [],
             "dv_key": dv_key or [],
+            "fv": fv,
+            "dvv": dvv,
         }
+        if extra:
+            manifest.update(extra)
         if sch is not None:
             manifest["schema"] = sch
         # commit wall-clock, for DESCRIBE HISTORY / timestamp travel;
@@ -531,21 +584,34 @@ def _read_with_dvs(
     dv_key: list[str],
     merge_schema: bool = False,
     schema=None,
+    fv: dict | None = None,
+    dvv: dict | None = None,
 ) -> DataFrame:
     """Read ``files`` with deletion vectors applied PER-FILE-SCOPE: a
-    vector tombstones only rows in files committed strictly before it
-    (``_commit_of``), so a key re-inserted AFTER its delete stays
-    visible — the file-scoped merge-on-read contract the public formats
-    implement with per-file DV pointers, recovered here from the commit
-    number every path already carries. Files sharing the same applicable
-    DV suffix read as one scan, so a table with one delete commit and no
+    vector tombstones only rows in files committed strictly before it,
+    so a key re-inserted AFTER its delete stays visible — the
+    file-scoped merge-on-read contract the public formats implement
+    with per-file DV pointers. ``fv``/``dvv`` are the manifest's
+    recorded file->committed-version maps (pass the maps of the
+    manifest the FILES belong to); they are exact even when an append
+    lost several manifest races and landed above an interleaved delete.
+    Files absent from the maps (pre-map manifests) fall back to the
+    path-derived ``_commit_of`` vintage, the conservative over-delete
+    the maps exist to remove. Files sharing the same applicable DV
+    suffix read as one scan, so a table with one delete commit and no
     later appends plans exactly the single anti-join it always did."""
-    dvs_sorted = sorted(dvs, key=_commit_of)
-    ws = [_commit_of(d) for d in dvs_sorted]
+    fv = fv or {}
+    dvv = dvv or {}
+
+    def _v_dv(d: str) -> int:
+        return dvv.get(d, _commit_of(d))
+
+    dvs_sorted = sorted(dvs, key=_v_dv)
+    ws = [_v_dv(d) for d in dvs_sorted]
     groups: dict[int, list[str]] = {}
     for f in files:
         # applicable DVs = the suffix with vintage > the file's vintage
-        idx = bisect.bisect_right(ws, _commit_of(f))
+        idx = bisect.bisect_right(ws, fv.get(f, _commit_of(f)))
         groups.setdefault(idx, []).append(f)
     out: DataFrame | None = None
     for idx in sorted(groups):
@@ -634,6 +700,7 @@ def read_version(
         df = _read_with_dvs(
             spark, root, kept, manifest["dvs"], manifest["dv_key"],
             merge_schema=merge_schema, schema=sch,
+            fv=manifest.get("fv"), dvv=manifest.get("dvv"),
         )
     else:
         df = reader.parquet(*[os.path.join(root, f) for f in kept])
@@ -741,6 +808,11 @@ def rollback(root: str, to_version: int) -> int:
         dvs=target.get("dvs", []),
         dv_key=target.get("dv_key", []),
         schema=target.get("schema"),
+        # files re-entering the snapshot keep the version they REALLY
+        # committed at (the target manifest remembers), so DV scoping
+        # stays exact across a rollback
+        file_versions=target.get("fv"),
+        dv_versions=target.get("dvv"),
     )
 
 
@@ -958,8 +1030,10 @@ def delete_keys(
     the affected files. Key-based tombstones (the ir10 discipline on
     the table format) rather than positional bitmaps: plain parquet
     needs no stable row ids, and the anti-join broadcasts while the
-    debt is small. Vectors are PER-FILE SCOPED on read (via the commit
-    number in every path): a vector tombstones only rows committed
+    debt is small. Vectors are PER-FILE SCOPED on read (via the
+    manifest's recorded ``fv``/``dvv`` commit-version maps, exact even
+    when an append lost manifest races; pre-map manifests fall back to
+    the path vintage): a vector tombstones only rows committed
     before it, so appending a deleted key later RE-INSERTS it — reads,
     the change feed, and compaction all agree (``_read_with_dvs``).
     Repeated deletes append further vectors; deleting
@@ -1029,6 +1103,7 @@ def compact_table(spark: SparkSession, root: str) -> int:
         kept_rows = _read_with_dvs(
             spark, root, touched, manifest["dvs"], key_cols,
             schema=_schema_of(manifest),
+            fv=manifest.get("fv"), dvv=manifest.get("dvv"),
         )
         commit_dir = os.path.join(
             root, _DATA, f"c{version + 1:08d}-{uuid.uuid4().hex[:8]}"
@@ -1433,6 +1508,7 @@ def read_changes(
                     base = _read_with_dvs(
                         spark, root, prev["files"], prev["dvs"],
                         prev["dv_key"], schema=_schema_of(prev),
+                        fv=prev.get("fv"), dvv=prev.get("dvv"),
                     )
                 else:
                     base = _read(prev["files"], prev)
@@ -1450,13 +1526,20 @@ def read_changes(
             # compaction folding them must read as silence, not deletes.
             # Prior DVs apply per-file-scoped (matching read_version) so
             # a re-inserted row's removal still reads as a real change.
+            # removed files belong to the PREV snapshot, so the
+            # pre-image reads with prev's recorded schema: after an
+            # overwrite (which resets the schema to the new data),
+            # pre-evolution removed files still NULL-backfill the
+            # evolved columns — otherwise the computed pre-image drops
+            # them and update/delete rows misclassify
             if m["removed"] and prev.get("dvs"):
                 old = _read_with_dvs(
                     spark, root, m["removed"], prev["dvs"], prev["dv_key"],
-                    schema=_schema_of(m),
+                    schema=_schema_of(prev),
+                    fv=prev.get("fv"), dvv=prev.get("dvv"),
                 )
             else:
-                old = _read(m["removed"], m)
+                old = _read(m["removed"], prev)
             new = _read(m["added"], m)
             if old is None and new is None:
                 typed = None

@@ -1,0 +1,184 @@
+"""Round-8 pins: exact DV scoping under multi-race appends (manifest
+fv/dvv maps), change-feed pre-images across an overwrite after schema
+evolution, and the text-index compaction GC refusing to strand a
+crashed transaction's rollback listing — the four r7 ADVICE findings."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from querysight_spark.sources.versioned import (
+    delete_keys,
+    evolve_table_schema,
+    read_changes,
+    read_manifest,
+    read_version,
+    rollback,
+    table_version,
+    write_version,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 10).alias("v")
+    )
+
+
+def _ids(df):
+    return sorted(r.id for r in df.select("id").collect())
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "table")
+
+
+def test_dv_scope_exact_when_append_loses_two_races(spark, root):
+    """The r7 ADVICE race: an append whose data directory claims
+    c{v-1} loses TWO manifest races and commits at v+1, AFTER a delete
+    that landed at v. The path-derived vintage (v-1 < v) would wrongly
+    apply the DV to rows the delete never saw; the manifest's recorded
+    fv map (committed version, stamped inside the claim loop) keeps the
+    re-inserted key visible."""
+    from unittest import mock
+
+    import querysight_spark.sources.versioned as vmod
+
+    write_version(spark, _df(spark, 0, 10), root)  # v1: keys 0..9
+
+    real_commit = vmod._commit
+    state = {"fired": False}
+
+    def racing(*args, **kwargs):
+        # between the re-insert append's data write (dir claims c2) and
+        # its manifest claim: an interloper append lands v2, then a
+        # delete of the same key lands v3 — the re-insert commits at v4
+        if not state["fired"] and args[4] == "append":
+            state["fired"] = True
+            write_version(spark, _df(spark, 100, 103), root)  # v2
+            delete_keys(
+                spark, root, spark.createDataFrame([(5,)], ["id"])
+            )  # v3
+        return real_commit(*args, **kwargs)
+
+    reinsert = spark.createDataFrame([(5, -55)], ["id", "v"])
+    with mock.patch.object(vmod, "_commit", side_effect=racing):
+        v = write_version(spark, reinsert, root)
+    assert v == 4
+    m = read_manifest(root, 4)
+    # the re-insert's file claims directory c00000002 but the manifest
+    # records its TRUE commit version, above the delete's
+    new_files = m["added"]
+    assert len(new_files) >= 1
+    assert all("c00000002-" in f for f in new_files)
+    assert all(m["fv"][f] == 4 for f in new_files)
+    assert all(m["dvv"][d] == 3 for d in m["dvs"])
+    got = {r.id: r.v for r in read_version(spark, root).collect()}
+    # key 5's ORIGINAL row (v1, tombstoned at v3) is gone; the
+    # re-inserted row (committed v4 > DV v3) is visible
+    assert got[5] == -55
+    assert set(got) == set(range(10)) | {100, 101, 102}
+
+
+def test_rollback_preserves_recorded_file_versions(spark, root):
+    """Files re-entering a snapshot via rollback keep the commit
+    version they REALLY landed at (the target manifest remembers), so
+    DV scoping stays exact across a rollback."""
+    write_version(spark, _df(spark, 0, 5), root)           # v1
+    write_version(spark, _df(spark, 5, 8), root)           # v2
+    write_version(spark, _df(spark, 8, 12), root, "overwrite")  # v3
+    rollback(root, 2)                                      # v4
+    m = read_manifest(root, 4)
+    by_dir = {
+        f: m["fv"][f] for f in m["files"]
+    }
+    assert set(by_dir.values()) == {1, 2}
+    for f, ver in by_dir.items():
+        assert f"c{ver:08d}-" in f
+    assert _ids(read_version(spark, root)) == list(range(8))
+
+
+def test_change_feed_overwrite_preimage_keeps_evolved_columns(spark, root):
+    """r7 ADVICE #4: removed (pre-image) files belong to the PREV
+    snapshot — after an overwrite resets the recorded schema, the
+    pre-evolution removed files must still read with PREV's evolved
+    schema (NULL-backfilled), or a row differing only in an evolved
+    column misclassifies as unchanged."""
+    write_version(spark, _df(spark, 0, 4), root)            # v1
+    evolve_table_schema(spark, root, {"tag": "string"})     # v2
+    # v3: overwrite with the same logical rows, except id=2 gains a tag
+    new = spark.createDataFrame(
+        [(i, i * 10, "hot" if i == 2 else None) for i in range(4)],
+        ["id", "v", "tag"],
+    )
+    write_version(spark, new, root, mode="overwrite")       # v3
+    feed = read_changes(spark, root, 2, 3, key_cols=["id"]).collect()
+    by_type: dict[str, set[int]] = {}
+    for r in feed:
+        by_type.setdefault(r["_change_type"], set()).add(r["id"])
+    # only id=2 changed (tag NULL -> 'hot'); everything else is silent
+    assert by_type.get("update_pre") == {2}
+    assert by_type.get("update_post") == {2}
+    assert "insert" not in by_type and "delete" not in by_type
+    pre = [r for r in feed if r["_change_type"] == "update_pre"][0]
+    post = [r for r in feed if r["_change_type"] == "update_post"][0]
+    assert pre["tag"] is None and post["tag"] == "hot"
+
+
+@pytest.fixture()
+def corpus8(spark):
+    rows = [
+        (1, "spark query engine"),
+        (2, "query planner rules"),
+        (3, "vector search engine"),
+        (4, "stream processing spark"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_compact_text_index_refuses_pending_txn(spark, corpus8, tmp_path):
+    """r7 ADVICE #1: a *.pending.json marker is an UNCOMMITTED
+    transaction whose rollback listing compaction must not destroy (nor
+    absorb its partial appends into compacted files). Compaction
+    refuses while one exists; with the journal clean it still GCs
+    commit markers."""
+    from querysight_spark.operators.search import (
+        build_text_index_upsertable,
+        compact_text_index,
+        delete_from_text_index,
+        upsert_text_index,
+    )
+
+    path = str(tmp_path / "idx")
+    build_text_index_upsertable(
+        corpus8.where("doc_id <= 3"), path, n_buckets=4
+    )
+    upsert_text_index(
+        spark, path, corpus8.where("doc_id > 3"), txn_id="up-1"
+    )
+    delete_from_text_index(
+        spark, path,
+        spark.createDataFrame([(2,)], ["doc_id"]),
+        txn_id="del-1",
+    )
+    txns = os.path.join(path, "txns")
+    assert os.path.exists(os.path.join(txns, "up-1.json"))
+    # simulate a crashed, not-yet-retried transaction
+    pending = os.path.join(txns, "crashed-9.pending.json")
+    with open(pending, "w") as f:
+        json.dump({"postings": [], "forward": [], "lens": []}, f)
+    with pytest.raises(RuntimeError, match="pending rollback"):
+        compact_text_index(spark, path)
+    # the journal (and the tombstones) survived the refusal intact
+    assert os.path.exists(pending)
+    assert os.path.exists(os.path.join(txns, "up-1.json"))
+    assert os.path.exists(os.path.join(path, "deletes"))
+    os.unlink(pending)
+    assert compact_text_index(spark, path) == 1
+    assert not os.path.exists(txns)
+    assert not os.path.exists(os.path.join(path, "deletes"))
