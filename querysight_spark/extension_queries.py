@@ -9200,3 +9200,116 @@ def mm12(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preview_stats(
         synth_media_corpus(docs, image_format="jpeg_progressive")
     ).orderBy("asset_id")
+
+
+@_q(
+    "st18_incremental_maintenance",
+    """SELECT o_orderstatus,
+              COUNT(*) AS n_rows,
+              CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+              CAST(SUM(CASE WHEN o_orderkey % 3 = 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_evolved_batch,
+              TRUE AS increments_cover_table,
+              TRUE AS no_double_count_across_rewrite
+       FROM orders
+       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+)
+def st18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental consumer SURVIVING table maintenance (the r7
+    VERDICT week-two wall): orders land in three appends interleaved
+    with a Z-order OPTIMIZE rewrite and a schema-evolution commit
+    (append b1 -> consume -> append b2 -> zorder -> evolve add
+    'batch' -> append b3 -> consume). ``incremental_read``'s default
+    ``skip_rewrites`` mode passes through the zorder commit (its added
+    files are re-clustered copies of rows the consumer already has),
+    so increment 2 is exactly b2 + b3 with the evolved schema
+    (b2's rows NULL-backfill 'batch'), and the union of increments
+    equals the logical table — pinned both as
+    ``increments_cover_table`` (inc1 + inc2 row counts == table) and
+    ``no_double_count_across_rewrite`` (one whole-range read crossing
+    every maintenance commit still counts each appended row once).
+    The aggregate over the CONSUMED rows hashes against the
+    from-first-principles oracle over all of orders. At 100 TB this is
+    the contract that keeps a weekly OPTIMIZE from breaking every
+    downstream incremental pipeline."""
+    import hashlib
+    import json as _json
+    import os
+    import tempfile
+
+    from querysight_spark.sources.versioned import (
+        evolve_table_schema,
+        incremental_read,
+        read_version,
+        write_version,
+        zorder_table,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"st18:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    work = os.path.join(tempfile.gettempdir(), f"qs_st18_{tag}")
+    root = os.path.join(work, "table")
+    done = os.path.join(work, "_flags.json")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    if not os.path.exists(done):
+        os.makedirs(work, exist_ok=True)
+        b1 = orders.where(F.col("o_orderkey") % 3 == 0)
+        b2 = orders.where(F.col("o_orderkey") % 3 == 1)
+        b3 = orders.where(F.col("o_orderkey") % 3 == 2).withColumn(
+            "batch", F.lit("b3")
+        )
+        write_version(
+            spark,
+            b1.repartitionByRange(8, "o_orderkey"),
+            root,
+            stats_cols=["o_orderkey", "o_custkey"],
+        )                                                      # v1
+        write_version(
+            spark, b2.repartitionByRange(8, "o_orderkey"), root
+        )                                                      # v2
+        zorder_table(
+            spark, root, ["o_orderkey", "o_custkey"], target_files=16
+        )                                                      # v3
+        evolve_table_schema(spark, root, {"batch": "string"})  # v4
+        write_version(
+            spark, b3.repartitionByRange(8, "o_orderkey"), root
+        )                                                      # v5
+        inc1_n = incremental_read(spark, root, 0, 1).count()
+        inc2_n = incremental_read(spark, root, 1, 5).count()
+        whole_n = incremental_read(spark, root, 0, 5).count()
+        table_n = read_version(spark, root).count()
+        flags = {
+            "cover": inc1_n + inc2_n == table_n,
+            "no_double": whole_n == table_n,
+        }
+        with open(done, "w") as f:
+            _json.dump(flags, f)
+    else:
+        with open(done) as f:
+            flags = _json.load(f)
+    inc1 = incremental_read(spark, root, 0, 1)
+    inc2 = incremental_read(spark, root, 1, 5)
+    consumed = inc1.unionByName(inc2, allowMissingColumns=True)
+    return (
+        consumed.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("sum_cents"),
+            F.count(F.when(F.col("batch") == "b3", 1)).alias(
+                "n_evolved_batch"
+            ),
+        )
+        .withColumn("increments_cover_table", F.lit(bool(flags["cover"])))
+        .withColumn(
+            "no_double_count_across_rewrite", F.lit(bool(flags["no_double"]))
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -751,28 +751,75 @@ def start_versioned_sink(
     return writer.trigger(availableNow=True).start()
 
 
+# maintenance commits that REWRITE files without changing the logical
+# row set an append-only consumer sees: optimize/zorder re-bin or
+# re-cluster live rows, compact folds deletion vectors whose delete
+# commits are separately visible (and separately refused/emitted).
+# Their `added` files carry no rows that were APPENDED in the range,
+# so an incremental consumer skips them — the original appends' files
+# are immutable on disk (until vacuum) and keep reading correctly even
+# after a rewrite removed them from the current snapshot.
+_REWRITE_OPS = ("optimize", "zorder", "compact")
+
+
 def incremental_read(
     spark: SparkSession, root: str, from_version: int,
     to_version: int | None = None,
+    on_maintenance: str = "skip_rewrites",
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """CDC for append pipelines: the rows ADDED by commits in
     ``(from_version, to_version]`` — exactly the new files, never a
-    rescan of the base. Raises if the range crosses an overwrite or
-    rollback (appends-only is what makes file-level CDC exact; a
-    replaced snapshot needs a diff, not a file union). ``evolve``
-    commits add no files and pass through; when the range crosses one,
-    the read plans with the end manifest's schema so pre-evolution
-    appends backfill the added columns as NULL."""
+    rescan of the base.
+
+    Maintenance commits no longer break the consumer (they used to
+    raise for every non-append op — and at 100 TB, OPTIMIZE runs
+    weekly, so an incremental pipeline hit that wall in week two):
+
+    - ``evolve`` commits add no files and pass through; when the range
+      crosses one, the read plans with the end manifest's schema so
+      pre-evolution appends backfill the added columns as NULL.
+    - PHYSICAL REWRITES (``optimize``/``zorder``/``compact``) pass
+      through under the default ``on_maintenance='skip_rewrites'``:
+      their added files hold re-binned copies of rows that were NOT
+      appended in the range, so skipping them keeps the result exactly
+      "the rows appended in the range" — the appends' own files are
+      immutable and stay readable even after the rewrite drops them
+      from the snapshot. (``on_maintenance='error'`` restores the
+      strict legacy refusal for consumers that want to be told.)
+    - ROW-CHANGING commits (``merge``/``overwrite``/``rollback``/
+      ``delete``) cannot be represented as a file union. They raise —
+      unless ``on_maintenance='changes'``, which degrades the whole
+      range to the row-level change feed (``read_changes``; requires
+      ``key_cols``): same information, richer schema (rows +
+      ``_change_type`` + ``_commit_version``), the documented
+      auto-switch for consumers that can fold retractions."""
+    if on_maintenance not in ("skip_rewrites", "error", "changes"):
+        raise ValueError(
+            "on_maintenance must be skip_rewrites|error|changes, got "
+            f"{on_maintenance!r}"
+        )
     if to_version is None:
         to_version = table_version(root)
+    if on_maintenance == "changes":
+        return read_changes(
+            spark, root, from_version, to_version, key_cols=key_cols
+        )
     added: list[str] = []
     for v in range(from_version + 1, to_version + 1):
         m = read_manifest(root, v)
         if m["op"] == "evolve":
             continue
+        if (
+            on_maintenance == "skip_rewrites"
+            and m["op"] in _REWRITE_OPS
+        ):
+            continue
         if m["op"] != "append":
             raise ValueError(
-                f"incremental_read crosses non-append commit v{v} ({m['op']})"
+                f"incremental_read crosses non-append commit v{v} "
+                f"({m['op']}); pass on_maintenance='changes' (with "
+                "key_cols) to consume it as a row-level change feed"
             )
         added.extend(m["added"])
     if not added:
