@@ -9313,3 +9313,129 @@ def st18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@_q(
+    "io11_incremental_zorder",
+    """WITH b AS (SELECT MIN(o_orderkey) AS klo, MAX(o_orderkey) AS khi,
+                         MIN(o_custkey) AS clo, MAX(o_custkey) AS chi
+                  FROM orders),
+       r AS (SELECT klo + (khi - klo) * 2 // 5 AS k1,
+                    klo + (khi - klo) // 2 AS k2,
+                    clo + (chi - clo) * 2 // 5 AS c1,
+                    clo + (chi - clo) // 2 AS c2 FROM b)
+       SELECT o_orderstatus, COUNT(*) AS n_rows,
+              CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+              TRUE AS rewrite_was_delta_only,
+              TRUE AS pruning_restored
+       FROM orders, r
+       WHERE o_orderkey BETWEEN r.k1 AND r.k2
+         AND o_custkey BETWEEN r.c1 AND r.c2
+       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+)
+def io11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL Z-order OPTIMIZE (the r7 VERDICT #1 ask): at 100 TB
+    you cannot re-Morton the world weekly, so the maintenance-cadence
+    rewrite must be O(delta). Orders are fully Z-ordered on
+    (o_orderkey, o_custkey), then two wide-span appends land (the
+    drift a week of ingest leaves); ``zorder_table(incremental=True)``
+    re-clusters ONLY the files committed since the full zorder —
+    pinned as ``rewrite_was_delta_only`` (every file of the original
+    zorder commit carries into the new snapshot by reference, and the
+    rewrite set is exactly the appended files). The two-predicate
+    conjunction window (io10's shape) then plans STRICTLY fewer files
+    than it did against the drifted snapshot (``pruning_restored``),
+    and the pruned read's aggregate hashes against the
+    from-first-principles oracle over all of orders — the skipping is
+    lossless. Cost-tracks-delta curve: tools/lakehouse_curve.py."""
+    import hashlib
+    import json as _json
+    import os
+    import tempfile
+
+    from querysight_spark.sources.versioned import (
+        pruned_files,
+        read_manifest,
+        read_version,
+        write_version,
+        zorder_table,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"io11:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    work = os.path.join(tempfile.gettempdir(), f"qs_io11_{tag}")
+    root = os.path.join(work, "table")
+    done = os.path.join(work, "_flags.json")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    row = orders.agg(
+        F.min("o_orderkey").alias("klo"), F.max("o_orderkey").alias("khi"),
+        F.min("o_custkey").alias("clo"), F.max("o_custkey").alias("chi"),
+    ).collect()[0]
+    k1 = row.klo + (row.khi - row.klo) * 2 // 5
+    k2 = row.klo + (row.khi - row.klo) // 2
+    c1 = row.clo + (row.chi - row.clo) * 2 // 5
+    c2 = row.clo + (row.chi - row.clo) // 2
+    cols = ["o_orderkey", "o_custkey"]
+    preds = [("o_orderkey", k1, k2), ("o_custkey", c1, c2)]
+    if not os.path.exists(done):
+        os.makedirs(work, exist_ok=True)
+        base = orders.where(F.col("o_orderkey") % 5 != 0)
+        app1 = orders.where(
+            (F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 2 == 0)
+        )
+        app2 = orders.where(
+            (F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 2 == 1)
+        )
+        write_version(
+            spark,
+            base.repartitionByRange(48, "o_orderkey"),
+            root,
+            stats_cols=cols,
+        )                                                        # v1
+        zorder_table(spark, root, cols, bits=8, target_files=48)  # v2
+        # wide-span appends: each file overlaps every window until
+        # the incremental pass re-clusters it
+        write_version(spark, app1.repartition(4), root)          # v3
+        write_version(spark, app2.repartition(4), root)          # v4
+        kept_drift, _ = pruned_files(root, 4, preds)
+        v5 = zorder_table(
+            spark, root, cols, bits=8, target_files=8,
+            incremental=True,
+        )
+        m2, m4, m5 = (read_manifest(root, v) for v in (2, 4, 5))
+        delta_files = set(m4["files"]) - set(m2["files"])
+        delta_only = (
+            set(m5["removed"]) == delta_files
+            and set(m2["files"]) <= set(m5["files"])
+        )
+        kept_inc, _ = pruned_files(root, 5, preds)
+        flags = {
+            "delta_only": bool(delta_only),
+            "restored": len(kept_inc) < len(kept_drift),
+        }
+        with open(done, "w") as f:
+            _json.dump(flags, f)
+    else:
+        with open(done) as f:
+            flags = _json.load(f)
+    return (
+        read_version(spark, root, prune=preds)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("sum_cents"),
+        )
+        .withColumn(
+            "rewrite_was_delta_only", F.lit(bool(flags["delta_only"]))
+        )
+        .withColumn("pruning_restored", F.lit(bool(flags["restored"])))
+        .orderBy("o_orderstatus")
+    )

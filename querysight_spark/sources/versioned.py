@@ -1361,12 +1361,30 @@ def version_at_timestamp(root: str, ts: float) -> int:
     return best
 
 
+def _last_zorder_version(root: str, version: int, cols: list[str]) -> int:
+    """Latest retained commit <= ``version`` that is a zorder rewrite on
+    exactly ``cols`` (the manifest records ``zorder_cols``), or 0 if
+    none is visible — vacuumed history below the walk reads as "never
+    clustered" (conservative: the incremental path then rewrites
+    everything, a full re-cluster, still correct)."""
+    for v in range(version, 0, -1):
+        path = _manifest_path(root, v)
+        if not os.path.exists(path):
+            return 0
+        m = read_manifest(root, v)
+        if m["op"] == "zorder" and m.get("zorder_cols") == list(cols):
+            return v
+    return 0
+
+
 def zorder_table(
     spark: SparkSession,
     root: str,
     cols: list[str],
     bits: int = 8,
     target_files: int = 16,
+    incremental: bool = False,
+    max_span: float | None = None,
 ) -> int:
     """Z-ORDER OPTIMIZE: rewrite the snapshot re-clustered on the Morton
     interleave of ``cols`` (``sources/layout.zorder_value`` — pure
@@ -1381,7 +1399,27 @@ def zorder_table(
     feed reads the rewrite as silence (same rows, new files). At
     100 TB: run it on the hot predicate pair, not every column —
     interleaving k columns spends the same bit budget k ways, so each
-    added column widens every other column's effective buckets."""
+    added column widens every other column's effective buckets.
+
+    ``incremental=True`` is the maintenance-cadence mode a 100 TB
+    table actually runs: instead of re-Mortoning the world, it
+    re-clusters ONLY the files committed since the last zorder on the
+    SAME column list (found via the manifest's ``zorder_cols`` record
+    and each file's ``fv`` committed version) — the append drift —
+    plus, when ``max_span`` is set, any already-clustered file whose
+    zone span on some clustering column exceeds that fraction of the
+    column's current global domain (layout drift; files missing a zone
+    map are rewritten conservatively). Already-tight files carry into
+    the new snapshot BY REFERENCE, so the rewrite cost is O(delta),
+    not O(table); the commit is the same atomic ``zorder`` op (change
+    feed reads it as silence, concurrent writers conflict cleanly).
+    No-op (current version) when nothing drifted. The Morton bounds
+    come from the rewrite set's own zone maps when every member has
+    them (a metadata-only plan — no scan before the rewrite itself),
+    falling back to one bounds scan of the rewrite set otherwise.
+    ``target_files`` sizes the rewrite set's output; with no prior
+    zorder on ``cols`` the incremental call degrades to the full
+    rewrite."""
     from querysight_spark.sources.layout import zorder_value
 
     version = table_version(root)
@@ -1391,13 +1429,67 @@ def zorder_table(
             "zorder_table on a table with outstanding deletion vectors; "
             "run compact_table first"
         )
-    df = read_version(spark, root, version)
-    row = df.agg(
-        *[F.min(c).alias(f"lo_{c}") for c in cols],
-        *[F.max(c).alias(f"hi_{c}") for c in cols],
-    ).collect()[0]
-    mins = [row[f"lo_{c}"] for c in cols]
-    maxs = [row[f"hi_{c}"] for c in cols]
+    files = manifest["files"]
+    stats = manifest.get("stats", {})
+    if incremental:
+        last_z = _last_zorder_version(root, version, cols)
+        fv = manifest.get("fv", {})
+        domain: dict[str, tuple] = {}
+        if max_span is not None:
+            for c in cols:
+                dom = [
+                    stats[g][c]
+                    for g in files
+                    if stats.get(g, {}).get(c) is not None
+                ]
+                if dom:
+                    domain[c] = (
+                        min(d[0] for d in dom), max(d[1] for d in dom)
+                    )
+        rewrite: list[str] = []
+        for f in files:
+            if fv.get(f, _commit_of(f)) > last_z:
+                rewrite.append(f)  # committed after the last zorder
+            elif max_span is not None:
+                zones = stats.get(f, {})
+                for c in cols:
+                    glo, ghi = domain.get(c, (None, None))
+                    if (
+                        zones.get(c) is None
+                        or glo is None
+                        or ghi == glo
+                        or (zones[c][1] - zones[c][0]) / (ghi - glo)
+                        > max_span
+                    ):
+                        rewrite.append(f)
+                        break
+        if not rewrite:
+            return version
+        rewrite_set = set(rewrite)
+        untouched = [f for f in files if f not in rewrite_set]
+    else:
+        rewrite, untouched = list(files), []
+    sch = _schema_of(manifest)
+    reader = spark.read
+    if sch is not None:
+        reader = reader.schema(sch)
+    df = reader.parquet(*[os.path.join(root, f) for f in rewrite])
+    mins: list | None = []
+    maxs: list | None = []
+    for c in cols:
+        zs = [stats[f][c] for f in rewrite if stats.get(f, {}).get(c)]
+        if len(zs) != len(rewrite):
+            mins = maxs = None  # some member unzoned: fall back to a scan
+            break
+        mins.append(min(z[0] for z in zs))
+        maxs.append(max(z[1] for z in zs))
+    if mins is None:
+        row = df.agg(
+            *[F.min(c).alias(f"lo_{c}") for c in cols],
+            *[F.max(c).alias(f"hi_{c}") for c in cols],
+        ).collect()[0]
+        mins = [row[f"lo_{c}"] for c in cols]
+        maxs = [row[f"hi_{c}"] for c in cols]
     z = zorder_value(cols, mins, maxs, bits).alias("_z")
     clustered = (
         df.select("*", z)
@@ -1417,16 +1509,17 @@ def zorder_table(
     stat_cols = cols + [
         c for c in manifest.get("stats_cols", []) if c not in cols
     ]
-    stats = _collect_stats(root, new_files, stat_cols)
+    new_stats = {**stats, **_collect_stats(root, new_files, stat_cols)}
     return _commit(
         root,
+        [os.path.join(root, f) for f in untouched] + new_files,
         new_files,
-        new_files,
-        [os.path.join(root, f) for f in manifest["files"]],
+        [os.path.join(root, f) for f in rewrite],
         "zorder",
         expected_version=version,
-        stats=stats,
+        stats=new_stats,
         stats_cols=stat_cols,
+        extra={"zorder_cols": list(cols)},
     )
 
 

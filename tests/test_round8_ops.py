@@ -205,6 +205,120 @@ def test_incremental_read_survives_evolve_and_compact(spark, root):
     assert got == {("delete", 2, 4), ("insert", 20, 6)}
 
 
+def test_incremental_zorder_rewrites_only_the_delta(spark, root):
+    """io11: after a full Z-order, an incremental re-cluster touches
+    ONLY the files appended since (already-clustered files carry by
+    reference), restores pruning lost to append drift, and keeps every
+    row. No-op when nothing drifted; with no prior zorder the
+    incremental call degrades to a full rewrite."""
+    from querysight_spark.sources.versioned import (
+        pruned_files,
+        zorder_table,
+    )
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("x"),
+            ((F.col("id") * 2654435761) % 4096).alias("y"),
+        )
+
+    write_version(
+        spark, mk(0, 4096).repartitionByRange(16, "x"), root,
+        stats_cols=["x", "y"],
+    )                                                        # v1
+    # no prior zorder on (x, y): incremental degrades to full
+    assert zorder_table(
+        spark, root, ["x", "y"], target_files=16, incremental=True
+    ) == 2
+    m2 = read_manifest(root, 2)
+    assert m2["zorder_cols"] == ["x", "y"]
+    assert set(m2["removed"]) == set(read_manifest(root, 1)["files"])
+    # append drift: two appends whose x AND y span the whole domain
+    # (every appended file overlaps any window until re-clustered)
+    def mk_wide(lo, hi):
+        return spark.range(lo, hi).select(
+            ((F.col("id") * 7919) % 4096).alias("x"),
+            ((F.col("id") * 2654435761) % 4096).alias("y"),
+        )
+
+    write_version(spark, mk_wide(0, 512).repartition(4), root)     # v3
+    write_version(spark, mk_wide(512, 1024).repartition(4), root)  # v4
+    preds = [("x", 100, 500), ("y", 100, 500)]
+    kept_drift, _ = pruned_files(root, 4, preds)
+    # incremental: only the 8 appended files rewrite
+    v5 = zorder_table(
+        spark, root, ["x", "y"], target_files=4, incremental=True
+    )
+    assert v5 == 5
+    m5 = read_manifest(root, 5)
+    clustered_files = set(m2["files"])
+    assert set(m5["removed"]) == set(read_manifest(root, 4)["files"]) - clustered_files
+    assert clustered_files <= set(m5["files"])  # carried by reference
+    kept_inc, _ = pruned_files(root, 5, preds)
+    assert len(kept_inc) < len(kept_drift)
+    # rows identical across the rewrite
+    def rows(v):
+        return sorted(
+            (r.x, r.y)
+            for r in read_version(spark, root, v).select("x", "y").collect()
+        )
+
+    assert rows(4) == rows(5)
+    # nothing drifted now: no-op
+    assert zorder_table(
+        spark, root, ["x", "y"], target_files=4, incremental=True
+    ) == 5
+
+
+def test_incremental_zorder_max_span_catches_layout_drift(spark, root):
+    """A file the vintage check counts as already-clustered but whose
+    zone span is (nearly) the whole domain — e.g. a delta re-clustered
+    into too few files — is LAYOUT drift: max_span pulls it into the
+    rewrite set while genuinely tight files carry by reference."""
+    from querysight_spark.sources.versioned import zorder_table
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("x"))
+
+    write_version(
+        spark, mk(0, 4096).repartitionByRange(4, "x"), root,
+        stats_cols=["x"],
+    )                                                            # v1
+    zorder_table(spark, root, ["x"], target_files=4)             # v2
+    wide = (
+        spark.range(0, 256)
+        .select(((F.col("id") * 7919) % 4096).alias("x"))
+        .coalesce(1)
+    )
+    write_version(spark, wide, root)                             # v3
+    # re-cluster the delta into ONE file: clustered by vintage, but
+    # its span is still the whole domain
+    assert zorder_table(
+        spark, root, ["x"], target_files=1, incremental=True
+    ) == 4
+    # vintage-only incremental sees nothing new: no-op
+    assert zorder_table(
+        spark, root, ["x"], target_files=2, incremental=True
+    ) == 4
+    # span gate: the wide clustered file (span ~1.0) is drift; the
+    # four tight v2 files (span ~0.25 each) carry by reference
+    wide_file = read_manifest(root, 4)["added"]
+    assert len(wide_file) == 1
+    v5 = zorder_table(
+        spark, root, ["x"], target_files=2, incremental=True,
+        max_span=0.5,
+    )
+    assert v5 == 5
+    m5 = read_manifest(root, 5)
+    assert m5["removed"] == wide_file
+    assert set(read_manifest(root, 2)["files"]) <= set(m5["files"])
+    got = sorted(r.x for r in read_version(spark, root).collect())
+    want = sorted(
+        list(range(4096)) + [(i * 7919) % 4096 for i in range(256)]
+    )
+    assert got == want
+
+
 def _df2(spark, lo, hi):
     return spark.range(lo, hi).select(
         F.col("id"),

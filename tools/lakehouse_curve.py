@@ -106,6 +106,65 @@ def main() -> None:
                     }
                 )
             )
+        # incremental zorder: does the re-cluster cost track the DELTA
+        # (files appended since the last zorder), not the table? Each
+        # point: fully zordered table + one wide-span append of
+        # frac*N_ROWS rows; measure incremental vs full rewrite.
+        from querysight_spark.sources.versioned import zorder_table
+
+        def zorder_base(tag: str) -> str:
+            root = os.path.join(work, tag)
+            base = spark.range(0, N_ROWS).select(
+                (F.col("id")).alias("x"),
+                ((F.col("id") * 2654435761) % N_ROWS).alias("y"),
+                F.concat(
+                    F.lit("row-"), F.col("id").cast("string")
+                ).alias("pad"),
+            )
+            write_version(
+                spark,
+                base.repartitionByRange(N_FILES, "x"),
+                root,
+                stats_cols=["x", "y"],
+            )
+            zorder_table(spark, root, ["x", "y"], target_files=N_FILES)
+            return root
+
+        for frac in (0.001, 0.01, 0.1):
+            hi = int(N_ROWS * frac)
+            delta = spark.range(0, hi).select(
+                ((F.col("id") * 7919) % N_ROWS).alias("x"),
+                ((F.col("id") * 104729) % N_ROWS).alias("y"),
+                F.lit("delta").alias("pad"),
+            )
+            for mode in ("incremental", "full"):
+                root = zorder_base(f"z_{frac}_{mode}")
+                write_version(spark, delta.repartition(2), root)
+                t0 = time.time()
+                zorder_table(
+                    spark, root, ["x", "y"],
+                    # size the output to the rewrite set: the delta for
+                    # incremental, the whole table for full
+                    target_files=(
+                        max(2, int(N_FILES * frac))
+                        if mode == "incremental"
+                        else N_FILES
+                    ),
+                    incremental=(mode == "incremental"),
+                )
+                dt = time.time() - t0
+                m = read_manifest(root, table_version(root))
+                print(
+                    json.dumps(
+                        {
+                            "op": f"zorder_{mode}",
+                            "delta_frac": frac,
+                            "sec": round(dt, 2),
+                            "files_rewritten": len(m["removed"]),
+                            "files_total_before": N_FILES + 2,
+                        }
+                    )
+                )
     finally:
         shutil.rmtree(work, ignore_errors=True)
     spark.stop()
