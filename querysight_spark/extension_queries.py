@@ -9439,3 +9439,125 @@ def io11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pruning_restored", F.lit(bool(flags["restored"])))
         .orderBy("o_orderstatus")
     )
+
+
+@_q(
+    "io12_key_membership_pruning",
+    """SELECT o_orderstatus, COUNT(*) AS n_rows,
+              CAST(SUM(CAST(ROUND(
+                    CASE WHEN o_orderkey % 1000 = 1
+                         THEN -o_totalprice ELSE o_totalprice END * 100)
+                AS BIGINT)) AS BIGINT) AS sum_cents,
+              TRUE AS membership_beats_zone,
+              TRUE AS fpr_under_5pct
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+)
+def io12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file KEY-MEMBERSHIP (Bloom) pruning (the r7 VERDICT #2
+    ask): zone maps are RANGES, so on a key the table is not clustered
+    on every file's range overlaps and merge planning degrades toward
+    a full rewrite. Orders land as eight appends that EACH span the
+    whole o_orderkey domain (the unclustered worst case;
+    ``key_filter_cols=['o_orderkey']`` builds a ~10-bit/row Bloom per
+    file at commit time), then a MERGE INTO negates the price of the
+    ~0.1 percent of keys with o_orderkey % 1000 = 1. Pinned:
+    ``membership_beats_zone`` — the zone stage admits ALL eight files
+    (every range overlaps) while the membership stage restricts the
+    rewrite to a strict subset, with zero false negatives by
+    construction; ``fpr_under_5pct`` — 500 keys that do NOT exist in
+    the table admit well under 5 percent of (file, key) pairs (the
+    measured rate lands in the flags file and SCALE.md; design point
+    ~1 percent at 10 bits/key, k=7). The merged table's aggregate
+    hashes against the from-first-principles oracle. At 100 TB this is
+    what keeps right-to-be-forgotten merges and key-IN point reads
+    O(files-that-contain-the-keys) on unclustered keys."""
+    import base64
+    import hashlib
+    import json as _json
+    import os
+    import tempfile
+
+    from querysight_spark.sources.versioned import (
+        _kf_hash_pair,
+        _kf_hit,
+        _touched_by_keys,
+        merge_into,
+        read_manifest,
+        read_version,
+        table_version,
+        write_version,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"io12:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    work = os.path.join(tempfile.gettempdir(), f"qs_io12_{tag}")
+    root = os.path.join(work, "table")
+    done = os.path.join(work, "_flags.json")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    if not os.path.exists(done):
+        os.makedirs(work, exist_ok=True)
+        for i in range(8):
+            part = orders.where(F.col("o_orderkey") % 8 == i).coalesce(1)
+            kwargs = (
+                {"stats_cols": ["o_orderkey"],
+                 "key_filter_cols": ["o_orderkey"]}
+                if i == 0 else {}
+            )
+            write_version(spark, part, root, **kwargs)
+        m = read_manifest(root, table_version(root))
+        keys = orders.where(F.col("o_orderkey") % 1000 == 1).select(
+            "o_orderkey"
+        )
+        touched, _un = _touched_by_keys(spark, root, m, keys, "o_orderkey")
+        # zone stage alone: every file's range admits every key
+        zone_all = all(
+            m["stats"][f]["o_orderkey"] is not None for f in m["files"]
+        ) and len(m["files"]) == 8
+        beats = zone_all and 0 < len(touched) < len(m["files"])
+        # measured false-positive rate on 500 ABSENT keys
+        kmax = orders.agg(F.max("o_orderkey")).collect()[0][0]
+        absent = [int(kmax) + 1 + i for i in range(500)]
+        pairs = [_kf_hash_pair(v) for v in absent]
+        admitted = 0
+        for f in m["files"]:
+            filt = m["kf"][f]["o_orderkey"]
+            raw = base64.b64decode(filt["b"])
+            admitted += sum(
+                1 for h1, h2 in pairs if _kf_hit(filt, h1, h2, raw)
+            )
+        fpr = admitted / (len(m["files"]) * len(absent))
+        merge_src = orders.where(F.col("o_orderkey") % 1000 == 1).select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            (-F.col("o_totalprice")).alias("o_totalprice"),
+        )
+        v = merge_into(spark, merge_src, root, ["o_orderkey"])
+        m2 = read_manifest(root, v)
+        rewrote_subset = set(m2["removed"]) <= set(touched)
+        flags = {
+            "beats": bool(beats and rewrote_subset),
+            "fpr": fpr,
+            "fpr_ok": fpr < 0.05,
+        }
+        with open(done, "w") as f:
+            _json.dump(flags, f)
+    else:
+        with open(done) as f:
+            flags = _json.load(f)
+    return (
+        read_version(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("sum_cents"),
+        )
+        .withColumn("membership_beats_zone", F.lit(bool(flags["beats"])))
+        .withColumn("fpr_under_5pct", F.lit(bool(flags["fpr_ok"])))
+        .orderBy("o_orderstatus")
+    )

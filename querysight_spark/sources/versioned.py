@@ -64,6 +64,10 @@ import re
 import time
 import uuid
 
+# module-level: the membership-probe pandas_udf's pd.Series annotations
+# must resolve against module globals (PySpark inspects the string
+# annotations under `from __future__ import annotations`)
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -242,6 +246,127 @@ def _collect_stats(root: str, files: list[str], cols: list[str]) -> dict:
     }
 
 
+def _kf_hash_pair(value) -> tuple[int, int]:
+    """Two independent 64-bit hashes of a key value (blake2b halves),
+    identical across the three probe surfaces (pyarrow build, pandas-UDF
+    probe, driver list probe): numpy scalars normalize via ``.item()``,
+    then a type-tagged byte encoding — so int 5 from a parquet column
+    and numpy.int64(5) from an Arrow batch hash the same, while the
+    string "5" does not."""
+    import hashlib
+
+    v = value.item() if hasattr(value, "item") else value
+    if v is None:
+        b = b"\x00"
+    elif isinstance(v, bool):
+        b = b"b1" if v else b"b0"
+    elif isinstance(v, int):
+        b = b"i" + str(v).encode()
+    elif isinstance(v, float):
+        b = b"f" + repr(v).encode()
+    elif isinstance(v, bytes):
+        b = b"x" + v
+    else:
+        b = b"s" + str(v).encode()
+    d = hashlib.blake2b(b, digest_size=16).digest()
+    return (
+        int.from_bytes(d[:8], "little"),
+        int.from_bytes(d[8:], "little") | 1,  # odd: full-period stride
+    )
+
+
+_KF_K = 7  # hash functions; with m ~= 10 bits/key -> ~1% false positives
+_KF_MAX_BITS = 1 << 20  # 128 KiB cap per (file, column); fpr degrades
+#                         gracefully past it (conservative, never wrong)
+
+
+def _kf_build(path: str, col: str) -> dict | None:
+    """Per-file KEY-MEMBERSHIP filter (classic Bloom, double hashing —
+    the same mechanism parquet's own bloom_filter pages document): one
+    column read of the just-written file at commit time, m ~= 10 bits
+    per value (capped), k=7. Stored base64 in the manifest beside the
+    zone maps, so membership planning is driver-side metadata with zero
+    data IO — the complement to zone RANGES for keys the table is NOT
+    clustered on, where every file's range overlaps and zone maps prune
+    nothing. Returns None when the column is missing (file stays
+    conservatively unfiltered)."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    if col not in pf.schema_arrow.names:
+        return None
+    values = pf.read(columns=[col]).column(col).to_pylist()
+    m = max(256, min(_KF_MAX_BITS, 10 * max(1, len(values))))
+    m = (m + 7) // 8 * 8
+    bits = bytearray(m // 8)
+    for v in values:
+        h1, h2 = _kf_hash_pair(v)
+        for i in range(_KF_K):
+            pos = (h1 + i * h2) % m
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return {
+        "m": m,
+        "k": _KF_K,
+        "b": base64.b64encode(bytes(bits)).decode(),
+    }
+
+
+def _kf_hit(filt: dict, h1: int, h2: int, raw: bytes) -> bool:
+    m, k = filt["m"], filt["k"]
+    for i in range(k):
+        pos = (h1 + i * h2) % m
+        if not raw[pos >> 3] & (1 << (pos & 7)):
+            return False
+    return True
+
+
+def _collect_key_filters(
+    root: str, rels: list[str], cols: list[str]
+) -> dict:
+    out: dict = {}
+    for p in rels:
+        filters = {}
+        for c in cols:
+            f = _kf_build(os.path.join(root, p), c)
+            if f is not None:
+                filters[c] = f
+        if filters:
+            out[p] = filters
+    return out
+
+
+def key_membership_pruned(
+    root: str, version: int, col, values
+) -> tuple[list[str], list[str]]:
+    """Split ``version``'s file list into (kept, skipped) for a
+    key-IN read: a file is kept iff its membership filter admits at
+    least one of ``values`` (files without a filter for ``col`` are
+    always kept — conservative). Pure driver-side metadata against the
+    already-loaded manifest — the point-lookup planning step that
+    makes ``WHERE key IN (...)`` on an UNCLUSTERED key read a handful
+    of files instead of all of them (zone ranges all overlap there).
+    False positives only cost an extra file scan, never correctness."""
+    import base64
+
+    manifest = read_manifest(root, version)
+    kf = manifest.get("kf", {})
+    pairs = [_kf_hash_pair(v) for v in values]
+    kept, skipped = [], []
+    for f in manifest["files"]:
+        filt = kf.get(f, {}).get(col)
+        if filt is None:
+            kept.append(f)
+            continue
+        raw = base64.b64decode(filt["b"])
+        if any(_kf_hit(filt, h1, h2, raw) for h1, h2 in pairs):
+            kept.append(f)
+        else:
+            skipped.append(f)
+    return kept, skipped
+
+
 class ConcurrentWriteError(RuntimeError):
     """A racing writer committed between this operation's snapshot read
     and its manifest claim, and the operation's output was DERIVED from
@@ -260,7 +385,9 @@ def _commit(root: str, files: list[str], added: list[str],
             schema: dict | None = None,
             file_versions: dict | None = None,
             dv_versions: dict | None = None,
-            extra: dict | None = None) -> int:
+            extra: dict | None = None,
+            kf_cols: list[str] | None = None,
+            key_filters: dict | None = None) -> int:
     """Atomically claim the next version number for this snapshot.
 
     ``expected_version`` is the optimistic-concurrency guard for
@@ -286,11 +413,39 @@ def _commit(root: str, files: list[str], added: list[str],
 
     ``extra`` merges additional caller keys into the manifest (e.g.
     ``zorder_cols`` so an incremental re-cluster can find the last
-    matching layout commit)."""
+    matching layout commit).
+
+    KEY-MEMBERSHIP FILTERS are maintained here so every commit path
+    (append, merge, compact, optimize, zorder, rollback) keeps the
+    whole snapshot filter-covered without per-caller plumbing: when
+    the table declares ``kf_cols`` (sticky from the first commit that
+    passes it, like ``stats_cols``), each ADDED data file gets a
+    per-file Bloom filter built from one column read at commit time;
+    carried files keep their recorded filter, and ``key_filters`` is
+    the rollback-style hint for files re-entering from an older
+    manifest. Filters live in the manifest (``kf``), so membership
+    planning — ``key_membership_pruned``, ``_touched_by_keys`` — is
+    driver-side metadata."""
     mdir = os.path.join(root, _MANIFESTS)
     os.makedirs(mdir, exist_ok=True)
     stats = stats or {}
     merge_appends = expected_version is None and op == "append"
+    # build filters for this commit's new files ONCE, outside the claim
+    # loop (the added set never changes across retries); the effective
+    # column list is sticky from the snapshot at entry
+    entry_v = table_version(root)
+    entry_m = read_manifest(root, entry_v) if entry_v else {}
+    eff_kf_cols = list(kf_cols or entry_m.get("kf_cols", []))
+    hint_kf = key_filters or {}
+    built_kf: dict = {}
+    if eff_kf_cols:
+        todo = [
+            os.path.relpath(f, root)
+            for f in added
+            if os.path.relpath(f, root) not in hint_kf
+            and os.path.relpath(f, root) not in entry_m.get("kf", {})
+        ]
+        built_kf = _collect_key_filters(root, todo, eff_kf_cols)
     while True:
         # re-check inside the claim loop: a racing writer may have landed
         # this txn while we were writing data files
@@ -364,6 +519,12 @@ def _commit(root: str, files: list[str], added: list[str],
                 # scope to the version claimed HERE; anything else
                 # carrying an unmapped vector predates the maps
                 dvv[d] = version if op == "delete" else _commit_of(d)
+        prev_kf = prev_m.get("kf", {})
+        kf = {}
+        for p in rel:
+            got = prev_kf.get(p) or hint_kf.get(p) or built_kf.get(p)
+            if got:
+                kf[p] = got
         manifest = {
             "version": version,
             "op": op,
@@ -377,6 +538,8 @@ def _commit(root: str, files: list[str], added: list[str],
             "dv_key": dv_key or [],
             "fv": fv,
             "dvv": dvv,
+            "kf": kf,
+            "kf_cols": eff_kf_cols,
         }
         if extra:
             manifest.update(extra)
@@ -403,6 +566,7 @@ def write_version(
     mode: str = "append",
     txn_id: str | None = None,
     stats_cols: list[str] | None = None,
+    key_filter_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new table version.
 
@@ -421,7 +585,18 @@ def write_version(
     stat their new files with the same list so the whole snapshot stays
     prunable. Cluster the data on the stat column first (e.g.
     ``df.repartitionByRange(n, col)``) or the zone maps all overlap and
-    prune nothing."""
+    prune nothing.
+
+    ``key_filter_cols`` additionally records a per-file KEY-MEMBERSHIP
+    filter (Bloom; ~10 bits/row, capped) for those columns — one
+    column read per new file at commit time. That is the pruning
+    complement for keys the table is NOT clustered on: zone RANGES all
+    overlap there, but membership filters still skip every file that
+    cannot contain a probed key, which is what keeps ``merge_into`` /
+    ``delete_keys`` planning and key-IN point reads
+    (``key_membership_pruned``) O(touched) instead of O(table). Sticky
+    like ``stats_cols``; every later commit path (merge/compact/
+    optimize/zorder) filters its new files automatically."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if txn_id is not None:
@@ -448,10 +623,12 @@ def write_version(
             stats=stats, stats_cols=cols,
             dvs=prev_manifest.get("dvs", []),
             dv_key=prev_manifest.get("dv_key", []),
+            kf_cols=key_filter_cols,
         )
     return _commit(
         root, new_files, new_files, prev, "overwrite", txn_id,
         stats=stats, stats_cols=cols, expected_version=current,
+        kf_cols=key_filter_cols,
     )
 
 
@@ -857,9 +1034,12 @@ def rollback(root: str, to_version: int) -> int:
         schema=target.get("schema"),
         # files re-entering the snapshot keep the version they REALLY
         # committed at (the target manifest remembers), so DV scoping
-        # stays exact across a rollback
+        # stays exact across a rollback; same for their key filters
+        # (hint beats a rebuild — no data reads on rollback)
         file_versions=target.get("fv"),
         dv_versions=target.get("dvv"),
+        kf_cols=target.get("kf_cols"),
+        key_filters=target.get("kf"),
     )
 
 
@@ -917,9 +1097,17 @@ def _touched_by_keys(
     """Split the snapshot's files into (touched, untouched) for a set of
     key values: a file is touched iff its zone map for ``col`` admits at
     least one key (files without a zone map are always touched —
-    conservative). The check is one Spark job — distinct keys range-join
-    the BROADCAST file-range table (one row per file, bounded metadata)
-    — so the driver never holds the key set, only the touched file ids."""
+    conservative) AND — when the table carries key-membership filters
+    for ``col`` — its Bloom filter admits at least one key. The zone
+    stage is one Spark job (distinct keys range-join the BROADCAST
+    file-range table); the membership stage is a second map-side pass
+    over the same distinct keys against the closure-captured filter
+    set (bounded manifest metadata, Arrow-batched pandas UDF). The
+    driver never holds the key set, only file ids. Membership is what
+    saves the plan on an UNCLUSTERED key, where every zone range
+    overlaps and the zone stage degenerates to all-files: a 1%-of-keys
+    merge then still rewrites ~the files that really contain those
+    keys (plus Bloom false positives — extra IO, never wrong)."""
     stats = manifest.get("stats", {})
     zoned = [
         (f, stats[f][col][0], stats[f][col][1])
@@ -928,11 +1116,11 @@ def _touched_by_keys(
     ]
     zoned_set = {z[0] for z in zoned}
     touched = [f for f in manifest["files"] if f not in zoned_set]
+    keys_d = keys.select(F.col(col).alias("__k")).distinct()
     if zoned:
         ranges = spark.createDataFrame(zoned, ["__file", "__lo", "__hi"])
         hits = (
-            keys.select(F.col(col).alias("__k"))
-            .distinct()
+            keys_d
             .join(
                 F.broadcast(ranges),
                 (F.col("__k") >= F.col("__lo"))
@@ -943,6 +1131,50 @@ def _touched_by_keys(
             .collect()
         )
         touched += [r["__file"] for r in hits]
+    kf = manifest.get("kf", {})
+    filtered = [f for f in touched if kf.get(f, {}).get(col)]
+    if filtered:
+        import base64
+
+        from pyspark.sql.types import ArrayType, IntegerType
+
+        filters = [
+            (kf[f][col]["m"], kf[f][col]["k"],
+             base64.b64decode(kf[f][col]["b"]))
+            for f in filtered
+        ]
+
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def _kf_probe(col_keys: pd.Series) -> pd.Series:
+            out = []
+            for v in col_keys:
+                h1, h2 = _kf_hash_pair(v)
+                hit = []
+                for i, (m, k, raw) in enumerate(filters):
+                    ok = True
+                    for j in range(k):
+                        pos = (h1 + j * h2) % m
+                        if not raw[pos >> 3] & (1 << (pos & 7)):
+                            ok = False
+                            break
+                    if ok:
+                        hit.append(i)
+                out.append(hit)
+            return pd.Series(out)
+
+        idx_hits = {
+            r["__i"]
+            for r in keys_d.select(
+                F.explode(_kf_probe(F.col("__k"))).alias("__i")
+            )
+            .distinct()
+            .collect()
+        }
+        admitted = {filtered[i] for i in idx_hits}
+        touched = [
+            f for f in touched
+            if f not in set(filtered) or f in admitted
+        ]
     touched_set = set(touched)
     return (
         [f for f in manifest["files"] if f in touched_set],

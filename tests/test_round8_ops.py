@@ -319,6 +319,116 @@ def test_incremental_zorder_max_span_catches_layout_drift(spark, root):
     assert got == want
 
 
+def test_key_membership_filters_prune_unclustered_merges(spark, root):
+    """io12: on a key the table is NOT clustered on, every file's zone
+    range overlaps and zone maps prune nothing — per-file Bloom
+    membership filters still restrict the merge's rewrite set to the
+    files that really contain the probed keys (plus false positives).
+    Point key-IN reads plan the same way via key_membership_pruned."""
+    from querysight_spark.sources.versioned import (
+        key_membership_pruned,
+        merge_into,
+        _touched_by_keys,
+    )
+
+    # 8 appends; each spans the WHOLE key domain (unclustered layout)
+    for i in range(8):
+        part = spark.range(0, 4096).where(
+            F.col("id") % 8 == i
+        ).select("id", (F.col("id") * 10).alias("v")).coalesce(1)
+        merged_kwargs = (
+            {"stats_cols": ["id"], "key_filter_cols": ["id"]}
+            if i == 0 else {}
+        )
+        write_version(spark, part, root, **merged_kwargs)
+    m = read_manifest(root, 8)
+    assert len(m["files"]) == 8
+    assert m["kf_cols"] == ["id"]
+    assert set(m["kf"]) == set(m["files"])  # every file filtered
+    # three keys living in exactly two distinct files (id%8 buckets)
+    probe = [16, 24, 1000]  # buckets 0, 0, 0 -> pick spread keys
+    probe = [16, 17, 1001]  # buckets 0, 1, 1 -> two files
+    keys = spark.createDataFrame([(k,) for k in probe], ["id"])
+    touched, untouched = _touched_by_keys(spark, root, m, keys, "id")
+    assert len(touched) < 8  # zone maps alone would touch all 8
+    true_files = {f for f in m["files"] if _bucket_of(f, m) in (0, 1)}
+    assert true_files <= set(touched)  # no false negatives, ever
+    # key-IN point-read planning: same filters, pure driver-side
+    kept, skipped = key_membership_pruned(root, 8, "id", probe)
+    assert set(kept) == set(touched) and len(skipped) == len(untouched)
+    # the merge itself rewrites only the touched files and stays exact
+    src = spark.createDataFrame([(k, -1) for k in probe], ["id", "v"])
+    v9 = merge_into(spark, src, root, ["id"])
+    m9 = read_manifest(root, v9)
+    assert set(m9["removed"]) == set(touched)
+    got = {r.id: r.v for r in read_version(spark, root).collect()}
+    assert all(got[k] == -1 for k in probe)
+    assert len(got) == 4096 and got[8] == 80
+    # maintenance keeps the snapshot filter-covered: every current
+    # file (carried or rewritten) still has a filter
+    assert set(m9["kf"]) == set(m9["files"])
+
+
+def _bucket_of(f, manifest):
+    """Which id%8 bucket a test file holds: files were written one
+    bucket per commit, so the fv map's committed version identifies
+    it (commit i+1 held bucket i)."""
+    return manifest["fv"][f] - 1
+
+
+def test_key_filters_survive_zorder_and_compact(spark, root):
+    """Every commit path keeps the snapshot filter-covered: after
+    zorder and DV-compaction rewrites, the new files carry freshly
+    built filters and membership pruning still has no false
+    negatives."""
+    from querysight_spark.sources.versioned import (
+        compact_table,
+        delete_keys,
+        key_membership_pruned,
+        zorder_table,
+    )
+
+    write_version(
+        spark,
+        spark.range(0, 2048).select(
+            "id",
+            ((F.col("id") * 2654435761) % 2048).alias("y"),
+        ).repartitionByRange(8, "id"),
+        root,
+        stats_cols=["id", "y"],
+        key_filter_cols=["y"],
+    )
+    zorder_table(spark, root, ["id", "y"], target_files=8)
+    m = read_manifest(root, 2)
+    assert set(m["kf"]) == set(m["files"])
+    y_of_5 = (5 * 2654435761) % 2048
+    kept, skipped = key_membership_pruned(root, 2, "y", [y_of_5])
+    assert skipped  # something pruned
+    rows = read_version(spark, root).where(F.col("y") == y_of_5)
+    files_with_key = {
+        os.path.relpath(r[0], os.path.realpath(root))
+        for r in rows.select(
+            F.regexp_replace(
+                F.input_file_name(), "^file:", ""
+            )
+        ).distinct().collect()
+    }
+    assert files_with_key <= set(kept)  # no false negatives
+    delete_keys(
+        spark, root,
+        spark.createDataFrame([(int(y_of_5),)], ["y"]),
+    )
+    compact_table(spark, root)
+    m4 = read_manifest(root, 4)
+    assert set(m4["kf"]) == set(m4["files"])
+    kept4, _ = key_membership_pruned(root, 4, "y", [y_of_5])
+    # the deleted key's rows are gone; membership may still admit the
+    # rewritten file (stale positives are legal), reads stay exact
+    assert read_version(spark, root).where(
+        F.col("y") == y_of_5
+    ).count() == 0
+
+
 def _df2(spark, lo, hi):
     return spark.range(lo, hi).select(
         F.col("id"),
