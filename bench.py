@@ -95,6 +95,21 @@ HEADLINE_V3 = [
     "st16_manifest_log_stream",   # commit log as a stream -> MV
 ]
 
+# Round-8 widening (VERDICT r7 ask #7): the round-7 lakehouse/codec
+# entries had no bench coverage. Same discipline as v2/v3 — v4 is now
+# FROZEN; extend by appending a v5, not by editing this list. The
+# wh08/st17/io10/px05 builds amortize per corpus vintage (first run
+# after a testdata regen lands in the cold column); the timed value is
+# the steady-state probe. Local calibrated baseline in SCALE.md
+# ("Bench noise controls", round-8 addendum).
+HEADLINE_V4 = [
+    "wh08_schema_evolution",      # metadata-only ADD COLUMN + NULL backfill
+    "st17_cdc_command_stream",    # exactly-once CDC command replay
+    "io10_zorder_optimize",       # Z-order conjunction pruning
+    "mm11_progressive_jpeg_stats",  # native progressive-JPEG decode
+    "px05_lakehouse_lifecycle",   # full lifecycle composition probe
+]
+
 HEADLINE = [
     "p10_join_agg",
     "p15_five_way_join",
@@ -167,7 +182,12 @@ def _run_suite(suite: str) -> None:
     cold_total = 0.0
     out: dict = {"suite": suite, "calibration_sec": calibration}
 
-    names = {"v1": HEADLINE, "v2": HEADLINE_V2, "v3": HEADLINE_V3}[suite]
+    names = {
+        "v1": HEADLINE,
+        "v2": HEADLINE_V2,
+        "v3": HEADLINE_V3,
+        "v4": HEADLINE_V4,
+    }[suite]
     for name in names:
         cold, best = _timed(lambda: qs[name](spark, SF_DIR).count())
         cold_total += cold
@@ -244,6 +264,7 @@ def main() -> None:
     v1 = _collect("v1")
     v2 = _collect("v2")
     v3 = _collect("v3")
+    v4 = _collect("v4")
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     print(
@@ -268,6 +289,11 @@ def main() -> None:
                 "queries_v3": v3["queries"],
                 "headline_v3_total_sec": v3["total"],
                 "cold_total_v3_sec": v3["cold_total"],
+                # v4 (round 8): the round-7 lakehouse/codec headliners,
+                # same sibling-field discipline
+                "queries_v4": v4["queries"],
+                "headline_v4_total_sec": v4["total"],
+                "cold_total_v4_sec": v4["cold_total"],
                 # round-7 noise controls: each suite ran in its own fresh
                 # JVM; calibration_sec is the fixed-work host-speed probe
                 # timed inside each suite's JVM (method + local baselines
@@ -277,6 +303,7 @@ def main() -> None:
                 "calibration_sec": v1["calibration_sec"],
                 "calibration_v2_sec": v2["calibration_sec"],
                 "calibration_v3_sec": v3["calibration_sec"],
+                "calibration_v4_sec": v4["calibration_sec"],
                 "sf": sf,
             }
         )
