@@ -50,7 +50,7 @@
                 deterministic shard shuffle + size accounting), rollup
                 tiers incl. streaming absorption, self-checking sketches
                 incl. a cell-exact portable Count-Min.
-  * st01-st16 — Structured Streaming under the gate (windows, stateful
+  * st01-st18 — Structured Streaming under the gate (windows, stateful
                 counts, cross-batch dedup, session windows, stream-
                 stream join, session-state absorption into a persisted
                 tier, JSONL ingest with re-delivery suppression,
@@ -64,7 +64,11 @@
                 per-batch fingerprint lens anti-join, exactly-distinct
                 corpus under txn + data-level replay safety; st16 the
                 COMMIT LOG AS A STREAM — manifests tailed by the file
-                source drive retractable MV refreshes end-to-end),
+                source drive retractable MV refreshes end-to-end;
+                st17 exactly-once CDC command replay; st18 incremental
+                consumer SURVIVING maintenance — zorder/evolve commits
+                cross an incremental_read range with no double counts,
+                row-changing commits degrade to the change feed),
                 drained availableNow vs batch oracles.
   * aj/rj/sj/mm — as-of join, range join, salted join, multimodal
                 (incl. mm06 perceptual dHash over decoded rasters)
@@ -106,7 +110,15 @@
                 bin-packed rewrite re-clustered on the zone-map column,
                 big files carry by reference; io09: MULTI-column
                 zone-map conjunction over co-clustered id/event-time —
-                plans strictly fewer files than either predicate alone.
+                plans strictly fewer files than either predicate alone;
+                io10: Z-order OPTIMIZE (conjunction beats both
+                single-column clusters); io11: INCREMENTAL Z-order —
+                re-clusters only files committed since the last zorder
+                (O(delta), untouched files carry by reference, pruning
+                restored); io12: per-file KEY-MEMBERSHIP (Bloom)
+                filters — merge/point-read planning prunes files on
+                UNCLUSTERED keys where zone ranges all overlap, FPR
+                measured and pinned under 5 percent.
   * lk/gr/vx  — blocked fuzzy-join record linkage (+ per-block match
                 summary), iterative PageRank vs an unrolled-CTE oracle,
                 large-star/small-star connected components, triangle

@@ -430,22 +430,9 @@ def _commit(root: str, files: list[str], added: list[str],
     os.makedirs(mdir, exist_ok=True)
     stats = stats or {}
     merge_appends = expected_version is None and op == "append"
-    # build filters for this commit's new files ONCE, outside the claim
-    # loop (the added set never changes across retries); the effective
-    # column list is sticky from the snapshot at entry
-    entry_v = table_version(root)
-    entry_m = read_manifest(root, entry_v) if entry_v else {}
-    eff_kf_cols = list(kf_cols or entry_m.get("kf_cols", []))
     hint_kf = key_filters or {}
-    built_kf: dict = {}
-    if eff_kf_cols:
-        todo = [
-            os.path.relpath(f, root)
-            for f in added
-            if os.path.relpath(f, root) not in hint_kf
-            and os.path.relpath(f, root) not in entry_m.get("kf", {})
-        ]
-        built_kf = _collect_key_filters(root, todo, eff_kf_cols)
+    built_kf: dict | None = None  # built once, on the first attempt
+    eff_kf_cols: list[str] = list(kf_cols or [])
     while True:
         # re-check inside the claim loop: a racing writer may have landed
         # this txn while we were writing data files
@@ -520,6 +507,16 @@ def _commit(root: str, files: list[str], added: list[str],
                 # carrying an unmapped vector predates the maps
                 dvv[d] = version if op == "delete" else _commit_of(d)
         prev_kf = prev_m.get("kf", {})
+        if built_kf is None:
+            # build filters for this commit's new files ONCE (the added
+            # set never changes across claim retries); the effective
+            # column list is sticky from the snapshot's manifest
+            eff_kf_cols = list(kf_cols or prev_m.get("kf_cols", []))
+            todo = [
+                p for p in (os.path.relpath(f, root) for f in added)
+                if p not in hint_kf and p not in prev_kf
+            ] if eff_kf_cols else []
+            built_kf = _collect_key_filters(root, todo, eff_kf_cols)
         kf = {}
         for p in rel:
             got = prev_kf.get(p) or hint_kf.get(p) or built_kf.get(p)
@@ -1117,6 +1114,14 @@ def _touched_by_keys(
     zoned_set = {z[0] for z in zoned}
     touched = [f for f in manifest["files"] if f not in zoned_set]
     keys_d = keys.select(F.col(col).alias("__k")).distinct()
+    kf = manifest.get("kf", {})
+    has_kf = any(kf.get(f, {}).get(col) for f in manifest["files"])
+    persisted = False
+    if zoned and has_kf:
+        # both the zone join and the membership probe consume the
+        # distinct keys; persist so the source pipeline runs once
+        keys_d = keys_d.persist()
+        persisted = True
     if zoned:
         ranges = spark.createDataFrame(zoned, ["__file", "__lo", "__hi"])
         hits = (
@@ -1131,7 +1136,6 @@ def _touched_by_keys(
             .collect()
         )
         touched += [r["__file"] for r in hits]
-    kf = manifest.get("kf", {})
     filtered = [f for f in touched if kf.get(f, {}).get(col)]
     if filtered:
         import base64
@@ -1175,6 +1179,8 @@ def _touched_by_keys(
             f for f in touched
             if f not in set(filtered) or f in admitted
         ]
+    if persisted:
+        keys_d.unpersist()
     touched_set = set(touched)
     return (
         [f for f in manifest["files"] if f in touched_set],
