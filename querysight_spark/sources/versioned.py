@@ -819,6 +819,7 @@ def read_version(
     merge_schema: bool = False,
     prune: tuple | None = None,
     apply_dvs: bool = True,
+    keys_in: tuple | None = None,
 ) -> DataFrame:
     """Scan the table as of ``version`` (default: latest). Plans directly
     from the manifest's file list — no directory listing, and an empty
@@ -840,7 +841,18 @@ def read_version(
     scoped per file so a vector only tombstones rows committed before
     it (a key re-inserted by a later append stays visible; see
     ``_read_with_dvs``). Pass False to see the raw files (e.g. for
-    compaction internals)."""
+    compaction internals).
+
+    ``keys_in=(col, [v1, v2, ...])`` is the POINT-LOOKUP plan: files
+    are additionally pruned by their key-membership filters
+    (``key_membership_pruned`` — driver-side metadata, zero data IO;
+    the table must have been written with ``key_filter_cols``) and the
+    ``col IN (...)`` residual applies on top. On an UNCLUSTERED key
+    this reads the handful of files that can contain the values
+    instead of the whole snapshot (zone ranges all overlap there);
+    composes with ``prune``. Values are a driver-side list — the
+    bounded point-lookup shape; for a large distributed key set use
+    the merge-style planning (``_touched_by_keys``) instead."""
     if version is None:
         version = table_version(root)
     manifest = read_manifest(root, version)
@@ -856,6 +868,13 @@ def read_version(
         kept, _ = pruned_files(root, version, preds)
     else:
         kept = files
+    if keys_in is not None:
+        k_col, k_vals = keys_in
+        member, _skipped = key_membership_pruned(
+            root, version, k_col, list(k_vals)
+        )
+        member_set = set(member)
+        kept = [f for f in kept if f in member_set]
     sch = _schema_of(manifest)
     reader = spark.read
     if sch is not None:
@@ -884,6 +903,10 @@ def read_version(
                 df = df.where(F.col(c) >= F.lit(plo))
             if phi is not None:
                 df = df.where(F.col(c) <= F.lit(phi))
+    if keys_in is not None:
+        # the row-level residual: membership filters are file-granular
+        # and admit false positives; IN is the truth
+        df = df.where(F.col(keys_in[0]).isin(list(keys_in[1])))
     return df
 
 

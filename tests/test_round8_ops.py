@@ -369,6 +369,36 @@ def test_key_membership_filters_prune_unclustered_merges(spark, root):
     assert set(m9["kf"]) == set(m9["files"])
 
 
+def test_read_version_keys_in_point_lookup(spark, root):
+    """read_version(keys_in=...) plans point lookups from the
+    membership filters (driver-side metadata) and applies the IN
+    residual: exact rows back, and the scan's file list is the
+    membership-kept subset, not the snapshot."""
+    from querysight_spark.sources.versioned import key_membership_pruned
+
+    for i in range(8):
+        part = spark.range(0, 4096).where(
+            F.col("id") % 8 == i
+        ).select("id", (F.col("id") * 10).alias("v")).coalesce(1)
+        kwargs = (
+            {"stats_cols": ["id"], "key_filter_cols": ["id"]}
+            if i == 0 else {}
+        )
+        write_version(spark, part, root, **kwargs)
+    probe = [40, 41]  # buckets 0 and 1
+    df = read_version(spark, root, keys_in=("id", probe))
+    assert {(r.id, r.v) for r in df.collect()} == {(40, 400), (41, 410)}
+    kept, skipped = key_membership_pruned(root, 8, "id", probe)
+    assert skipped  # the plan really pruned files
+    # the physical scan reads only membership-kept files
+    scanned = {os.path.basename(p) for p in df.inputFiles()}
+    assert scanned == {os.path.basename(f) for f in kept}
+    # a probe for absent keys returns empty (whatever files FPs admit)
+    assert read_version(
+        spark, root, keys_in=("id", [999999])
+    ).count() == 0
+
+
 def _bucket_of(f, manifest):
     """Which id%8 bucket a test file holds: files were written one
     bucket per commit, so the fv map's committed version identifies
