@@ -9471,7 +9471,6 @@ def io12(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes against the from-first-principles oracle. At 100 TB this is
     what keeps right-to-be-forgotten merges and key-IN point reads
     O(files-that-contain-the-keys) on unclustered keys."""
-    import base64
     import hashlib
     import json as _json
     import os
@@ -9480,6 +9479,7 @@ def io12(spark: SparkSession, sf_dir: str) -> DataFrame:
     from querysight_spark.sources.versioned import (
         _kf_hash_pair,
         _kf_hit,
+        _kf_raw,
         _touched_by_keys,
         merge_into,
         read_manifest,
@@ -9526,7 +9526,7 @@ def io12(spark: SparkSession, sf_dir: str) -> DataFrame:
         admitted = 0
         for f in m["files"]:
             filt = m["kf"][f]["o_orderkey"]
-            raw = base64.b64decode(filt["b"])
+            raw = _kf_raw(root, f, filt)
             admitted += sum(
                 1 for h1, h2 in pairs if _kf_hit(filt, h1, h2, raw)
             )

@@ -369,6 +369,59 @@ def test_key_membership_filters_prune_unclustered_merges(spark, root):
     assert set(m9["kf"]) == set(m9["files"])
 
 
+def test_key_filter_sidecars_spill_and_die_with_their_file(spark, root):
+    """Filters past the inline threshold spill to a sidecar beside the
+    data file (manifests stay metadata-sized at production file
+    sizes); probes read them lazily, and vacuum removes a sidecar
+    exactly when it removes its data file."""
+    import glob
+
+    from querysight_spark.sources.versioned import (
+        _KF_INLINE_BITS,
+        key_membership_pruned,
+        vacuum,
+    )
+
+    # 2 files x 8192 rows -> m ~ 81920 bits >> inline threshold
+    write_version(
+        spark,
+        spark.range(0, 16384).select(
+            "id", (F.col("id") * 3).alias("v")
+        ).repartitionByRange(2, "id"),
+        root,
+        stats_cols=["id"],
+        key_filter_cols=["id"],
+    )
+    m = read_manifest(root, 1)
+    for f in m["files"]:
+        filt = m["kf"][f]["id"]
+        assert "p" in filt and "b" not in filt
+        assert filt["m"] > _KF_INLINE_BITS
+    sidecars = glob.glob(os.path.join(root, "data", "**", "*.kf"),
+                         recursive=True)
+    assert len(sidecars) == 2
+    kept, skipped = key_membership_pruned(root, 1, "id", [5])
+    assert len(kept) == 1 and len(skipped) == 1
+    # overwrite makes v1's files (and sidecars) unreachable past v2
+    write_version(
+        spark, _df(spark, 0, 10), root, mode="overwrite",
+        key_filter_cols=["id"],
+    )
+    vacuum(root, retain_from=2)
+    remaining = glob.glob(os.path.join(root, "data", "**", "*"),
+                          recursive=True)
+    files = [
+        p for p in remaining
+        if os.path.isfile(p)
+        and not os.path.basename(p).startswith(("_", "."))
+    ]
+    # v1's parquet and its sidecars are both gone; v2's survive
+    assert all("c00000001-" not in p for p in files)
+    m2 = read_manifest(root, 2)
+    kept2, _ = key_membership_pruned(root, 2, "id", [5])
+    assert kept2  # v2's filters still probe
+
+
 def test_read_version_keys_in_point_lookup(spark, root):
     """read_version(keys_in=...) plans point lookups from the
     membership filters (driver-side metadata) and applies the IN
