@@ -82,16 +82,16 @@ _COMMIT_DIR_RE = re.compile(r"(?:^|/)c(\d{8})-[0-9a-f]+/")
 
 def _commit_of(rel: str) -> int:
     """The commit number embedded in a data/DV file's path (its write
-    VINTAGE) — the FALLBACK scope source for manifests written before
-    the ``fv``/``dvv`` maps existed. Since round 8 every commit records
-    each file's ACTUAL committed version in the manifest (``fv`` for
-    data files, ``dvv`` for deletion vectors), which closes the
-    multi-retry race the path-derived vintage had: an append that loses
-    two or more manifest races can land at a version HIGHER than the
-    one in its directory name, above an interleaved delete — the
-    recorded map says so, the path cannot. Unrecognized paths report 0
-    (oldest: every DV applies), the conservative pre-scoping
-    behavior."""
+    VINTAGE) — the DEFAULT scope source; the manifest's ``fv``/``dvv``
+    maps record only the EXCEPTIONS (since round 8), which closes the
+    multi-retry race the path-derived vintage alone had: an append
+    that loses two or more manifest races lands at a version HIGHER
+    than the one in its directory name, above an interleaved delete —
+    the exception entry says so, the path cannot. Every other file's
+    committed version IS its path vintage, so the maps cost ~nothing
+    (manifest size measured unchanged vs pre-map, SCALE.md round-8
+    addendum). Unrecognized paths report 0 (oldest: every DV applies),
+    the conservative pre-scoping behavior."""
     m = _COMMIT_DIR_RE.search(rel)
     return int(m.group(1)) if m else 0
 
@@ -489,16 +489,22 @@ def _commit(root: str, files: list[str], added: list[str],
     latest manifest each attempt), so concurrent appends all land.
 
     Every manifest records each member file's ACTUAL committed version
-    (``fv``: data files, ``dvv``: deletion vectors): carried files keep
-    their prior entry, this commit's new files get the version CLAIMED
-    here — inside the claim loop, so an append that loses N manifest
-    races records the number it really landed at, not the one in its
-    directory name. That map is what makes deletion-vector scoping
-    exact under concurrency (see ``_read_with_dvs``). ``file_versions``
-    / ``dv_versions`` are caller hints for files re-entering the
-    snapshot from an older manifest (rollback passes its target's
-    maps); unknown files fall back to the path-derived ``_commit_of``
-    (pre-map manifests, conservative).
+    (``fv``: data files, ``dvv``: deletion vectors) — stored
+    EXCEPTIONS-ONLY (entries where the true version differs from the
+    path vintage, i.e. race losers; readers fall back to
+    ``_commit_of``, exact for everything else, so the maps add ~zero
+    manifest bytes in the common case): carried files keep their prior
+    entry, this commit's new files get the version CLAIMED here —
+    inside the claim loop, so an append that loses N manifest races
+    records the number it really landed at, not the one in its
+    directory name. That is what makes deletion-vector scoping exact
+    under concurrency (see ``_read_with_dvs``). ``file_versions`` /
+    ``dv_versions`` are caller hints that OVERRIDE the added->claimed
+    rule for files re-entering the snapshot from an older manifest —
+    rollback passes its target's EFFECTIVE map covering every file,
+    since an uncovered re-entering file would be mis-stamped with the
+    new version; unknown files fall back to the path-derived
+    ``_commit_of`` (pre-map manifests, conservative).
 
     ``extra`` merges additional caller keys into the manifest (e.g.
     ``zorder_cols`` so an incremental re-cluster can find the last
@@ -622,8 +628,13 @@ def _commit(root: str, files: list[str], added: list[str],
             "stats_cols": stats_cols or [],
             "dvs": dvs or [],
             "dv_key": dv_key or [],
-            "fv": fv,
-            "dvv": dvv,
+            # EXCEPTIONS-ONLY: a file's committed version is its
+            # path-derived vintage unless recorded here (only race
+            # losers differ), so the maps cost ~nothing in the common
+            # case — readers fall back to _commit_of for absent keys,
+            # which is exact for every non-exception file
+            "fv": {p: v for p, v in fv.items() if v != _commit_of(p)},
+            "dvv": {d: v for d, v in dvv.items() if v != _commit_of(d)},
             "kf": kf,
             "kf_cols": eff_kf_cols,
         }
@@ -1142,11 +1153,21 @@ def rollback(root: str, to_version: int) -> int:
         dv_key=target.get("dv_key", []),
         schema=target.get("schema"),
         # files re-entering the snapshot keep the version they REALLY
-        # committed at (the target manifest remembers), so DV scoping
-        # stays exact across a rollback; same for their key filters
-        # (hint beats a rebuild — no data reads on rollback)
-        file_versions=target.get("fv"),
-        dv_versions=target.get("dvv"),
+        # committed at, so DV scoping stays exact across a rollback.
+        # The hint must cover EVERY target file with its EFFECTIVE
+        # version (recorded exception or path vintage): the stored map
+        # is exceptions-only, and an uncovered re-entering file would
+        # otherwise be mis-stamped with the rollback's own version by
+        # the added->claimed rule. Same for key filters (hint beats a
+        # rebuild — no data reads on rollback).
+        file_versions={
+            p: target.get("fv", {}).get(p, _commit_of(p))
+            for p in target["files"]
+        },
+        dv_versions={
+            d: target.get("dvv", {}).get(d, _commit_of(d))
+            for d in target.get("dvs", [])
+        },
         kf_cols=target.get("kf_cols"),
         key_filters=target.get("kf"),
     )

@@ -72,12 +72,17 @@ def test_dv_scope_exact_when_append_loses_two_races(spark, root):
     assert v == 4
     m = read_manifest(root, 4)
     # the re-insert's file claims directory c00000002 but the manifest
-    # records its TRUE commit version, above the delete's
+    # records its TRUE commit version (exceptions-only map: a race
+    # loser is exactly the case that gets an entry), above the delete's
+    from querysight_spark.sources.versioned import _commit_of
+
     new_files = m["added"]
     assert len(new_files) >= 1
     assert all("c00000002-" in f for f in new_files)
     assert all(m["fv"][f] == 4 for f in new_files)
-    assert all(m["dvv"][d] == 3 for d in m["dvs"])
+    assert all(
+        m["dvv"].get(d, _commit_of(d)) == 3 for d in m["dvs"]
+    )
     got = {r.id: r.v for r in read_version(spark, root).collect()}
     # key 5's ORIGINAL row (v1, tombstoned at v3) is gone; the
     # re-inserted row (committed v4 > DV v3) is visible
@@ -87,16 +92,21 @@ def test_dv_scope_exact_when_append_loses_two_races(spark, root):
 
 def test_rollback_preserves_recorded_file_versions(spark, root):
     """Files re-entering a snapshot via rollback keep the commit
-    version they REALLY landed at (the target manifest remembers), so
-    DV scoping stays exact across a rollback."""
+    version they REALLY landed at (the target manifest remembers; the
+    map stores only exceptions — a rollback must not mint new ones),
+    so DV scoping stays exact across a rollback."""
+    from querysight_spark.sources.versioned import _commit_of
+
     write_version(spark, _df(spark, 0, 5), root)           # v1
     write_version(spark, _df(spark, 5, 8), root)           # v2
     write_version(spark, _df(spark, 8, 12), root, "overwrite")  # v3
     rollback(root, 2)                                      # v4
     m = read_manifest(root, 4)
     by_dir = {
-        f: m["fv"][f] for f in m["files"]
+        f: m["fv"].get(f, _commit_of(f)) for f in m["files"]
     }
+    # effective versions are the originals (1 and 2), never 4 — the
+    # re-entering files did not get re-stamped by the rollback commit
     assert set(by_dir.values()) == {1, 2}
     for f, ver in by_dir.items():
         assert f"c{ver:08d}-" in f
@@ -454,9 +464,11 @@ def test_read_version_keys_in_point_lookup(spark, root):
 
 def _bucket_of(f, manifest):
     """Which id%8 bucket a test file holds: files were written one
-    bucket per commit, so the fv map's committed version identifies
-    it (commit i+1 held bucket i)."""
-    return manifest["fv"][f] - 1
+    bucket per commit, so the file's effective committed version
+    identifies it (commit i+1 held bucket i)."""
+    from querysight_spark.sources.versioned import _commit_of
+
+    return manifest["fv"].get(f, _commit_of(f)) - 1
 
 
 def test_key_filters_survive_zorder_and_compact(spark, root):
