@@ -251,6 +251,14 @@ _KF_SEED1 = 0x9E3779B97F4A7C15
 _KF_SEED2 = 0xD1B54A32D192ED03
 _KF_MUL1 = 0xBF58476D1CE4E5B9
 _KF_MUL2 = 0x94D049BB133111EB
+# pandas hash_array keys (exactly 16 bytes each): the STRING-key hash,
+# chosen because pandas' siphash kernel runs vectorized over a whole
+# object column (a Python blake2b loop was the build bottleneck for
+# string-keyed corpora — doc_id strings are the common LLM-pipeline
+# key); the scalar twin hashes a 1-element array through the same
+# kernel, so build and probe agree bit-for-bit
+_KF_HK1 = "qs-kf-hash-key-1"
+_KF_HK2 = "qs-kf-hash-key-2"
 
 
 def _kf_mix64(x: int, seed: int) -> int:
@@ -285,6 +293,14 @@ def _kf_hash_pair(value) -> tuple[int, int]:
     elif isinstance(v, int):
         x = v & _KF_MASK
         return _kf_mix64(x, _KF_SEED1), _kf_mix64(x, _KF_SEED2) | 1
+    elif isinstance(v, str):
+        import numpy as np
+
+        a = np.array([v], dtype=object)
+        return (
+            int(pd.util.hash_array(a, hash_key=_KF_HK1)[0]),
+            int(pd.util.hash_array(a, hash_key=_KF_HK2)[0]) | 1,
+        )
     elif v is None:
         b = b"\x00"
     elif isinstance(v, float):
@@ -340,15 +356,31 @@ def _kf_build(path: str, col: str) -> dict | None:
     m = (m + 7) // 8 * 8
     bits = np.zeros(m // 8, dtype=np.uint8)
     arr = column.combine_chunks() if column.num_chunks != 1 else column.chunk(0)
+
+    def set_bits_vec(h1, h2):
+        # double-hashed positions, numpy-wide; uint64 wrap matches the
+        # scalar probes' explicit & _KF_MASK
+        for i in range(_KF_K):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            np.bitwise_or.at(
+                bits,
+                (pos >> np.uint64(3)).astype(np.int64),
+                (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8),
+            )
+
+    def set_bits_scalar(values):
+        for v in values:
+            h1, h2 = _kf_hash_pair(v)
+            for i in range(_KF_K):
+                pos = ((h1 + i * h2) & _KF_MASK) % m
+                bits[pos >> 3] |= np.uint8(1 << (pos & 7))
+
     if pa.types.is_integer(arr.type):
         # vectorized splitmix64 over the whole column (numpy uint64
         # arithmetic wraps modulo 2^64, exactly the scalar semantics)
         x = arr.drop_null().to_numpy(zero_copy_only=False).astype(np.uint64)
         if len(x) < n:  # nulls present: hash them through the scalar path
-            h1n, h2n = _kf_hash_pair(None)
-            for i in range(_KF_K):
-                pos = ((h1n + i * h2n) & _KF_MASK) % m
-                bits[pos >> 3] |= np.uint8(1 << (pos & 7))
+            set_bits_scalar([None])
 
         def mix(v, seed):
             v = v + np.uint64(seed)
@@ -359,21 +391,20 @@ def _kf_build(path: str, col: str) -> dict | None:
             v ^= v >> np.uint64(31)
             return v
 
-        h1 = mix(x.copy(), _KF_SEED1)
-        h2 = mix(x, _KF_SEED2) | np.uint64(1)
-        for i in range(_KF_K):
-            pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
-            np.bitwise_or.at(
-                bits,
-                (pos >> np.uint64(3)).astype(np.int64),
-                (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8),
-            )
+        set_bits_vec(mix(x, _KF_SEED1), mix(x, _KF_SEED2) | np.uint64(1))
+    elif pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        # vectorized siphash over the whole object column (pandas'
+        # hashing kernel; the scalar twin in _kf_hash_pair runs the
+        # same kernel on a 1-element array)
+        obj = arr.drop_null().to_numpy(zero_copy_only=False)
+        if len(obj) < n:
+            set_bits_scalar([None])
+        set_bits_vec(
+            pd.util.hash_array(obj, hash_key=_KF_HK1),
+            pd.util.hash_array(obj, hash_key=_KF_HK2) | np.uint64(1),
+        )
     else:
-        for v in arr.to_pylist():
-            h1, h2 = _kf_hash_pair(v)
-            for i in range(_KF_K):
-                pos = ((h1 + i * h2) & _KF_MASK) % m
-                bits[pos >> 3] |= np.uint8(1 << (pos & 7))
+        set_bits_scalar(arr.to_pylist())
     if m <= _KF_INLINE_BITS:
         return {
             "m": m,
@@ -398,6 +429,24 @@ def _kf_raw(root: str, rel_file: str, filt: dict) -> bytes:
     return open(
         os.path.join(root, os.path.dirname(rel_file), filt["p"]), "rb"
     ).read()
+
+
+def _kf_raw_many(
+    root: str, items: list[tuple[str, dict]]
+) -> list[bytes]:
+    """Bitmaps for many (rel_file, filter) pairs. Sidecar-backed
+    filters load through a thread pool past a small count — on an
+    object store each load is a latency-bound GET, so planning over
+    hundreds of zone-admitted candidates wants the fan-out (inline
+    filters decode in place either way)."""
+    if sum(1 for _f, filt in items if "p" in filt) <= 8:
+        return [_kf_raw(root, f, filt) for f, filt in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        return list(
+            pool.map(lambda it: _kf_raw(root, it[0], it[1]), items)
+        )
 
 
 def _kf_hit(filt: dict, h1: int, h2: int, raw: bytes) -> bool:
@@ -443,17 +492,25 @@ def key_membership_pruned(
     kf = manifest.get("kf", {})
     pairs = [_kf_hash_pair(v) for v in values]
     kept, skipped = [], []
+    candidates = []
     for f in manifest["files"]:
         filt = kf.get(f, {}).get(col)
         if filt is None:
             kept.append(f)
-            continue
-        raw = _kf_raw(root, f, filt)
+        else:
+            candidates.append((f, filt))
+    raws = _kf_raw_many(root, candidates)
+    for (f, filt), raw in zip(candidates, raws):
         if any(_kf_hit(filt, h1, h2, raw) for h1, h2 in pairs):
             kept.append(f)
         else:
             skipped.append(f)
-    return kept, skipped
+    # keep manifest order (planning output feeds file lists)
+    kept_set = set(kept)
+    return (
+        [f for f in manifest["files"] if f in kept_set],
+        [f for f in manifest["files"] if f not in kept_set],
+    )
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -1285,10 +1342,12 @@ def _touched_by_keys(
     if filtered:
         from pyspark.sql.types import ArrayType, IntegerType
 
+        raws = _kf_raw_many(
+            root, [(f, kf[f][col]) for f in filtered]
+        )
         filters = [
-            (kf[f][col]["m"], kf[f][col]["k"],
-             _kf_raw(root, f, kf[f][col]))
-            for f in filtered
+            (kf[f][col]["m"], kf[f][col]["k"], raw)
+            for f, raw in zip(filtered, raws)
         ]
 
         @F.pandas_udf(ArrayType(IntegerType()))

@@ -432,6 +432,50 @@ def test_key_filter_sidecars_spill_and_die_with_their_file(spark, root):
     assert kept2  # v2's filters still probe
 
 
+def test_key_filters_on_string_keys(spark, root):
+    """String keys (the common LLM-pipeline shape: doc_id strings)
+    build through the vectorized siphash kernel and probe through its
+    scalar twin — no false negatives, point lookups prune, merge
+    planning restricts on the unclustered string key."""
+    from querysight_spark.sources.versioned import (
+        key_membership_pruned,
+        merge_into,
+    )
+
+    for i in range(6):
+        part = (
+            spark.range(0, 3000)
+            .where(F.col("id") % 6 == i)
+            .select(
+                F.concat(F.lit("doc-"), F.col("id").cast("string")).alias(
+                    "doc_id"
+                ),
+                (F.col("id") * 10).alias("v"),
+            )
+            .coalesce(1)
+        )
+        kwargs = {"key_filter_cols": ["doc_id"]} if i == 0 else {}
+        write_version(spark, part, root, **kwargs)
+    m = read_manifest(root, 6)
+    assert set(m["kf"]) == set(m["files"])
+    probe = ["doc-12", "doc-13"]  # buckets 0 and 1 -> two files
+    kept, skipped = key_membership_pruned(root, 6, "doc_id", probe)
+    assert len(kept) < 6 and skipped
+    df = read_version(spark, root, keys_in=("doc_id", probe))
+    assert {(r.doc_id, r.v) for r in df.collect()} == {
+        ("doc-12", 120), ("doc-13", 130)
+    }
+    src = spark.createDataFrame(
+        [(k, -1) for k in probe], "doc_id string, v long"
+    )
+    v7 = merge_into(spark, src, root, ["doc_id"])
+    m7 = read_manifest(root, v7)
+    assert 0 < len(m7["removed"]) < 6  # membership restricted the rewrite
+    got = {r.doc_id: r.v for r in read_version(spark, root).collect()}
+    assert got["doc-12"] == -1 and got["doc-13"] == -1
+    assert got["doc-14"] == 140 and len(got) == 3000
+
+
 def test_read_version_keys_in_point_lookup(spark, root):
     """read_version(keys_in=...) plans point lookups from the
     membership filters (driver-side metadata) and applies the IN
