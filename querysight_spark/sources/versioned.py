@@ -1825,6 +1825,7 @@ def zorder_table(
     target_files: int = 16,
     incremental: bool = False,
     max_span: float | None = None,
+    min_delta_files: int = 1,
 ) -> int:
     """Z-ORDER OPTIMIZE: rewrite the snapshot re-clustered on the Morton
     interleave of ``cols`` (``sources/layout.zorder_value`` — pure
@@ -1859,7 +1860,15 @@ def zorder_table(
     falling back to one bounds scan of the rewrite set otherwise.
     ``target_files`` sizes the rewrite set's output; with no prior
     zorder on ``cols`` the incremental call degrades to the full
-    rewrite."""
+    rewrite.
+
+    ``min_delta_files`` is the CADENCE GATE: the incremental pass
+    no-ops (returns the current version, commits nothing) until at
+    least that many files have drifted — so a scheduler can call it
+    after every ingest batch and the rewrite only fires when the debt
+    justifies one commit, instead of churning a tiny rewrite per
+    append. The drifted-file count is pure manifest metadata, so a
+    gated call costs no data IO."""
     from querysight_spark.sources.layout import zorder_value
 
     version = table_version(root)
@@ -1903,7 +1912,7 @@ def zorder_table(
                     ):
                         rewrite.append(f)
                         break
-        if not rewrite:
+        if len(rewrite) < max(1, min_delta_files):
             return version
         rewrite_set = set(rewrite)
         untouched = [f for f in files if f not in rewrite_set]

@@ -278,6 +278,17 @@ def test_incremental_zorder_rewrites_only_the_delta(spark, root):
     assert zorder_table(
         spark, root, ["x", "y"], target_files=4, incremental=True
     ) == 5
+    # cadence gate: one more drifted file is below a min_delta_files=3
+    # threshold -> the scheduler's call no-ops (no commit, no data IO);
+    # without the gate it fires
+    write_version(spark, mk_wide(1024, 1152).coalesce(1), root)  # v6
+    assert zorder_table(
+        spark, root, ["x", "y"], target_files=2, incremental=True,
+        min_delta_files=3,
+    ) == 6
+    assert zorder_table(
+        spark, root, ["x", "y"], target_files=2, incremental=True,
+    ) == 7
 
 
 def test_incremental_zorder_max_span_catches_layout_drift(spark, root):
