@@ -579,6 +579,53 @@ def test_key_filters_survive_zorder_and_compact(spark, root):
     ).count() == 0
 
 
+def test_aggregate_mv_refresh_survives_base_maintenance(spark, tmp_path):
+    """The nightly-rollup contract across maintenance: the incremental
+    MV refresher consumes file-level CDC, and a zorder/optimize on the
+    base between refreshes must read as silence (pre-round-8 it raised
+    and the rollup pipeline wedged). Values stay exact against a
+    from-scratch aggregate."""
+    from querysight_spark.sources.versioned import (
+        optimize_table,
+        read_version,
+        refresh_aggregate_mv,
+        zorder_table,
+    )
+
+    base = str(tmp_path / "base")
+    mv = str(tmp_path / "mv")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 7).alias("g"),
+            (F.col("id") * 2).alias("x"),
+            ((F.col("id") * 2654435761) % 1000).alias("y"),
+        )
+
+    write_version(
+        spark, batch(0, 500).repartitionByRange(4, "x"), base,
+        stats_cols=["x", "y"],
+    )
+    refresh_aggregate_mv(spark, base, mv, ["g"], ["x"])
+    write_version(spark, batch(500, 800).repartition(3), base)
+    zorder_table(spark, base, ["x", "y"], target_files=4)  # maintenance
+    write_version(spark, batch(800, 1000).repartition(2), base)
+    optimize_table(spark, base, min_rows_per_file=250)     # maintenance
+    refresh_aggregate_mv(spark, base, mv, ["g"], ["x"])
+    got = {
+        r.g: (r.n_rows, r.sum_x)
+        for r in read_version(spark, mv).collect()
+    }
+    want = {
+        r.g: (r.n, r.s)
+        for r in read_version(spark, base)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
 def _df2(spark, lo, hi):
     return spark.range(lo, hi).select(
         F.col("id"),
