@@ -304,7 +304,19 @@ def _kf_hash_pair(value) -> tuple[int, int]:
     elif v is None:
         b = b"\x00"
     elif isinstance(v, float):
-        b = b"f" + repr(v).encode()
+        # Arrow->pandas promotes an int column WITH NULLS to float64:
+        # 5 arrives as 5.0 and NaN stands in for the null. Integral
+        # floats therefore canonicalize to the int path and NaN to the
+        # null hash, on BOTH build and probe sides — otherwise a
+        # null-containing key batch would silently false-negative
+        # every real key in it
+        if v != v:  # NaN
+            b = b"\x00"
+        elif v.is_integer():
+            x = int(v) & _KF_MASK
+            return _kf_mix64(x, _KF_SEED1), _kf_mix64(x, _KF_SEED2) | 1
+        else:
+            b = b"f" + repr(v).encode()
     elif isinstance(v, bytes):
         b = b"x" + v
     else:
@@ -447,6 +459,42 @@ def _kf_raw_many(
         return list(
             pool.map(lambda it: _kf_raw(root, it[0], it[1]), items)
         )
+
+
+def _kf_hash_batch(values):
+    """(h1, h2) uint64 arrays for a whole batch of key values —
+    the vectorized twin of ``_kf_hash_pair``, used by the distributed
+    membership probe so a million-key merge source hashes in a handful
+    of numpy passes instead of a Python loop per key. Integer batches
+    run splitmix64 array-wide; string/object batches run the pandas
+    siphash kernel; anything else (or a batch with nulls) falls back
+    to the scalar path per value — identical bits in every case."""
+    import numpy as np
+
+    arr = np.asarray(values)
+    if np.issubdtype(arr.dtype, np.integer):
+        x = arr.astype(np.uint64)
+
+        def mix(v, seed):
+            v = v + np.uint64(seed)
+            v ^= v >> np.uint64(30)
+            v *= np.uint64(_KF_MUL1)
+            v ^= v >> np.uint64(27)
+            v *= np.uint64(_KF_MUL2)
+            v ^= v >> np.uint64(31)
+            return v
+
+        return mix(x, _KF_SEED1), mix(x, _KF_SEED2) | np.uint64(1)
+    if arr.dtype == object and all(isinstance(v, str) for v in arr):
+        return (
+            pd.util.hash_array(arr, hash_key=_KF_HK1),
+            pd.util.hash_array(arr, hash_key=_KF_HK2) | np.uint64(1),
+        )
+    pairs = [_kf_hash_pair(v) for v in values]
+    return (
+        np.array([p[0] for p in pairs], dtype=np.uint64),
+        np.array([p[1] for p in pairs], dtype=np.uint64),
+    )
 
 
 def _kf_hit(filt: dict, h1: int, h2: int, raw: bytes) -> bool:
@@ -1352,21 +1400,32 @@ def _touched_by_keys(
 
         @F.pandas_udf(ArrayType(IntegerType()))
         def _kf_probe(col_keys: pd.Series) -> pd.Series:
-            out = []
-            for v in col_keys:
-                h1, h2 = _kf_hash_pair(v)
-                hit = []
-                for i, (m, k, raw) in enumerate(filters):
-                    ok = True
-                    for j in range(k):
-                        pos = ((h1 + j * h2) & _KF_MASK) % m
-                        if not raw[pos >> 3] & (1 << (pos & 7)):
-                            ok = False
-                            break
-                    if ok:
-                        hit.append(i)
-                out.append(hit)
-            return pd.Series(out)
+            # batch-vectorized: hash the whole Arrow batch once, then
+            # per filter test all keys' k positions with numpy gathers
+            # — k x |filters| array passes instead of a Python loop
+            # per (key, filter, hash)
+            import numpy as np
+
+            n = len(col_keys)
+            if n == 0:
+                return pd.Series([], dtype=object)
+            h1v, h2v = _kf_hash_batch(col_keys.to_numpy())
+            hits: list[list[int]] = [[] for _ in range(n)]
+            for i, (m, k, raw) in enumerate(filters):
+                bitsarr = np.frombuffer(raw, dtype=np.uint8)
+                ok = np.ones(n, dtype=bool)
+                for j in range(k):
+                    pos = (h1v + np.uint64(j) * h2v) % np.uint64(m)
+                    byte = bitsarr[(pos >> np.uint64(3)).astype(np.int64)]
+                    mask = (
+                        np.uint64(1) << (pos & np.uint64(7))
+                    ).astype(np.uint8)
+                    ok &= (byte & mask) != 0
+                    if not ok.any():
+                        break
+                for idx in np.nonzero(ok)[0]:
+                    hits[int(idx)].append(i)
+            return pd.Series(hits)
 
         idx_hits = {
             r["__i"]

@@ -443,6 +443,36 @@ def test_key_filter_sidecars_spill_and_die_with_their_file(spark, root):
     assert kept2  # v2's filters still probe
 
 
+def test_membership_probe_survives_null_keys_in_source(spark, root):
+    """Arrow->pandas promotes an int key column WITH NULLS to float64
+    inside the probe UDF (5 arrives as 5.0, null as NaN); both hash
+    sides canonicalize integral floats to the int path, so a source
+    containing a NULL key must not false-negative the real keys'
+    files during merge planning."""
+    from querysight_spark.sources.versioned import _touched_by_keys
+
+    for i in range(4):
+        part = spark.range(0, 1000).where(
+            F.col("id") % 4 == i
+        ).select("id", (F.col("id") * 10).alias("v")).coalesce(1)
+        kwargs = (
+            {"stats_cols": ["id"], "key_filter_cols": ["id"]}
+            if i == 0 else {}
+        )
+        write_version(spark, part, root, **kwargs)
+    m = read_manifest(root, 4)
+    keys = spark.createDataFrame(
+        [(8,), (None,), (13,)], "id long"
+    )
+    touched, _ = _touched_by_keys(spark, root, m, keys, "id")
+    # keys 8 (bucket 0) and 13 (bucket 1) MUST plan their files even
+    # though the null key turned the probe batch into float64
+    from querysight_spark.sources.versioned import _commit_of
+
+    got_buckets = {_commit_of(f) - 1 for f in touched}
+    assert {0, 1} <= got_buckets
+
+
 def test_key_filters_on_string_keys(spark, root):
     """String keys (the common LLM-pipeline shape: doc_id strings)
     build through the vectorized siphash kernel and probe through its
