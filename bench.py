@@ -267,6 +267,12 @@ def main() -> None:
     v4 = _collect("v4")
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
+    # FULL detail first; a COMPACT totals line LAST (below). The driver
+    # records only a bounded tail of stdout — BENCH_r08's single line
+    # outgrew it and parsed as null (VERDICT r9 ask #6), so the final
+    # line must be a complete, small JSON object on its own: the spec
+    # keys plus every suite total and calibration. Per-query detail for
+    # v2-v4 lives in the full line (and in SCALE.md's round records).
     print(
         json.dumps(
             {
@@ -308,6 +314,23 @@ def main() -> None:
             }
         )
     )
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "value": v1["total"],
+        "unit": "sec",
+        "queries": {k: round(t, 2) for k, t in v1["queries"].items()},
+        "ann_index_build_sec": v1.get("ann_index_build_sec"),
+        "headline_v2_total_sec": v2["total"],
+        "headline_v3_total_sec": v3["total"],
+        "headline_v4_total_sec": v4["total"],
+        "cold_total_sec": v1["cold_total"],
+        "calibration_sec": v1["calibration_sec"],
+        "calibration_v2_sec": v2["calibration_sec"],
+        "calibration_v3_sec": v3["calibration_sec"],
+        "calibration_v4_sec": v4["calibration_sec"],
+        "sf": sf,
+    }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

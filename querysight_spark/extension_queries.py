@@ -9561,3 +9561,115 @@ def io12(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("fpr_under_5pct", F.lit(bool(flags["fpr_ok"])))
         .orderBy("o_orderstatus")
     )
+
+
+@_q(
+    "io13_compound_key_pruning",
+    """SELECT o_orderstatus, COUNT(*) AS n_rows,
+              CAST(SUM(CAST(ROUND(
+                    CASE WHEN o_orderkey % 1000 = 7
+                         THEN -o_totalprice ELSE o_totalprice END * 100)
+                AS BIGINT)) AS BIGINT) AS sum_cents,
+              TRUE AS first_col_admits_all,
+              TRUE AS intersection_beats_first_col
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+)
+def io13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOUND-key membership intersection (the r8 VERDICT #2 ask):
+    ``merge_into`` used to prune on ``key_cols[0]`` only, so a merge
+    keyed on (low-cardinality, high-cardinality) — here
+    (o_orderstatus, o_orderkey), the (tenant_id, doc_id) shape every
+    multi-tenant corpus has — admitted EVERY file: all three statuses
+    appear in every file. Round 9 intersects per-column admits across
+    ALL key columns carrying filters (``_touched_by_keys``), sound
+    because a matching row needs every key column's value present in
+    the file. Orders land as eight unclustered appends with membership
+    filters on BOTH key columns; a merge negates the price of the
+    ~0.1 percent of keys with o_orderkey % 1000 = 7. Pinned:
+    ``first_col_admits_all`` — planning on o_orderstatus alone admits
+    all eight files; ``intersection_beats_first_col`` — the compound
+    plan rewrites a strict subset (o_orderkey's filters carry the
+    selectivity), with zero false negatives by construction (the
+    merged aggregate hashes against the from-first-principles oracle).
+    At 100 TB this is the difference between a tenant-scoped delta
+    merge rewriting ~the files that hold those documents and rewriting
+    the tenant's entire partition."""
+    import hashlib
+    import json as _json
+    import os
+    import tempfile
+
+    from querysight_spark.sources.versioned import (
+        _touched_by_keys,
+        merge_into,
+        read_manifest,
+        read_version,
+        table_version,
+        write_version,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"io13:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    work = os.path.join(tempfile.gettempdir(), f"qs_io13_{tag}")
+    root = os.path.join(work, "table")
+    done = os.path.join(work, "_flags.json")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderstatus", "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    if not os.path.exists(done):
+        os.makedirs(work, exist_ok=True)
+        for i in range(8):
+            part = orders.where(F.col("o_orderkey") % 8 == i).coalesce(1)
+            kwargs = (
+                {"key_filter_cols": ["o_orderstatus", "o_orderkey"]}
+                if i == 0 else {}
+            )
+            write_version(spark, part, root, **kwargs)
+        m = read_manifest(root, table_version(root))
+        src_keys = orders.where(F.col("o_orderkey") % 1000 == 7).select(
+            "o_orderstatus", "o_orderkey"
+        )
+        first_only, _u1 = _touched_by_keys(
+            spark, root, m, src_keys, "o_orderstatus"
+        )
+        both, _u2 = _touched_by_keys(
+            spark, root, m, src_keys, ["o_orderstatus", "o_orderkey"]
+        )
+        merge_src = orders.where(F.col("o_orderkey") % 1000 == 7).select(
+            "o_orderstatus", "o_orderkey", "o_custkey",
+            (-F.col("o_totalprice")).alias("o_totalprice"),
+        )
+        v = merge_into(
+            spark, merge_src, root, ["o_orderstatus", "o_orderkey"]
+        )
+        m2 = read_manifest(root, v)
+        flags = {
+            "first_all": len(first_only) == len(m["files"]) == 8,
+            "beats": 0 < len(both) < len(first_only)
+            and set(m2["removed"]) <= set(both),
+        }
+        with open(done, "w") as f:
+            _json.dump(flags, f)
+    else:
+        with open(done) as f:
+            flags = _json.load(f)
+    return (
+        read_version(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("sum_cents"),
+        )
+        .withColumn(
+            "first_col_admits_all", F.lit(bool(flags["first_all"]))
+        )
+        .withColumn(
+            "intersection_beats_first_col", F.lit(bool(flags["beats"]))
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -460,8 +460,15 @@ def ql12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NAMING NOTE (VERDICT r8 #7): two gate entries share the ql26 numeric
+# prefix — ql26_keyset_page (here) and ql26_schema_evolution (below).
+# Both names carry multi-round driver-green history, so they stay as
+# registered (a rename would reset their evidence to never-run); the
+# full registry key, never the numeric prefix, is the identifier every
+# tool matches on. The Python functions are distinctly named to avoid
+# module-level shadowing.
 @_q("ql26_keyset_page")
-def ql26(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ql26_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 keyset pagination (VERDICT r2 item 8): page 2 via the
     (frequency, normalized_query) cursor taken from page 1 (a bounded
     page_size-row collect — exactly what a paging client holds). The
@@ -854,8 +861,8 @@ _ORACLES["ql26_schema_evolution"] = """
     ) AS t(a, b, c) ORDER BY a"""
 
 
-@_q("ql26_schema_evolution")
-def ql26(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_q("ql26_schema_evolution")  # shares the ql26 prefix: see note above
+def ql26_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution read: two parquet batches written with different
     schemas ((a,b) then (a,c) — a column added over time, the normal life
     of a long-lived log directory) read back with mergeSchema, absent

@@ -231,6 +231,175 @@ def test_nan_key_file_stays_touched(spark, root):
     assert math.isnan(nan_rows[0]["k"])
 
 
+def test_zorder_policy_maintain_table(spark, root):
+    """VERDICT r9 ask #4: the zorder cadence knobs live ON THE TABLE
+    (``set_zorder_policy``, sticky across commits) and
+    ``maintain_table`` applies them — no-op below the drift threshold
+    (no commit, metadata only), ONE atomic zorder commit above it, and
+    the policy survives checkpoints and later commits."""
+    from querysight_spark.sources.versioned import (
+        checkpoint_manifest,
+        maintain_table,
+        read_changes,
+        set_zorder_policy,
+    )
+
+    def _append(lo):
+        df = spark.range(lo, lo + 50).select(
+            F.col("id"), (F.col("id") % 5).alias("g")
+        ).coalesce(1)
+        write_version(spark, df, root, stats_cols=["id"],
+                      key_filter_cols=["id"])
+
+    for lo in (0, 50, 100):
+        _append(lo)
+    v_pol = set_zorder_policy(
+        root, ["id", "g"], target_files=2, min_delta_files=5
+    )
+    assert read_manifest(root, v_pol)["op"] == "policy"
+    # the policy commit moves no rows: a policy-only range is all
+    # silence (the documented all-metadata contract, same as evolve)
+    # and needs no key_cols
+    with pytest.raises(ValueError, match="no changes"):
+        read_changes(spark, root, v_pol - 1, v_pol)
+    assert read_version(spark, root).count() == 150
+    # 3 drifted files < min_delta_files=5 -> no-op, no commit
+    assert maintain_table(spark, root) == v_pol
+    assert table_version(root) == v_pol
+    _append(150)
+    # a range straddling the policy commit carries ONLY the append
+    feed = read_changes(spark, root, v_pol - 1, v_pol + 1)
+    assert feed.count() == 50
+    assert feed.select("_change_type").distinct().collect()[0][0] == (
+        "insert"
+    )
+    _append(200)  # 5 drifted files now
+    v2 = maintain_table(spark, root)
+    assert v2 == table_version(root) > v_pol
+    m2 = read_manifest(root, v2)
+    assert m2["op"] == "zorder" and m2.get("policy") is not None
+    assert read_version(spark, root).count() == 250
+    # immediately after: zero drift -> metadata-only no-op again
+    assert maintain_table(spark, root) == v2
+    # the policy survives a checkpoint and later commits
+    checkpoint_manifest(root)
+    _append(250)
+    assert read_manifest(root, table_version(root))["policy"][
+        "cols"
+    ] == ["id", "g"]
+    # clearing the policy makes maintain_table a pure no-op
+    v_clear = set_zorder_policy(root, None)
+    assert maintain_table(spark, root) == v_clear
+
+
+def _raw_manifest(root, v):
+    import json
+
+    from querysight_spark.sources.versioned import _manifest_path
+
+    with open(_manifest_path(root, v)) as f:
+        return json.load(f)
+
+
+def test_delta_manifests_fold_maps_and_hydrate(spark, root):
+    """VERDICT r9 ask #3: manifests between anchors carry only their
+    map DELTAS (stats/kf/fv/dvv entries new this commit) instead of
+    re-serializing every file's maps; ``read_manifest`` hydrates
+    transparently, so the reader contract — full maps, restricted to
+    live files — is unchanged at every version."""
+    from querysight_spark.sources.versioned import _ANCHOR_EVERY
+
+    n = _ANCHOR_EVERY + 6  # cross one anchor boundary
+    for i in range(n):
+        write_version(
+            spark, _kv(spark, [i]).coalesce(1), root,
+            stats_cols=["id"], key_filter_cols=["id"],
+        )
+    for v in (1, _ANCHOR_EVERY + 1):
+        raw = _raw_manifest(root, v)
+        assert not raw.get("delta_maps"), f"v{v} should be an anchor"
+        assert "stats" in raw and "kf" in raw
+    for v in (2, _ANCHOR_EVERY, n):
+        raw = _raw_manifest(root, v)
+        if v % _ANCHOR_EVERY == 1:
+            continue
+        assert raw.get("delta_maps"), f"v{v} should be a delta"
+        # delta carries ~one file's entries, not the whole snapshot
+        assert len(raw["stats_add"]) <= 4 and len(raw["kf_add"]) <= 4
+        assert "stats" not in raw and "kf" not in raw
+    # hydration: every version's maps cover exactly its live files
+    for v in (1, 2, _ANCHOR_EVERY, _ANCHOR_EVERY + 1, n):
+        m = read_manifest(root, v)
+        assert set(m["stats"]) == set(m["files"]), f"v{v} stats"
+        assert set(m["kf"]) == set(m["files"]), f"v{v} kf"
+    # reads at hydrated versions see the right rows
+    assert read_version(spark, root, version=5).count() == 5
+    assert read_version(spark, root).count() == n
+    # point-read planning still works off hydrated filters
+    kept, skipped = key_membership_pruned(
+        root, table_version(root), "id", [3]
+    )
+    assert len(kept) < n and skipped
+
+
+def test_rollback_map_invariant_across_anchor_boundary(spark, root):
+    """Rollback's complete-map invariant (SCALE.md round-8 addendum 2)
+    re-pinned across an anchor/fold boundary: files re-entering the
+    snapshot via a rollback whose target sits in a PREVIOUS anchor
+    window keep their true committed versions and key filters."""
+    from querysight_spark.sources.versioned import (
+        _ANCHOR_EVERY,
+        rollback,
+    )
+
+    n = _ANCHOR_EVERY + 4
+    for i in range(n):
+        write_version(
+            spark, _kv(spark, [i]).coalesce(1), root,
+            key_filter_cols=["id"],
+        )
+    target = read_manifest(root, 3)
+    # overwrite drops everything, rollback (across the anchor at
+    # _ANCHOR_EVERY+1) restores v3's three files
+    write_version(spark, _kv(spark, [99]), root, mode="overwrite")
+    v = rollback(root, 3)
+    m = read_manifest(root, v)
+    assert set(m["files"]) == set(target["files"])
+    # re-entering files keep their filters (no rebuild, no loss)
+    assert set(m["kf"]) == set(target["kf"])
+    assert read_version(spark, root).count() == 3
+
+
+def test_vacuum_reanchors_oldest_retained_manifest(spark, root):
+    """Vacuum drops the chain a delta manifest would hydrate through —
+    it must rewrite the oldest retained manifest as an ANCHOR first so
+    every retained version stays readable."""
+    from querysight_spark.sources.versioned import (
+        _ANCHOR_EVERY,
+        vacuum,
+    )
+
+    n = _ANCHOR_EVERY + 8
+    for i in range(n):
+        write_version(
+            spark, _kv(spark, [i]).coalesce(1), root,
+            stats_cols=["id"], key_filter_cols=["id"],
+        )
+    retain = _ANCHOR_EVERY + 3  # a DELTA version past the last anchor
+    assert _raw_manifest(root, retain).get("delta_maps")
+    vacuum(root, retain_from=retain)
+    assert not os.path.exists(
+        os.path.join(root, "_manifests", "v00000001.json")
+    )
+    raw = _raw_manifest(root, retain)
+    assert not raw.get("delta_maps"), "oldest retained must be an anchor"
+    for v in (retain, retain + 1, n):
+        m = read_manifest(root, v)
+        assert set(m["kf"]) == set(m["files"]), f"v{v} hydration broke"
+    assert read_version(spark, root, version=retain).count() == retain
+    assert read_version(spark, root).count() == n
+
+
 def test_manifest_metadata_never_carries_dead_files(spark, root):
     """ADVICE r8 low (adjudicated already-correct, pinned here so it
     stays so): after maintenance rewrites, the manifest's ``stats`` /

@@ -165,6 +165,93 @@ def main() -> None:
                         }
                     )
                 )
+        # key-membership PLANNING curve (round 9): does planning time
+        # stay flat as the zone-admitted candidate count grows? Past
+        # _KF_DRIVER_LOAD_MAX the probe broadcasts sidecar PATHS and
+        # executors load the bitmaps, so the driver does O(candidates)
+        # metadata work only. One unclustered-key table per point, all
+        # files probed (no stats_cols -> zone stage admits everything).
+        from querysight_spark.sources.versioned import _touched_by_keys
+
+        for n_files in (16, 64, 256):
+            root = os.path.join(work, f"kf_{n_files}")
+            rows = 20_000 * n_files
+            base = spark.range(0, rows).select(
+                ((F.col("id") * 2654435761) % rows).alias("k"),
+                F.col("id").alias("v"),
+            )
+            write_version(
+                spark, base.repartition(n_files), root,
+                key_filter_cols=["k"],
+            )
+            m = read_manifest(root, 1)
+            sidecars = sum(
+                1 for f in m["kf"].values() if "p" in f.get("k", {})
+            )
+            keys = spark.createDataFrame(
+                [(i * 7919 % rows,) for i in range(8)], "k long"
+            )
+            t0 = time.time()
+            touched, _un = _touched_by_keys(spark, root, m, keys, "k")
+            cold = time.time() - t0
+            t0 = time.time()
+            _touched_by_keys(spark, root, m, keys, "k")
+            warm = time.time() - t0  # executor bitmap caches hot
+            print(
+                json.dumps(
+                    {
+                        "op": "kf_planning",
+                        "candidate_files": n_files,
+                        "sidecar_filters": sidecars,
+                        "plan_cold_sec": round(cold, 2),
+                        "plan_warm_sec": round(warm, 2),
+                        "files_touched": len(touched),
+                    }
+                )
+            )
+        # maintain_table cadence (round 9): a scheduler calling it
+        # after EVERY batch must pay ~a manifest read while drift is
+        # below the stored policy's threshold, and exactly one zorder
+        # commit when it crosses.
+        from querysight_spark.sources.versioned import (
+            maintain_table,
+            set_zorder_policy,
+        )
+
+        root = zorder_base("policy_cadence")
+        set_zorder_policy(
+            root, ["x", "y"], target_files=N_FILES, min_delta_files=8
+        )
+        gated_ms: list[float] = []
+        fired_sec = None
+        for _b in range(10):
+            delta = spark.range(0, 1000).select(
+                ((F.col("id") * 7919) % N_ROWS).alias("x"),
+                ((F.col("id") * 104729) % N_ROWS).alias("y"),
+                F.lit("delta").alias("pad"),
+            ).coalesce(1)
+            write_version(spark, delta, root)
+            before = table_version(root)
+            t0 = time.time()
+            after = maintain_table(spark, root)
+            dt = time.time() - t0
+            if after > before:
+                fired_sec = round(dt, 2)
+            else:
+                gated_ms.append(dt * 1000)
+        print(
+            json.dumps(
+                {
+                    "op": "maintain_cadence",
+                    "gated_calls": len(gated_ms),
+                    "gated_mean_ms": round(
+                        sum(gated_ms) / max(1, len(gated_ms)), 1
+                    ),
+                    "gated_max_ms": round(max(gated_ms), 1),
+                    "fired_once_sec": fired_sec,
+                }
+            )
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
     spark.stop()

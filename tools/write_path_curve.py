@@ -34,12 +34,18 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_VERSIONS = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+N_VERSIONS = int(sys.argv[1]) if len(sys.argv) > 1 else 2400
 POINTS = (
     [int(x) for x in sys.argv[2].split(",")]
     if len(sys.argv) > 2
-    else [50, 100, 200, 400]
+    else [50, 200, 800, 2400]
 )
+# past this point the table grows WITH its checkpoint left in place —
+# the regime a 10^4-commit deployment actually runs (maintenance
+# cadence keeps one) — so the curve past 2k versions measures the
+# steady state instead of an O(N^2) no-checkpoint pathology the design
+# explicitly tells operators not to run
+CKPT_REGIME_FROM = 800
 
 
 def _best_of(fn, n: int = 5) -> float:
@@ -58,6 +64,7 @@ def main() -> None:
     from querysight_spark.sources.versioned import (
         _manifest_path,
         checkpoint_manifest,
+        read_manifest,
         committed_txn,
         table_version,
         write_version,
@@ -76,7 +83,10 @@ def main() -> None:
                     F.col("id"), (F.col("id") * 10).alias("x")
                 )
                 t0 = time.perf_counter()
-                write_version(spark, df, root, txn_id=f"t:{v}")
+                write_version(
+                    spark, df, root, txn_id=f"t:{v}",
+                    stats_cols=["id"], key_filter_cols=["id"],
+                )
                 append_window.append(time.perf_counter() - t0)
 
             def read_metrics() -> dict:
@@ -95,6 +105,21 @@ def main() -> None:
                 }
 
             manifest_bytes = os.path.getsize(_manifest_path(root, v))
+            # round-9 map fold: a DELTA manifest carries O(changed)
+            # map entries; anchors (every _ANCHOR_EVERY commits) carry
+            # the full maps — report both plus the whole-log total
+            from querysight_spark.sources.versioned import _ANCHOR_EVERY
+            anchor_v = v - ((v - 1) % _ANCHOR_EVERY)
+            anchor_bytes = os.path.getsize(_manifest_path(root, anchor_v))
+            mdir0 = os.path.join(root, "_manifests")
+            log_bytes = sum(
+                os.path.getsize(os.path.join(mdir0, f))
+                for f in os.listdir(mdir0)
+                if f.startswith("v") and f.endswith(".json")
+            )
+            t0 = time.perf_counter()
+            read_manifest(root, v)
+            hydrate_cold = time.perf_counter() - t0
             pre = read_metrics()  # checkpoint-free regime up to here
             t0 = time.perf_counter()
             checkpoint_manifest(root)
@@ -111,12 +136,13 @@ def main() -> None:
                 t0 = time.perf_counter()
                 write_version(spark, df, root, txn_id=f"t:{v}")
                 ckpt_appends.append(time.perf_counter() - t0)
-            # drop the checkpoint so growth to the next point stays in
-            # the no-checkpoint baseline regime
-            mdir = os.path.join(root, "_manifests")
-            for name in os.listdir(mdir):
-                if name.startswith("ckpt-"):
-                    os.unlink(os.path.join(mdir, name))
+            if point < CKPT_REGIME_FROM:
+                # drop the checkpoint so growth to the next point stays
+                # in the no-checkpoint baseline regime
+                mdir = os.path.join(root, "_manifests")
+                for name in os.listdir(mdir):
+                    if name.startswith("ckpt-"):
+                        os.unlink(os.path.join(mdir, name))
             print(
                 json.dumps(
                     {
@@ -129,6 +155,10 @@ def main() -> None:
                             sum(ckpt_appends) / len(ckpt_appends), 3
                         ),
                         "manifest_bytes": manifest_bytes,
+                        "anchor_manifest_bytes": anchor_bytes,
+                        "log_total_bytes": log_bytes,
+                        "hydrate_cold_ms": round(hydrate_cold * 1000, 2),
+                        "grown_with_checkpoint": point >= CKPT_REGIME_FROM,
                         "checkpoint_sec": round(ckpt_sec, 3),
                         "pre_checkpoint": pre,
                         "post_checkpoint": post,
