@@ -915,9 +915,25 @@ def _commit(root: str, files: list[str], added: list[str],
         try:
             os.link(tmp, _manifest_path(root, version))
             os.unlink(tmp)
-            return version
         except FileExistsError:
             os.unlink(tmp)  # lost the race; retry with the next number
+            continue
+        if version % _ANCHOR_EVERY == 1 and version > 1:
+            # AUTO-CHECKPOINT on the anchor cadence: every commit's
+            # txn-idempotence recheck scans manifests back to the last
+            # checkpoint, so a table relying on callers to checkpoint
+            # saw that scan grow O(commits x manifest size) — at 2400
+            # single-row appends the measured commit cost had climbed
+            # ~0.2 s -> ~4 s (write_path_curve, round 9). Anchors
+            # already pay an O(files) manifest; the O(delta<=32) txn
+            # fold rides along and bounds every later scan to one
+            # anchor window. Best-effort: the commit itself already
+            # landed, and a failed checkpoint only costs scan depth.
+            try:
+                checkpoint_manifest(root)
+            except Exception:
+                pass
+        return version
 
 
 def write_version(
