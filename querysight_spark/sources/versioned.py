@@ -408,7 +408,9 @@ _KF_MAX_BITS = 1 << 24  # 2 MiB sidecar cap = ~1.6M keys/file at the
 #                         files under that for exact-point pruning
 
 
-def _kf_build(path: str, col: str) -> dict | None:
+def _kf_build(
+    path: str, col: str, bits_per_key: int = 10
+) -> dict | None:
     """Per-file KEY-MEMBERSHIP filter (classic Bloom, double hashing —
     the same mechanism parquet's own bloom_filter pages document): one
     column read of the just-written file at commit time, m ~= 10 bits
@@ -424,7 +426,15 @@ def _kf_build(path: str, col: str) -> dict | None:
     Integer columns build VECTORIZED (numpy splitmix64 over the whole
     column — 1M keys in ~30 ms vs ~4 s hashed value-by-value); other
     types hash per value. Returns None when the column is missing
-    (file stays conservatively unfiltered)."""
+    (file stays conservatively unfiltered).
+
+    ``bits_per_key`` sizes the filter (round 9, sticky per table via
+    ``write_version(key_filter_bits=)``): 10 bits -> ~1 percent FPR is
+    the point-lookup design point; merge-heavy tables buy a lower rate
+    with more bits — the useful probe-set bound q <~ 1/fpr moves
+    linearly in it. k tracks the information-theoretic optimum
+    (~0.693 x bits/key), stored per filter so mixed-vintage snapshots
+    probe correctly."""
     import base64
 
     import numpy as np
@@ -436,15 +446,16 @@ def _kf_build(path: str, col: str) -> dict | None:
         return None
     column = pf.read(columns=[col]).column(col)
     n = len(column)
-    m = max(256, min(_KF_MAX_BITS, 10 * max(1, n)))
+    m = max(256, min(_KF_MAX_BITS, bits_per_key * max(1, n)))
     m = (m + 7) // 8 * 8
+    k = max(1, round(0.693 * bits_per_key)) if bits_per_key != 10 else _KF_K
     bits = np.zeros(m // 8, dtype=np.uint8)
     arr = column.combine_chunks() if column.num_chunks != 1 else column.chunk(0)
 
     def set_bits_vec(h1, h2):
         # double-hashed positions, numpy-wide; uint64 wrap matches the
         # scalar probes' explicit & _KF_MASK
-        for i in range(_KF_K):
+        for i in range(k):
             pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
             np.bitwise_or.at(
                 bits,
@@ -455,7 +466,7 @@ def _kf_build(path: str, col: str) -> dict | None:
     def set_bits_scalar(values):
         for v in values:
             h1, h2 = _kf_hash_pair(v)
-            for i in range(_KF_K):
+            for i in range(k):
                 pos = ((h1 + i * h2) & _KF_MASK) % m
                 bits[pos >> 3] |= np.uint8(1 << (pos & 7))
 
@@ -492,7 +503,7 @@ def _kf_build(path: str, col: str) -> dict | None:
     if m <= _KF_INLINE_BITS:
         return {
             "m": m,
-            "k": _KF_K,
+            "k": k,
             "b": base64.b64encode(bits.tobytes()).decode(),
         }
     sidecar = f"{path}.{col}.kf"
@@ -500,7 +511,7 @@ def _kf_build(path: str, col: str) -> dict | None:
     with open(tmp, "wb") as f:
         f.write(bits.tobytes())
     os.replace(tmp, sidecar)
-    return {"m": m, "k": _KF_K, "p": os.path.basename(sidecar)}
+    return {"m": m, "k": k, "p": os.path.basename(sidecar)}
 
 
 def _kf_raw(root: str, rel_file: str, filt: dict) -> bytes:
@@ -614,6 +625,14 @@ def _kf_value_exact(v) -> bool:
 # than a broadcast round-trip.
 _KF_DRIVER_LOAD_MAX = 8
 
+# Per-probe-job budget for the candidates' total bitmap bytes: past it
+# the membership probe splits into chunks (union of admitted sets) so
+# an executor's working set fits the sidecar cache (256 MiB,
+# _KF_EXEC_CACHE_CAP below) instead of evicting and re-reading within
+# one pass. Half the cache cap leaves room for a concurrent probe's
+# chunk in the same worker process.
+_KF_PROBE_CHUNK_BYTES = 1 << 27  # 128 MiB
+
 # per-executor-process sidecar bitmap cache (bounded, insertion-order
 # eviction): repeated probes over the same snapshot — the steady state
 # of a merge-every-batch pipeline — hit memory, not the object store
@@ -639,13 +658,13 @@ def _kf_exec_raw(path: str | None, inline: bytes | None) -> bytes:
 
 
 def _collect_key_filters(
-    root: str, rels: list[str], cols: list[str]
+    root: str, rels: list[str], cols: list[str], bits_per_key: int = 10
 ) -> dict:
     out: dict = {}
     for p in rels:
         filters = {}
         for c in cols:
-            f = _kf_build(os.path.join(root, p), c)
+            f = _kf_build(os.path.join(root, p), c, bits_per_key)
             if f is not None:
                 filters[c] = f
         if filters:
@@ -716,7 +735,8 @@ def _commit(root: str, files: list[str], added: list[str],
             dv_versions: dict | None = None,
             extra: dict | None = None,
             kf_cols: list[str] | None = None,
-            key_filters: dict | None = None) -> int:
+            key_filters: dict | None = None,
+            kf_bits: int | None = None) -> int:
     """Atomically claim the next version number for this snapshot.
 
     ``expected_version`` is the optimistic-concurrency guard for
@@ -842,16 +862,20 @@ def _commit(root: str, files: list[str], added: list[str],
                 # carrying an unmapped vector predates the maps
                 dvv[d] = version if op == "delete" else _commit_of(d)
         prev_kf = prev_m.get("kf", {})
+        eff_kf_bits = int(kf_bits or prev_m.get("kf_bits", 10))
         if built_kf is None:
             # build filters for this commit's new files ONCE (the added
             # set never changes across claim retries); the effective
-            # column list is sticky from the snapshot's manifest
+            # column list — and the bits/key sizing — is sticky from
+            # the snapshot's manifest
             eff_kf_cols = list(kf_cols or prev_m.get("kf_cols", []))
             todo = [
                 p for p in (os.path.relpath(f, root) for f in added)
                 if p not in hint_kf and p not in prev_kf
             ] if eff_kf_cols else []
-            built_kf = _collect_key_filters(root, todo, eff_kf_cols)
+            built_kf = _collect_key_filters(
+                root, todo, eff_kf_cols, eff_kf_bits
+            )
         kf = {}
         for p in rel:
             got = prev_kf.get(p) or hint_kf.get(p) or built_kf.get(p)
@@ -868,6 +892,7 @@ def _commit(root: str, files: list[str], added: list[str],
             "dvs": dvs or [],
             "dv_key": dv_key or [],
             "kf_cols": eff_kf_cols,
+            "kf_bits": eff_kf_bits,
         }
         # EXCEPTIONS-ONLY fv/dvv: a file's committed version is its
         # path-derived vintage unless recorded (only race losers
@@ -944,6 +969,7 @@ def write_version(
     txn_id: str | None = None,
     stats_cols: list[str] | None = None,
     key_filter_cols: list[str] | None = None,
+    key_filter_bits: int | None = None,
 ) -> int:
     """Commit ``df`` as a new table version.
 
@@ -965,8 +991,12 @@ def write_version(
     prune nothing.
 
     ``key_filter_cols`` additionally records a per-file KEY-MEMBERSHIP
-    filter (Bloom; ~10 bits/row, capped) for those columns — one
-    column read per new file at commit time. That is the pruning
+    filter (Bloom; ``key_filter_bits``/row, default 10 ~ 1 percent
+    FPR, capped) for those columns — one column read per new file at
+    commit time. Both the column list and the bits/key rate are sticky
+    from the first commit that sets them; merge-heavy tables trade
+    sidecar bytes for a lower rate (the useful probe-set bound
+    q <~ 1/fpr moves linearly in bits/key). That is the pruning
     complement for keys the table is NOT clustered on: zone RANGES all
     overlap there, but membership filters still skip every file that
     cannot contain a probed key, which is what keeps ``merge_into`` /
@@ -1001,11 +1031,13 @@ def write_version(
             dvs=prev_manifest.get("dvs", []),
             dv_key=prev_manifest.get("dv_key", []),
             kf_cols=key_filter_cols,
+            kf_bits=key_filter_bits,
         )
     return _commit(
         root, new_files, new_files, prev, "overwrite", txn_id,
         stats=stats, stats_cols=cols, expected_version=current,
         kf_cols=key_filter_cols,
+        kf_bits=key_filter_bits,
     )
 
 
@@ -1580,7 +1612,11 @@ def _kf_membership_admitted(
     distribution, not a per-task closure pickle — and executors load
     (and cache, ``_kf_exec_raw``) the bytes themselves, so planning
     stays flat in candidate count at the thousands-of-files scale a
-    100 TB unclustered-key merge admits."""
+    100 TB unclustered-key merge admits. When the candidates' TOTAL
+    bitmap bytes exceed ``_KF_PROBE_CHUNK_BYTES`` the probe runs in
+    CHUNKS (one job per chunk, admitted sets unioned) so each job's
+    per-executor working set fits the sidecar cache instead of
+    evicting and re-reading inside a single pass."""
     import base64
 
     from pyspark.sql.types import ArrayType, IntegerType
@@ -1605,55 +1641,86 @@ def _kf_membership_admitted(
                     (filt["m"], filt["k"], None,
                      os.path.join(root, os.path.dirname(f), filt["p"]))
                 )
-    bspecs = spark.sparkContext.broadcast(specs)
+    # chunk by cumulative bitmap bytes (m/8 each, known from metadata)
+    chunks: list[tuple[int, list]] = []
+    cur: list = []
+    cur_bytes = base = 0
+    for spec in specs:
+        if cur and cur_bytes + spec[0] // 8 > _KF_PROBE_CHUNK_BYTES:
+            chunks.append((base, cur))
+            base += len(cur)
+            cur, cur_bytes = [], 0
+        cur.append(spec)
+        cur_bytes += spec[0] // 8
+    if cur:
+        chunks.append((base, cur))
+    persisted = False
+    if len(chunks) > 1:
+        # every chunk's job re-consumes the distinct keys
+        keys_d = keys_d.persist()
+        persisted = True
 
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def _kf_probe(col_keys: pd.Series) -> pd.Series:
-        # batch-vectorized: hash the whole Arrow batch once, then per
-        # filter test all keys' k positions with numpy gathers — k x
-        # |filters| array passes instead of a Python loop per
-        # (key, filter, hash)
-        import numpy as np
+    def _probe_chunk(chunk_specs: list) -> set[int]:
+        bspecs = spark.sparkContext.broadcast(chunk_specs)
 
-        specs_l = bspecs.value
-        n = len(col_keys)
-        if n == 0:
-            return pd.Series([], dtype=object)
-        vals = col_keys.to_numpy()
-        h1v, h2v = _kf_hash_batch(vals)
-        risky = _kf_risky_mask(vals)
-        hits: list[list[int]] = [[] for _ in range(n)]
-        for i, (m, k, inline, path) in enumerate(specs_l):
-            bitsarr = np.frombuffer(
-                _kf_exec_raw(path, inline), dtype=np.uint8
-            )
-            ok = np.ones(n, dtype=bool)
-            for j in range(k):
-                pos = (h1v + np.uint64(j) * h2v) % np.uint64(m)
-                byte = bitsarr[(pos >> np.uint64(3)).astype(np.int64)]
-                mask = (
-                    np.uint64(1) << (pos & np.uint64(7))
-                ).astype(np.uint8)
-                ok &= (byte & mask) != 0
-                if not (ok.any() or risky.any()):
-                    break
-            ok |= risky  # precision-suspect keys admit every filter
-            for idx in np.nonzero(ok)[0]:
-                hits[int(idx)].append(i)
-        return pd.Series(hits)
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def _kf_probe(col_keys: pd.Series) -> pd.Series:
+            # batch-vectorized: hash the whole Arrow batch once, then
+            # per filter test all keys' k positions with numpy gathers
+            # — k x |filters| array passes instead of a Python loop
+            # per (key, filter, hash)
+            import numpy as np
+
+            specs_l = bspecs.value
+            n = len(col_keys)
+            if n == 0:
+                return pd.Series([], dtype=object)
+            vals = col_keys.to_numpy()
+            h1v, h2v = _kf_hash_batch(vals)
+            risky = _kf_risky_mask(vals)
+            hits: list[list[int]] = [[] for _ in range(n)]
+            for i, (m, k, inline, path) in enumerate(specs_l):
+                bitsarr = np.frombuffer(
+                    _kf_exec_raw(path, inline), dtype=np.uint8
+                )
+                ok = np.ones(n, dtype=bool)
+                for j in range(k):
+                    pos = (h1v + np.uint64(j) * h2v) % np.uint64(m)
+                    byte = bitsarr[
+                        (pos >> np.uint64(3)).astype(np.int64)
+                    ]
+                    mask = (
+                        np.uint64(1) << (pos & np.uint64(7))
+                    ).astype(np.uint8)
+                    ok &= (byte & mask) != 0
+                    if not (ok.any() or risky.any()):
+                        break
+                ok |= risky  # precision-suspect keys admit everything
+                for idx in np.nonzero(ok)[0]:
+                    hits[int(idx)].append(i)
+            return pd.Series(hits)
+
+        try:
+            return {
+                r["__i"]
+                for r in keys_d.select(
+                    F.explode(_kf_probe(F.col("__k"))).alias("__i")
+                )
+                .distinct()
+                .collect()
+            }
+        finally:
+            bspecs.unpersist(blocking=False)
 
     try:
-        idx_hits = {
-            r["__i"]
-            for r in keys_d.select(
-                F.explode(_kf_probe(F.col("__k"))).alias("__i")
-            )
-            .distinct()
-            .collect()
-        }
+        admitted: set[str] = set()
+        for chunk_base, chunk_specs in chunks:
+            for i in _probe_chunk(chunk_specs):
+                admitted.add(filtered[chunk_base + i])
     finally:
-        bspecs.unpersist(blocking=False)
-    return {filtered[i] for i in idx_hits}
+        if persisted:
+            keys_d.unpersist()
+    return admitted
 
 
 def _touched_by_keys(

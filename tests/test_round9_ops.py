@@ -141,6 +141,78 @@ def test_driver_never_reads_sidecars_past_threshold(
     assert len(touched) <= 3 and len(untouched) >= 7  # ~1% FPR slack
 
 
+def test_key_filter_bits_knob_sizes_filters_and_sticks(spark, root):
+    """Round-10 continuity #2 pulled forward: ``key_filter_bits``
+    sizes the per-file filters (m ~ bits x rows, k ~ 0.693 x bits) and
+    is STICKY — later appends build at the table's rate; more bits ->
+    measurably fewer false positives on absent keys."""
+    from querysight_spark.sources.versioned import (
+        _kf_hash_pair,
+        _kf_hit,
+        _kf_raw,
+    )
+
+    def _fpr(r, bits):
+        df = spark.range(0, 1000).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        ).coalesce(1)
+        write_version(spark, df, r, key_filter_cols=["id"],
+                      key_filter_bits=bits)
+        # sticky: a bare append keeps the table's rate
+        write_version(
+            spark,
+            spark.range(1000, 2000).select(
+                F.col("id"), (F.col("id") * 2).alias("v")
+            ).coalesce(1),
+            r,
+        )
+        m = read_manifest(r, table_version(r))
+        assert m["kf_bits"] == bits
+        hits = trials = 0
+        for f in m["files"]:
+            filt = m["kf"][f]["id"]
+            assert abs(filt["m"] - bits * 1000) <= 8
+            raw = _kf_raw(r, f, filt)
+            for a in range(5000, 6000):  # absent keys
+                h1, h2 = _kf_hash_pair(a)
+                hits += _kf_hit(filt, h1, h2, raw)
+                trials += 1
+        return hits / trials
+
+    fpr8 = _fpr(root + "_8", 8)
+    fpr16 = _fpr(root + "_16", 16)
+    assert fpr16 < fpr8 / 4  # ~ (0.6185^8 vs ^16): >4x better
+    assert fpr8 < 0.05
+
+
+def test_chunked_probe_matches_unchunked(spark, root, monkeypatch):
+    """Round-10 continuity #3 pulled forward: when candidates' total
+    bitmap bytes exceed the per-job budget the probe runs in chunks —
+    same admitted set, still no driver sidecar reads."""
+    import querysight_spark.sources.versioned as vmod
+
+    for i in range(10):
+        df = spark.range(i, 20000, 10).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        ).coalesce(1)
+        write_version(spark, df, root, key_filter_cols=["id"])
+    manifest = read_manifest(root, table_version(root))
+    keys = spark.createDataFrame(
+        [(3,), (13,), (1003,), (10003,), (19993,)], "id long"
+    )
+    baseline, _ = vmod._touched_by_keys(spark, root, manifest, keys, "id")
+    # each filter is 20k bits = 2.5 KB; a 6 KB budget forces ~5 chunks
+    monkeypatch.setattr(vmod, "_KF_PROBE_CHUNK_BYTES", 6000)
+    monkeypatch.setattr(
+        vmod, "_kf_raw_many",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("driver read sidecars")
+        ),
+    )
+    chunked, _ = vmod._touched_by_keys(spark, root, manifest, keys, "id")
+    assert chunked == baseline and len(chunked) <= 3
+
+
 def test_compound_key_merge_prunes_on_selective_column(spark, root):
     """VERDICT r9 ask #2: a merge keyed on (tenant_id, doc_id) with a
     low-cardinality leading column must intersect per-column filters —
