@@ -12,12 +12,15 @@ with the classic log-structured design the public formats
 
 - Data files are IMMUTABLE. Every commit writes its rows into a fresh
   ``data/c{N}/`` directory; nothing ever rewrites an existing file.
-- A snapshot is a MANIFEST: ``_manifests/v{N}.json`` holds the full
-  file list visible at version N (self-contained, not a delta chain)
-  plus the commit's ``added``/``removed`` lists for incremental
-  consumers. Readers never list the data directory — a scan plans from
-  the manifest's file list, so a concurrent writer is invisible until
-  its manifest lands.
+- A snapshot is a MANIFEST: ``_manifests/v{N}.json`` defines the file
+  list visible at version N plus the commit's ``added``/``removed``
+  lists for incremental consumers. Every 32nd manifest is an ANCHOR
+  carrying the full list and metadata maps; the manifests between
+  carry only their commit's deltas, and ``read_manifest`` hydrates by
+  replaying at most 31 deltas onto the anchor (round 9 — keeps
+  per-commit metadata O(changed) instead of O(files)). Readers never
+  list the data directory — a scan plans from the hydrated file list,
+  so a concurrent writer is invisible until its manifest lands.
 - Commits are ATOMIC and optimistic: the manifest is written to a temp
   name and ``os.link``-ed to ``v{N}.json`` — link fails with EEXIST if
   another writer claimed N first (retry on the next number). A reader
@@ -140,8 +143,10 @@ def table_version(root: str) -> int:
 
 
 # Every _ANCHOR_EVERY-th commit is an ANCHOR manifest carrying the
-# FULL stats/kf/fv/dvv maps; the commits between carry only their
-# DELTAS (entries new or changed vs the previous effective maps).
+# FULL file list and stats/kf/fv/dvv maps; the commits between carry
+# only their DELTAS (map entries new or changed vs the previous
+# effective maps, and — when the snapshot is exactly
+# (prev - removed) + added — no file list at all).
 # Without this every commit re-serialized every file's maps — at 10^4+
 # commits the log's cumulative metadata grew O(commits x files) even
 # though each commit changed a handful of entries (VERDICT r9 #3).
@@ -179,10 +184,12 @@ def _load_manifest_raw(root: str, version: int) -> dict:
 def read_manifest(root: str, version: int) -> dict:
     """The manifest AS THE READER CONTRACT expects it: delta manifests
     (``delta_maps``) hydrate transparently — walk back to the nearest
-    anchor, replay each commit's ``*_add`` entries in order, restrict
-    to the snapshot's live files/DVs — so every caller keeps seeing
-    full ``stats``/``kf``/``fv``/``dvv`` keys regardless of how the
-    maps are stored in the log. Returns a fresh top-level dict."""
+    anchor, replay each commit's ``*_add`` entries (and, when the FILE
+    LIST itself is folded, each commit's ``added``/``removed``) in
+    order, restrict to the snapshot's live files/DVs — so every caller
+    keeps seeing full ``files``/``stats``/``kf``/``fv``/``dvv`` keys
+    regardless of how the log stores them. Returns a fresh top-level
+    dict."""
     raw = _load_manifest_raw(root, version)
     if not raw.get("delta_maps"):
         return dict(raw)
@@ -195,15 +202,27 @@ def read_manifest(root: str, version: int) -> dict:
             break
         v -= 1
     maps: dict[str, dict] = {k: {} for k in _DELTA_KEYS}
+    files: list[str] = []
     for mm in reversed(chain):
         if mm.get("delta_maps"):
+            if "files" in mm:
+                # this delta kept its list (reconstruction-order check
+                # failed at commit time — see _commit)
+                files = list(mm["files"])
+            else:
+                rm = set(mm.get("removed", []))
+                files = [f for f in files if f not in rm] + list(
+                    mm.get("added", [])
+                )
             for k in _DELTA_KEYS:
                 maps[k].update(mm.get(f"{k}_add", {}))
         else:
+            files = list(mm["files"])
             for k in _DELTA_KEYS:
                 maps[k] = dict(mm.get(k, {}))
     out = dict(raw)
-    live = set(raw["files"])
+    out["files"] = files
+    live = set(files)
     dvs = set(raw.get("dvs", []))
     out["stats"] = {p: s for p, s in maps["stats"].items() if p in live}
     out["kf"] = {p: s for p, s in maps["kf"].items() if p in live}
@@ -921,6 +940,20 @@ def _commit(root: str, files: list[str], added: list[str],
                     for p, s in full[k].items()
                     if prev_map.get(p) != s
                 }
+            # FILE-LIST fold (round 9): the list itself is the last
+            # O(files) per-commit term. Omit it when this snapshot is
+            # EXACTLY (prev files - removed) + added in that order —
+            # true for every append/merge/compact/optimize/zorder/
+            # delete/evolve/policy commit by construction; hydration
+            # replays the transition. Kept verbatim when the check
+            # fails (e.g. a rollback whose target interleaves files
+            # differently), so correctness never rides on the fold.
+            rms = set(manifest["removed"])
+            expected = [
+                f for f in prev_m.get("files", []) if f not in rms
+            ] + manifest["added"]
+            if expected == rel:
+                del manifest["files"]
         if extra:
             manifest.update(extra)
         if "policy" not in manifest and prev_m.get("policy") is not None:
@@ -1527,7 +1560,7 @@ def vacuum(root: str, retain_from: int) -> list[str]:
         os.unlink(os.path.join(mdir, stale))
     keep: set[str] = set()
     for v in range(retain_from, latest + 1):
-        m = _load_manifest_raw(root, v)  # files/dvs are full per manifest
+        m = read_manifest(root, v)  # hydrated: files may be folded
         keep.update(m["files"])
         keep.update(m.get("dvs", []))
     deleted = []
@@ -2223,7 +2256,7 @@ def table_history(root: str) -> list[dict]:
         path = _manifest_path(root, v)
         if not os.path.exists(path):
             break  # vacuumed history below here
-        m = _load_manifest_raw(root, v)  # no map keys read
+        m = read_manifest(root, v)  # hydrated: file list may be folded
         out.append(
             {
                 "version": v,

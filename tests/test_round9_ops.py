@@ -396,9 +396,11 @@ def test_delta_manifests_fold_maps_and_hydrate(spark, root):
         if v % _ANCHOR_EVERY == 1:
             continue
         assert raw.get("delta_maps"), f"v{v} should be a delta"
-        # delta carries ~one file's entries, not the whole snapshot
+        # delta carries ~one file's entries, not the whole snapshot —
+        # and no file list at all (hydration replays added/removed)
         assert len(raw["stats_add"]) <= 4 and len(raw["kf_add"]) <= 4
         assert "stats" not in raw and "kf" not in raw
+        assert "files" not in raw, f"v{v} should fold its file list"
     # hydration: every version's maps cover exactly its live files
     for v in (1, 2, _ANCHOR_EVERY, _ANCHOR_EVERY + 1, n):
         m = read_manifest(root, v)
