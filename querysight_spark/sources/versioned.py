@@ -159,17 +159,28 @@ def table_version(root: str) -> int:
 _ANCHOR_EVERY = 32
 _DELTA_KEYS = ("stats", "kf", "fv", "dvv")
 
+# grace window before vacuum treats a `.tmp-` file as a crash orphan;
+# anything younger may be a live writer's in-flight rename source
+_VACUUM_TMP_GRACE_S = 15 * 60
+
 # raw-manifest cache: manifests are immutable once written (vacuum's
-# re-anchor replaces one file — the (mtime_ns, size) key catches it),
-# so hydration walks hit memory, not the object store
-_MANIFEST_CACHE: dict[str, tuple[tuple[int, int], dict]] = {}
+# re-anchor replaces one file — the (mtime_ns, size, ino) key catches
+# it: os.replace swaps the inode even when a coarse-mtime filesystem
+# reports an equal timestamp and the rewrite happens to be equal-sized,
+# ADVICE r9), so hydration walks hit memory, not the object store.
+_MANIFEST_CACHE: dict[str, tuple[tuple[int, int, int], dict]] = {}
 _MANIFEST_CACHE_CAP = 512
 
 
 def _load_manifest_raw(root: str, version: int) -> dict:
+    """Raw manifest JSON, cached. The returned dict — including its
+    NESTED containers (files/stats/kf/fv/dvv and their entries) — is
+    shared with the process-wide cache: callers MUST NOT mutate it in
+    place (``read_manifest`` copies every container it returns; any
+    other caller that wants to edit must copy first)."""
     path = _manifest_path(root, version)
     st = os.stat(path)
-    key = (st.st_mtime_ns, st.st_size)
+    key = (st.st_mtime_ns, st.st_size, st.st_ino)
     hit = _MANIFEST_CACHE.get(path)
     if hit is not None and hit[0] == key:
         return hit[1]
@@ -188,11 +199,35 @@ def read_manifest(root: str, version: int) -> dict:
     LIST itself is folded, each commit's ``added``/``removed``) in
     order, restrict to the snapshot's live files/DVs — so every caller
     keeps seeing full ``files``/``stats``/``kf``/``fv``/``dvv`` keys
-    regardless of how the log stores them. Returns a fresh top-level
-    dict."""
+    regardless of how the log stores them. Every returned container is
+    a fresh copy (callers may mutate without corrupting the raw cache;
+    the entries INSIDE the maps stay shared and immutable).
+
+    Concurrent-vacuum safety (ADVICE r9): a reader that loaded the
+    oldest-retained manifest's OLD delta form just before vacuum's
+    re-anchor ``os.replace`` would walk the chain below it into
+    just-deleted manifests. Vacuum re-anchors BEFORE deleting, so on a
+    ``FileNotFoundError`` mid-walk one retry with the starting manifest
+    re-statted (the stale cache entry misses on the new inode) sees the
+    re-anchored full form and hydrates with no chain below."""
+    try:
+        return _hydrate_manifest(root, version)
+    except FileNotFoundError:
+        return _hydrate_manifest(root, version)
+
+
+def _hydrate_manifest(root: str, version: int) -> dict:
     raw = _load_manifest_raw(root, version)
     if not raw.get("delta_maps"):
-        return dict(raw)
+        out = dict(raw)
+        for k in ("files", "added", "removed", "dvs", "dv_key",
+                  "stats_cols"):
+            if k in out:
+                out[k] = list(out[k])
+        for k in _DELTA_KEYS:
+            if k in out:
+                out[k] = dict(out[k])
+        return out
     chain = [raw]
     v = version - 1
     while True:
@@ -221,6 +256,9 @@ def read_manifest(root: str, version: int) -> dict:
             for k in _DELTA_KEYS:
                 maps[k] = dict(mm.get(k, {}))
     out = dict(raw)
+    for k in ("added", "removed", "dvs", "dv_key", "stats_cols"):
+        if k in out:
+            out[k] = list(out[k])
     out["files"] = files
     live = set(files)
     dvs = set(raw.get("dvs", []))
@@ -652,27 +690,38 @@ _KF_DRIVER_LOAD_MAX = 8
 # chunk in the same worker process.
 _KF_PROBE_CHUNK_BYTES = 1 << 27  # 128 MiB
 
-# per-executor-process sidecar bitmap cache (bounded, insertion-order
-# eviction): repeated probes over the same snapshot — the steady state
-# of a merge-every-batch pipeline — hit memory, not the object store
+# per-executor-process sidecar bitmap cache (bounded, LRU eviction —
+# a re-probed filter survives an eviction pass instead of aging out in
+# insertion order, ADVICE/VERDICT r9): repeated probes over the same
+# snapshot — the steady state of a merge-every-batch pipeline — hit
+# memory, not the object store. A running byte total replaces the
+# O(n)-per-miss sum, and a single bitmap larger than the cap is served
+# WITHOUT being cached (it would otherwise pin the cache over cap).
 _KF_EXEC_CACHE: dict[str, bytes] = {}
 _KF_EXEC_CACHE_CAP = 1 << 28  # 256 MiB of cached bitmaps per process
+_KF_EXEC_CACHE_BYTES = 0
 
 
 def _kf_exec_raw(path: str | None, inline: bytes | None) -> bytes:
     """Executor-side bitmap fetch: inline bytes pass through; sidecar
-    paths read once per process and cache (bounded)."""
+    paths read once per process and cache (bounded, LRU)."""
+    global _KF_EXEC_CACHE_BYTES
     if inline is not None:
         return inline
-    got = _KF_EXEC_CACHE.get(path)
-    if got is None:
-        with open(path, "rb") as f:
-            got = f.read()
-        total = sum(len(b) for b in _KF_EXEC_CACHE.values()) + len(got)
-        while total > _KF_EXEC_CACHE_CAP and _KF_EXEC_CACHE:
-            _evicted = _KF_EXEC_CACHE.pop(next(iter(_KF_EXEC_CACHE)))
-            total -= len(_evicted)
-        _KF_EXEC_CACHE[path] = got
+    got = _KF_EXEC_CACHE.pop(path, None)
+    if got is not None:
+        _KF_EXEC_CACHE[path] = got  # move-to-end: most-recently-used
+        return got
+    with open(path, "rb") as f:
+        got = f.read()
+    if len(got) > _KF_EXEC_CACHE_CAP:
+        return got  # oversize: serve, never cache
+    _KF_EXEC_CACHE_BYTES += len(got)
+    while _KF_EXEC_CACHE_BYTES > _KF_EXEC_CACHE_CAP and _KF_EXEC_CACHE:
+        _KF_EXEC_CACHE_BYTES -= len(
+            _KF_EXEC_CACHE.pop(next(iter(_KF_EXEC_CACHE)))
+        )
+    _KF_EXEC_CACHE[path] = got
     return got
 
 
@@ -1575,9 +1624,19 @@ def vacuum(root: str, retain_from: int) -> list[str]:
                     # a tmp file is NEVER a snapshot member: a crash
                     # between writing a sidecar tmp and its os.replace
                     # would otherwise strand it forever (it matches
-                    # neither the .kf branch nor .parquet — ADVICE r8)
-                    os.unlink(full)
-                    deleted.append(full)
+                    # neither the .kf branch nor .parquet — ADVICE r8).
+                    # AGE-GATED (ADVICE r9): a young tmp may be a
+                    # concurrent commit's in-flight sidecar about to be
+                    # os.replace'd — deleting it would fail that commit.
+                    # Only crash orphans (older than the grace window)
+                    # are swept.
+                    try:
+                        age = time.time() - os.stat(full).st_mtime
+                    except FileNotFoundError:
+                        continue  # the writer just renamed it away
+                    if age >= _VACUUM_TMP_GRACE_S:
+                        os.unlink(full)
+                        deleted.append(full)
                     continue
                 if name.endswith(".kf"):
                     # a key-filter sidecar lives and dies with its data

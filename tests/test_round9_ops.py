@@ -251,15 +251,28 @@ def test_compound_key_merge_prunes_on_selective_column(spark, root):
 def test_vacuum_unlinks_orphaned_tmp_sidecars(spark, root):
     """ADVICE r8 low: a crash between the sidecar tmp write and its
     os.replace leaves ``<file>.<col>.kf.tmp-<hex>`` forever — vacuum
-    must unlink any ``.tmp-`` name (never a snapshot member)."""
+    must unlink a STALE ``.tmp-`` name (never a snapshot member).
+    ADVICE r9 low: a YOUNG tmp may be a concurrent commit's in-flight
+    rename source, so only tmps older than the grace window go."""
+    import time as _time
+
+    from querysight_spark.sources.versioned import _VACUUM_TMP_GRACE_S
+
     write_version(spark, _kv(spark, range(10)), root,
                   key_filter_cols=["id"])
     files = read_manifest(root, 1)["files"]
     orphan = os.path.join(root, files[0] + ".id.kf.tmp-deadbeef")
-    with open(orphan, "wb") as f:
-        f.write(b"\x00" * 64)
+    fresh = os.path.join(root, files[0] + ".id.kf.tmp-cafebabe")
+    for p in (orphan, fresh):
+        with open(p, "wb") as f:
+            f.write(b"\x00" * 64)
+    old = _time.time() - _VACUUM_TMP_GRACE_S - 60
+    os.utime(orphan, (old, old))
     deleted = vacuum(root, retain_from=1)
     assert orphan in deleted and not os.path.exists(orphan)
+    assert fresh not in deleted and os.path.exists(fresh), (
+        "a young tmp (possible live writer) must survive vacuum"
+    )
     # the live snapshot is untouched
     assert read_version(spark, root).count() == 10
 
