@@ -163,6 +163,199 @@ _DELTA_KEYS = ("stats", "kf", "fv", "dvv")
 # anything younger may be a live writer's in-flight rename source
 _VACUUM_TMP_GRACE_S = 15 * 60
 
+# PARQUET-ENCODED ANCHORS (round 10): anchors were the one remaining
+# O(files) JSON term — ~75 MB per anchor projected at 10^5 files
+# (SCALE.md write_path_curve; every path string appears up to four
+# times across files/stats/kf/fv and JSON adds quoting/key overhead).
+# Past this many entries (files + DVs) the anchor's file list and
+# per-file maps move to a COLUMNAR SIDECAR beside the manifest
+# (`anchor-v{N}-{uuid}.parquet`: one row per file/DV, dictionary-
+# encoded paths, zstd-compressed JSON cells for stats/kf, exception
+# versions as a nullable int64 column); the JSON manifest keeps a
+# pointer, row counts, and a content hash, and stays ~1 KB like every
+# delta. Below the threshold plain JSON is both smaller and one fewer
+# IO, so small tables never pay the sidecar read. Sidecars are
+# IMMUTABLE and uniquely named — a commit that loses the version-claim
+# race unlinks its own; vacuum sweeps unreferenced ones (age-gated).
+_ANCHOR_PARQUET_MIN = 512
+
+# expanded-anchor cache: maps are large (that's why they left the
+# JSON), so cache few and key on stat like the raw cache
+_ANCHOR_SIDE_CACHE: dict[str, tuple[tuple[int, int, int], dict]] = {}
+_ANCHOR_SIDE_CACHE_CAP = 4
+
+
+def _anchor_fold(root: str, manifest: dict) -> str | None:
+    """Fold a full anchor ``manifest`` (mutated in place) into pointer
+    form, writing the file list + per-file maps as a parquet sidecar.
+    No-op below ``_ANCHOR_PARQUET_MIN`` entries. Returns the sidecar's
+    absolute path (for claim-race cleanup) or None."""
+    files = manifest.get("files", [])
+    dvs = manifest.get("dvs", [])
+    if len(files) + len(dvs) < _ANCHOR_PARQUET_MIN:
+        return None
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stats = manifest.get("stats", {})
+    kf = manifest.get("kf", {})
+    fv = manifest.get("fv", {})
+    dvv = manifest.get("dvv", {})
+
+    def _j(m, p):
+        v = m.get(p)
+        return None if v is None else json.dumps(v, separators=(",", ":"))
+
+    def _j_kf(p):
+        # key-filter cells repeat the data file's own basename (a
+        # high-entropy uuid) inside each spilled sidecar pointer —
+        # cross-column redundancy parquet can't compress away.
+        # Tokenize the DERIVED name (`<basename>.<col>.kf`, the form
+        # _kf_build always writes) to the empty string; _anchor_expand
+        # reconstructs it. Non-derived names (none today) pass through.
+        cols = kf.get(p)
+        if cols is None:
+            return None
+        base = os.path.basename(p)
+        out = {}
+        for c, filt in cols.items():
+            if filt.get("p") == f"{base}.{c}.kf":
+                filt = {**filt, "p": ""}
+            out[c] = filt
+        return json.dumps(out, separators=(",", ":"))
+
+    tbl = pa.table(
+        {
+            "path": pa.array(list(files) + list(dvs), pa.string()),
+            "kind": pa.array(
+                [0] * len(files) + [1] * len(dvs), pa.int8()
+            ),
+            "stats": pa.array(
+                [_j(stats, p) for p in files] + [None] * len(dvs),
+                pa.string(),
+            ),
+            "kf": pa.array(
+                [_j_kf(p) for p in files] + [None] * len(dvs),
+                pa.string(),
+            ),
+            # exceptions-only committed versions (fv for files, dvv
+            # for DVs) share one nullable column
+            "ver": pa.array(
+                [fv.get(p) for p in files] + [dvv.get(p) for p in dvs],
+                pa.int64(),
+            ),
+        }
+    )
+    mdir = os.path.join(root, _MANIFESTS)
+    name = (
+        f"anchor-v{manifest['version']:08d}-{uuid.uuid4().hex[:12]}"
+        ".parquet"
+    )
+    final = os.path.join(mdir, name)
+    tmp = final + f".tmp-{uuid.uuid4().hex}"
+    try:
+        pq.write_table(
+            tbl, tmp, compression="zstd", compression_level=9
+        )
+    except Exception:
+        pq.write_table(tbl, tmp, compression="snappy")
+    with open(tmp, "rb") as f:
+        sha = hashlib.sha256(f.read()).hexdigest()
+    os.replace(tmp, final)
+    manifest["anchor_parquet"] = name
+    manifest["anchor_sha256"] = sha
+    manifest["anchor_counts"] = [len(files), len(dvs)]
+    for k in ("files", "dvs", "stats", "kf", "fv", "dvv"):
+        manifest.pop(k, None)
+    return final
+
+
+def _anchor_expand(root: str, raw: dict) -> dict:
+    """Pointer-form anchor -> full form (files/dvs/stats/kf/fv/dvv
+    restored from the parquet sidecar, content-hash-verified, cached).
+    Non-pointer manifests pass through. The returned containers are
+    shared with the cache — same invariant as ``_load_manifest_raw``;
+    ``_hydrate_manifest`` copies what it hands out."""
+    name = raw.get("anchor_parquet")
+    if not name:
+        return raw
+    path = os.path.join(root, _MANIFESTS, name)
+    st = os.stat(path)
+    key = (st.st_mtime_ns, st.st_size, st.st_ino)
+    hit = _ANCHOR_SIDE_CACHE.get(path)
+    if hit is None or hit[0] != key:
+        import hashlib
+        import io as _io
+
+        import pyarrow.parquet as pq
+
+        with open(path, "rb") as f:
+            data = f.read()
+        want = raw.get("anchor_sha256")
+        if want and hashlib.sha256(data).hexdigest() != want:
+            raise ValueError(
+                f"anchor sidecar {name} content-hash mismatch "
+                "(corrupt or mismatched manifest)"
+            )
+        tbl = pq.read_table(_io.BytesIO(data))
+        files: list[str] = []
+        dvs: list[str] = []
+        stats: dict = {}
+        kf: dict = {}
+        fv: dict = {}
+        dvv: dict = {}
+        for p, kind, sj, kj, ver in zip(
+            tbl.column("path").to_pylist(),
+            tbl.column("kind").to_pylist(),
+            tbl.column("stats").to_pylist(),
+            tbl.column("kf").to_pylist(),
+            tbl.column("ver").to_pylist(),
+        ):
+            if kind == 0:
+                files.append(p)
+                if sj is not None:
+                    stats[p] = json.loads(sj)
+                if kj is not None:
+                    cols = json.loads(kj)
+                    base = os.path.basename(p)
+                    for c, filt in cols.items():
+                        if filt.get("p") == "":
+                            # fold-side tokenization of the derived
+                            # sidecar name (see _anchor_fold._j_kf)
+                            filt["p"] = f"{base}.{c}.kf"
+                    kf[p] = cols
+                if ver is not None:
+                    fv[p] = ver
+            else:
+                dvs.append(p)
+                if ver is not None:
+                    dvv[p] = ver
+        counts = raw.get("anchor_counts")
+        if counts and counts != [len(files), len(dvs)]:
+            raise ValueError(
+                f"anchor sidecar {name} row counts {[len(files), len(dvs)]}"
+                f" != manifest {counts}"
+            )
+        maps = {
+            "files": files,
+            "dvs": dvs,
+            "stats": stats,
+            "kf": kf,
+            "fv": fv,
+            "dvv": dvv,
+        }
+        if len(_ANCHOR_SIDE_CACHE) >= _ANCHOR_SIDE_CACHE_CAP:
+            _ANCHOR_SIDE_CACHE.pop(next(iter(_ANCHOR_SIDE_CACHE)))
+        hit = (key, maps)
+        _ANCHOR_SIDE_CACHE[path] = hit
+    out = dict(raw)
+    out.update(hit[1])
+    for k in ("anchor_parquet", "anchor_sha256", "anchor_counts"):
+        out.pop(k, None)
+    return out
+
 # raw-manifest cache: manifests are immutable once written (vacuum's
 # re-anchor replaces one file — the (mtime_ns, size, ino) key catches
 # it: os.replace swaps the inode even when a coarse-mtime filesystem
@@ -219,7 +412,7 @@ def read_manifest(root: str, version: int) -> dict:
 def _hydrate_manifest(root: str, version: int) -> dict:
     raw = _load_manifest_raw(root, version)
     if not raw.get("delta_maps"):
-        out = dict(raw)
+        out = dict(_anchor_expand(root, raw))
         for k in ("files", "added", "removed", "dvs", "dv_key",
                   "stats_cols"):
             if k in out:
@@ -252,6 +445,7 @@ def _hydrate_manifest(root: str, version: int) -> dict:
             for k in _DELTA_KEYS:
                 maps[k].update(mm.get(f"{k}_add", {}))
         else:
+            mm = _anchor_expand(root, mm)  # parquet-pointer anchors
             files = list(mm["files"])
             for k in _DELTA_KEYS:
                 maps[k] = dict(mm.get(k, {}))
@@ -973,9 +1167,14 @@ def _commit(root: str, files: list[str], added: list[str],
                 d: v for d, v in dvv.items() if v != _commit_of(d)
             },
         }
+        side_path = None
         if version % _ANCHOR_EVERY == 1:
             # ANCHOR: full maps (v1 and every _ANCHOR_EVERY-th commit;
-            # bounds every reader's hydration replay)
+            # bounds every reader's hydration replay). Large anchors
+            # fold the list + maps into a parquet sidecar so even the
+            # amortized O(files)/_ANCHOR_EVERY JSON term stays flat at
+            # 10^5 files (round 10; _anchor_fold is a no-op below
+            # _ANCHOR_PARQUET_MIN entries).
             manifest.update(full)
         else:
             # DELTA: only entries new or changed vs the previous
@@ -1016,6 +1215,8 @@ def _commit(root: str, files: list[str], added: list[str],
         # commit wall-clock, for DESCRIBE HISTORY / timestamp travel;
         # ordering truth stays the version number (clocks can skew)
         manifest["ts"] = time.time()
+        if version % _ANCHOR_EVERY == 1:
+            side_path = _anchor_fold(root, manifest)
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -1024,6 +1225,14 @@ def _commit(root: str, files: list[str], added: list[str],
             os.unlink(tmp)
         except FileExistsError:
             os.unlink(tmp)  # lost the race; retry with the next number
+            if side_path is not None:
+                # our sidecar was written for the version a racer just
+                # claimed — uniquely named, so unlinking it can't touch
+                # the winner's; the retry rebuilds for the new number
+                try:
+                    os.unlink(side_path)
+                except OSError:
+                    pass
             continue
         if version % _ANCHOR_EVERY == 1 and version > 1:
             # AUTO-CHECKPOINT on the anchor cadence: every commit's
@@ -1595,6 +1804,11 @@ def vacuum(root: str, retain_from: int) -> list[str]:
     ):
         if _load_manifest_raw(root, retain_from).get("delta_maps"):
             hydrated = read_manifest(root, retain_from)
+            hydrated.pop("delta_maps", None)
+            # large re-anchors take the parquet-sidecar form too; the
+            # old sidecar (if the prior anchor had one) goes in the
+            # unreferenced sweep below once its manifest is dropped
+            _anchor_fold(root, hydrated)
             path = _manifest_path(root, retain_from)
             tmp = path + f".tmp-{uuid.uuid4().hex}"
             with open(tmp, "w") as f:
@@ -1657,6 +1871,34 @@ def vacuum(root: str, retain_from: int) -> list[str]:
         path = _manifest_path(root, v)
         if os.path.exists(path):
             os.unlink(path)
+    # sweep anchor PARQUET SIDECARS no remaining manifest references
+    # (a dropped anchor's, a re-anchor's replaced one, a crashed
+    # commit's) plus crash-orphaned manifest tmps — age-gated like the
+    # data-dir tmps so a mid-claim commit's sidecar isn't deleted in
+    # the instant before its JSON lands
+    referenced = set()
+    for f in os.listdir(mdir):
+        if f.startswith("v") and f.endswith(".json"):
+            ref = _load_manifest_raw(root, int(f[1:-5])).get(
+                "anchor_parquet"
+            )
+            if ref:
+                referenced.add(ref)
+    for f in os.listdir(mdir):
+        stale_sidecar = (
+            f.startswith("anchor-")
+            and f.endswith(".parquet")
+            and f not in referenced
+        )
+        if not (stale_sidecar or ".tmp-" in f):
+            continue
+        full = os.path.join(mdir, f)
+        try:
+            if time.time() - os.stat(full).st_mtime >= _VACUUM_TMP_GRACE_S:
+                os.unlink(full)
+                deleted.append(full)
+        except FileNotFoundError:
+            pass
     return sorted(deleted)
 
 

@@ -129,6 +129,200 @@ def test_manifest_cache_detects_equal_size_replace(spark, root):
     assert old["op"] == "append"
 
 
+@pytest.fixture()
+def parquet_anchors(monkeypatch):
+    """Force every anchor into the parquet-sidecar form (production
+    threshold is 512 files; these tables are small)."""
+    monkeypatch.setattr(vmod, "_ANCHOR_PARQUET_MIN", 1)
+    monkeypatch.setattr(vmod, "_ANCHOR_SIDE_CACHE", {})
+
+
+def test_parquet_anchor_fold_and_hydrate(spark, root, parquet_anchors):
+    """VERDICT r10 ask #1: large anchors store their file list + maps
+    as a parquet sidecar — the JSON manifest keeps a pointer, counts,
+    and a content hash — and every reader surface (hydration, reads,
+    membership planning) sees the identical full form."""
+    n = vmod._ANCHOR_EVERY + 8
+    for i in range(n):
+        write_version(spark, _kv(spark, [i]).coalesce(1), root,
+                      stats_cols=["id"], key_filter_cols=["id"])
+    for av in (1, vmod._ANCHOR_EVERY + 1):
+        raw = vmod._load_manifest_raw(root, av)
+        assert raw["anchor_parquet"].startswith("anchor-v")
+        assert raw["anchor_sha256"] and raw["anchor_counts"] == [av, 0]
+        for k in ("files", "dvs", "stats", "kf", "fv", "dvv"):
+            assert k not in raw, f"anchor v{av} still carries {k} JSON"
+        side = os.path.join(root, "_manifests", raw["anchor_parquet"])
+        assert os.path.exists(side)
+    for v in (1, vmod._ANCHOR_EVERY + 1, n):
+        m = read_manifest(root, v)
+        assert len(m["files"]) == v
+        assert set(m["stats"]) == set(m["kf"]) == set(m["files"])
+        assert "anchor_parquet" not in m
+    assert read_version(spark, root).count() == n
+    assert read_version(spark, root, version=5).count() == 5
+    kept, skipped = vmod.key_membership_pruned(root, n, "id", [3])
+    assert len(kept) < n and skipped
+
+
+def test_parquet_anchor_equals_json_anchor(spark, tmp_path, monkeypatch):
+    """The two anchor encodings are interchangeable: the same commit
+    sequence hydrates to byte-identical manifests either way."""
+    roots = {}
+    for form, thresh in (("json", 10**9), ("parquet", 1)):
+        monkeypatch.setattr(vmod, "_ANCHOR_PARQUET_MIN", thresh)
+        monkeypatch.setattr(vmod, "_ANCHOR_SIDE_CACHE", {})
+        r = str(tmp_path / form)
+        for i in range(vmod._ANCHOR_EVERY + 3):
+            df = spark.createDataFrame(
+                [(int(i), float(i))], "id long, x double"
+            ).coalesce(1)
+            write_version(spark, df, r, stats_cols=["id", "x"],
+                          key_filter_cols=["id"])
+        roots[form] = r
+    def canon(m):
+        # commit dirs carry a per-commit uuid, so paths differ between
+        # the two roots: re-key every per-file map by the file's
+        # position in the snapshot list, and drop the kf bitmap's
+        # content (built from identical rows but hashed per file path
+        # order — compare its sizing fields instead)
+        idx = {p: i for i, p in enumerate(m["files"])}
+        kf = {
+            idx[p]: {c: {kk: f[kk] for kk in ("m", "k")}
+                     for c, f in cols.items()}
+            for p, cols in m.get("kf", {}).items()
+        }
+        return {
+            "n": len(m["files"]),
+            "stats": {idx[p]: s for p, s in m.get("stats", {}).items()},
+            "kf": kf,
+            "fv": {idx[p]: v for p, v in m.get("fv", {}).items()},
+            "dvv": m.get("dvv"),
+            "dv_key": m.get("dv_key"),
+            "stats_cols": m.get("stats_cols"),
+            "kf_cols": m.get("kf_cols"),
+            "op": m.get("op"),
+            "version": m.get("version"),
+        }
+
+    for v in (1, 2, vmod._ANCHOR_EVERY + 1, vmod._ANCHOR_EVERY + 3):
+        a = canon(read_manifest(roots["json"], v))
+        b = canon(read_manifest(roots["parquet"], v))
+        assert a == b, f"v{v} diverged"
+
+
+def test_rollback_across_parquet_anchor_boundary(
+    spark, root, parquet_anchors
+):
+    """Round-9 rollback invariant re-pinned on the parquet format:
+    files re-entering via a rollback whose target sits in a previous
+    (parquet-encoded) anchor window keep their true committed versions
+    and key filters."""
+    from querysight_spark.sources.versioned import rollback
+
+    n = vmod._ANCHOR_EVERY + 4
+    for i in range(n):
+        write_version(spark, _kv(spark, [i]).coalesce(1), root,
+                      key_filter_cols=["id"])
+    target = read_manifest(root, 3)
+    write_version(spark, _kv(spark, [99]), root, mode="overwrite")
+    v = rollback(root, 3)
+    m = read_manifest(root, v)
+    assert set(m["files"]) == set(target["files"])
+    assert set(m["kf"]) == set(target["kf"])
+    assert read_version(spark, root).count() == 3
+
+
+def test_vacuum_reanchors_to_parquet_form(spark, root, parquet_anchors):
+    """Round-9 vacuum invariant re-pinned: the re-anchored oldest
+    retained manifest takes the parquet-sidecar form, every retained
+    version stays readable, and the dropped anchors' sidecars are
+    swept once stale (age-gated) while the live ones survive."""
+    import time as _time
+
+    n = vmod._ANCHOR_EVERY + 8
+    for i in range(n):
+        write_version(spark, _kv(spark, [i]).coalesce(1), root,
+                      stats_cols=["id"], key_filter_cols=["id"])
+    mdir = os.path.join(root, "_manifests")
+    old_sidecars = {
+        f for f in os.listdir(mdir) if f.startswith("anchor-")
+    }
+    assert len(old_sidecars) == 2  # v1 and v33
+    retain = vmod._ANCHOR_EVERY + 3
+    # backdate everything so the sweep's age gate is open
+    past = _time.time() - vmod._VACUUM_TMP_GRACE_S - 60
+    for f in os.listdir(mdir):
+        os.utime(os.path.join(mdir, f), (past, past))
+    vacuum(root, retain_from=retain)
+    raw = vmod._load_manifest_raw(root, retain)
+    assert not raw.get("delta_maps")
+    assert raw["anchor_parquet"].startswith("anchor-v")
+    live = {
+        vmod._load_manifest_raw(root, v).get("anchor_parquet")
+        for v in range(retain, table_version(root) + 1)
+        if os.path.exists(vmod._manifest_path(root, v))
+    } - {None}
+    now_sidecars = {
+        f for f in os.listdir(mdir) if f.startswith("anchor-")
+    }
+    assert now_sidecars == live, "sweep kept exactly the referenced set"
+    assert not (old_sidecars & now_sidecars), "dropped anchors' gone"
+    for v in (retain, retain + 1, n):
+        m = read_manifest(root, v)
+        assert set(m["kf"]) == set(m["files"]), f"v{v} hydration broke"
+    assert read_version(spark, root, version=retain).count() == retain
+    assert read_version(spark, root).count() == n
+
+
+def test_parquet_anchor_never_carries_dead_files(
+    spark, root, parquet_anchors
+):
+    """Round-9 dead-files invariant re-pinned on the parquet format:
+    after maintenance rewrites, every version's hydrated stats/kf keys
+    are exactly a subset of its live file list."""
+    from pyspark.sql import functions as F
+
+    from querysight_spark.sources.versioned import merge_into, zorder_table
+
+    for lo in (0, 100, 200):
+        df = spark.range(lo, lo + 100).select(
+            F.col("id"), (F.col("id") % 7).alias("g")
+        )
+        write_version(spark, df, root, stats_cols=["id"],
+                      key_filter_cols=["id"])
+    zorder_table(spark, root, ["id", "g"], target_files=4)
+    merge_into(
+        spark,
+        spark.createDataFrame(
+            [(5, 1), (50, 2), (500, 3)], "id long, g long"
+        ),
+        root,
+        ["id"],
+    )
+    for v in range(1, table_version(root) + 1):
+        m = read_manifest(root, v)
+        live = set(m["files"])
+        assert set(m.get("stats", {})) <= live, f"v{v} stale stats"
+        assert set(m.get("kf", {})) <= live, f"v{v} stale kf"
+
+
+def test_parquet_anchor_hash_mismatch_detected(
+    spark, root, parquet_anchors
+):
+    """A corrupt (or swapped) anchor sidecar must fail loudly, not
+    hydrate garbage."""
+    write_version(spark, _kv(spark, [1, 2]), root)
+    raw = vmod._load_manifest_raw(root, 1)
+    side = os.path.join(root, "_manifests", raw["anchor_parquet"])
+    data = open(side, "rb").read()
+    with open(side, "wb") as f:
+        f.write(data[:-1] + bytes([data[-1] ^ 0xFF]))
+    vmod._ANCHOR_SIDE_CACHE.clear()
+    with pytest.raises(ValueError, match="content-hash mismatch"):
+        read_manifest(root, 1)
+
+
 def test_read_manifest_returns_fresh_containers(spark, root):
     """ADVICE r9: mutating read_manifest's returned containers must
     not corrupt later reads (the raw cache shares nested objects)."""

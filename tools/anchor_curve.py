@@ -1,0 +1,153 @@
+"""Anchor-manifest encoding curve: JSON vs parquet sidecar at
+10^3..10^5 files (VERDICT r10 ask #1).
+
+Anchors are the one O(files) metadata term left after the round-9
+delta/fold work — every 32nd commit serializes the full file list +
+per-file stats/kf/fv maps. This tool builds a SYNTHETIC anchor at
+production shape (realistic path lengths, per-file zone stats on two
+columns, spilled key-filter pointers — the 100 TB regime where every
+filter is a sidecar, not inline) and measures, per file count:
+
+  * json_bytes        — the round-9 all-JSON anchor encoding
+  * parquet_bytes     — the round-10 columnar sidecar encoding
+  * ratio             — json/parquet (the ask: >= 10x)
+  * fold_ms           — encode cost (paid once per 32 commits)
+  * expand_cold_ms    — pointer -> full form hydration, cold cache
+  * expand_warm_ms    — same, warm (the steady-state reader path)
+  * pointer_json_bytes— the JSON manifest that remains (flat ~1 KB)
+
+Round-trip equality (files/dvs/stats/kf/fv/dvv identical after
+fold+expand) is asserted at every point. Prints one JSON line per
+point; paste into SCALE.md.
+
+Usage: python tools/anchor_curve.py [point,point,...]
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import uuid
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+POINTS = (
+    [int(x) for x in sys.argv[1].split(",")]
+    if len(sys.argv) > 1
+    else [1_000, 10_000, 30_000, 100_000]
+)
+
+
+def _synthetic_anchor(n_files: int, version: int) -> dict:
+    """A full-form anchor manifest shaped like a production table's:
+    one ~256 MB-class file per commit dir, two stats columns (an int
+    key range and an event-time range), a spilled key-filter pointer
+    per file, and exceptions-only fv entries for ~1% race losers."""
+    rng = uuid.uuid4().hex  # deterministic enough for sizing
+    files, stats, kf, fv = [], {}, {}, {}
+    for i in range(n_files):
+        commit = i + 1
+        base = (
+            f"data/c{commit:08d}-{rng[:8]}/part-00000-"
+            f"{uuid.uuid3(uuid.NAMESPACE_URL, str(i)).hex}-c000"
+            ".snappy.parquet"
+        )
+        files.append(base)
+        lo = i * 1_000_000
+        stats[base] = {
+            "id": [lo, lo + 999_999],
+            "ts": [1_700_000_000 + i * 3600, 1_700_003_600 + i * 3600],
+        }
+        kf[base] = {
+            "id": {
+                "m": 1 << 23,
+                "k": 7,
+                "p": os.path.basename(base) + ".id.kf",
+            }
+        }
+        if i % 100 == 3:  # ~1% of appends lost a manifest race
+            fv[base] = commit + 2
+    return {
+        "version": version,
+        "op": "append",
+        "files": files,
+        "added": [files[-1]],
+        "removed": [],
+        "txn_id": f"t:{version}",
+        "stats_cols": ["id", "ts"],
+        "dvs": [],
+        "dv_key": [],
+        "kf_cols": ["id"],
+        "kf_bits": 10,
+        "stats": stats,
+        "kf": kf,
+        "fv": fv,
+        "dvv": {},
+        "ts": 1_700_000_000.0,
+    }
+
+
+def _best_of(fn, n: int = 3) -> float:
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    import querysight_spark.sources.versioned as vmod
+
+    for n in POINTS:
+        work = tempfile.mkdtemp(prefix="qs_anchor_curve_")
+        root = os.path.join(work, "table")
+        os.makedirs(os.path.join(root, "_manifests"))
+        try:
+            version = ((n - 1) // vmod._ANCHOR_EVERY) * vmod._ANCHOR_EVERY + 1
+            full = _synthetic_anchor(n, version)
+            json_bytes = len(json.dumps(full).encode())
+            folded = copy.deepcopy(full)
+            t0 = time.perf_counter()
+            side = vmod._anchor_fold(root, folded)
+            fold_ms = (time.perf_counter() - t0) * 1000
+            assert side is not None, "threshold must fold at this size"
+            parquet_bytes = os.path.getsize(side)
+            pointer_json_bytes = len(json.dumps(folded).encode())
+
+            def expand_cold():
+                vmod._ANCHOR_SIDE_CACHE.clear()
+                return vmod._anchor_expand(root, folded)
+
+            expanded = expand_cold()
+            for k in ("files", "dvs", "stats", "kf", "fv", "dvv"):
+                assert expanded[k] == full[k], f"round-trip broke {k}"
+            cold = _best_of(expand_cold)
+            warm = _best_of(lambda: vmod._anchor_expand(root, folded))
+            print(
+                json.dumps(
+                    {
+                        "files": n,
+                        "json_bytes": json_bytes,
+                        "parquet_bytes": parquet_bytes,
+                        "ratio": round(json_bytes / parquet_bytes, 1),
+                        "pointer_json_bytes": pointer_json_bytes,
+                        "fold_ms": round(fold_ms, 1),
+                        "expand_cold_ms": round(cold * 1000, 1),
+                        "expand_warm_ms": round(warm * 1000, 3),
+                    }
+                ),
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
