@@ -157,7 +157,11 @@ def table_version(root: str) -> int:
 # chain beneath it. v1 is always an anchor, so pre-round-9 tables
 # (all-full manifests) hydrate as a zero-length replay.
 _ANCHOR_EVERY = 32
-_DELTA_KEYS = ("stats", "kf", "fv", "dvv")
+# per-file manifest maps that delta-fold between anchors; "rows" is
+# each file's footer row count (round 10), recorded once at commit so
+# maintenance gates (small-file count, DV-debt fraction) plan from the
+# manifest alone instead of re-opening 10^5 footers per scheduler call
+_DELTA_KEYS = ("stats", "kf", "fv", "dvv", "rows")
 
 # grace window before vacuum treats a `.tmp-` file as a crash orphan;
 # anything younger may be a live writer's in-flight rename source
@@ -203,6 +207,7 @@ def _anchor_fold(root: str, manifest: dict) -> str | None:
     kf = manifest.get("kf", {})
     fv = manifest.get("fv", {})
     dvv = manifest.get("dvv", {})
+    rows = manifest.get("rows", {})
 
     def _j(m, p):
         v = m.get(p)
@@ -246,6 +251,10 @@ def _anchor_fold(root: str, manifest: dict) -> str | None:
                 [fv.get(p) for p in files] + [dvv.get(p) for p in dvs],
                 pa.int64(),
             ),
+            "rows": pa.array(
+                [rows.get(p) for p in files] + [None] * len(dvs),
+                pa.int64(),
+            ),
         }
     )
     mdir = os.path.join(root, _MANIFESTS)
@@ -267,7 +276,7 @@ def _anchor_fold(root: str, manifest: dict) -> str | None:
     manifest["anchor_parquet"] = name
     manifest["anchor_sha256"] = sha
     manifest["anchor_counts"] = [len(files), len(dvs)]
-    for k in ("files", "dvs", "stats", "kf", "fv", "dvv"):
+    for k in ("files", "dvs", "stats", "kf", "fv", "dvv", "rows"):
         manifest.pop(k, None)
     return final
 
@@ -306,12 +315,19 @@ def _anchor_expand(root: str, raw: dict) -> dict:
         kf: dict = {}
         fv: dict = {}
         dvv: dict = {}
-        for p, kind, sj, kj, ver in zip(
+        rows: dict = {}
+        n_rows_col = (
+            tbl.column("rows").to_pylist()
+            if "rows" in tbl.column_names
+            else [None] * tbl.num_rows
+        )
+        for p, kind, sj, kj, ver, nr in zip(
             tbl.column("path").to_pylist(),
             tbl.column("kind").to_pylist(),
             tbl.column("stats").to_pylist(),
             tbl.column("kf").to_pylist(),
             tbl.column("ver").to_pylist(),
+            n_rows_col,
         ):
             if kind == 0:
                 files.append(p)
@@ -328,6 +344,8 @@ def _anchor_expand(root: str, raw: dict) -> dict:
                     kf[p] = cols
                 if ver is not None:
                     fv[p] = ver
+                if nr is not None:
+                    rows[p] = nr
             else:
                 dvs.append(p)
                 if ver is not None:
@@ -345,6 +363,7 @@ def _anchor_expand(root: str, raw: dict) -> dict:
             "kf": kf,
             "fv": fv,
             "dvv": dvv,
+            "rows": rows,
         }
         if len(_ANCHOR_SIDE_CACHE) >= _ANCHOR_SIDE_CACHE_CAP:
             _ANCHOR_SIDE_CACHE.pop(next(iter(_ANCHOR_SIDE_CACHE)))
@@ -456,9 +475,8 @@ def _hydrate_manifest(root: str, version: int) -> dict:
     out["files"] = files
     live = set(files)
     dvs = set(raw.get("dvs", []))
-    out["stats"] = {p: s for p, s in maps["stats"].items() if p in live}
-    out["kf"] = {p: s for p, s in maps["kf"].items() if p in live}
-    out["fv"] = {p: v2 for p, v2 in maps["fv"].items() if p in live}
+    for k in ("stats", "kf", "fv", "rows"):
+        out[k] = {p: s for p, s in maps[k].items() if p in live}
     out["dvv"] = {d: v2 for d, v2 in maps["dvv"].items() if d in dvs}
     for k in _DELTA_KEYS:
         out.pop(f"{k}_add", None)
@@ -660,7 +678,7 @@ _KF_MAX_BITS = 1 << 24  # 2 MiB sidecar cap = ~1.6M keys/file at the
 
 
 def _kf_build(
-    path: str, col: str, bits_per_key: int = 10
+    path: str, col: str, bits_per_key: int = 10, tag: str = ""
 ) -> dict | None:
     """Per-file KEY-MEMBERSHIP filter (classic Bloom, double hashing —
     the same mechanism parquet's own bloom_filter pages document): one
@@ -751,18 +769,30 @@ def _kf_build(
         )
     else:
         set_bits_scalar(arr.to_pylist())
+    # ones-DENSITY, stored per filter (round 10): fpr ~= d^k, so the
+    # manifest alone tells the maintenance pass which filters have
+    # saturated (old low-bits vintage, or rows past the m cap) without
+    # touching a bitmap — the gate `d > max_density` is metadata-only
+    d = round(float(np.unpackbits(bits).sum()) / m, 4)
     if m <= _KF_INLINE_BITS:
         return {
             "m": m,
             "k": k,
+            "d": d,
             "b": base64.b64encode(bits.tobytes()).decode(),
         }
-    sidecar = f"{path}.{col}.kf"
+    # ``tag`` (a rebuild pass) versions the sidecar NAME: older
+    # manifests keep referencing the original bitmap byte-for-byte
+    # (their recorded m/k must match it for time travel), vacuum drops
+    # whichever name no retained manifest references
+    sidecar = (
+        f"{path}.{col}.{tag}.kf" if tag else f"{path}.{col}.kf"
+    )
     tmp = sidecar + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "wb") as f:
         f.write(bits.tobytes())
     os.replace(tmp, sidecar)
-    return {"m": m, "k": k, "p": os.path.basename(sidecar)}
+    return {"m": m, "k": k, "d": d, "p": os.path.basename(sidecar)}
 
 
 def _kf_raw(root: str, rel_file: str, filt: dict) -> bytes:
@@ -920,13 +950,14 @@ def _kf_exec_raw(path: str | None, inline: bytes | None) -> bytes:
 
 
 def _collect_key_filters(
-    root: str, rels: list[str], cols: list[str], bits_per_key: int = 10
+    root: str, rels: list[str], cols: list[str],
+    bits_per_key: int = 10, tag: str = ""
 ) -> dict:
     out: dict = {}
     for p in rels:
         filters = {}
         for c in cols:
-            f = _kf_build(os.path.join(root, p), c, bits_per_key)
+            f = _kf_build(os.path.join(root, p), c, bits_per_key, tag)
             if f is not None:
                 filters[c] = f
         if filters:
@@ -998,7 +1029,8 @@ def _commit(root: str, files: list[str], added: list[str],
             extra: dict | None = None,
             kf_cols: list[str] | None = None,
             key_filters: dict | None = None,
-            kf_bits: int | None = None) -> int:
+            kf_bits: int | None = None,
+            file_rows: dict | None = None) -> int:
     """Atomically claim the next version number for this snapshot.
 
     ``expected_version`` is the optimistic-concurrency guard for
@@ -1049,6 +1081,7 @@ def _commit(root: str, files: list[str], added: list[str],
     merge_appends = expected_version is None and op == "append"
     hint_kf = key_filters or {}
     built_kf: dict | None = None  # built once, on the first attempt
+    built_rows: dict | None = None
     eff_kf_cols: list[str] = list(kf_cols or [])
     while True:
         # re-check inside the claim loop: a racing writer may have landed
@@ -1140,9 +1173,39 @@ def _commit(root: str, files: list[str], added: list[str],
             )
         kf = {}
         for p in rel:
-            got = prev_kf.get(p) or hint_kf.get(p) or built_kf.get(p)
+            # hint FIRST: for rollback the hint equals the carried
+            # entry wherever both exist (filters are per-file
+            # immutable), and a key-filter REBUILD commit (round 10)
+            # must be able to replace a carried saturated filter
+            got = hint_kf.get(p) or prev_kf.get(p) or built_kf.get(p)
             if got:
                 kf[p] = got
+        # per-file ROW COUNTS (round 10): one footer read per ADDED
+        # file at commit time (carried files keep their entry; hints
+        # cover rollback's re-entering files), so maintenance gates —
+        # small-file count, DV-debt fraction — plan from the manifest
+        # alone. Absent entries (pre-rows history, unreadable footer)
+        # mean "unknown"; gates fall back to a footer read for those.
+        prev_rows = prev_m.get("rows", {})
+        hint_rows = file_rows or {}
+        if built_rows is None:
+            import pyarrow.parquet as pq
+
+            built_rows = {}
+            for f in added:
+                p = os.path.relpath(f, root)
+                if p not in hint_rows and p not in prev_rows:
+                    try:
+                        built_rows[p] = pq.ParquetFile(
+                            f
+                        ).metadata.num_rows
+                    except Exception:
+                        pass
+        rows_map = {}
+        for p in rel:
+            got_r = prev_rows.get(p, hint_rows.get(p, built_rows.get(p)))
+            if got_r is not None:
+                rows_map[p] = got_r
         manifest = {
             "version": version,
             "op": op,
@@ -1166,6 +1229,7 @@ def _commit(root: str, files: list[str], added: list[str],
             "dvv": {
                 d: v for d, v in dvv.items() if v != _commit_of(d)
             },
+            "rows": rows_map,
         }
         side_path = None
         if version % _ANCHOR_EVERY == 1:
@@ -1773,6 +1837,7 @@ def rollback(root: str, to_version: int) -> int:
         },
         kf_cols=target.get("kf_cols"),
         key_filters=target.get("kf"),
+        file_rows=target.get("rows"),
     )
 
 
@@ -1826,6 +1891,15 @@ def vacuum(root: str, retain_from: int) -> list[str]:
         m = read_manifest(root, v)  # hydrated: files may be folded
         keep.update(m["files"])
         keep.update(m.get("dvs", []))
+        for p, cols in m.get("kf", {}).items():
+            # keep exactly the sidecar bitmaps retained manifests
+            # REFERENCE (a rebuild pass leaves older vintages behind
+            # under versioned names — see _kf_build's ``tag``)
+            for filt in cols.values():
+                if "p" in filt:
+                    keep.add(
+                        os.path.join(os.path.dirname(p), filt["p"])
+                    )
     deleted = []
     for sub in (_DATA, _DV):
         walk_root = os.path.join(root, sub)
@@ -1853,12 +1927,11 @@ def vacuum(root: str, retain_from: int) -> list[str]:
                         deleted.append(full)
                     continue
                 if name.endswith(".kf"):
-                    # a key-filter sidecar lives and dies with its data
-                    # file: `<datafile>.<col>.kf` -> strip two suffixes
-                    base = name.rsplit(".", 2)[0]
-                    if os.path.relpath(
-                        os.path.join(dirpath, base), root
-                    ) not in keep:
+                    # a key-filter sidecar survives iff some RETAINED
+                    # manifest references it (rebuild passes version
+                    # the names, so name-parsing back to the data file
+                    # would over-keep replaced vintages)
+                    if os.path.relpath(full, root) not in keep:
                         os.unlink(full)
                         deleted.append(full)
                     continue
@@ -2502,8 +2575,13 @@ def optimize_table(
         )
     if target_rows_per_file is None:
         target_rows_per_file = max(min_rows_per_file * 4, 1)
+    mrows = manifest.get("rows", {})
     rows_of = {
-        f: pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        # manifest row counts when recorded (round 10 — zero IO);
+        # footer read only for pre-rows history
+        f: mrows[f]
+        if f in mrows
+        else pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
         for f in manifest["files"]
     }
     small = [f for f in manifest["files"] if rows_of[f] < min_rows_per_file]
@@ -2813,16 +2891,215 @@ def set_zorder_policy(
     )
 
 
+def set_table_policy(
+    root: str,
+    zorder: dict | None = None,
+    optimize: dict | None = None,
+    compact: dict | None = None,
+    vacuum: dict | None = None,
+    keyfilters: dict | None = None,
+) -> int:
+    """Store the table's WHOLE maintenance policy as one metadata-only
+    commit (VERDICT r10 ask #3 — ``set_zorder_policy`` covered only
+    the clustering cadence; the optimize / compact / vacuum knobs
+    still lived in every scheduler script). Sections, each optional:
+
+    - ``zorder``: ``{cols, bits=8, target_files=16, max_span=None,
+      min_delta_files=8}`` — incremental re-cluster drift gates.
+    - ``optimize``: ``{min_rows_per_file, target_rows_per_file=None,
+      min_small_files=2}`` — bin-pack when at least ``min_small_files``
+      data files fall under ``min_rows_per_file`` rows (counted from
+      the manifest's ``rows`` map — zero IO).
+    - ``compact``: ``{max_dv_fraction}`` — fold deletion-vector debt
+      when tombstone rows reach that fraction of table rows (a debt
+      PROXY: a tombstone key may match zero rows; the manifest row
+      map makes the check metadata-only).
+    - ``vacuum``: ``{retain_last, min_drop=_ANCHOR_EVERY}`` — drop
+      history beyond the newest ``retain_last`` versions, but only
+      once ``min_drop`` droppable manifests have accumulated (vacuum
+      walks the data tree, so it runs on the anchor-ish cadence, not
+      every call).
+    - ``keyfilters``: ``{max_density=0.6, bits=None}`` — rebuild
+      membership filters whose stored ones-density crossed the
+      threshold (``rebuild_key_filters``; fpr ~= density^k, so a
+      saturated filter admits ~every probe and pruning silently
+      dies — SCALE.md's q <~ 1/fpr bound).
+
+    All sections None clears the policy. Like ``set_zorder_policy``
+    the stored policy is STICKY (every commit carries it, surviving
+    checkpoints and anchor folds) so ``maintain_table`` plans from the
+    latest manifest alone. Returns the policy commit's version."""
+    version = table_version(root)
+    if version == 0:
+        raise ValueError(f"set_table_policy target {root} does not exist")
+    sections = {
+        "zorder": zorder,
+        "optimize": optimize,
+        "compact": compact,
+        "vacuum": vacuum,
+        "keyfilters": keyfilters,
+    }
+    policy = (
+        None
+        if all(v is None for v in sections.values())
+        else {k: v for k, v in sections.items() if v is not None}
+    )
+    if policy and "zorder" in policy and "cols" not in policy["zorder"]:
+        raise ValueError("zorder policy requires 'cols'")
+    if policy and "optimize" in policy and (
+        "min_rows_per_file" not in policy["optimize"]
+    ):
+        raise ValueError("optimize policy requires 'min_rows_per_file'")
+    if policy and "compact" in policy and (
+        "max_dv_fraction" not in policy["compact"]
+    ):
+        raise ValueError("compact policy requires 'max_dv_fraction'")
+    if policy and "vacuum" in policy and (
+        "retain_last" not in policy["vacuum"]
+    ):
+        raise ValueError("vacuum policy requires 'retain_last'")
+    manifest = read_manifest(root, version)
+    return _commit(
+        root,
+        [os.path.join(root, f) for f in manifest["files"]],
+        [],
+        [],
+        "policy",
+        expected_version=version,
+        stats=manifest.get("stats", {}),
+        stats_cols=manifest.get("stats_cols", []),
+        dvs=manifest.get("dvs", []),
+        dv_key=manifest.get("dv_key", []),
+        extra={"policy": policy},
+    )
+
+
+def _dv_debt_fraction(root: str, manifest: dict) -> float:
+    """Tombstone rows as a fraction of table rows — the compact gate.
+    DV footer reads are O(outstanding vectors) (bounded by the debt
+    itself); table rows come from the manifest ``rows`` map, with a
+    footer read only for pre-rows history."""
+    import pyarrow.parquet as pq
+
+    dvs = manifest.get("dvs", [])
+    if not dvs:
+        return 0.0
+    dv_rows = sum(
+        pq.ParquetFile(os.path.join(root, d)).metadata.num_rows
+        for d in dvs
+    )
+    mrows = manifest.get("rows", {})
+    total = 0
+    for f in manifest["files"]:
+        total += (
+            mrows[f]
+            if f in mrows
+            else pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        )
+    return dv_rows / max(1, total)
+
+
+def _kf_saturated(manifest: dict, max_density: float,
+                  new_bits: int | None = None) -> list[str]:
+    """Files whose stored filter ones-density exceeds ``max_density``
+    AND whose filter a rebuild could actually improve (its bitmap is
+    below the size a rebuild would allocate — a filter already at
+    ``_KF_MAX_BITS`` can't grow, rebuilding it is pure churn). Pure
+    manifest metadata: density ``d`` is recorded at build time, rows
+    from the ``rows`` map (unknown rows -> assume improvable)."""
+    bits = int(new_bits or manifest.get("kf_bits", 10))
+    mrows = manifest.get("rows", {})
+    out = []
+    for p, cols in manifest.get("kf", {}).items():
+        for filt in cols.values():
+            if filt.get("d", 0.0) <= max_density:
+                continue
+            n = mrows.get(p)
+            would_m = (
+                min(_KF_MAX_BITS, bits * max(1, n))
+                if n is not None
+                else _KF_MAX_BITS
+            )
+            if would_m > filt["m"]:
+                out.append(p)
+                break
+    return out
+
+
+def rebuild_key_filters(
+    spark: SparkSession,
+    root: str,
+    bits: int | None = None,
+    max_density: float = 0.6,
+) -> int:
+    """Rebuild SATURATED key-membership filters as one metadata commit
+    (VERDICT r10 ask #4). A filter's useful probe-set bound is
+    q <~ 1/fpr and fpr ~= density^k, so merge-heavy tables whose
+    filters fill up (old low-bits vintage, or files grown past the
+    bitmap cap) silently lose membership pruning — SCALE.md's own
+    saturation bound. This pass re-reads ONLY the key columns of the
+    files whose stored density exceeds ``max_density`` (and that a
+    rebuild can actually improve), builds fresh filters at ``bits``
+    bits/key (default: bump the table's stored ``kf_bits`` to at least
+    10), and commits — no data rows move, readers on older versions
+    keep the old filters. No-op at the current version when nothing is
+    saturated. The new ``bits`` becomes the table's sticky sizing for
+    future commits."""
+    version = table_version(root)
+    if version == 0:
+        return 0
+    manifest = read_manifest(root, version)
+    kf_cols = manifest.get("kf_cols", [])
+    if not kf_cols:
+        return version
+    eff_bits = int(bits or max(manifest.get("kf_bits", 10), 10))
+    sat = _kf_saturated(manifest, max_density, eff_bits)
+    if not sat:
+        return version
+    rebuilt = _collect_key_filters(
+        root, sat, kf_cols, eff_bits, tag=f"r{version + 1}"
+    )
+    return _commit(
+        root,
+        [os.path.join(root, f) for f in manifest["files"]],
+        [],
+        [],
+        "kf_rebuild",
+        expected_version=version,
+        stats=manifest.get("stats", {}),
+        stats_cols=manifest.get("stats_cols", []),
+        dvs=manifest.get("dvs", []),
+        dv_key=manifest.get("dv_key", []),
+        kf_cols=kf_cols,
+        key_filters={**manifest.get("kf", {}), **rebuilt},
+        kf_bits=eff_bits,
+    )
+
+
 def maintain_table(spark: SparkSession, root: str) -> int:
-    """Apply the table's stored maintenance policy
-    (``set_zorder_policy``): the ONE entry point a scheduler calls
-    after every ingest batch. No policy, or drift below the policy's
-    thresholds, is a no-op returning the current version — the gate is
-    manifest metadata, zero data IO, so calling this every batch costs
-    ~a manifest read. Above threshold it runs ONE atomic incremental
-    Z-order commit (O(delta) rewrite); outstanding deletion vectors
-    are compacted first (zorder refuses to rewrite under tombstone
-    debt), so the call also folds delete debt on the same cadence."""
+    """Apply the table's stored maintenance policy — the ONE entry
+    point a scheduler calls after every ingest batch. No policy, or
+    every drift signal below its threshold, is a no-op returning the
+    current version; the gates are manifest metadata (file count, the
+    ``rows`` map, zone spans), zero data IO, so calling this every
+    batch costs ~a manifest read. Above a threshold each due stage
+    runs as its own atomic commit, in dependency order:
+
+    1. ``compact_table`` when DV debt crosses ``compact.max_dv_fraction``
+       (or unconditionally when a zorder pass is configured and debt
+       is outstanding — zorder refuses to rewrite under tombstones).
+    2. ``optimize_table`` when at least ``optimize.min_small_files``
+       files fall under ``optimize.min_rows_per_file`` rows (skipped
+       while DV debt is deliberately outstanding: optimize refuses to
+       copy doomed rows, and the debt stays below the compact gate by
+       definition).
+    3. ``zorder_table(incremental=True)`` with the policy's drift
+       gates.
+    4. ``vacuum`` keeping the newest ``vacuum.retain_last`` versions,
+       once ``vacuum.min_drop`` droppable manifests accumulate.
+
+    Legacy flat ``set_zorder_policy`` policies keep their exact round-9
+    behavior (compact-if-debt, then incremental zorder)."""
     version = table_version(root)
     if version == 0:
         return 0
@@ -2830,18 +3107,74 @@ def maintain_table(spark: SparkSession, root: str) -> int:
     policy = manifest.get("policy")
     if not policy:
         return version
+    if "cols" in policy:
+        # legacy flat zorder policy (round 9)
+        if manifest.get("dvs"):
+            compact_table(spark, root)
+        return zorder_table(
+            spark,
+            root,
+            policy["cols"],
+            bits=policy.get("bits", 8),
+            target_files=policy.get("target_files", 16),
+            incremental=True,
+            max_span=policy.get("max_span"),
+            min_delta_files=policy.get("min_delta_files", 8),
+        )
+    zo = policy.get("zorder")
+    opt = policy.get("optimize")
+    comp = policy.get("compact")
+    vac = policy.get("vacuum")
     if manifest.get("dvs"):
-        compact_table(spark, root)
-    return zorder_table(
-        spark,
-        root,
-        policy["cols"],
-        bits=policy.get("bits", 8),
-        target_files=policy.get("target_files", 16),
-        incremental=True,
-        max_span=policy.get("max_span"),
-        min_delta_files=policy.get("min_delta_files", 8),
-    )
+        debt_due = comp is not None and (
+            _dv_debt_fraction(root, manifest)
+            >= comp["max_dv_fraction"]
+        )
+        if debt_due or (comp is None and zo is not None):
+            compact_table(spark, root)
+            manifest = read_manifest(root, table_version(root))
+    dv_clear = not manifest.get("dvs")
+    if opt is not None and dv_clear:
+        mrows = manifest.get("rows", {})
+        small = sum(
+            1
+            for f in manifest["files"]
+            if mrows.get(f, opt["min_rows_per_file"])
+            < opt["min_rows_per_file"]
+        )
+        if small >= opt.get("min_small_files", 2):
+            optimize_table(
+                spark,
+                root,
+                opt["min_rows_per_file"],
+                opt.get("target_rows_per_file"),
+            )
+    if zo is not None and dv_clear:
+        zorder_table(
+            spark,
+            root,
+            zo["cols"],
+            bits=zo.get("bits", 8),
+            target_files=zo.get("target_files", 16),
+            incremental=True,
+            max_span=zo.get("max_span"),
+            min_delta_files=zo.get("min_delta_files", 8),
+        )
+    kfp = policy.get("keyfilters")
+    if kfp is not None:
+        latest = read_manifest(root, table_version(root))
+        max_d = kfp.get("max_density", 0.6)
+        if _kf_saturated(latest, max_d, kfp.get("bits")):
+            rebuild_key_filters(
+                spark, root, bits=kfp.get("bits"), max_density=max_d
+            )
+    current = table_version(root)
+    if vac is not None:
+        retain_from = current - vac["retain_last"] + 1
+        probe = retain_from - vac.get("min_drop", _ANCHOR_EVERY)
+        if probe >= 1 and os.path.exists(_manifest_path(root, probe)):
+            vacuum(root, retain_from)
+    return current
 
 
 def start_dedup_versioned_sink(

@@ -323,6 +323,252 @@ def test_parquet_anchor_hash_mismatch_detected(
         read_manifest(root, 1)
 
 
+def test_rows_map_recorded_delta_folded_and_anchored(
+    spark, root, parquet_anchors
+):
+    """Round 10: every commit records its added files' footer row
+    counts in the manifest (``rows``), delta-folded between anchors
+    and carried through the parquet sidecar, so maintenance gates plan
+    with zero data IO."""
+    import pyarrow.parquet as pq
+
+    n = vmod._ANCHOR_EVERY + 3
+    for i in range(n):
+        write_version(
+            spark, _kv(spark, range(i + 1)).coalesce(1), root
+        )
+    m = read_manifest(root, n)
+    assert set(m["rows"]) == set(m["files"])
+    for f in m["files"]:
+        real = pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        assert m["rows"][f] == real, f
+    # a delta manifest carries only its commit's new entries
+    raw = vmod._load_manifest_raw(root, n)
+    assert raw.get("delta_maps") and len(raw["rows_add"]) == 1
+    # the parquet anchor carried the map across the fold
+    assert set(read_manifest(root, vmod._ANCHOR_EVERY + 1)["rows"]) == set(
+        read_manifest(root, vmod._ANCHOR_EVERY + 1)["files"]
+    )
+
+
+def test_table_policy_optimize_gate(spark, root):
+    """VERDICT r10 ask #3: the stored table policy gates
+    optimize_table — a metadata no-op below min_small_files, exactly
+    one atomic bin-pack commit above."""
+    from querysight_spark.sources.versioned import (
+        maintain_table,
+        set_table_policy,
+    )
+
+    write_version(spark, _kv(spark, range(100)).coalesce(1), root)
+    v_pol = set_table_policy(
+        root,
+        optimize={"min_rows_per_file": 50, "min_small_files": 3},
+    )
+    # two small files: below the gate, nothing commits
+    for i in (0, 1):
+        write_version(spark, _kv(spark, [i]).coalesce(1), root)
+    before = table_version(root)
+    assert maintain_table(spark, root) == before
+    assert table_version(root) == before
+    # third small file crosses the gate: ONE optimize commit
+    write_version(spark, _kv(spark, [2]).coalesce(1), root)
+    after = maintain_table(spark, root)
+    assert after == table_version(root) == before + 2
+    m = read_manifest(root, after)
+    assert m["op"] == "optimize"
+    assert read_version(spark, root).count() == 103
+    # small files merged: the gate is quiet again
+    assert maintain_table(spark, root) == after
+    assert v_pol and m.get("policy"), "policy must stay sticky"
+
+
+def test_table_policy_compact_gate_by_dv_fraction(spark, root):
+    """The compact section fires only when tombstone rows cross
+    max_dv_fraction of table rows — small debt rides, big debt folds
+    in one atomic compact commit."""
+    from querysight_spark.sources.versioned import (
+        delete_keys,
+        maintain_table,
+        set_table_policy,
+    )
+
+    write_version(spark, _kv(spark, range(100)).coalesce(1), root,
+                  stats_cols=["id"])
+    set_table_policy(root, compact={"max_dv_fraction": 0.1})
+    delete_keys(spark, root, spark.createDataFrame(
+        [(1,), (2,)], "id long"))
+    before = table_version(root)
+    assert maintain_table(spark, root) == before  # 2% < 10%
+    assert read_manifest(root, before)["dvs"], "debt must still ride"
+    delete_keys(spark, root, spark.createDataFrame(
+        [(int(i),) for i in range(3, 20)], "id long"))
+    after = maintain_table(spark, root)
+    m = read_manifest(root, after)
+    assert m["op"] == "compact" and not m.get("dvs")
+    assert read_version(spark, root).count() == 100 - 19
+
+
+def test_table_policy_vacuum_gate(spark, root):
+    """The vacuum section keeps the newest retain_last versions and
+    only walks the tree once min_drop droppable manifests accumulate."""
+    from querysight_spark.sources.versioned import (
+        maintain_table,
+        set_table_policy,
+    )
+
+    write_version(spark, _kv(spark, [0]).coalesce(1), root)
+    set_table_policy(root, vacuum={"retain_last": 2, "min_drop": 4})
+    for i in range(1, 4):
+        write_version(spark, _kv(spark, [i]).coalesce(1), root)
+    v = maintain_table(spark, root)  # droppable history < min_drop
+    assert os.path.exists(vmod._manifest_path(root, 1))
+    for i in range(4, 8):
+        write_version(spark, _kv(spark, [i]).coalesce(1), root)
+    v = maintain_table(spark, root)
+    assert not os.path.exists(vmod._manifest_path(root, 1))
+    assert os.path.exists(vmod._manifest_path(root, v - 1))
+    assert read_version(spark, root).count() == 8
+    with pytest.raises(Exception):
+        read_version(spark, root, version=1)
+
+
+def test_table_policy_survives_checkpoint_and_anchor_fold(
+    spark, root, parquet_anchors
+):
+    """The sectioned policy is sticky across 32+ commits — through the
+    auto-checkpoint and the parquet anchor fold — and a gated
+    maintain_table call stays METADATA-ONLY: zero parquet footer opens
+    while every threshold is quiet."""
+    import pyarrow.parquet as pq_mod
+
+    from querysight_spark.sources.versioned import (
+        maintain_table,
+        set_table_policy,
+    )
+
+    write_version(spark, _kv(spark, range(50)).coalesce(1), root,
+                  stats_cols=["id"])
+    set_table_policy(
+        root,
+        optimize={"min_rows_per_file": 10, "min_small_files": 100},
+        compact={"max_dv_fraction": 0.9},
+        vacuum={"retain_last": 10_000},
+        keyfilters={"max_density": 0.99},
+    )
+    for i in range(vmod._ANCHOR_EVERY + 2):
+        write_version(
+            spark, _kv(spark, range(50, 62)).coalesce(1), root
+        )
+    m = read_manifest(root, table_version(root))
+    assert set(m["policy"]) == {
+        "optimize", "compact", "vacuum", "keyfilters"
+    }
+    opens = {"n": 0}
+    real_pf = pq_mod.ParquetFile
+
+    class CountingPF(real_pf):
+        def __init__(self, *a, **kw):
+            opens["n"] += 1
+            super().__init__(*a, **kw)
+
+    before = table_version(root)
+    import unittest.mock as mock
+
+    with mock.patch("pyarrow.parquet.ParquetFile", CountingPF):
+        assert maintain_table(spark, root) == before
+    assert opens["n"] == 0, "gated maintain_table must do zero data IO"
+
+
+def test_key_filter_saturation_rebuild_recovers_pruning(spark, root):
+    """VERDICT r10 ask #4: filters record their ones-density at build
+    time; a table driven past saturation (1 bit/key -> ~0.63 fill,
+    fpr ~= fill^k admits almost every probe) recovers its membership
+    pruning after rebuild_key_filters — one metadata commit, no data
+    rows move, and the saturated history stays probe-correct."""
+    from querysight_spark.sources.versioned import (
+        key_membership_pruned,
+        rebuild_key_filters,
+    )
+
+    n_files, rows = 8, 20_000
+    for i in range(n_files):
+        df = spark.range(i * rows, (i + 1) * rows).selectExpr(
+            "id", "id * 2 as v"
+        )
+        write_version(spark, df.coalesce(1), root,
+                      key_filter_cols=["id"], key_filter_bits=1)
+    v1 = table_version(root)
+    m1 = read_manifest(root, v1)
+    dens = [c["id"]["d"] for c in m1["kf"].values()]
+    assert all(d > 0.6 for d in dens), dens
+    kept_before, _ = key_membership_pruned(root, v1, "id", [123])
+    assert len(kept_before) >= 3, "saturated filters should admit most"
+    v2 = rebuild_key_filters(spark, root, bits=10)
+    assert v2 == v1 + 1
+    m2 = read_manifest(root, v2)
+    assert m2["op"] == "kf_rebuild" and m2["kf_bits"] == 10
+    assert all(c["id"]["d"] < 0.6 for c in m2["kf"].values())
+    kept_after, skipped_after = key_membership_pruned(
+        root, v2, "id", [123]
+    )
+    assert len(kept_after) <= 2 and len(skipped_after) >= 6
+    # no false negative: the true file is admitted
+    assert read_version(spark, root).where("id = 123").count() == 1
+    # rows untouched; the rebuild was metadata-only
+    assert m2["files"] == m1["files"]
+    assert read_version(spark, root).count() == n_files * rows
+    # the OLD version still probes through its old (saturated) bitmaps
+    kept_old, _ = key_membership_pruned(root, v1, "id", [123])
+    assert set(kept_old) == set(kept_before)
+    # a second pass is a no-op (nothing saturated anymore)
+    assert rebuild_key_filters(spark, root, bits=10) == v2
+    # vintage-named sidecars coexist until vacuum drops the old refs
+    data_dirs = [
+        os.path.join(root, os.path.dirname(f)) for f in m2["files"]
+    ]
+    names = [
+        n for d in set(data_dirs) for n in os.listdir(d)
+        if n.endswith(".kf")
+    ]
+    assert any(f".r{v2}." in n for n in names)
+    assert any(f".r{v2}." not in n for n in names)
+    vacuum(root, retain_from=v2)
+    names2 = [
+        n for d in set(data_dirs) for n in os.listdir(d)
+        if n.endswith(".kf")
+    ]
+    assert names2 and all(f".r{v2}." in n for n in names2), (
+        "replaced saturated sidecars must be vacuumed"
+    )
+    kept_final, _ = key_membership_pruned(
+        root, table_version(root), "id", [123]
+    )
+    assert set(kept_final) == set(kept_after)
+
+
+def test_maintain_table_keyfilters_policy(spark, root):
+    """The keyfilters policy section drives the rebuild from
+    maintain_table: quiet below max_density, one kf_rebuild commit
+    above, then quiet again."""
+    from querysight_spark.sources.versioned import (
+        maintain_table,
+        set_table_policy,
+    )
+
+    for i in range(3):
+        df = spark.range(i * 20_000, (i + 1) * 20_000)
+        write_version(spark, df.coalesce(1), root,
+                      key_filter_cols=["id"], key_filter_bits=1)
+    set_table_policy(root, keyfilters={"max_density": 0.6, "bits": 10})
+    before = table_version(root)
+    after = maintain_table(spark, root)
+    assert after == before + 1
+    m = read_manifest(root, after)
+    assert m["op"] == "kf_rebuild"
+    assert maintain_table(spark, root) == after  # quiet now
+
+
 def test_read_manifest_returns_fresh_containers(spark, root):
     """ADVICE r9: mutating read_manifest's returned containers must
     not corrupt later reads (the raw cache shares nested objects)."""

@@ -252,6 +252,46 @@ def main() -> None:
                 }
             )
         )
+        # FULL sectioned policy (round 10): optimize + compact +
+        # vacuum + zorder gates all stored; while every threshold is
+        # quiet the per-batch maintain_table call must stay metadata-
+        # only ~ms — the manifest rows map replaces the per-call
+        # footer sweep.
+        from querysight_spark.sources.versioned import set_table_policy
+
+        root = zorder_base("policy_full")
+        set_table_policy(
+            root,
+            zorder={"cols": ["x", "y"], "target_files": N_FILES,
+                    "min_delta_files": 64},
+            optimize={"min_rows_per_file": 100,
+                      "min_small_files": 1_000},
+            compact={"max_dv_fraction": 0.5},
+            vacuum={"retain_last": 100_000},
+        )
+        full_gated_ms: list[float] = []
+        for _b in range(10):
+            delta = spark.range(0, 1000).select(
+                ((F.col("id") * 7919) % N_ROWS).alias("x"),
+                ((F.col("id") * 104729) % N_ROWS).alias("y"),
+                F.lit("delta").alias("pad"),
+            ).coalesce(1)
+            write_version(spark, delta, root)
+            t0 = time.time()
+            maintain_table(spark, root)
+            full_gated_ms.append((time.time() - t0) * 1000)
+        print(
+            json.dumps(
+                {
+                    "op": "maintain_full_policy_gated",
+                    "files": table_version(root),
+                    "gated_mean_ms": round(
+                        sum(full_gated_ms) / len(full_gated_ms), 1
+                    ),
+                    "gated_max_ms": round(max(full_gated_ms), 1),
+                }
+            )
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
     spark.stop()
