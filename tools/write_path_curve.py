@@ -117,6 +117,13 @@ def main() -> None:
                 for f in os.listdir(mdir0)
                 if f.startswith("v") and f.endswith(".json")
             )
+            # round 10: large anchors spill their payload to parquet
+            # sidecars — count them so the log total stays honest
+            side_bytes = sum(
+                os.path.getsize(os.path.join(mdir0, f))
+                for f in os.listdir(mdir0)
+                if f.startswith("anchor-") and f.endswith(".parquet")
+            )
             t0 = time.perf_counter()
             read_manifest(root, v)
             hydrate_cold = time.perf_counter() - t0
@@ -157,6 +164,7 @@ def main() -> None:
                         "manifest_bytes": manifest_bytes,
                         "anchor_manifest_bytes": anchor_bytes,
                         "log_total_bytes": log_bytes,
+                        "anchor_sidecar_total_bytes": side_bytes,
                         "hydrate_cold_ms": round(hydrate_cold * 1000, 2),
                         "grown_with_checkpoint": point >= CKPT_REGIME_FROM,
                         "checkpoint_sec": round(ckpt_sec, 3),
