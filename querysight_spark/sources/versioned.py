@@ -1908,6 +1908,14 @@ def vacuum(root: str, retain_from: int) -> list[str]:
     for sub in (_DATA, _DV):
         walk_root = os.path.join(root, sub)
         for dirpath, _dirs, names in os.walk(walk_root):
+            # data files of this dir that retained manifests keep —
+            # the owners whose fresh unreferenced kf sidecars might be
+            # an in-flight rebuild's (see the .kf branch)
+            dir_kept = {
+                n for n in names
+                if os.path.relpath(os.path.join(dirpath, n), root)
+                in keep
+            }
             for name in names:
                 if name.startswith(("_", ".")):
                     continue  # markers/checksums aren't snapshot members
@@ -1934,14 +1942,36 @@ def vacuum(root: str, retain_from: int) -> list[str]:
                     # a key-filter sidecar survives iff some RETAINED
                     # manifest references it (rebuild passes version
                     # the names, so name-parsing back to the data file
-                    # would over-keep replaced vintages)
-                    if os.path.relpath(full, root) not in keep:
-                        os.unlink(full)
-                        deleted.append(full)
+                    # would over-keep replaced vintages). When its
+                    # OWNING data file is retained, a fresh
+                    # unreferenced sidecar may be a concurrent
+                    # rebuild's not-yet-committed output — age-gate
+                    # that case; a dead owner means history was
+                    # legitimately dropped, delete immediately.
+                    if os.path.relpath(full, root) in keep:
+                        continue
+                    owner_live = any(
+                        name.startswith(b + ".") for b in dir_kept
+                    )
+                    if owner_live:
+                        try:
+                            age = time.time() - os.stat(full).st_mtime
+                        except FileNotFoundError:
+                            continue
+                        if age < _VACUUM_TMP_GRACE_S:
+                            continue
+                    os.unlink(full)
+                    deleted.append(full)
                     continue
                 if not name.endswith(".parquet"):
                     continue
                 if os.path.relpath(full, root) not in keep:
+                    # a file in a commit dir PAST the latest committed
+                    # version is an in-flight (or crashed-future)
+                    # writer's — never a vacuum target; a later vacuum
+                    # reclaims true orphans once the log passes them
+                    if _commit_of(os.path.relpath(full, root)) > latest:
+                        continue
                     os.unlink(full)
                     deleted.append(full)
     for v in range(1, retain_from):
@@ -3134,7 +3164,22 @@ def maintain_table(spark: SparkSession, root: str) -> int:
             _dv_debt_fraction(root, manifest)
             >= comp["max_dv_fraction"]
         )
-        if debt_due or (comp is None and zo is not None):
+        # a DUE zorder pass forces the fold regardless of the debt
+        # fraction (zorder refuses tombstone debt, and waiting on the
+        # compact gate would starve re-clustering under a small
+        # permanent debt); the drift check mirrors zorder_table's
+        # append-drift gate, manifest-only
+        zorder_due = False
+        if zo is not None and not debt_due:
+            last_z = _last_zorder_version(root, version, zo["cols"])
+            fv = manifest.get("fv", {})
+            drift = sum(
+                1
+                for f in manifest["files"]
+                if fv.get(f, _commit_of(f)) > last_z
+            )
+            zorder_due = drift >= max(1, zo.get("min_delta_files", 8))
+        if debt_due or zorder_due or (comp is None and zo is not None):
             compact_table(spark, root)
             manifest = read_manifest(root, table_version(root))
     dv_clear = not manifest.get("dvs")

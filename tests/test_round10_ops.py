@@ -533,6 +533,16 @@ def test_key_filter_saturation_rebuild_recovers_pruning(spark, root):
     ]
     assert any(f".r{v2}." in n for n in names)
     assert any(f".r{v2}." not in n for n in names)
+    # replaced vintages have a LIVE owner, so they are age-gated (a
+    # fresh unreferenced sidecar could be a concurrent rebuild's
+    # in-flight output); backdate them past the grace window
+    import time as _time
+
+    past = _time.time() - vmod._VACUUM_TMP_GRACE_S - 60
+    for d in set(data_dirs):
+        for n in os.listdir(d):
+            if n.endswith(".kf") and f".r{v2}." not in n:
+                os.utime(os.path.join(d, n), (past, past))
     vacuum(root, retain_from=v2)
     names2 = [
         n for d in set(data_dirs) for n in os.listdir(d)
@@ -567,6 +577,99 @@ def test_maintain_table_keyfilters_policy(spark, root):
     m = read_manifest(root, after)
     assert m["op"] == "kf_rebuild"
     assert maintain_table(spark, root) == after  # quiet now
+
+
+def test_zorder_not_starved_by_small_dv_debt(spark, root):
+    """With both compact and zorder sections stored, a permanent small
+    DV debt below max_dv_fraction must not starve re-clustering: a DUE
+    zorder pass forces the fold (manifest-only drift check), then
+    clusters."""
+    from pyspark.sql import functions as F
+
+    from querysight_spark.sources.versioned import (
+        delete_keys,
+        maintain_table,
+        set_table_policy,
+    )
+
+    base = spark.range(0, 1000).select(
+        "id", (F.col("id") * 7 % 100).alias("g")
+    )
+    write_version(spark, base.repartition(4), root, stats_cols=["id"])
+    set_table_policy(
+        root,
+        zorder={"cols": ["id", "g"], "target_files": 4,
+                "min_delta_files": 3},
+        compact={"max_dv_fraction": 0.5},
+    )
+    maintain_table(spark, root)  # initial cluster
+    delete_keys(spark, root, spark.createDataFrame([(5,)], "id long"))
+    # small permanent debt (0.1% << 50%); drift below gate: quiet
+    before = table_version(root)
+    assert maintain_table(spark, root) == before
+    assert read_manifest(root, before)["dvs"]
+    # push append drift past min_delta_files: the due zorder must
+    # force the compact (debt still under the fraction) then cluster
+    for i in range(3):
+        write_version(
+            spark,
+            spark.createDataFrame(
+                [(2000 + i, 1)], "id long, g long"
+            ),
+            root,
+        )
+    after = maintain_table(spark, root)
+    hist = [
+        read_manifest(root, v)["op"]
+        for v in range(before + 4, after + 1)
+    ]
+    assert "compact" in hist and "zorder" in hist, hist
+    assert not read_manifest(root, after).get("dvs")
+    assert read_version(spark, root).count() == 1002  # 1000 - 1 + 3
+
+
+def test_vacuum_spares_inflight_future_commit_files(spark, root):
+    """A concurrent writer's data files live in a commit dir PAST the
+    latest committed version until its manifest lands — vacuum must
+    never reclaim them (they look unreferenced); once the log passes
+    that version, true crash orphans are reclaimed."""
+    for i in range(4):
+        write_version(spark, _kv(spark, [i]).coalesce(1), root)
+    inflight = os.path.join(root, "data", "c00000005-deadbeef")
+    os.makedirs(inflight)
+    orphan = os.path.join(inflight, "part-00000-x-c000.snappy.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1 not really parquet")
+    vacuum(root, retain_from=2)
+    assert os.path.exists(orphan), "in-flight commit's file vacuumed"
+    # the log passes version 5: the crashed writer's file is now a
+    # plain orphan and goes
+    for i in (4, 5):
+        write_version(spark, _kv(spark, [i]).coalesce(1), root)
+    vacuum(root, retain_from=3)
+    assert not os.path.exists(orphan)
+    assert read_version(spark, root).count() == 6
+
+
+def test_vacuum_spares_fresh_unreferenced_kf_of_live_owner(spark, root):
+    """A fresh unreferenced kf sidecar whose owning data file is
+    retained may be a concurrent rebuild's not-yet-committed output —
+    vacuum age-gates it (stale ones with a dead owner die at once,
+    pinned in test_round8_ops)."""
+    write_version(spark, _kv(spark, range(10)).coalesce(1), root,
+                  key_filter_cols=["id"])
+    files = read_manifest(root, 1)["files"]
+    pending = os.path.join(root, files[0] + ".id.r2.kf")
+    with open(pending, "wb") as f:
+        f.write(b"\x00" * 64)
+    vacuum(root, retain_from=1)
+    assert os.path.exists(pending), "in-flight rebuild sidecar vacuumed"
+    import time as _time
+
+    past = _time.time() - vmod._VACUUM_TMP_GRACE_S - 60
+    os.utime(pending, (past, past))
+    vacuum(root, retain_from=1)
+    assert not os.path.exists(pending)
 
 
 def test_read_manifest_returns_fresh_containers(spark, root):
