@@ -1845,6 +1845,55 @@ def rollback(root: str, to_version: int) -> int:
     )
 
 
+def _kf_sidecar_refs(kf: dict, out: set) -> None:
+    """Sidecar bitmap paths a kf map references (inline filters
+    reference nothing)."""
+    for p, cols in kf.items():
+        for filt in cols.values():
+            if "p" in filt:
+                out.add(os.path.join(os.path.dirname(p), filt["p"]))
+
+
+def _vacuum_keep(root: str, retain_from: int, latest: int) -> set[str]:
+    """Everything reachable from any manifest in [retain_from, latest]:
+    data files, DV files, and the kf sidecar bitmaps their kf maps
+    reference (a rebuild pass leaves older vintages behind under
+    versioned names — see ``_kf_build``'s ``tag``).
+
+    O(files + changes), not O(retained x files) (round 10): hydrating
+    every retained version built a full file map per version — minutes
+    of pure set churn at 10^3 retained x 10^5 files. The union is
+    reconstructible from ONE hydration of the oldest retained version
+    plus each later commit's raw DELTAS: files(v+1) = (files(v) -
+    removed) + added, so the union of file lists is files(retain) U
+    all later `added` (plus any verbatim list a failed fold kept);
+    kf_add holds every reference new-or-changed at that commit, so
+    refs union the same way. Anchors in range carry full maps instead
+    of deltas — their O(files) read amortizes /32 and hits the
+    expanded-anchor cache."""
+    keep: set[str] = set()
+    base = read_manifest(root, retain_from)
+    keep.update(base["files"])
+    keep.update(base.get("dvs", []))
+    _kf_sidecar_refs(base.get("kf", {}), keep)
+    for v in range(retain_from + 1, latest + 1):
+        raw = _load_manifest_raw(root, v)
+        if raw.get("delta_maps"):
+            keep.update(raw.get("added", []))
+            if "files" in raw:
+                # fold check failed at commit time (e.g. a rollback
+                # interleaving differently): trust the verbatim list
+                keep.update(raw["files"])
+            keep.update(raw.get("dvs", []))
+            _kf_sidecar_refs(raw.get("kf_add", {}), keep)
+        else:
+            m = _anchor_expand(root, raw)
+            keep.update(m["files"])
+            keep.update(m.get("dvs", []))
+            _kf_sidecar_refs(m.get("kf", {}), keep)
+    return keep
+
+
 def vacuum(root: str, retain_from: int) -> list[str]:
     """Delete data files unreachable from every manifest >=
     ``retain_from`` (and drop the older manifests). Time-travel before
@@ -1890,20 +1939,7 @@ def vacuum(root: str, retain_from: int) -> list[str]:
     )
     for stale in ckpts[:-1]:
         os.unlink(os.path.join(mdir, stale))
-    keep: set[str] = set()
-    for v in range(retain_from, latest + 1):
-        m = read_manifest(root, v)  # hydrated: files may be folded
-        keep.update(m["files"])
-        keep.update(m.get("dvs", []))
-        for p, cols in m.get("kf", {}).items():
-            # keep exactly the sidecar bitmaps retained manifests
-            # REFERENCE (a rebuild pass leaves older vintages behind
-            # under versioned names — see _kf_build's ``tag``)
-            for filt in cols.values():
-                if "p" in filt:
-                    keep.add(
-                        os.path.join(os.path.dirname(p), filt["p"])
-                    )
+    keep = _vacuum_keep(root, retain_from, latest)
     deleted = []
     for sub in (_DATA, _DV):
         walk_root = os.path.join(root, sub)

@@ -672,6 +672,65 @@ def test_vacuum_spares_fresh_unreferenced_kf_of_live_owner(spark, root):
     assert not os.path.exists(pending)
 
 
+def test_vacuum_keep_set_matches_bruteforce_union(
+    spark, root, parquet_anchors
+):
+    """Round 10: vacuum's keep-set is rebuilt from one hydration plus
+    raw deltas (O(files + changes), not O(retained x files)). Pin it
+    against the brute-force union of every retained version's hydrated
+    manifest across a history mixing appends, merge, delete, compact,
+    zorder, rollback, and a filter rebuild, spanning an anchor."""
+    from pyspark.sql import functions as F
+
+    from querysight_spark.sources.versioned import (
+        _vacuum_keep,
+        compact_table,
+        delete_keys,
+        merge_into,
+        rebuild_key_filters,
+        rollback,
+        zorder_table,
+    )
+
+    for i in range(30):
+        df = spark.range(i * 50, (i + 1) * 50).select(
+            "id", (F.col("id") % 7).alias("g")
+        )
+        write_version(spark, df.coalesce(1), root,
+                      stats_cols=["id"], key_filter_cols=["id"],
+                      key_filter_bits=1)
+    merge_into(
+        spark,
+        spark.createDataFrame([(5, 99), (700, 1)], "id long, g long"),
+        root, ["id"],
+    )
+    delete_keys(spark, root, spark.createDataFrame([(9,)], "id long"))
+    compact_table(spark, root)
+    zorder_table(spark, root, ["id", "g"], target_files=4)
+    rollback(root, 20)
+    rebuild_key_filters(spark, root, bits=10)
+    for i in (41, 42):  # cross the next anchor
+        write_version(spark, _kv(spark, [i]).coalesce(1), root)
+    latest = table_version(root)
+    assert latest > vmod._ANCHOR_EVERY + 4
+    for retain in (2, 20, vmod._ANCHOR_EVERY + 1, latest - 1):
+        brute: set[str] = set()
+        for v in range(retain, latest + 1):
+            m = read_manifest(root, v)
+            brute.update(m["files"])
+            brute.update(m.get("dvs", []))
+            for p, cols in m.get("kf", {}).items():
+                for filt in cols.values():
+                    if "p" in filt:
+                        brute.add(os.path.join(
+                            os.path.dirname(p), filt["p"]))
+        assert _vacuum_keep(root, retain, latest) == brute, retain
+    # and the real vacuum still leaves a readable table
+    vacuum(root, retain_from=latest - 1)
+    assert read_version(spark, root).count() == \
+        read_version(spark, root, version=latest).count()
+
+
 def test_read_manifest_returns_fresh_containers(spark, root):
     """ADVICE r9: mutating read_manifest's returned containers must
     not corrupt later reads (the raw cache shares nested objects)."""
