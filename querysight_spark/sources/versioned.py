@@ -521,7 +521,7 @@ def committed_txn(root: str, txn_id: str) -> int | None:
     return None
 
 
-def checkpoint_manifest(root: str) -> int:
+def checkpoint_manifest(root: str, txn_retention: int | None = None) -> int:
     """Write a manifest CHECKPOINT at the current version: the
     _last_checkpoint discipline the public log-structured formats
     document. ``ckpt-v{N}.json`` carries N plus the full txn-id ->
@@ -531,7 +531,17 @@ def checkpoint_manifest(root: str) -> int:
     from the map + an O(delta) tail scan. Run it on the maintenance
     cadence (e.g. every K streaming batches, beside compact/optimize);
     cost is O(commits since the last checkpoint). Returns the
-    checkpointed version."""
+    checkpointed version.
+
+    ``txn_retention`` (round 10) BOUNDS the map: entries whose commit
+    landed more than that many versions ago are pruned — without it a
+    micro-batch sink at 10^6 batches makes every checkpoint rewrite a
+    ~50-100 MB ever-growing map. The contract is the public formats'
+    transaction-retention window: a writer retrying a txn OLDER than
+    the window may double-apply (``committed_txn`` answers exactly for
+    anything younger — map for pruned-era scans don't look below the
+    checkpoint floor). Size it generously above the longest plausible
+    retry delay, and at least the vacuum retention."""
     prev = _latest_checkpoint(root)
     floor = prev["version"] if prev else 0
     txns = dict(prev["txns"]) if prev else {}
@@ -540,6 +550,13 @@ def checkpoint_manifest(root: str) -> int:
         t = _load_manifest_raw(root, v).get("txn_id")  # txn_id only
         if t is not None:
             txns[t] = v
+    if txn_retention is not None:
+        if txn_retention < 1:
+            raise ValueError(
+                f"txn_retention must be >= 1, got {txn_retention}"
+            )
+        keep_from = latest - txn_retention + 1
+        txns = {t: v for t, v in txns.items() if v >= keep_from}
     path = os.path.join(root, _MANIFESTS, f"ckpt-{latest:08d}.json")
     tmp = path + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -1313,8 +1330,20 @@ def _commit(root: str, files: list[str], added: list[str],
             # fold rides along and bounds every later scan to one
             # anchor window. Best-effort: the commit itself already
             # landed, and a failed checkpoint only costs scan depth.
+            # The stored checkpoint policy's txn_retention rides along
+            # (round 10): the auto-checkpoint is where an unbounded
+            # txn map would otherwise grow forever.
             try:
-                checkpoint_manifest(root)
+                pol = manifest.get("policy") or {}
+                ckpt_pol = (
+                    pol.get("checkpoint")
+                    if isinstance(pol, dict) and "cols" not in pol
+                    else None
+                )
+                checkpoint_manifest(
+                    root,
+                    txn_retention=(ckpt_pol or {}).get("txn_retention"),
+                )
             except Exception:
                 pass
         return version
@@ -2968,6 +2997,7 @@ def set_table_policy(
     compact: dict | None = None,
     vacuum: dict | None = None,
     keyfilters: dict | None = None,
+    checkpoint: dict | None = None,
 ) -> int:
     """Store the table's WHOLE maintenance policy as one metadata-only
     commit (VERDICT r10 ask #3 — ``set_zorder_policy`` covered only
@@ -2994,6 +3024,11 @@ def set_table_policy(
       threshold (``rebuild_key_filters``; fpr ~= density^k, so a
       saturated filter admits ~every probe and pruning silently
       dies — SCALE.md's q <~ 1/fpr bound).
+    - ``checkpoint``: ``{txn_retention}`` — bound the checkpoint's
+      txn-id map to commits within that many versions (applied by the
+      anchor-cadence auto-checkpoint; a txn retried from OUTSIDE the
+      window may double-apply — the public formats' transaction
+      retention contract. Size it at least the vacuum retention).
 
     All sections None clears the policy. Like ``set_zorder_policy``
     the stored policy is STICKY (every commit carries it, surviving
@@ -3008,6 +3043,7 @@ def set_table_policy(
         "compact": compact,
         "vacuum": vacuum,
         "keyfilters": keyfilters,
+        "checkpoint": checkpoint,
     }
     policy = (
         None
@@ -3028,6 +3064,10 @@ def set_table_policy(
         "retain_last" not in policy["vacuum"]
     ):
         raise ValueError("vacuum policy requires 'retain_last'")
+    if policy and "checkpoint" in policy and (
+        "txn_retention" not in policy["checkpoint"]
+    ):
+        raise ValueError("checkpoint policy requires 'txn_retention'")
     manifest = read_manifest(root, version)
     return _commit(
         root,

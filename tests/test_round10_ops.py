@@ -731,6 +731,68 @@ def test_vacuum_keep_set_matches_bruteforce_union(
         read_version(spark, root, version=latest).count()
 
 
+def test_checkpoint_txn_retention_bounds_map(spark, root):
+    """Round-10 continuity #1 pulled forward: the checkpoint's txn-id
+    map is bounded by the stored retention window — in-window txns
+    answer exactly, pruned-era txns return None (the documented
+    double-apply window), and the map stops growing with history."""
+    from querysight_spark.sources.versioned import (
+        _latest_checkpoint,
+        checkpoint_manifest,
+        committed_txn,
+    )
+
+    for i in range(1, 31):
+        write_version(spark, _kv(spark, [i]).coalesce(1), root,
+                      txn_id=f"t:{i}")
+    checkpoint_manifest(root, txn_retention=10)
+    ckpt = _latest_checkpoint(root)
+    assert ckpt["version"] == 30
+    assert set(ckpt["txns"].values()) == set(range(21, 31))
+    # in-window: exact answers (map hits below the scan floor)
+    assert committed_txn(root, "t:25") == 25
+    # pruned era: None — a very late retry would re-apply; that is
+    # the contract the retention buys the bounded map with
+    assert committed_txn(root, "t:5") is None
+    # a retention-less checkpoint re-accumulates only the tail (the
+    # pruned entries are gone from the inherited map for good)
+    write_version(spark, _kv(spark, [99]).coalesce(1), root,
+                  txn_id="t:99")
+    checkpoint_manifest(root)
+    ckpt2 = _latest_checkpoint(root)
+    assert "t:5" not in ckpt2["txns"] and ckpt2["txns"]["t:99"] == 31
+
+
+def test_checkpoint_policy_prunes_at_anchor_cadence(spark, root):
+    """The stored checkpoint policy rides the anchor auto-checkpoint:
+    past the anchor the map holds only the retention window, and an
+    in-window streaming retry still no-ops."""
+    from querysight_spark.sources.versioned import (
+        _latest_checkpoint,
+        set_table_policy,
+    )
+
+    write_version(spark, _kv(spark, [0]).coalesce(1), root,
+                  txn_id="t:1")
+    set_table_policy(root, checkpoint={"txn_retention": 8})
+    n = vmod._ANCHOR_EVERY + 2
+    for i in range(2, n):
+        write_version(spark, _kv(spark, [i]).coalesce(1), root,
+                      txn_id=f"t:{i + 1}")
+    ckpt = _latest_checkpoint(root)
+    assert ckpt is not None and ckpt["version"] == vmod._ANCHOR_EVERY + 1
+    assert len(ckpt["txns"]) <= 8
+    assert min(ckpt["txns"].values()) >= ckpt["version"] - 8 + 1
+    # an in-window retry finds its txn (no duplicate append)
+    v = write_version(spark, _kv(spark, [999]).coalesce(1), root,
+                      txn_id="t:final")
+    assert v == table_version(root)
+    assert write_version(
+        spark, _kv(spark, [999]).coalesce(1), root, txn_id="t:final"
+    ) == v
+    assert read_version(spark, root).count() == n  # no double rows
+
+
 def test_read_manifest_returns_fresh_containers(spark, root):
     """ADVICE r9: mutating read_manifest's returned containers must
     not corrupt later reads (the raw cache shares nested objects)."""
