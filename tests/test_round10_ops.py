@@ -793,6 +793,44 @@ def test_checkpoint_policy_prunes_at_anchor_cadence(spark, root):
     assert read_version(spark, root).count() == n  # no double rows
 
 
+def test_anchor_claim_race_loser_unlinks_sidecar(
+    spark, root, parquet_anchors, monkeypatch
+):
+    """A commit that writes its anchor sidecar and then loses the
+    version-claim race must unlink that sidecar before retrying —
+    exactly one referenced anchor sidecar remains for the version."""
+    import os as _os
+
+    for i in range(vmod._ANCHOR_EVERY):
+        write_version(spark, _kv(spark, [i]).coalesce(1), root)
+    real_link = _os.link
+    raced = {"n": 0}
+
+    def flaky_link(src, dst, *a, **kw):
+        if dst.endswith("v00000033.json") and raced["n"] == 0:
+            raced["n"] += 1
+            raise FileExistsError(dst)  # a racer claimed it first
+        return real_link(src, dst, *a, **kw)
+
+    monkeypatch.setattr(vmod.os, "link", flaky_link)
+    v = write_version(spark, _kv(spark, [99]).coalesce(1), root)
+    monkeypatch.undo()
+    assert raced["n"] == 1, "test must exercise the lost claim"
+    assert v == vmod._ANCHOR_EVERY + 1
+    mdir = os.path.join(root, "_manifests")
+    v33_sidecars = [
+        f for f in os.listdir(mdir)
+        if f.startswith("anchor-v00000033-")
+    ]
+    raw = vmod._load_manifest_raw(root, v)
+    assert v33_sidecars == [raw["anchor_parquet"]], (
+        "the losing attempt's sidecar must be unlinked"
+    )
+    m = read_manifest(root, v)
+    assert len(m["files"]) == v
+    assert read_version(spark, root).count() == vmod._ANCHOR_EVERY + 1
+
+
 def test_read_manifest_returns_fresh_containers(spark, root):
     """ADVICE r9: mutating read_manifest's returned containers must
     not corrupt later reads (the raw cache shares nested objects)."""
