@@ -9730,24 +9730,24 @@ def io14(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_slices = vmod._ANCHOR_EVERY + 2
     if not os.path.exists(done):
         os.makedirs(work, exist_ok=True)
-        keep_min = vmod._ANCHOR_PARQUET_MIN
-        vmod._ANCHOR_PARQUET_MIN = 1
-        try:
-            for i in range(n_slices):
-                part = orders.where(
-                    F.col("o_orderkey") % n_slices == i
-                ).coalesce(1)
-                kwargs = (
-                    {
-                        "stats_cols": ["o_orderkey"],
-                        "key_filter_cols": ["o_orderkey"],
-                    }
-                    if i == 0
-                    else {}
-                )
-                write_version(spark, part, root, **kwargs)
-        finally:
-            vmod._ANCHOR_PARQUET_MIN = keep_min
+        # per-commit threshold override (round 11): forces tiny
+        # anchors to fold without rebinding the module global under
+        # a concurrent writer (ADVICE r10)
+        for i in range(n_slices):
+            part = orders.where(
+                F.col("o_orderkey") % n_slices == i
+            ).coalesce(1)
+            kwargs = (
+                {
+                    "stats_cols": ["o_orderkey"],
+                    "key_filter_cols": ["o_orderkey"],
+                }
+                if i == 0
+                else {}
+            )
+            write_version(
+                spark, part, root, anchor_parquet_min=1, **kwargs
+            )
         pointer = True
         for av in (1, vmod._ANCHOR_EVERY + 1):
             raw = vmod._load_manifest_raw(root, av)

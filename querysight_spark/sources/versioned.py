@@ -175,32 +175,88 @@ _VACUUM_TMP_GRACE_S = 15 * 60
 # O(files) JSON term — ~75 MB per anchor projected at 10^5 files
 # (SCALE.md write_path_curve; every path string appears up to four
 # times across files/stats/kf/fv and JSON adds quoting/key overhead).
-# Past this many entries (files + DVs) the anchor's file list and
-# per-file maps move to a COLUMNAR SIDECAR beside the manifest
-# (`anchor-v{N}-{uuid}.parquet`: one row per file/DV, dictionary-
-# encoded paths, zstd-compressed JSON cells for stats/kf, exception
-# versions as a nullable int64 column); the JSON manifest keeps a
-# pointer, row counts, and a content hash, and stays ~1 KB like every
-# delta. Below the threshold plain JSON is both smaller and one fewer
+# Past this many entries (files + DVs + this commit's added/removed
+# deltas) the anchor's file list and per-file maps move to a COLUMNAR
+# SIDECAR beside the manifest (`anchor-v{N}-{uuid}.parquet`: one row
+# per file/DV/delta path, dictionary-encoded paths, zstd-compressed
+# JSON cells for stats/kf, exception versions as a nullable int64
+# column); the JSON manifest keeps a pointer, row counts, and a
+# content hash, and stays ~1 KB like every delta. The ``added``/
+# ``removed`` lists fold too (round 11): an overwrite/rollback/
+# optimize commit that lands on the anchor cadence rewrites most of
+# the table, so those lists are itself O(files) — ~7 MB of pointer
+# JSON at 10^5 files without the fold (SCALE.md anchor_curve).
+# Below the threshold plain JSON is both smaller and one fewer
 # IO, so small tables never pay the sidecar read. Sidecars are
 # IMMUTABLE and uniquely named — a commit that loses the version-claim
 # race unlinks its own; vacuum sweeps unreferenced ones (age-gated).
 _ANCHOR_PARQUET_MIN = 512
 
+# sidecar row kinds: snapshot members (0/1) carry the per-file map
+# cells; this commit's own added/removed deltas (2/3) carry only the
+# path (restored to plain lists on expand — the CDC contract is
+# unchanged, only the encoding moved)
+_ANCHOR_KIND_FILE = 0
+_ANCHOR_KIND_DV = 1
+_ANCHOR_KIND_ADDED = 2
+_ANCHOR_KIND_REMOVED = 3
+
+# the per-file maps whose sidecar columns decode LAZILY (round 11):
+# each is a json.loads (stats/kf) or dict-build (rows) over 10^5
+# cells — ~all of the old eager expand cost — while a plain scan
+# needs only the file list and pruning needs stats or kf alone.
+_ANCHOR_LAZY_KEYS = ("stats", "kf", "rows")
+
+
+class _AnchorSide:
+    """One cached parquet-anchor sidecar, PARTIALLY hydrated: the
+    file/DV/added/removed lists and the exceptions-only version maps
+    (fv/dvv) decode eagerly — cheap columnar string/int reads, what a
+    plain scan plans from — while the per-file ``stats``/``kf``/
+    ``rows`` maps materialize per COLUMN on first request (~2.3 s of
+    json.loads at 10^5 files when decoded eagerly, SCALE.md
+    anchor_curve r10) and stay cached for every later caller."""
+
+    __slots__ = ("stat_key", "maps", "_lazy")
+
+    def __init__(self, stat_key, maps: dict, lazy: dict):
+        self.stat_key = stat_key
+        self.maps = maps
+        self._lazy = lazy  # map key -> thunk; popped once materialized
+
+    def ensure(self, keys) -> None:
+        for k in keys:
+            fn = self._lazy.pop(k, None)
+            if fn is not None:
+                self.maps[k] = fn()
+
+
 # expanded-anchor cache: maps are large (that's why they left the
-# JSON), so cache few and key on stat like the raw cache
-_ANCHOR_SIDE_CACHE: dict[str, tuple[tuple[int, int, int], dict]] = {}
+# JSON), so cache few, key on stat like the raw cache, and evict LRU
+# (move-to-end on hit — ADVICE r10: a hydration walk spanning >4
+# anchor windows must not thrash the hot one out in FIFO order)
+_ANCHOR_SIDE_CACHE: dict[str, _AnchorSide] = {}
 _ANCHOR_SIDE_CACHE_CAP = 4
 
 
-def _anchor_fold(root: str, manifest: dict) -> str | None:
+def _anchor_fold(
+    root: str, manifest: dict, min_entries: int | None = None
+) -> str | None:
     """Fold a full anchor ``manifest`` (mutated in place) into pointer
-    form, writing the file list + per-file maps as a parquet sidecar.
-    No-op below ``_ANCHOR_PARQUET_MIN`` entries. Returns the sidecar's
-    absolute path (for claim-race cleanup) or None."""
+    form, writing the file list + per-file maps — and this commit's
+    ``added``/``removed`` delta lists — as a parquet sidecar. No-op
+    below ``min_entries`` total paths (default
+    ``_ANCHOR_PARQUET_MIN``; a parameter, not a module-global rebind,
+    so tests and callers forcing tiny folds stay thread-safe — ADVICE
+    r10). Returns the sidecar's absolute path (for claim-race
+    cleanup) or None."""
     files = manifest.get("files", [])
     dvs = manifest.get("dvs", [])
-    if len(files) + len(dvs) < _ANCHOR_PARQUET_MIN:
+    added = manifest.get("added", [])
+    removed = manifest.get("removed", [])
+    if min_entries is None:
+        min_entries = _ANCHOR_PARQUET_MIN
+    if len(files) + len(dvs) + len(added) + len(removed) < min_entries:
         return None
     import hashlib
 
@@ -235,28 +291,41 @@ def _anchor_fold(root: str, manifest: dict) -> str | None:
             out[c] = filt
         return json.dumps(out, separators=(",", ":"))
 
+    n_delta = len(added) + len(removed)
     tbl = pa.table(
         {
-            "path": pa.array(list(files) + list(dvs), pa.string()),
+            "path": pa.array(
+                list(files) + list(dvs) + list(added) + list(removed),
+                pa.string(),
+            ),
             "kind": pa.array(
-                [0] * len(files) + [1] * len(dvs), pa.int8()
+                [_ANCHOR_KIND_FILE] * len(files)
+                + [_ANCHOR_KIND_DV] * len(dvs)
+                + [_ANCHOR_KIND_ADDED] * len(added)
+                + [_ANCHOR_KIND_REMOVED] * len(removed),
+                pa.int8(),
             ),
             "stats": pa.array(
-                [_j(stats, p) for p in files] + [None] * len(dvs),
+                [_j(stats, p) for p in files]
+                + [None] * (len(dvs) + n_delta),
                 pa.string(),
             ),
             "kf": pa.array(
-                [_j_kf(p) for p in files] + [None] * len(dvs),
+                [_j_kf(p) for p in files]
+                + [None] * (len(dvs) + n_delta),
                 pa.string(),
             ),
             # exceptions-only committed versions (fv for files, dvv
             # for DVs) share one nullable column
             "ver": pa.array(
-                [fv.get(p) for p in files] + [dvv.get(p) for p in dvs],
+                [fv.get(p) for p in files]
+                + [dvv.get(p) for p in dvs]
+                + [None] * n_delta,
                 pa.int64(),
             ),
             "rows": pa.array(
-                [rows.get(p) for p in files] + [None] * len(dvs),
+                [rows.get(p) for p in files]
+                + [None] * (len(dvs) + n_delta),
                 pa.int64(),
             ),
         }
@@ -280,25 +349,41 @@ def _anchor_fold(root: str, manifest: dict) -> str | None:
     manifest["anchor_parquet"] = name
     manifest["anchor_sha256"] = sha
     manifest["anchor_counts"] = [len(files), len(dvs)]
-    for k in ("files", "dvs", "stats", "kf", "fv", "dvv", "rows"):
+    manifest["anchor_ar_counts"] = [len(added), len(removed)]
+    for k in ("files", "dvs", "stats", "kf", "fv", "dvv", "rows",
+              "added", "removed"):
         manifest.pop(k, None)
     return final
 
 
-def _anchor_expand(root: str, raw: dict) -> dict:
-    """Pointer-form anchor -> full form (files/dvs/stats/kf/fv/dvv
-    restored from the parquet sidecar, content-hash-verified, cached).
-    Non-pointer manifests pass through. The returned containers are
-    shared with the cache — same invariant as ``_load_manifest_raw``;
-    ``_hydrate_manifest`` copies what it hands out."""
+def _anchor_expand(root: str, raw: dict, need=None) -> dict:
+    """Pointer-form anchor -> full form (files/dvs/added/removed/fv/
+    dvv restored from the parquet sidecar, content-hash-verified,
+    cached). Non-pointer manifests pass through.
+
+    ``need`` (round 11) is the LAZY-HYDRATION floor: the heavy
+    per-file maps (``stats``/``kf``/``rows`` — each a json.loads or
+    dict-build over every file, ~2.3 s at 10^5 files when all decode
+    eagerly) materialize per COLUMN only when named in ``need``
+    (``None`` = all, the full contract). Lists and the exceptions-only
+    version maps are always decoded — a plain scan plans from those
+    alone in ~ms. Maps materialized for an EARLIER caller stay in the
+    returned dict (need is a floor, not a projection). The returned
+    containers are shared with the cache — same invariant as
+    ``_load_manifest_raw``; ``_hydrate_manifest`` copies what it
+    hands out."""
     name = raw.get("anchor_parquet")
     if not name:
         return raw
     path = os.path.join(root, _MANIFESTS, name)
     st = os.stat(path)
     key = (st.st_mtime_ns, st.st_size, st.st_ino)
-    hit = _ANCHOR_SIDE_CACHE.get(path)
-    if hit is None or hit[0] != key:
+    side = _ANCHOR_SIDE_CACHE.get(path)
+    if side is not None and side.stat_key == key:
+        # LRU: move-to-end on hit (ADVICE r10)
+        _ANCHOR_SIDE_CACHE.pop(path, None)
+        _ANCHOR_SIDE_CACHE[path] = side
+    else:
         import hashlib
         import io as _io
 
@@ -312,70 +397,183 @@ def _anchor_expand(root: str, raw: dict) -> dict:
                 f"anchor sidecar {name} content-hash mismatch "
                 "(corrupt or mismatched manifest)"
             )
-        tbl = pq.read_table(_io.BytesIO(data))
-        files: list[str] = []
-        dvs: list[str] = []
-        stats: dict = {}
-        kf: dict = {}
-        fv: dict = {}
-        dvv: dict = {}
-        rows: dict = {}
-        n_rows_col = (
-            tbl.column("rows").to_pylist()
-            if "rows" in tbl.column_names
-            else [None] * tbl.num_rows
+        import numpy as np
+
+        # EAGER read = the cheap planning columns only (path/kind/ver);
+        # the stats/kf/rows columns stay zstd-compressed inside `data`
+        # until a lazy thunk below decodes one — skipping their
+        # decompress + json.loads is most of the 10x+ between a
+        # list-only hydration and the old full expand (anchor_curve).
+        # A FULL-hydration miss (need=None — the write path) still
+        # decodes every column in this one pass, so it pays no
+        # second read.
+        tbl = pq.read_table(
+            _io.BytesIO(data),
+            columns=(
+                None if need is None else ["path", "kind", "ver"]
+            ),
         )
-        for p, kind, sj, kj, ver, nr in zip(
-            tbl.column("path").to_pylist(),
-            tbl.column("kind").to_pylist(),
-            tbl.column("stats").to_pylist(),
-            tbl.column("kf").to_pylist(),
-            tbl.column("ver").to_pylist(),
-            n_rows_col,
-        ):
-            if kind == 0:
-                files.append(p)
-                if sj is not None:
-                    stats[p] = json.loads(sj)
-                if kj is not None:
-                    cols = json.loads(kj)
-                    base = os.path.basename(p)
-                    for c, filt in cols.items():
-                        if filt.get("p") == "":
-                            # fold-side tokenization of the derived
-                            # sidecar name (see _anchor_fold._j_kf)
-                            filt["p"] = f"{base}.{c}.kf"
-                    kf[p] = cols
-                if ver is not None:
-                    fv[p] = ver
-                if nr is not None:
-                    rows[p] = nr
-            else:
-                dvs.append(p)
-                if ver is not None:
-                    dvv[p] = ver
+        paths = tbl.column("path").to_pylist()
+        kinds_np = tbl.column("kind").to_numpy()
+        # ver is exceptions-only (~1% non-null): pull just the
+        # non-null indices instead of scanning 10^5 python Nones
+        v_np = tbl.column("ver").to_numpy(zero_copy_only=False)
+        v_idx = (
+            np.flatnonzero(~np.isnan(v_np))
+            if len(v_np) and v_np.dtype.kind == "f"
+            else np.arange(len(v_np))
+        )
+        blocky = len(kinds_np) == 0 or bool(
+            np.all(np.diff(kinds_np) >= 0)
+        )
+        if blocky:
+            # _anchor_fold writes kinds as contiguous blocks
+            # (files|dvs|added|removed) — split by boundary
+            e0, e1, e2 = (
+                int(x)
+                for x in np.searchsorted(
+                    kinds_np,
+                    [
+                        _ANCHOR_KIND_FILE,
+                        _ANCHOR_KIND_DV,
+                        _ANCHOR_KIND_ADDED,
+                    ],
+                    side="right",
+                )
+            )
+            files = paths[:e0]
+            dvs = paths[e0:e1]
+            added = paths[e1:e2]
+            removed = paths[e2:]
+            fv = {paths[i]: int(v_np[i]) for i in v_idx if i < e0}
+            dvv = {
+                paths[i]: int(v_np[i])
+                for i in v_idx
+                if e0 <= i < e1
+            }
+        else:  # defensive: a foreign writer interleaved kinds
+            vers = tbl.column("ver").to_pylist()
+            files, dvs, added, removed = [], [], [], []
+            fv, dvv = {}, {}
+            for p, kind, ver in zip(paths, kinds_np.tolist(), vers):
+                if kind == _ANCHOR_KIND_FILE:
+                    files.append(p)
+                    if ver is not None:
+                        fv[p] = ver
+                elif kind == _ANCHOR_KIND_DV:
+                    dvs.append(p)
+                    if ver is not None:
+                        dvv[p] = ver
+                elif kind == _ANCHOR_KIND_ADDED:
+                    added.append(p)
+                else:
+                    removed.append(p)
         counts = raw.get("anchor_counts")
         if counts and counts != [len(files), len(dvs)]:
             raise ValueError(
                 f"anchor sidecar {name} row counts {[len(files), len(dvs)]}"
                 f" != manifest {counts}"
             )
-        maps = {
-            "files": files,
-            "dvs": dvs,
-            "stats": stats,
-            "kf": kf,
-            "fv": fv,
-            "dvv": dvv,
-            "rows": rows,
-        }
+        ar_counts = raw.get("anchor_ar_counts")
+        if ar_counts is not None and ar_counts != [
+            len(added), len(removed)
+        ]:
+            raise ValueError(
+                f"anchor sidecar {name} delta row counts "
+                f"{[len(added), len(removed)]} != manifest {ar_counts}"
+            )
+        maps = {"files": files, "dvs": dvs, "fv": fv, "dvv": dvv}
+        if ar_counts is not None:
+            # round-11 sidecars fold the commit's own delta lists too;
+            # r10-format manifests keep them verbatim in the JSON (the
+            # raw dict already carries them — don't clobber)
+            maps["added"] = added
+            maps["removed"] = removed
+
+        all_cols = set(pq.read_schema(_io.BytesIO(data)).names)
+        eager_cols = set(tbl.column_names)
+
+        def _lazy_col(name: str) -> list | None:
+            # one column's decompress, deferred until a caller names
+            # its map; `data` (the compressed sidecar bytes) is held
+            # by these closures and freed once all three materialize.
+            # On a full-hydration miss the column already decoded in
+            # the eager pass — serve it, no second read.
+            if name in eager_cols:
+                return tbl.column(name).to_pylist()
+            if name not in all_cols:
+                return None
+            return (
+                pq.read_table(_io.BytesIO(data), columns=[name])
+                .column(name)
+                .to_pylist()
+            )
+
+        if blocky:
+            def _file_rows(col: list):
+                # file rows are exactly the first block — no per-row
+                # kind test (iterating the numpy kinds array per row
+                # costs more than the json.loads it guards)
+                return zip(paths[:e0], col[:e0])
+        else:
+            kinds_list = kinds_np.tolist()
+
+            def _file_rows(col: list):
+                return (
+                    (p, cell)
+                    for p, k, cell in zip(paths, kinds_list, col)
+                    if k == _ANCHOR_KIND_FILE
+                )
+
+        def _lazy_stats() -> dict:
+            out: dict = {}
+            for p, sj in _file_rows(_lazy_col("stats")):
+                if sj is not None:
+                    out[p] = json.loads(sj)
+            return out
+
+        def _lazy_kf() -> dict:
+            out: dict = {}
+            for p, kj in _file_rows(_lazy_col("kf")):
+                if kj is None:
+                    continue
+                cols = json.loads(kj)
+                base = os.path.basename(p)
+                for c, filt in cols.items():
+                    if filt.get("p") == "":
+                        # fold-side tokenization of the derived
+                        # sidecar name (see _anchor_fold._j_kf)
+                        filt["p"] = f"{base}.{c}.kf"
+                out[p] = cols
+            return out
+
+        def _lazy_rows() -> dict:
+            col = _lazy_col("rows")
+            if col is None:
+                return {}
+            out: dict = {}
+            for p, nr in _file_rows(col):
+                if nr is not None:
+                    out[p] = nr
+            return out
+
+        side = _AnchorSide(
+            key,
+            maps,
+            {"stats": _lazy_stats, "kf": _lazy_kf, "rows": _lazy_rows},
+        )
         if len(_ANCHOR_SIDE_CACHE) >= _ANCHOR_SIDE_CACHE_CAP:
             _ANCHOR_SIDE_CACHE.pop(next(iter(_ANCHOR_SIDE_CACHE)))
-        hit = (key, maps)
-        _ANCHOR_SIDE_CACHE[path] = hit
+        _ANCHOR_SIDE_CACHE[path] = side
+    side.ensure(
+        _ANCHOR_LAZY_KEYS
+        if need is None
+        else tuple(k for k in _ANCHOR_LAZY_KEYS if k in need)
+    )
     out = dict(raw)
-    out.update(hit[1])
-    for k in ("anchor_parquet", "anchor_sha256", "anchor_counts"):
+    out.update(side.maps)
+    for k in ("anchor_parquet", "anchor_sha256", "anchor_counts",
+              "anchor_ar_counts"):
         out.pop(k, None)
     return out
 
@@ -408,7 +606,7 @@ def _load_manifest_raw(root: str, version: int) -> dict:
     return raw
 
 
-def read_manifest(root: str, version: int) -> dict:
+def read_manifest(root: str, version: int, need=None) -> dict:
     """The manifest AS THE READER CONTRACT expects it: delta manifests
     (``delta_maps``) hydrate transparently — walk back to the nearest
     anchor, replay each commit's ``*_add`` entries (and, when the FILE
@@ -419,6 +617,17 @@ def read_manifest(root: str, version: int) -> dict:
     a fresh copy (callers may mutate without corrupting the raw cache;
     the entries INSIDE the maps stay shared and immutable).
 
+    ``need`` (round 11, LAZY HYDRATION): the heavy per-file maps —
+    ``stats``/``kf``/``rows``, each decoded from every file's sidecar
+    cell — hydrate only when named (``None`` = all three, the default
+    full contract). ``files``/``dvs``/``added``/``removed``/``fv``/
+    ``dvv`` and every scalar key are ALWAYS present, which is all a
+    plain scan plans from — the difference between ~ms and ~2.3 s of
+    cold planning at 10^5 files (SCALE.md anchor_curve). ``need`` is a
+    floor, not a projection: maps outside it MAY still be present
+    (JSON-form manifests carry everything; an earlier full hydration
+    stays cached), so callers must not rely on their absence.
+
     Concurrent-vacuum safety (ADVICE r9): a reader that loaded the
     oldest-retained manifest's OLD delta form just before vacuum's
     re-anchor ``os.replace`` would walk the chain below it into
@@ -427,15 +636,21 @@ def read_manifest(root: str, version: int) -> dict:
     re-statted (the stale cache entry misses on the new inode) sees the
     re-anchored full form and hydrates with no chain below."""
     try:
-        return _hydrate_manifest(root, version)
+        return _hydrate_manifest(root, version, need)
     except FileNotFoundError:
-        return _hydrate_manifest(root, version)
+        return _hydrate_manifest(root, version, need)
 
 
-def _hydrate_manifest(root: str, version: int) -> dict:
+def _hydrate_manifest(root: str, version: int, need=None) -> dict:
     raw = _load_manifest_raw(root, version)
+    # fv/dvv always hydrate (exceptions-only — tiny — and DV scoping
+    # needs them on every scan); need gates only the heavy maps
+    keys = tuple(
+        k for k in _DELTA_KEYS
+        if need is None or k in need or k not in _ANCHOR_LAZY_KEYS
+    )
     if not raw.get("delta_maps"):
-        out = dict(_anchor_expand(root, raw))
+        out = dict(_anchor_expand(root, raw, need))
         for k in ("files", "added", "removed", "dvs", "dv_key",
                   "stats_cols"):
             if k in out:
@@ -452,7 +667,7 @@ def _hydrate_manifest(root: str, version: int) -> dict:
         if not prev.get("delta_maps"):
             break
         v -= 1
-    maps: dict[str, dict] = {k: {} for k in _DELTA_KEYS}
+    maps: dict[str, dict] = {k: {} for k in keys}
     files: list[str] = []
     for mm in reversed(chain):
         if mm.get("delta_maps"):
@@ -465,12 +680,12 @@ def _hydrate_manifest(root: str, version: int) -> dict:
                 files = [f for f in files if f not in rm] + list(
                     mm.get("added", [])
                 )
-            for k in _DELTA_KEYS:
+            for k in keys:
                 maps[k].update(mm.get(f"{k}_add", {}))
         else:
-            mm = _anchor_expand(root, mm)  # parquet-pointer anchors
+            mm = _anchor_expand(root, mm, need)  # parquet-pointer anchors
             files = list(mm["files"])
-            for k in _DELTA_KEYS:
+            for k in keys:
                 maps[k] = dict(mm.get(k, {}))
     out = dict(raw)
     for k in ("added", "removed", "dvs", "dv_key", "stats_cols"):
@@ -480,7 +695,8 @@ def _hydrate_manifest(root: str, version: int) -> dict:
     live = set(files)
     dvs = set(raw.get("dvs", []))
     for k in ("stats", "kf", "fv", "rows"):
-        out[k] = {p: s for p, s in maps[k].items() if p in live}
+        if k in maps:
+            out[k] = {p: s for p, s in maps[k].items() if p in live}
     out["dvv"] = {d: v2 for d, v2 in maps["dvv"].items() if d in dvs}
     for k in _DELTA_KEYS:
         out.pop(f"{k}_add", None)
@@ -999,7 +1215,7 @@ def key_membership_pruned(
     False positives only cost an extra file scan, never correctness.
     Inline filters test from the manifest alone; spilled ones read
     their sidecar (one small driver read per candidate file)."""
-    manifest = read_manifest(root, version)
+    manifest = read_manifest(root, version, need=("kf",))
     kf = manifest.get("kf", {})
     if not all(_kf_value_exact(v) for v in values):
         # a float-promoted integral value past 2^53 may have rounded:
@@ -1051,7 +1267,8 @@ def _commit(root: str, files: list[str], added: list[str],
             kf_cols: list[str] | None = None,
             key_filters: dict | None = None,
             kf_bits: int | None = None,
-            file_rows: dict | None = None) -> int:
+            file_rows: dict | None = None,
+            anchor_min: int | None = None) -> int:
     """Atomically claim the next version number for this snapshot.
 
     ``expected_version`` is the optimistic-concurrency guard for
@@ -1301,7 +1518,7 @@ def _commit(root: str, files: list[str], added: list[str],
         # ordering truth stays the version number (clocks can skew)
         manifest["ts"] = time.time()
         if version % _ANCHOR_EVERY == 1:
-            side_path = _anchor_fold(root, manifest)
+            side_path = _anchor_fold(root, manifest, anchor_min)
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -1358,8 +1575,14 @@ def write_version(
     stats_cols: list[str] | None = None,
     key_filter_cols: list[str] | None = None,
     key_filter_bits: int | None = None,
+    anchor_parquet_min: int | None = None,
 ) -> int:
     """Commit ``df`` as a new table version.
+
+    ``anchor_parquet_min`` overrides the anchor parquet-fold threshold
+    for THIS commit (default ``_ANCHOR_PARQUET_MIN``) — a parameter so
+    tests forcing tiny folds don't rebind the module global under
+    concurrent writers (ADVICE r10).
 
     ``mode='append'`` adds the rows to the current snapshot;
     ``'overwrite'`` replaces it (previous files leave the snapshot but
@@ -1420,12 +1643,14 @@ def write_version(
             dv_key=prev_manifest.get("dv_key", []),
             kf_cols=key_filter_cols,
             kf_bits=key_filter_bits,
+            anchor_min=anchor_parquet_min,
         )
     return _commit(
         root, new_files, new_files, prev, "overwrite", txn_id,
         stats=stats, stats_cols=cols, expected_version=current,
         kf_cols=key_filter_cols,
         kf_bits=key_filter_bits,
+        anchor_min=anchor_parquet_min,
     )
 
 
@@ -1533,7 +1758,7 @@ def pruned_files(
     predicate (conservative); a ``None`` bound is open-ended (treated
     as -inf/+inf), so ``(col, lo, None)`` means ``col >= lo``."""
     preds = col if isinstance(col, list) else [(col, lo, hi)]
-    manifest = read_manifest(root, version)
+    manifest = read_manifest(root, version, need=("stats",))
     stats = manifest.get("stats", {})
     kept, skipped = [], []
     for f in manifest["files"]:
@@ -1655,7 +1880,11 @@ def read_version(
     the merge-style planning (``_touched_by_keys``) instead."""
     if version is None:
         version = table_version(root)
-    manifest = read_manifest(root, version)
+    # LAZY: the scan plans from files/dvs/fv/dvv + schema alone; the
+    # heavy stats/kf maps hydrate only inside pruned_files /
+    # key_membership_pruned when the caller asks for pruning (~ms vs
+    # ~2.3 s cold at 10^5 files — SCALE.md anchor_curve, round 11)
+    manifest = read_manifest(root, version, need=())
     files = manifest["files"]
     if not files:
         raise ValueError(f"version {version} of {root} is empty")
@@ -1805,6 +2034,11 @@ def incremental_read(
     added: list[str] = []
     for v in range(from_version + 1, to_version + 1):
         m = _load_manifest_raw(root, v)  # op/added only: skip hydration
+        if "anchor_ar_counts" in m:
+            # a pointer anchor folds its added/removed lists into the
+            # sidecar (round 11); restore just the lists — need=()
+            # skips the heavy map decode this path never wanted
+            m = _anchor_expand(root, m, need=())
         if m["op"] in ("evolve", "policy"):
             continue  # metadata-only commits: no rows moved
         if (
@@ -1901,7 +2135,7 @@ def _vacuum_keep(root: str, retain_from: int, latest: int) -> set[str]:
     of deltas — their O(files) read amortizes /32 and hits the
     expanded-anchor cache."""
     keep: set[str] = set()
-    base = read_manifest(root, retain_from)
+    base = read_manifest(root, retain_from, need=("kf",))
     keep.update(base["files"])
     keep.update(base.get("dvs", []))
     _kf_sidecar_refs(base.get("kf", {}), keep)
@@ -1916,7 +2150,7 @@ def _vacuum_keep(root: str, retain_from: int, latest: int) -> set[str]:
             keep.update(raw.get("dvs", []))
             _kf_sidecar_refs(raw.get("kf_add", {}), keep)
         else:
-            m = _anchor_expand(root, raw)
+            m = _anchor_expand(root, raw, need=("kf",))
             keep.update(m["files"])
             keep.update(m.get("dvs", []))
             _kf_sidecar_refs(m.get("kf", {}), keep)
@@ -1940,7 +2174,23 @@ def vacuum(root: str, retain_from: int) -> list[str]:
         )
     latest = table_version(root)
     retain_from = min(retain_from, latest)
-    checkpoint_manifest(root)
+    # the stored checkpoint policy's txn_retention applies here too
+    # (ADVICE r10): without it a vacuum-written checkpoint persists
+    # the unbounded txn map until the next anchor-cadence
+    # auto-checkpoint prunes it — same extraction as _commit's
+    pol = (
+        _load_manifest_raw(root, latest).get("policy")
+        if latest
+        else None
+    )
+    ckpt_pol = (
+        pol.get("checkpoint")
+        if isinstance(pol, dict) and "cols" not in pol
+        else None
+    )
+    checkpoint_manifest(
+        root, txn_retention=(ckpt_pol or {}).get("txn_retention")
+    )
     # re-ANCHOR the oldest retained manifest before dropping the chain
     # beneath it: a delta manifest hydrates by replaying onto an older
     # anchor, and that anchor may be about to be deleted — rewriting
@@ -2013,7 +2263,19 @@ def vacuum(root: str, retain_from: int) -> list[str]:
                     # rebuild's not-yet-committed output — age-gate
                     # that case; a dead owner means history was
                     # legitimately dropped, delete immediately.
-                    if os.path.relpath(full, root) in keep:
+                    rel = os.path.relpath(full, root)
+                    if rel in keep:
+                        continue
+                    if _commit_of(rel) > latest:
+                        # a FINALIZED sidecar in a commit dir past the
+                        # latest committed version is a concurrent
+                        # in-flight commit's output (its data file is
+                        # spared by the same guard below, but neither
+                        # is in any retained manifest yet) — deleting
+                        # it would leave that commit's kf entry
+                        # pointing at a missing bitmap the moment its
+                        # manifest lands (ADVICE r10). A later vacuum
+                        # reclaims true orphans once the log passes.
                         continue
                     owner_live = any(
                         name.startswith(b + ".") for b in dir_kept
@@ -2734,7 +2996,9 @@ def table_history(root: str) -> list[dict]:
         path = _manifest_path(root, v)
         if not os.path.exists(path):
             break  # vacuumed history below here
-        m = read_manifest(root, v)  # hydrated: file list may be folded
+        # hydrated: file list may be folded; need=() — history reads
+        # list lengths only, never the per-file maps
+        m = read_manifest(root, v, need=())
         out.append(
             {
                 "version": v,
@@ -3405,8 +3669,10 @@ def read_changes(
         return reader.parquet(*[os.path.join(root, f) for f in rels])
 
     for v in range(from_version + 1, to_version + 1):
-        m = read_manifest(root, v)
-        prev = read_manifest(root, v - 1) if v > 1 else {}
+        # need=(): the feed diffs file LISTS (added/removed/dvs) and
+        # reads data; it never touches the per-file stats/kf/rows maps
+        m = read_manifest(root, v, need=())
+        prev = read_manifest(root, v - 1, need=()) if v > 1 else {}
         typed: DataFrame | None = None
         if m["op"] in ("evolve", "policy"):
             continue  # metadata-only commits read as silence

@@ -12,9 +12,19 @@ filter is a sidecar, not inline) and measures, per file count:
   * parquet_bytes     — the round-10 columnar sidecar encoding
   * ratio             — json/parquet (the ask: >= 10x)
   * fold_ms           — encode cost (paid once per 32 commits)
-  * expand_cold_ms    — pointer -> full form hydration, cold cache
+  * expand_cold_ms    — pointer -> FULL form hydration, cold cache
   * expand_warm_ms    — same, warm (the steady-state reader path)
+  * hydrate_list_only_cold_ms — round 11 LAZY path: cold expand with
+    need=() (file/DV/delta lists + fv/dvv only — what a plain scan
+    plans from); the ask is >= 10x under expand_cold_ms at 10^4-10^5
+  * lazy_upgrade_ms   — materializing stats+kf on the already-cached
+    lazy entry (first pruning call after a lazy scan)
   * pointer_json_bytes— the JSON manifest that remains (flat ~1 KB)
+  * ow_ar_json_bytes  — what an OVERWRITE-shaped anchor's verbatim
+    added+removed lists would cost as pointer JSON (continuity note
+    r10 #3); round 11 folds them into the sidecar instead
+  * ow_pointer_json_bytes / ow_parquet_bytes — the overwrite-shaped
+    anchor after the round-11 fold (pointer stays ~flat)
 
 Round-trip equality (files/dvs/stats/kf/fv/dvv identical after
 fold+expand) is asserted at every point. Prints one JSON line per
@@ -126,10 +136,56 @@ def main() -> None:
                 return vmod._anchor_expand(root, folded)
 
             expanded = expand_cold()
-            for k in ("files", "dvs", "stats", "kf", "fv", "dvv"):
+            for k in ("files", "dvs", "stats", "kf", "fv", "dvv",
+                      "added", "removed"):
                 assert expanded[k] == full[k], f"round-trip broke {k}"
             cold = _best_of(expand_cold)
             warm = _best_of(lambda: vmod._anchor_expand(root, folded))
+
+            def expand_list_only():
+                vmod._ANCHOR_SIDE_CACHE.clear()
+                return vmod._anchor_expand(root, folded, need=())
+
+            lazy = expand_list_only()
+            assert lazy["files"] == full["files"], "lazy list broke"
+            assert lazy["fv"] == full["fv"], "lazy fv broke"
+            assert "stats" not in lazy and "kf" not in lazy
+            list_cold = _best_of(expand_list_only)
+
+            def lazy_upgrade():
+                vmod._ANCHOR_SIDE_CACHE.clear()
+                vmod._anchor_expand(root, folded, need=())
+                t0 = time.perf_counter()
+                up = vmod._anchor_expand(root, folded, need=("stats", "kf"))
+                dt = time.perf_counter() - t0
+                assert up["stats"] == full["stats"], "upgrade broke stats"
+                assert up["kf"] == full["kf"], "upgrade broke kf"
+                return dt
+
+            upgrade_ms = min(lazy_upgrade() for _ in range(3)) * 1000
+
+            # OVERWRITE shape (continuity r10 #3): added == every file,
+            # removed == an equal-sized prior snapshot — the r10 pointer
+            # kept both verbatim in JSON
+            ow = copy.deepcopy(full)
+            ow["added"] = list(ow["files"])
+            ow["removed"] = [
+                p.replace("data/c", "data/o") for p in ow["files"]
+            ]
+            ow_ar_json = len(
+                json.dumps(
+                    {"added": ow["added"], "removed": ow["removed"]}
+                ).encode()
+            )
+            ow_side = vmod._anchor_fold(root, ow)
+            assert ow_side is not None
+            ow_parquet = os.path.getsize(ow_side)
+            ow_pointer = len(json.dumps(ow).encode())
+            vmod._ANCHOR_SIDE_CACHE.clear()
+            ow_x = vmod._anchor_expand(root, ow, need=())
+            assert ow_x["added"] == full["files"], "ow added broke"
+            assert len(ow_x["removed"]) == n, "ow removed broke"
+
             print(
                 json.dumps(
                     {
@@ -141,6 +197,13 @@ def main() -> None:
                         "fold_ms": round(fold_ms, 1),
                         "expand_cold_ms": round(cold * 1000, 1),
                         "expand_warm_ms": round(warm * 1000, 3),
+                        "hydrate_list_only_cold_ms": round(
+                            list_cold * 1000, 1
+                        ),
+                        "lazy_upgrade_ms": round(upgrade_ms, 1),
+                        "ow_ar_json_bytes": ow_ar_json,
+                        "ow_pointer_json_bytes": ow_pointer,
+                        "ow_parquet_bytes": ow_parquet,
                     }
                 ),
                 flush=True,
