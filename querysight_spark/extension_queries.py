@@ -9911,3 +9911,141 @@ def io15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pruning_recovered", F.lit(bool(flags["rec"])))
         .orderBy("o_orderstatus")
     )
+
+@_q(
+    "io16_lazy_anchor_planning",
+    """SELECT o_orderstatus, COUNT(*) AS n_rows,
+              CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+              TRUE AS ar_folded,
+              TRUE AS lazy_floor_ok,
+              TRUE AS plan_equiv_ok
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+)
+def io16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAZY ANCHOR HYDRATION + the added/removed fold (round 11):
+    cold planning on a pointer-anchor table decodes only the sidecar's
+    path/kind/ver columns (`read_manifest(need=())` — files/DV/delta
+    lists + exceptions-only version maps), materializing stats/kf/rows
+    per column on first request; and an OVERWRITE landing on the
+    anchor cadence folds its O(files) added/removed lists into the
+    sidecar too (pointer JSON stays ~360 B where the verbatim lists
+    cost ~18 MB at 10^5 files — SCALE.md anchor_curve). This entry
+    drives both on real data: 32 filtered appends then a full
+    overwrite at v33 (an anchor, threshold forced down so it folds).
+    Pinned flags — the overwrite anchor's raw JSON carries
+    `anchor_ar_counts` and neither list; a cold need=() hydration sees
+    the complete file list, the exact added/removed delta (removed ==
+    v32's whole snapshot), and NO stats/kf maps; and zone-pruned
+    planning from the cold lazy path keeps exactly the same files as
+    a cold full hydration (lazy is a floor, never a different
+    answer). The aggregate of the final snapshot hashes against the
+    from-first-principles oracle: the overwrite replaced every slice
+    exactly once. The reference keeps a latest-only JSON cache blob
+    (utils/cache_manager.py:34-60) — no versioned metadata at all."""
+    import hashlib
+    import json as _json
+    import os
+    import tempfile
+
+    import querysight_spark.sources.versioned as vmod
+    from querysight_spark.sources.versioned import (
+        pruned_files,
+        read_manifest,
+        read_version,
+        table_history,
+        table_version,
+        write_version,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"io16:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    work = os.path.join(tempfile.gettempdir(), f"qs_io16_{tag}")
+    root = os.path.join(work, "table")
+    done = os.path.join(work, "_flags.json")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderstatus", "o_orderkey", "o_totalprice"
+    )
+    n_app = vmod._ANCHOR_EVERY  # appends v1..v32; the overwrite is v33
+    if not os.path.exists(done):
+        os.makedirs(work, exist_ok=True)
+        for i in range(n_app):
+            part = orders.where(
+                F.col("o_orderkey") % n_app == i
+            ).coalesce(1)
+            kwargs = {"stats_cols": ["o_orderkey"]} if i == 0 else {}
+            write_version(
+                spark, part, root, anchor_parquet_min=1, **kwargs
+            )
+        prev_files = set(read_manifest(root, n_app)["files"])
+        # the overwrite lands on the anchor cadence: 4 range-disjoint
+        # files so zone pruning has something to prune
+        write_version(
+            spark,
+            orders.repartitionByRange(4, "o_orderkey"),
+            root,
+            mode="overwrite",
+            anchor_parquet_min=1,
+        )
+        v = table_version(root)
+        raw = vmod._load_manifest_raw(root, v)
+        ar_folded = bool(
+            raw.get("anchor_parquet")
+            and raw.get("anchor_ar_counts")
+            and "added" not in raw
+            and "removed" not in raw
+            and "files" not in raw
+        )
+        vmod._ANCHOR_SIDE_CACHE.clear()
+        vmod._MANIFEST_CACHE.clear()
+        lazy = read_manifest(root, v, need=())
+        hist = table_history(root)[0]
+        lazy_ok = (
+            "stats" not in lazy
+            and "kf" not in lazy
+            and len(lazy["files"]) == 4
+            and set(lazy["added"]) == set(lazy["files"])
+            and set(lazy["removed"]) == prev_files
+            and hist["n_added"] == 4
+            and hist["n_removed"] == n_app
+        )
+        hi = int(orders.agg(F.max("o_orderkey")).first()[0]) // 8
+        vmod._ANCHOR_SIDE_CACHE.clear()
+        vmod._MANIFEST_CACHE.clear()
+        kept_lazy, _ = pruned_files(root, v, "o_orderkey", 1, hi)
+        full = read_manifest(root, v)  # warm upgrade to full maps
+        vmod._ANCHOR_SIDE_CACHE.clear()
+        vmod._MANIFEST_CACHE.clear()
+        kept_full, _ = pruned_files(root, v, "o_orderkey", 1, hi)
+        plan_ok = (
+            kept_lazy == kept_full
+            and 1 <= len(kept_lazy) < 4
+            and set(full["stats"]) == set(full["files"])
+        )
+        flags = {
+            "ar": bool(ar_folded),
+            "lazy": bool(lazy_ok),
+            "plan": bool(plan_ok),
+        }
+        with open(done, "w") as f:
+            _json.dump(flags, f)
+    else:
+        with open(done) as f:
+            flags = _json.load(f)
+    return (
+        read_version(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("sum_cents"),
+        )
+        .withColumn("ar_folded", F.lit(bool(flags["ar"])))
+        .withColumn("lazy_floor_ok", F.lit(bool(flags["lazy"])))
+        .withColumn("plan_equiv_ok", F.lit(bool(flags["plan"])))
+        .orderBy("o_orderstatus")
+    )
