@@ -3477,7 +3477,13 @@ def maintain_table(spark: SparkSession, root: str) -> int:
     version = table_version(root)
     if version == 0:
         return 0
-    manifest = read_manifest(root, version)
+    # gate reads are need-floored (round 11): file list + fv (zorder
+    # drift) + rows (small-file and DV-debt gates) — never the stats
+    # map, so a gated scheduler call on a 10^5-file pointer-anchor
+    # table skips the heavy column decodes entirely; the kf map
+    # hydrates separately below only when a keyfilters policy exists,
+    # and each FIRING stage does its own full read
+    manifest = read_manifest(root, version, need=("rows",))
     policy = manifest.get("policy")
     if not policy:
         return version
@@ -3521,7 +3527,9 @@ def maintain_table(spark: SparkSession, root: str) -> int:
             zorder_due = drift >= max(1, zo.get("min_delta_files", 8))
         if debt_due or zorder_due or (comp is None and zo is not None):
             compact_table(spark, root)
-            manifest = read_manifest(root, table_version(root))
+            manifest = read_manifest(
+                root, table_version(root), need=("rows",)
+            )
     dv_clear = not manifest.get("dvs")
     if opt is not None and dv_clear:
         mrows = manifest.get("rows", {})
@@ -3551,7 +3559,9 @@ def maintain_table(spark: SparkSession, root: str) -> int:
         )
     kfp = policy.get("keyfilters")
     if kfp is not None:
-        latest = read_manifest(root, table_version(root))
+        # densities live inline in the kf map entries — the one heavy
+        # column this gate genuinely needs
+        latest = read_manifest(root, table_version(root), need=("kf",))
         max_d = kfp.get("max_density", 0.6)
         if _kf_saturated(latest, max_d, kfp.get("bits")):
             rebuild_key_filters(

@@ -299,3 +299,37 @@ def test_vacuum_checkpoint_honors_txn_retention_policy(spark, root):
         "vacuum checkpoint kept txns outside the retention window: "
         f"{ck['txns']} (floor {keep_from})"
     )
+
+
+def test_gated_maintain_skips_heavy_map_decode(spark, root):
+    """Round 11: a below-threshold maintain_table call on a
+    pointer-anchor table hydrates rows (and kf only when a keyfilters
+    policy exists) but never the stats column — the gated scheduler
+    call stays ~O(lists) at 10^5 files (163 ms vs 1.23 s measured,
+    SCALE.md)."""
+    _write_anchored(spark, root)
+    set_table_policy(
+        root, optimize={"min_rows_per_file": 0, "min_small_files": 99}
+    )
+    _clear_caches()
+    v = vmod.maintain_table(spark, root)
+    assert v == table_version(root)
+    sides = list(vmod._ANCHOR_SIDE_CACHE.values())
+    assert sides, "pointer anchor was not touched"
+    assert all("stats" in s._lazy for s in sides), (
+        "gated maintain decoded the stats column it never reads"
+    )
+    assert all("kf" in s._lazy for s in sides), (
+        "gated maintain decoded kf with no keyfilters policy"
+    )
+    # with a keyfilters policy the kf gate decodes kf — and still not stats
+    set_table_policy(
+        root,
+        optimize={"min_rows_per_file": 0, "min_small_files": 99},
+        keyfilters={"max_density": 0.999},
+    )
+    _clear_caches()
+    vmod.maintain_table(spark, root)
+    sides = list(vmod._ANCHOR_SIDE_CACHE.values())
+    assert sides and all("stats" in s._lazy for s in sides)
+    assert any("kf" not in s._lazy for s in sides)
