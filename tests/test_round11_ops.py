@@ -333,3 +333,135 @@ def test_gated_maintain_skips_heavy_map_decode(spark, root):
     sides = list(vmod._ANCHOR_SIDE_CACHE.values())
     assert sides and all("stats" in s._lazy for s in sides)
     assert any("kf" not in s._lazy for s in sides)
+
+
+# --- property pin: the anchor codec round-trips arbitrary manifests ---
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _path = st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_characters="/\x00"
+        ),
+        min_size=1,
+        max_size=30,
+    ).map(lambda s: f"data/c00000001-aa/{s}.parquet")
+    _ints = st.integers(min_value=-(2**53), max_value=2**53)
+    _flts = st.floats(allow_nan=False, allow_infinity=False, width=32)
+    _txts = st.text(max_size=8)
+    # zone bounds are same-typed pairs (parquet column min/max)
+    _bounds = st.one_of(
+        st.tuples(_ints, _ints),
+        st.tuples(_flts, _flts),
+        st.tuples(_txts, _txts),
+    )
+
+    @st.composite
+    def _manifests(draw):
+        files = draw(
+            st.lists(_path, min_size=0, max_size=12, unique=True)
+        )
+        dvs = draw(
+            st.lists(
+                _path.map(lambda p: p.replace("data/", "dv/")),
+                min_size=0, max_size=4, unique=True,
+            )
+        )
+        added = draw(st.lists(st.sampled_from(files), max_size=6,
+                              unique=True)) if files else []
+        removed = draw(st.lists(_path, max_size=6, unique=True))
+        stats = {
+            f: {"id": sorted(draw(_bounds))}
+            for f in files
+            if draw(st.booleans())
+        }
+        kf = {
+            f: {
+                "id": {
+                    "m": draw(st.integers(256, 1 << 20)),
+                    "k": draw(st.integers(1, 16)),
+                    "d": draw(
+                        st.floats(0, 1, allow_nan=False)
+                    ),
+                    "p": (
+                        f"{os.path.basename(f)}.id.kf"
+                        if draw(st.booleans())
+                        else "custom.kf"
+                    ),
+                }
+            }
+            for f in files
+            if draw(st.booleans())
+        }
+        fv = {
+            f: draw(st.integers(1, 10**6))
+            for f in files
+            if draw(st.booleans())
+        }
+        dvv = {
+            d: draw(st.integers(1, 10**6))
+            for d in dvs
+            if draw(st.booleans())
+        }
+        rows = {
+            f: draw(st.integers(0, 10**12))
+            for f in files
+            if draw(st.booleans())
+        }
+        return {
+            "version": draw(st.integers(1, 10**6)),
+            "op": "append",
+            "files": files,
+            "added": added,
+            "removed": removed,
+            "dvs": dvs,
+            "stats": stats,
+            "kf": kf,
+            "fv": fv,
+            "dvv": dvv,
+            "rows": rows,
+        }
+
+    @given(_manifests())
+    @settings(max_examples=60, deadline=None)
+    def test_anchor_codec_roundtrip_property(tmp_path_factory, m):
+        """Any manifest shape — unicode paths, empty/singleton lists,
+        float/int/string zone bounds, custom (non-derived) kf sidecar
+        names, sparse maps — folds and expands to EXACTLY itself,
+        lazily and fully."""
+        root = str(tmp_path_factory.mktemp("anchor_prop"))
+        os.makedirs(os.path.join(root, vmod._MANIFESTS), exist_ok=True)
+        want = {
+            k: m[k]
+            for k in ("files", "dvs", "added", "removed", "stats",
+                      "kf", "fv", "dvv", "rows")
+        }
+        import copy
+
+        folded = copy.deepcopy(m)
+        side = vmod._anchor_fold(root, folded, min_entries=1)
+        total = sum(
+            len(m[k]) for k in ("files", "dvs", "added", "removed")
+        )
+        if total == 0:
+            assert side is None  # nothing to fold; verbatim JSON form
+            return
+        assert "files" not in folded and "added" not in folded
+        _clear_caches()
+        lazy = vmod._anchor_expand(root, folded, need=())
+        for k in ("files", "dvs", "added", "removed", "fv", "dvv"):
+            assert lazy[k] == want[k], k
+        assert "stats" not in lazy and "kf" not in lazy
+        full = vmod._anchor_expand(root, folded)
+        for k in want:
+            assert full[k] == want[k], k
+        # and through a cold cache with no prior lazy touch
+        _clear_caches()
+        cold = vmod._anchor_expand(root, folded)
+        for k in want:
+            assert cold[k] == want[k], k
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
