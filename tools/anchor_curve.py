@@ -19,6 +19,18 @@ filter is a sidecar, not inline) and measures, per file count:
     plans from); the ask is >= 10x under expand_cold_ms at 10^4-10^5
   * lazy_upgrade_ms   — materializing stats+kf on the already-cached
     lazy entry (first pruning call after a lazy scan)
+  * kf_probe_cold_ms  — round 12 PER-CELL path: cold side entry,
+    kf cells for an 8-file zone-admitted candidate set
+    (row-group-sliced decode; VERDICT r11 ask #2 — the ask is ~10x
+    under kf_column_cold_ms at 10^4-10^5 files)
+  * kf_cells_first_ms — the per-cell decode ISOLATED (eager side
+    already built — the list-only cost every plan pays — then the
+    first kf_cells call); the ratio kf_column_cold_ms /
+    kf_cells_first_ms is the ask's ~10x
+  * kf_column_cold_ms — the r11 behavior the per-cell path replaces:
+    cold full-column kf materialization on the lazy entry
+  * kf_probe_warm_ms  — the same 8-cell probe against the warm side
+    entry (per-cell cache hit)
   * pointer_json_bytes— the JSON manifest that remains (flat ~1 KB)
   * ow_ar_json_bytes  — what an OVERWRITE-shaped anchor's verbatim
     added+removed lists would cost as pointer JSON (continuity note
@@ -164,6 +176,56 @@ def main() -> None:
 
             upgrade_ms = min(lazy_upgrade() for _ in range(3)) * 1000
 
+            # round 12: per-cell kf probe (an 8-file zone-admitted
+            # candidate set — the point-lookup planning shape) vs the
+            # r11 full-column materialization, both on a cold side
+            probe_paths = [
+                full["files"][(i * n) // 8] for i in range(8)
+            ]
+            want_cells = {p: full["kf"][p] for p in probe_paths}
+
+            def kf_probe_cold():
+                vmod._ANCHOR_SIDE_CACHE.clear()
+                side_e = vmod._anchor_side(root, folded)
+                got = side_e.kf_cells(probe_paths)
+                assert got == want_cells, "per-cell kf probe broke"
+                assert "kf" not in side_e.maps, (
+                    "small probe materialized the whole column"
+                )
+                return got
+
+            kf_probe_cold_ms = _best_of(kf_probe_cold) * 1000
+
+            def kf_column_cold():
+                vmod._ANCHOR_SIDE_CACHE.clear()
+                side_e = vmod._anchor_side(root, folded)
+                side_e.ensure(("kf",))
+                assert side_e.maps["kf"] == full["kf"]
+
+            kf_column_cold_ms = _best_of(kf_column_cold) * 1000
+
+            def kf_cells_first():
+                # isolate the per-cell decode itself: eager side
+                # already built (the list-only cost every plan pays),
+                # time the FIRST kf_cells call on it
+                vmod._ANCHOR_SIDE_CACHE.clear()
+                side_e = vmod._anchor_side(root, folded)
+                t0 = time.perf_counter()
+                got = side_e.kf_cells(probe_paths)
+                dt = time.perf_counter() - t0
+                assert got == want_cells
+                return dt
+
+            kf_cells_first_ms = min(
+                kf_cells_first() for _ in range(3)
+            ) * 1000
+            vmod._ANCHOR_SIDE_CACHE.clear()
+            warm_side = vmod._anchor_side(root, folded)
+            warm_side.kf_cells(probe_paths)
+            kf_probe_warm_ms = _best_of(
+                lambda: warm_side.kf_cells(probe_paths)
+            ) * 1000
+
             # OVERWRITE shape (continuity r10 #3): added == every file,
             # removed == an equal-sized prior snapshot — the r10 pointer
             # kept both verbatim in JSON
@@ -201,6 +263,14 @@ def main() -> None:
                             list_cold * 1000, 1
                         ),
                         "lazy_upgrade_ms": round(upgrade_ms, 1),
+                        "kf_probe_cold_ms": round(kf_probe_cold_ms, 2),
+                        "kf_cells_first_ms": round(
+                            kf_cells_first_ms, 2
+                        ),
+                        "kf_column_cold_ms": round(kf_column_cold_ms, 1),
+                        "kf_probe_warm_ms": round(
+                            kf_probe_warm_ms, 3
+                        ),
                         "ow_ar_json_bytes": ow_ar_json,
                         "ow_pointer_json_bytes": ow_pointer,
                         "ow_parquet_bytes": ow_parquet,
