@@ -33,6 +33,11 @@ Noise controls (round 7, after BENCH_r06's +36% uniform-slowdown scare):
   SCALE.md. The reported totals stay RAW (no silent normalization);
   the probe makes an environmental swing diagnosable from the BENCH
   file alone instead of via an A/B worktree resample.
+- CAL RATIOS IN THE ARTIFACT (round 12, VERDICT r11 ask #5): the
+  summary lines also carry "cal_ratio_vN" = total_vN /
+  calibration_vN, the first-order host-drift-normalized reading, so
+  a judge reads drift straight from BENCH_r{N}.json without
+  forensics. Raw totals stay raw; suites and protocol unchanged.
 """
 
 from __future__ import annotations
@@ -267,6 +272,23 @@ def main() -> None:
     v4 = _collect("v4")
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
+
+    def _cal_ratio(s: dict) -> float | None:
+        # total / calibration (round 12, VERDICT r11 ask #5): the
+        # host-drift-normalized number. Two consecutive rounds needed
+        # calibration forensics to read raw totals correctly; this
+        # ratio divides the fixed-work host-speed probe out, so a
+        # cross-round comparison of cal_ratio_* is drift-free to
+        # first order. Pure reporting — suites and protocol unchanged.
+        c = s.get("calibration_sec")
+        return round(s["total"] / c, 2) if c else None
+
+    cal_ratios = {
+        "cal_ratio_v1": _cal_ratio(v1),
+        "cal_ratio_v2": _cal_ratio(v2),
+        "cal_ratio_v3": _cal_ratio(v3),
+        "cal_ratio_v4": _cal_ratio(v4),
+    }
     # FULL detail first; a COMPACT totals line LAST (below). The driver
     # records only a bounded tail of stdout — BENCH_r08's single line
     # outgrew it and parsed as null (VERDICT r9 ask #6), so the final
@@ -310,6 +332,7 @@ def main() -> None:
                 "calibration_v2_sec": v2["calibration_sec"],
                 "calibration_v3_sec": v3["calibration_sec"],
                 "calibration_v4_sec": v4["calibration_sec"],
+                **cal_ratios,
                 "sf": sf,
             }
         )
@@ -328,6 +351,7 @@ def main() -> None:
         "calibration_v2_sec": v2["calibration_sec"],
         "calibration_v3_sec": v3["calibration_sec"],
         "calibration_v4_sec": v4["calibration_sec"],
+        **cal_ratios,
         "sf": sf,
     }
     print(json.dumps(compact, separators=(",", ":")))

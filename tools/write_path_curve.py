@@ -19,7 +19,20 @@ each BEFORE and AFTER checkpoint_manifest at that version — the
 numeric evidence for the X168 O(delta) claim. Prints one JSON line per
 measurement point; paste the table into SCALE.md.
 
+Round 12 (VERDICT r11 ask #4): a second section measures the WARM
+COMMIT at big-table file counts (synthetic 10^4/10^5-file pointer
+anchor + real 1-row write_version appends on top):
+
+  * commit_warm_ms        — mean wall of 3 warm appends (parquet write
+    + the metadata tail)
+  * hydrate_warm_full_ms  — warm full read_manifest (raw + side cache
+    hot, so ~all of it is _hydrate_manifest's per-call map copy — the
+    term continuity note r11 #3b flagged)
+  * copy_share            — hydrate_warm_full_ms / commit_warm_ms; the
+    decide-don't-drift rule: fold copy-on-write in only if > 0.20
+
 Usage: python tools/write_path_curve.py [n_versions] [point,point,...]
+       python tools/write_path_curve.py --big [point,point,...]
 """
 
 from __future__ import annotations
@@ -34,7 +47,10 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_VERSIONS = int(sys.argv[1]) if len(sys.argv) > 1 else 2400
+_BIG = len(sys.argv) > 1 and sys.argv[1] == "--big"
+N_VERSIONS = (
+    int(sys.argv[1]) if len(sys.argv) > 1 and not _BIG else 2400
+)
 POINTS = (
     [int(x) for x in sys.argv[2].split(",")]
     if len(sys.argv) > 2
@@ -178,5 +194,82 @@ def main() -> None:
     spark.stop()
 
 
+def main_big() -> None:
+    """Warm-commit cost at 10^4/10^5 files: a synthetic pointer
+    anchor (the anchor_curve fixture — spilled kf pointers, two
+    stats columns) written as the table's v1, then REAL 1-row
+    write_version appends timed on top of it."""
+    import copy as _copy
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    _argv, sys.argv = sys.argv, [sys.argv[0]]  # anchor_curve parses argv at import
+    from anchor_curve import _synthetic_anchor
+    sys.argv = _argv
+
+    import querysight_spark.sources.versioned as vmod
+    from querysight_spark.session import get_spark
+    from querysight_spark.sources.versioned import (
+        read_manifest,
+        write_version,
+    )
+
+    points = (
+        [int(x) for x in sys.argv[2].split(",")]
+        if len(sys.argv) > 2
+        else [10_000, 100_000]
+    )
+    spark = get_spark(app_name="write-path-curve-big")
+    for n in points:
+        work = tempfile.mkdtemp(prefix="qs_write_big_")
+        root = os.path.join(work, "table")
+        os.makedirs(os.path.join(root, "_manifests"))
+        try:
+            full = _synthetic_anchor(n, 1)
+            folded = _copy.deepcopy(full)
+            assert vmod._anchor_fold(root, folded) is not None
+            with open(vmod._manifest_path(root, 1), "w") as f:
+                json.dump(folded, f)
+            read_manifest(root, 1)  # warm raw + side caches
+            warm_full = _best_of(lambda: read_manifest(root, 1), 3)
+            warm_list = _best_of(
+                lambda: read_manifest(root, 1, need=()), 3
+            )
+            commits = []
+            for i in range(3):
+                df = spark.range(i, i + 1).select(
+                    F.col("id"), (F.col("id") * 10).alias("x")
+                )
+                t0 = time.perf_counter()
+                write_version(spark, df, root, txn_id=f"big:{i}")
+                commits.append(time.perf_counter() - t0)
+            commit_warm = sum(commits) / len(commits)
+            print(
+                json.dumps(
+                    {
+                        "files": n,
+                        "commit_warm_ms": round(commit_warm * 1000, 1),
+                        "hydrate_warm_full_ms": round(
+                            warm_full * 1000, 1
+                        ),
+                        "hydrate_warm_list_ms": round(
+                            warm_list * 1000, 2
+                        ),
+                        "copy_share": round(
+                            warm_full / commit_warm, 3
+                        ),
+                    }
+                ),
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--big":
+        main_big()
+    else:
+        main()
