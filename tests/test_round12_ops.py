@@ -261,3 +261,139 @@ def test_multi_row_group_cell_decode(spark, root):
         assert all("kf" in s.maps for s in vmod._ANCHOR_SIDE_CACHE.values())
     finally:
         vmod._ANCHOR_ROW_GROUP = keep
+
+
+# --- property pin: read_kf_cells == full hydration, any log shape ---
+
+try:
+    import json as _json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _name = st.text(
+        alphabet="abcdefghij0123456789", min_size=1, max_size=10
+    )
+
+    def _filt(draw, p, col="id"):
+        return {
+            col: {
+                "m": draw(st.integers(256, 1 << 16)),
+                "k": draw(st.integers(1, 8)),
+                "d": draw(st.floats(0, 1, allow_nan=False)),
+                "p": (
+                    f"{os.path.basename(p)}.{col}.kf"
+                    if draw(st.booleans())
+                    else "custom.kf"
+                ),
+            }
+        }
+
+    @st.composite
+    def _logs(draw):
+        """A v1 anchor (pointer-folded or JSON) plus 0-4 delta
+        commits that add files, remove files, and override kf
+        entries via kf_add — the shapes _hydrate_manifest replays."""
+        n0 = draw(st.integers(1, 8))
+        files = [f"data/c00000001-aa/f{i}.parquet" for i in range(n0)]
+        anchor = {
+            "version": 1,
+            "op": "append",
+            "files": list(files),
+            "added": list(files),
+            "removed": [],
+            "dvs": [],
+            "dv_key": [],
+            "stats_cols": [],
+            "kf_cols": ["id"],
+            "stats": {},
+            "fv": {},
+            "dvv": {},
+            "rows": {},
+            "kf": {
+                f: _filt(draw, f)
+                for f in files
+                if draw(st.booleans())
+            },
+        }
+        fold = draw(st.booleans())
+        deltas = []
+        live = list(files)
+        nv = draw(st.integers(0, 4))
+        for v in range(2, 2 + nv):
+            added = [
+                f"data/c{v:08d}-bb/{draw(_name)}-{i}.parquet"
+                for i in range(draw(st.integers(0, 3)))
+            ]
+            rm = (
+                draw(
+                    st.lists(
+                        st.sampled_from(live), max_size=2, unique=True
+                    )
+                )
+                if live
+                else []
+            )
+            live = [f for f in live if f not in set(rm)] + added
+            kf_targets = draw(
+                st.lists(
+                    st.sampled_from(live), max_size=4, unique=True
+                )
+            ) if live else []
+            deltas.append(
+                {
+                    "version": v,
+                    "op": "append",
+                    "delta_maps": True,
+                    "added": added,
+                    "removed": rm,
+                    "dvs": [],
+                    "dv_key": [],
+                    "kf_add": {
+                        p: _filt(draw, p) for p in kf_targets
+                    },
+                }
+            )
+        return anchor, fold, deltas
+
+    @given(_logs())
+    @settings(max_examples=40, deadline=None)
+    def test_read_kf_cells_equals_full_hydration_property(
+        tmp_path_factory, log
+    ):
+        """For ANY anchor form (pointer/JSON) and delta chain —
+        overrides, additions, removals — per-file resolution equals
+        the full hydration's kf map on every live file, at every
+        version of the log."""
+        anchor, fold, deltas = log
+        root = str(tmp_path_factory.mktemp("kf_prop"))
+        os.makedirs(os.path.join(root, vmod._MANIFESTS))
+        import copy
+
+        a = copy.deepcopy(anchor)
+        if fold:
+            assert vmod._anchor_fold(root, a, min_entries=1)
+        with open(vmod._manifest_path(root, 1), "w") as f:
+            _json.dump(a, f)
+        for d in deltas:
+            with open(
+                vmod._manifest_path(root, d["version"]), "w"
+            ) as f:
+                _json.dump(d, f)
+        for v in range(1, 2 + len(deltas) - 1 + 1):
+            _clear_caches()
+            m = read_manifest(root, v)
+            want = m["kf"]
+            _clear_caches()
+            got = read_kf_cells(root, v, m["files"])
+            assert got == want, f"v{v} full-probe mismatch"
+            if m["files"]:
+                p = m["files"][len(m["files"]) // 2]
+                _clear_caches()
+                one = read_kf_cells(root, v, [p])
+                assert one == (
+                    {p: want[p]} if p in want else {}
+                ), f"v{v} single-cell mismatch"
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
