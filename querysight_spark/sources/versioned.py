@@ -249,8 +249,14 @@ class _AnchorSide:
             fn = self._lazy.pop(k, None)
             if fn is not None:
                 self.maps[k] = fn()
+            if k == "kf" and "kf" in self.maps:
+                # the full map supersedes per-cell decode: drop the
+                # cell closure so its ParquetFile / row-index / decoded-
+                # cell state — which pins the compressed sidecar bytes
+                # for the cache entry's lifetime — can free (ADVICE r12)
+                self._cell_fn = None
 
-    def kf_cells(self, paths) -> dict:
+    def kf_cells(self, paths, force_cells: bool = False) -> dict:
         """kf entries for just ``paths`` (absent keys omitted) WITHOUT
         materializing the whole kf map when the request is small: the
         first cold membership probe of a process pays a row-group-
@@ -260,13 +266,24 @@ class _AnchorSide:
         kf_probe_cold_ms). Large requests (over _KF_CELL_PROBE_MAX,
         or more than ~1/8 of the table) fall through to the one-pass
         full-column decode, which is cheaper per cell and caches the
-        map for every later caller. Returned cell dicts are SHARED
-        with the side cache: callers must not mutate them."""
+        map for every later caller. ``force_cells`` (ADVICE r12): an
+        upstream planner that already gated on the SNAPSHOT's live
+        file count (``key_membership_pruned``) passes True so this
+        layer doesn't re-gate on the anchor's ``n_files`` and pick a
+        different path after heavy delta churn — one decision threads
+        through; without it the inner check is the authoritative
+        fallback. Returned cell dicts are SHARED with the side cache:
+        callers must not mutate them."""
         paths = list(paths)
         if "kf" not in self.maps and (
             self._cell_fn is None
-            or len(paths) > _KF_CELL_PROBE_MAX
-            or len(paths) * 8 > max(self.n_files, 1)
+            or (
+                not force_cells
+                and (
+                    len(paths) > _KF_CELL_PROBE_MAX
+                    or len(paths) * 8 > max(self.n_files, 1)
+                )
+            )
         ):
             self.ensure(("kf",))
         if "kf" in self.maps:
@@ -568,7 +585,9 @@ def _anchor_side(root: str, raw: dict, need=()) -> _AnchorSide:
         def _lazy_col(name: str) -> list | None:
             # one column's decompress, deferred until a caller names
             # its map; `data` (the compressed sidecar bytes) is held
-            # by these closures and freed once all three materialize.
+            # by these closures — and by _kf_cell_fn's ParquetFile
+            # state until ensure(("kf",)) drops the cell closure — and
+            # freed once all three maps materialize (ADVICE r12).
             # On a full-hydration miss the column already decoded in
             # the eager pass — serve it, no second read.
             if name in eager_cols:
@@ -780,7 +799,14 @@ def read_manifest(root: str, version: int, need=None) -> dict:
         return _hydrate_manifest(root, version, need)
 
 
-def read_kf_cells(root: str, version: int, paths) -> dict:
+def read_kf_cells(
+    root: str,
+    version: int,
+    paths,
+    *,
+    live_only: bool = True,
+    force_cells: bool = False,
+) -> dict:
     """Key-filter entries for just ``paths`` — the point-lookup
     planning read (round 12). Resolves exactly as ``read_manifest``'s
     full kf hydration does — the NEWEST delta commit's ``kf_add``
@@ -789,18 +815,29 @@ def read_kf_cells(root: str, version: int, paths) -> dict:
     files: on a parquet-pointer anchor a small request decodes
     per-cell (row-group-sliced, ``_AnchorSide.kf_cells``) instead of
     json.loads over every file (~0.6 s at 10^5 files, the VERDICT r11
-    first-cold-probe cost). Callers pass LIVE paths (this read does
-    not restrict to the snapshot's live set the way full hydration
-    does). Returned cell dicts are shared with the manifest caches:
-    treat them as immutable. Same concurrent-vacuum retry contract as
+    first-cold-probe cost). By default the request is intersected with
+    the snapshot's LIVE file set, matching full hydration's view — a
+    removed-but-still-anchored path returns nothing, not a stale cell
+    (ADVICE r12). Internal planners that already filtered to live
+    files pass ``live_only=False`` to skip the O(files) set build on
+    the hot probe path; ``force_cells=True`` additionally pins the
+    per-cell decode so a planner's path decision threads through
+    instead of being re-gated on the anchor's file count. Returned
+    cell dicts are shared with the manifest caches: treat them as
+    immutable. Same concurrent-vacuum retry contract as
     ``read_manifest``."""
+    if live_only:
+        live = set(read_manifest(root, version, need=())["files"])
+        paths = [p for p in paths if p in live]
     try:
-        return _read_kf_cells(root, version, paths)
+        return _read_kf_cells(root, version, paths, force_cells)
     except FileNotFoundError:
-        return _read_kf_cells(root, version, paths)
+        return _read_kf_cells(root, version, paths, force_cells)
 
 
-def _read_kf_cells(root: str, version: int, paths) -> dict:
+def _read_kf_cells(
+    root: str, version: int, paths, force_cells: bool = False
+) -> dict:
     v = version
     chain = [_load_manifest_raw(root, v)]
     while chain[-1].get("delta_maps"):
@@ -826,7 +863,9 @@ def _read_kf_cells(root: str, version: int, paths) -> dict:
     anchor = chain[-1]
     if remaining:
         if anchor.get("anchor_parquet"):
-            out.update(_anchor_side(root, anchor).kf_cells(remaining))
+            out.update(
+                _anchor_side(root, anchor).kf_cells(remaining, force_cells)
+            )
         else:
             kf = anchor.get("kf") or {}
             for p in remaining:
@@ -1437,7 +1476,13 @@ def key_membership_pruned(
             len(files) <= _KF_CELL_PROBE_MAX
             or len(files) * 8 <= len(manifest["files"])
         ):
-            kf = read_kf_cells(root, version, files)
+            # files already ⊆ the snapshot's live list (built from it
+            # above), so skip the live-set intersection, and thread
+            # THIS gate's decision through so the anchor layer doesn't
+            # re-gate on its own n_files (ADVICE r12)
+            kf = read_kf_cells(
+                root, version, files, live_only=False, force_cells=True
+            )
         else:
             kf = read_manifest(root, version, need=("kf",)).get("kf", {})
     pairs = [_kf_hash_pair(v) for v in values]
@@ -3864,16 +3909,24 @@ def read_changes(
     append-only fast path; this generalizes it):
 
     - ``append``  commits emit their added rows as ``insert``.
-    - ``merge`` / ``overwrite`` / ``rollback`` / ``compact`` /
-      ``optimize`` commits KEY-DIFF the removed files against the added
-      files (one full-outer join per commit over the touched region
-      only — untouched files never participate, which is what zone-map
-      pruned merges buy the feed too): new-only keys emit ``insert``,
-      gone keys emit ``delete``, keys present on both sides emit
-      ``update_pre``/``update_post`` ONLY when a non-key column
-      actually changed — so a compaction or optimize rewrite (same
-      rows, new files) emits NOTHING, exactly the physical/logical
-      split the public formats document.
+    - ``merge`` / ``overwrite`` / ``rollback`` commits KEY-DIFF the
+      removed files against the added files (one full-outer join per
+      commit over the touched region only — untouched files never
+      participate, which is what zone-map pruned merges buy the feed
+      too): new-only keys emit ``insert``, gone keys emit ``delete``,
+      keys present on both sides emit ``update_pre``/``update_post``
+      ONLY when a non-key column actually changed.
+    - ``compact`` / ``optimize`` / ``zorder`` commits (``_REWRITE_OPS``)
+      are SKIPPED WITHOUT DIFFING: physical rewrites preserve the
+      logical row set by the format's own contract (the same one
+      ``incremental_read`` relies on; Delta's change feed marks these
+      ``dataChange=false`` and emits nothing) — a compaction folding
+      tombstones moves no logical rows because the delete events were
+      already emitted by their DV commit. Round 13: previously these
+      ran the key-diff only to prove emptiness — an eager full-table
+      full-outer join per maintenance commit (0.42 s of wh06's 1.78 s
+      at sf0.1; SCALE.md r13 profile) — and they need no ``key_cols``
+      now.
     - ``delete`` commits (deletion vectors) emit the NEWLY tombstoned
       keys' pre-image rows as ``delete`` (prior tombstones excluded).
     - ``evolve`` commits (schema evolution) move no rows and read as
@@ -3881,13 +3934,21 @@ def read_changes(
       cross-boundary union backfills the added columns as NULL on the
       older commits' rows.
 
-    Requires ``key_cols`` unless the range is pure appends. Output =
-    row schema + ``_change_type`` + ``_commit_version``, ordered by
-    nothing (downstream sorts). Each commit's diff work is bounded by
-    that commit's touched files — the feed never rescans the table."""
+    Requires ``key_cols`` unless the range holds only appends,
+    rewrites, and metadata commits. Output = row schema +
+    ``_change_type`` + ``_commit_version``, ordered by nothing
+    (downstream sorts). Each commit's diff work is bounded by that
+    commit's touched files — the feed never rescans the table. Range
+    contract: the logical plan grows ONE UNION PER COMMIT in the
+    range, so Catalyst analysis time is linear in range length —
+    consumers should read bounded ranges off a watermark (the MV
+    refreshers and stream sources do) or chunk a large backfill into
+    bounded read_changes calls rather than one thousand-commit
+    plan."""
     if to_version is None:
         to_version = table_version(root)
     out: DataFrame | None = None
+    last_silent: dict | None = None  # schema donor for an all-silent range
 
     def _read(rels: list[str], manifest: dict | None = None) -> DataFrame | None:
         if not rels:
@@ -3906,6 +3967,11 @@ def read_changes(
         typed: DataFrame | None = None
         if m["op"] in ("evolve", "policy"):
             continue  # metadata-only commits read as silence
+        if m["op"] in _REWRITE_OPS:
+            # physical rewrites preserve the logical row set by
+            # contract — skip without diffing (see docstring)
+            last_silent = m
+            continue
         if m["op"] == "append":
             added = _read(m["added"], m)
             if added is not None:
@@ -4025,6 +4091,16 @@ def read_changes(
             else out.unionByName(typed, allowMissingColumns=True)
         )
     if out is None:
+        if last_silent is not None and last_silent["files"]:
+            # a range of only rewrite commits is a VALID, EMPTY feed
+            # (the pre-r13 diff path returned a 0-row frame here) —
+            # borrow the snapshot's schema from one live file footer
+            base = _read(last_silent["files"][:1], last_silent)
+            return (
+                base.limit(0)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(to_version))
+            )
         raise ValueError(
             f"no changes in ({from_version}, {to_version}] of {root}"
         )
