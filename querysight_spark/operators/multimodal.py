@@ -702,7 +702,21 @@ def synth_media_corpus(docs: DataFrame, image_format: str = "pgm") -> DataFrame:
                 {"asset_id": ids, "media_type": types, "payload": payloads}
             )
 
-    return docs.select("doc_id").mapInPandas(
+    src = docs.select("doc_id")
+    # parallelism floor (round 13): the doc table's partition count is
+    # its FILE count, and a small corpus (one parquet file) would run
+    # the whole encode in ONE Python worker — the mm11 profile measured
+    # the entire sf0.1 codec suite single-threaded (~2.1 s of pure
+    # codec = the whole query's runtime, and a single-core stage drifts
+    # with per-core scheduling noise the 64-partition JVM calibration
+    # probe can't see). The shuffle moved is doc_id alone (8 B/row —
+    # payloads don't exist yet), and a corpus already wider than the
+    # cluster keeps its layout (no shuffle at 100 TB, where file count
+    # >> cores).
+    sc = docs.sparkSession.sparkContext
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        src = src.repartition(sc.defaultParallelism)
+    return src.mapInPandas(
         gen, schema="asset_id string, media_type string, payload binary"
     )
 
