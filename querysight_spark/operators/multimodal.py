@@ -786,58 +786,69 @@ def payload_stats(media: DataFrame) -> DataFrame:
     engine-independent oracle — any header, raster, or sample-width bug
     shows up as a value mismatch, not a tolerance blur.
 
-    Plan shape: one mapInPandas per modality over a payload-pruned
-    filter, unioned JVM-side with typed null fill — no pandas nullable-int
-    round-trip, no shuffle (union is narrow; any downstream agg shuffles
-    on its own keys)."""
+    Plan shape (round 13): ONE mapInPandas over all modalities,
+    dispatching per row on media_type, with pandas nullable-Int columns
+    for the modality-specific fields (Arrow carries Int32/Int64 masks
+    losslessly, so no float promotion). The previous shape — one
+    mapInPandas per modality unioned JVM-side — EXECUTED THE INPUT
+    TWICE (each branch re-ran the upstream synth/decode source; the
+    mm11 stage split measured the second pass at ~40% of the query),
+    which at 100 TB is a second full corpus read. No shuffle; any
+    downstream agg shuffles on its own keys."""
 
-    def run_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                w, h, arr = decode_image(bytes(payload))
-                rows.append((aid, w, h) + _int_stats(arr.ravel()))
+            ids, mts = [], []
+            widths, heights, rates = [], [], []
+            stats: list[tuple] = []
+            for aid, mt, payload in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mt == "image":
+                    w, h, arr = decode_image(bytes(payload))
+                    widths.append(w)
+                    heights.append(h)
+                    rates.append(None)
+                    stats.append(_int_stats(arr.ravel()))
+                elif mt == "audio":
+                    rate, samples = decode_wav_pcm16(bytes(payload))
+                    widths.append(None)
+                    heights.append(None)
+                    rates.append(rate)
+                    stats.append(_int_stats(samples))
+                else:
+                    continue  # video et al. carry no stats decoder
+                ids.append(aid)
+                mts.append(mt)
             yield pd.DataFrame(
-                rows, columns=["asset_id", "width", "height"] + _STATS_COLS[1:]
+                {
+                    "asset_id": pd.array(ids, dtype="string"),
+                    "media_type": pd.array(mts, dtype="string"),
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "n_units": pd.array(
+                        [s[0] for s in stats], dtype="Int64"
+                    ),
+                    "sum_v": pd.array([s[1] for s in stats], dtype="Int64"),
+                    "sumsq_v": pd.array(
+                        [s[2] for s in stats], dtype="Int64"
+                    ),
+                    "min_v": pd.array([s[3] for s in stats], dtype="Int64"),
+                    "max_v": pd.array([s[4] for s in stats], dtype="Int64"),
+                }
             )
 
-    def run_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                rate, samples = decode_wav_pcm16(bytes(payload))
-                rows.append((aid, rate) + _int_stats(samples))
-            yield pd.DataFrame(
-                rows, columns=["asset_id", "sample_rate"] + _STATS_COLS[1:]
-            )
-
-    img = (
-        media.where(F.col("media_type") == "image")
-        .select("asset_id", "payload")
-        .mapInPandas(run_images, schema=_IMG_STATS_SCHEMA)
-        .select(
-            "asset_id",
-            F.lit("image").alias("media_type"),
-            "width",
-            "height",
-            F.lit(None).cast("int").alias("sample_rate"),
-            *_STATS_COLS[1:],
-        )
+    return media.where(
+        F.col("media_type").isin("image", "audio")
+    ).select("asset_id", "media_type", "payload").mapInPandas(
+        run,
+        schema=(
+            "asset_id string, media_type string, width int, height int, "
+            "sample_rate int, n_units long, sum_v long, sumsq_v long, "
+            "min_v long, max_v long"
+        ),
     )
-    aud = (
-        media.where(F.col("media_type") == "audio")
-        .select("asset_id", "payload")
-        .mapInPandas(run_audio, schema=_AUD_STATS_SCHEMA)
-        .select(
-            "asset_id",
-            F.lit("audio").alias("media_type"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
-            "sample_rate",
-            *_STATS_COLS[1:],
-        )
-    )
-    return img.unionByName(aud)
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:
