@@ -1645,6 +1645,7 @@ def _commit(root: str, files: list[str], added: list[str],
             else:
                 fv[p] = _commit_of(p)
         prev_dvv = prev_m.get("dvv", {})
+        prev_dvs = set(prev_m.get("dvs", []))
         hint_dvv = dv_versions or {}
         dvv = {}
         for d in dvs or []:
@@ -1652,11 +1653,20 @@ def _commit(root: str, files: list[str], added: list[str],
                 dvv[d] = prev_dvv[d]
             elif d in hint_dvv:
                 dvv[d] = hint_dvv[d]
-            else:
+            elif op == "delete" and d not in prev_dvs:
                 # new vectors only enter via a delete commit — they
-                # scope to the version claimed HERE; anything else
-                # carrying an unmapped vector predates the maps
-                dvv[d] = version if op == "delete" else _commit_of(d)
+                # scope to the version claimed HERE (a claim race can
+                # land them under a different number than their path)
+                dvv[d] = version
+            else:
+                # CARRIED vectors whose explicit dvv entry was elided
+                # (it equaled the path vintage) keep that vintage —
+                # stamping them to the new delete's version would make
+                # an old tombstone apply to files appended since,
+                # shadowing re-inserted keys the docstring contract
+                # (and the change feed) say stay live (round-13 CDC
+                # replay property caught this)
+                dvv[d] = _commit_of(d)
         prev_kf = prev_m.get("kf", {})
         eff_kf_bits = int(kf_bits or prev_m.get("kf_bits", 10))
         if built_kf is None:

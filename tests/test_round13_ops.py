@@ -210,3 +210,161 @@ def test_force_cells_overrides_inner_gate(spark, root):
     assert sides and all("kf" not in s.maps for s in sides), (
         "force_cells request fell through to the full-column decode"
     )
+
+
+# --- property pin: the change feed REPLAYS the table, rewrites and all ---
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _OPS = st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.integers(0, 5)),
+            st.tuples(st.just("merge"), st.integers(0, 5)),
+            st.tuples(st.just("delete"), st.integers(2, 5)),
+            st.tuples(st.just("compact"), st.just(0)),
+            st.tuples(st.just("optimize"), st.just(0)),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+
+    @given(_OPS)
+    @settings(
+        max_examples=6,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_change_feed_replays_table_property(
+        spark, tmp_path_factory, ops
+    ):
+        """For ANY op log — appends, merges, DV deletes, compactions,
+        optimizes — folding each commit's read_changes events into the
+        previous snapshot reconstructs the next snapshot exactly, and
+        update_pre events carry the true pre-image. This is the CDC
+        contract refresh_mv_from_feed depends on, pinned END-TO-END
+        through the r13 rewrite skip: a rewrite commit that silently
+        MOVED logical rows would break the replay equality here."""
+        root = str(tmp_path_factory.mktemp("cdc_prop") / "t")
+        write_version(
+            spark, _kv(spark, range(0, 12)).repartition(2), root
+        )
+        for kind, arg in ops:
+            try:
+                if kind == "append":
+                    write_version(
+                        spark,
+                        _kv(
+                            spark, range(100 + arg * 10, 104 + arg * 10)
+                        ),
+                        root,
+                    )
+                elif kind == "merge":
+                    upd = spark.createDataFrame(
+                        [
+                            (int(i), int(i) * 1000 + arg)
+                            for i in range(arg, arg + 6)
+                        ],
+                        "id long, v long",
+                    )
+                    merge_into(spark, upd, root, ["id"])
+                elif kind == "delete":
+                    delete_keys(
+                        spark,
+                        root,
+                        spark.range(0, 200).where(
+                            (F.col("id") % arg) == 0
+                        ).select("id"),
+                    )
+                elif kind == "compact":
+                    compact_table(spark, root)
+                else:
+                    optimize_table(spark, root, min_rows_per_file=100)
+            except ValueError:
+                # the engine REFUSING an op (merge/optimize with
+                # outstanding delete debt) is its own documented
+                # contract — the op simply doesn't commit, and the
+                # replay below only walks versions that exist
+                continue
+        from querysight_spark.sources.versioned import read_version
+
+        V = table_version(root)
+
+        def snap(v):
+            return {
+                r["id"]: r["v"]
+                for r in read_version(spark, root, v).collect()
+            }
+
+        prev = snap(1)
+        for v in range(2, V + 1):
+            cur = snap(v)
+            try:
+                events = read_changes(
+                    spark, root, v - 1, v, key_cols=["id"]
+                ).collect()
+            except ValueError:
+                # metadata-only commit with nothing else in range is
+                # a legitimate "no changes" — snapshot must be equal
+                assert cur == prev, f"v{v}: silent commit moved rows"
+                prev = cur
+                continue
+            state = dict(prev)
+            for r in events:
+                if r["_change_type"] == "insert":
+                    state[r["id"]] = r["v"]
+                elif r["_change_type"] == "delete":
+                    assert state.pop(r["id"], None) is not None, (
+                        f"v{v}: delete of absent key {r['id']}"
+                    )
+                elif r["_change_type"] == "update_pre":
+                    assert state.get(r["id"]) == r["v"], (
+                        f"v{v}: update_pre wrong pre-image {r['id']}"
+                    )
+                else:
+                    state[r["id"]] = r["v"]
+            assert state == cur, f"v{v}: replay != snapshot"
+            prev = cur
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
+# --- DV vintage preservation (found by the CDC replay property) ---
+
+
+def test_second_delete_does_not_restamp_carried_dvs(spark, root):
+    """A later delete commit carries prior deletion vectors AT THEIR
+    OWN VINTAGE: before r13, a carried DV whose explicit dvv entry had
+    been elided (it equaled its path vintage) fell into the new-vector
+    branch and was re-stamped to the NEW delete's version — an old
+    tombstone then applied to files appended since, silently shadowing
+    re-inserted keys that the delete_keys contract (and the change
+    feed) say stay live."""
+    write_version(spark, _kv(spark, range(12)).repartition(2), root)
+    delete_keys(
+        spark, root,
+        spark.range(0, 200).where(F.col("id") % 2 == 0).select("id"),
+    )
+    write_version(spark, _kv(spark, range(100, 104)), root)  # re-adds 100, 102
+    delete_keys(
+        spark, root,
+        spark.range(0, 200).where(F.col("id") % 3 == 0).select("id"),
+    )
+    from querysight_spark.sources.versioned import read_version
+
+    live = sorted(r["id"] for r in read_version(spark, root, 4).collect())
+    # 100 %3 != 0: the v2 tombstone (which named 100 before it existed)
+    # must not reach the v3-appended file; 102 %3 == 0: the v4 delete
+    # kills it for real
+    assert live == [1, 5, 7, 11, 100, 101, 103]
+    # feed agrees: only the NEW tombstones' pre-images emit at v4
+    ev = sorted(
+        (r["id"], r["_change_type"])
+        for r in read_changes(spark, root, 3, 4, key_cols=["id"]).collect()
+    )
+    assert ev == [(3, "delete"), (9, "delete"), (102, "delete")]
+    # carried DVs keep their path vintage (no explicit override needed)
+    assert read_manifest(root, 4, need=())["dvv"] == {}
