@@ -92,6 +92,13 @@ def aggregate_patterns(
     utils/models.py:129-133 — applied per-row BEFORE the groupBy so the
     union happens once per log row, not per pattern re-walk.
     """
+    # NOTE (round 13): no parallelism floor here, deliberately — unlike
+    # synth_media_corpus (where single-partition PYTHON codec work
+    # dominated and a repartition won 3.2×), this stage is bound by the
+    # serial scan+projection of the log itself (pure extract_tables over
+    # the whole sf0.1 log is 1.1 s vs a 2.4 s stage; an A/B repartition
+    # measured +0.35 s of pure exchange cost and no win). At scale the
+    # scan parallelism is the file count and the UDF rides it.
     df = with_pattern_columns(logs)
     tables_col = F.coalesce(F.col("tables"), F.array())
     if extract_from_sql:
