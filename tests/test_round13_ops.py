@@ -225,6 +225,7 @@ try:
             st.tuples(st.just("delete"), st.integers(2, 5)),
             st.tuples(st.just("compact"), st.just(0)),
             st.tuples(st.just("optimize"), st.just(0)),
+            st.tuples(st.just("zorder"), st.just(0)),
         ),
         min_size=1,
         max_size=4,
@@ -280,8 +281,10 @@ try:
                     )
                 elif kind == "compact":
                     compact_table(spark, root)
-                else:
+                elif kind == "optimize":
                     optimize_table(spark, root, min_rows_per_file=100)
+                else:
+                    zorder_table(spark, root, ["id", "v"])
             except ValueError:
                 # the engine REFUSING an op (merge/optimize with
                 # outstanding delete debt) is its own documented
