@@ -18,6 +18,7 @@ import querysight_spark.sources.versioned as vmod
 from querysight_spark.sources.versioned import (
     compact_table,
     delete_keys,
+    evolve_table_schema,
     merge_into,
     optimize_table,
     read_changes,
@@ -226,6 +227,7 @@ try:
             st.tuples(st.just("compact"), st.just(0)),
             st.tuples(st.just("optimize"), st.just(0)),
             st.tuples(st.just("zorder"), st.just(0)),
+            st.tuples(st.just("evolve"), st.integers(0, 1)),
         ),
         min_size=1,
         max_size=4,
@@ -283,8 +285,16 @@ try:
                     compact_table(spark, root)
                 elif kind == "optimize":
                     optimize_table(spark, root, min_rows_per_file=100)
-                else:
+                elif kind == "zorder":
                     zorder_table(spark, root, ["id", "v"])
+                else:
+                    # metadata-only ADD COLUMN: later appends omit it
+                    # (NULL backfill), and the feed's cross-boundary
+                    # union must NULL-fill older commits' rows — the
+                    # allowMissingColumns seam rides the replay too
+                    evolve_table_schema(
+                        spark, root, {f"w{arg}": "long"}
+                    )
             except ValueError:
                 # the engine REFUSING an op (merge/optimize with
                 # outstanding delete debt) is its own documented
