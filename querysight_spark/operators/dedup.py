@@ -25,6 +25,8 @@ import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from querysight_spark.operators.parallel import floor_parallelism
+
 
 def _words(text_col: str):
     return F.split(F.col(text_col), " ")
@@ -165,6 +167,14 @@ def minhash_signatures(
     """(id, sig array<string>): sig[j] = min over shingles of
     md5(j || ':' || shingle). Engine-portable (md5-hex min) and fully
     JVM-side: explode → groupBy id with one min-agg per hash function."""
+    # parallelism floor (round 14): on a narrow source (the driver's
+    # 1-file tables scan as one partition) the shingle explode and the
+    # num_hashes md5s per shingle — the query's dominant compute — run
+    # on 1-2 cores and drift with scheduler noise (dd02 measured
+    # 2.20 -> 1.14 s at sf0.1 with the floor; the moved bytes are just
+    # (id, text)). No-op at 100 TB where file count >> cores; see
+    # operators/parallel.py for the measure-both-sides rule.
+    df = floor_parallelism(df)
     sh = df.select(
         F.col(id_col), F.explode(_shingles(text_col, shingle_size)).alias("sh")
     )
@@ -402,6 +412,11 @@ def ngram_jaccard_pairs(
     it is also one driver-visible array."""
     from pyspark import StorageLevel
 
+    # parallelism floor (round 14): the shingle explode + xxhash64 that
+    # builds the persisted index is the compute-heavy stage; on a
+    # narrow source it runs on 1-2 cores (dd03 2.45 -> 1.93 s at sf0.1
+    # with the floor). No-op where file count >= cores.
+    df = floor_parallelism(df)
     sh = df.select(
         F.col(id_col), F.explode(_shingles(text_col, shingle_size)).alias("sh")
     )

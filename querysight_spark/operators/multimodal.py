@@ -713,12 +713,18 @@ def synth_media_corpus(docs: DataFrame, image_format: str = "pgm") -> DataFrame:
     # payloads don't exist yet), and a corpus already wider than the
     # cluster keeps its layout (no shuffle at 100 TB, where file count
     # >> cores).
-    sc = docs.sparkSession.sparkContext
-    if src.rdd.getNumPartitions() < sc.defaultParallelism:
-        src = src.repartition(sc.defaultParallelism)
+    src = _floor_codec_parallelism(src, docs)
     return src.mapInPandas(
         gen, schema="asset_id string, media_type string, payload binary"
     )
+
+
+def _floor_codec_parallelism(src: DataFrame, docs: DataFrame) -> DataFrame:
+    """Connect-safe parallelism floor (ADVICE r13) — shared helper in
+    ``operators.parallel``; kept as a named seam for the codec path."""
+    from querysight_spark.operators.parallel import floor_parallelism
+
+    return floor_parallelism(src, probe=docs)
 
 
 _STATS_COLS = ["asset_id", "n_units", "sum_v", "sumsq_v", "min_v", "max_v"]

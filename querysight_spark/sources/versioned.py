@@ -219,6 +219,15 @@ _ANCHOR_ROW_GROUP = 1 << 13
 # map for every later caller (see _AnchorSide.kf_cells)
 _KF_CELL_PROBE_MAX = 256
 
+# per-anchor-side decoded-cell cap (ADVICE r13): repeated point probes
+# against one snapshot accumulate cells in the side entry's cache; with
+# the key_membership_pruned gate at AND each probe adds at most
+# _KF_CELL_PROBE_MAX entries, and this cap bounds the total so a long
+# sequence of distinct probes can't pin an anchor's worth of decoded
+# cells — evict oldest-inserted (a full-map hydration supersedes and
+# frees the whole closure anyway, see _AnchorSide.ensure)
+_KF_CELL_CACHE_CAP = 4096
+
 _CELL_MISS = object()  # cache sentinel: "never decoded" vs "no cell"
 
 
@@ -721,7 +730,11 @@ def _anchor_side(root: str, raw: dict, need=()) -> _AnchorSide:
                             filt["p"] = f"{base}.{c}.kf"
                     cell_cache[p] = cols
                     out[p] = cols
+            while len(cell_cache) > _KF_CELL_CACHE_CAP:
+                cell_cache.pop(next(iter(cell_cache)))
             return out
+
+        _kf_cell_fn.cache = cell_cache  # introspection handle (tests)
 
         side = _AnchorSide(
             key,
@@ -762,6 +775,33 @@ def _load_manifest_raw(root: str, version: int) -> dict:
         _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
     _MANIFEST_CACHE[path] = (key, raw)
     return raw
+
+
+# live-file-set cache (ADVICE r13): ``read_kf_cells``'s ``live_only``
+# default needs only MEMBERSHIP against the snapshot's live list, but
+# building a fresh O(n_files) set from a full file-list hydration per
+# call put a linear-in-table-size driver cost back on the ~ms
+# point-lookup path the function exists to protect. Cache the
+# frozenset per manifest path under the same (mtime_ns, size, ino)
+# invalidation contract as _MANIFEST_CACHE (manifests are immutable
+# except vacuum's re-anchor os.replace, which swaps the inode).
+_LIVE_SET_CACHE: dict[str, tuple[tuple[int, int, int], frozenset]] = {}
+_LIVE_SET_CACHE_CAP = 32
+
+
+def _live_file_set(root: str, version: int) -> frozenset:
+    path = _manifest_path(root, version)
+    st = os.stat(path)
+    key = (st.st_mtime_ns, st.st_size, st.st_ino)
+    hit = _LIVE_SET_CACHE.pop(path, None)
+    if hit is not None and hit[0] == key:
+        _LIVE_SET_CACHE[path] = hit  # move-to-end: most-recently-used
+        return hit[1]
+    live = frozenset(read_manifest(root, version, need=())["files"])
+    while len(_LIVE_SET_CACHE) >= _LIVE_SET_CACHE_CAP:
+        _LIVE_SET_CACHE.pop(next(iter(_LIVE_SET_CACHE)))
+    _LIVE_SET_CACHE[path] = (key, live)
+    return live
 
 
 def read_manifest(root: str, version: int, need=None) -> dict:
@@ -818,16 +858,20 @@ def read_kf_cells(
     first-cold-probe cost). By default the request is intersected with
     the snapshot's LIVE file set, matching full hydration's view — a
     removed-but-still-anchored path returns nothing, not a stale cell
-    (ADVICE r12). Internal planners that already filtered to live
-    files pass ``live_only=False`` to skip the O(files) set build on
-    the hot probe path; ``force_cells=True`` additionally pins the
+    (ADVICE r12). The live set is a per-snapshot cached frozenset
+    (ADVICE r13, ``_live_file_set``) so the default costs O(len(paths))
+    membership, not an O(files) set rebuild per probe; internal
+    planners that already filtered to live files pass
+    ``live_only=False`` to skip even that; ``force_cells=True`` pins the
     per-cell decode so a planner's path decision threads through
     instead of being re-gated on the anchor's file count. Returned
     cell dicts are shared with the manifest caches: treat them as
     immutable. Same concurrent-vacuum retry contract as
     ``read_manifest``."""
     if live_only:
-        live = set(read_manifest(root, version, need=())["files"])
+        # cached frozenset (ADVICE r13): membership costs O(len(paths)),
+        # not an O(n_files) set rebuild per probe — see _live_file_set
+        live = _live_file_set(root, version)
         paths = [p for p in paths if p in live]
     try:
         return _read_kf_cells(root, version, paths, force_cells)
@@ -1471,10 +1515,17 @@ def key_membership_pruned(
     if kf is None:
         # pointer-anchor snapshot (JSON-form manifests carry kf even
         # at need=() — the floor contract): small probe sets decode
-        # per-cell; big ones take the cached full-column decode
+        # per-cell; big ones take the cached full-column decode.
+        # AND, not OR (ADVICE r13): because force_cells makes THIS
+        # gate authoritative, a mid-size candidate set (e.g. 5k files
+        # on a 100k-file table) must not take the per-cell path — 5k
+        # row-group-sliced decodes cost more than the one full-column
+        # decode, and the full map caches for every later caller
+        # where per-cell results only fill the side entry's bounded
+        # cell cache
         if (
             len(files) <= _KF_CELL_PROBE_MAX
-            or len(files) * 8 <= len(manifest["files"])
+            and len(files) * 8 <= max(len(manifest["files"]), 1)
         ):
             # files already ⊆ the snapshot's live list (built from it
             # above), so skip the live-set intersection, and thread
@@ -3942,7 +3993,10 @@ def read_changes(
     - ``evolve`` commits (schema evolution) move no rows and read as
       SILENCE; commits after one emit with the evolved schema, and the
       cross-boundary union backfills the added columns as NULL on the
-      older commits' rows.
+      older commits' rows. A rewrite-only range's 0-row feed carries
+      the range END's recorded schema — post-evolve when the silent
+      range contains an evolve (round 14; pre-r14 it borrowed the
+      rewrite-era footer's pre-evolve schema).
 
     Requires ``key_cols`` unless the range holds only appends,
     rewrites, and metadata commits. Output = row schema +
@@ -4039,6 +4093,27 @@ def read_changes(
             elif new is None:
                 typed = old.withColumn("_change_type", F.lit("delete"))
             else:
+                # commits straddling a schema boundary (a rollback
+                # across an evolve restores the pre-evolve schema; an
+                # overwrite resets it) read their two sides with
+                # DIFFERENT schemas — align on the union with typed
+                # NULL backfill before structing, exactly as the
+                # cross-commit union does, or the diff would reference
+                # a column one side lacks (round 14, found by running
+                # the CDC replay property over rollback ops)
+                if set(old.columns) != set(new.columns):
+                    for c in [
+                        c for c in new.columns if c not in old.columns
+                    ]:
+                        old = old.withColumn(
+                            c, F.lit(None).cast(new.schema[c].dataType)
+                        )
+                    for c in [
+                        c for c in old.columns if c not in new.columns
+                    ]:
+                        new = new.withColumn(
+                            c, F.lit(None).cast(old.schema[c].dataType)
+                        )
                 data_cols = [c for c in old.columns if c not in key_cols]
                 o = old.select(
                     *key_cols,
@@ -4103,9 +4178,15 @@ def read_changes(
     if out is None:
         if last_silent is not None and last_silent["files"]:
             # a range of only rewrite commits is a VALID, EMPTY feed
-            # (the pre-r13 diff path returned a 0-row frame here) —
-            # borrow the snapshot's schema from one live file footer
-            base = _read(last_silent["files"][:1], last_silent)
+            # (the pre-r13 diff path returned a 0-row frame here).
+            # Schema donor = the RANGE END's manifest (round 14): a
+            # later evolve in an otherwise-silent range must show on
+            # the empty frame's schema — the explicit-schema read
+            # NULL-backfills the added columns exactly as the
+            # cross-boundary union would; with no recorded schema it
+            # falls back to the rewrite-era file footer as before
+            end_m = read_manifest(root, to_version, need=())
+            base = _read(last_silent["files"][:1], end_m)
             return (
                 base.limit(0)
                 .withColumn("_change_type", F.lit("insert"))
