@@ -8466,6 +8466,126 @@ def wh08(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "wh09_rollback_feed",
+    """WITH b AS (SELECT MIN(o_orderkey)
+                    + (MAX(o_orderkey) - MIN(o_orderkey)) // 10 AS thr
+              FROM orders),
+       upd AS (SELECT o_orderkey AS k, o_totalprice AS p
+               FROM orders, b WHERE o_orderkey <= b.thr),
+       ins AS (SELECT o_orderkey + 100000000 AS k, o_totalprice + 5000 AS p
+               FROM orders WHERE o_orderkey % 1000 = 7),
+       feed AS (
+         SELECT 4 AS commit_version, 'update_pre' AS change_type,
+                k, p + 1000 AS p FROM upd
+         UNION ALL SELECT 4, 'update_post', k, p FROM upd
+         UNION ALL SELECT 4, 'delete', k, p FROM ins)
+       SELECT commit_version, change_type, COUNT(*) AS n_rows,
+              CAST(SUM(CAST(ROUND(p * 100) AS BIGINT)) AS BIGINT)
+                AS sum_cents,
+              CAST(SUM(k) AS BIGINT) AS sum_keys,
+              CAST(0 AS BIGINT) AS n_w9,
+              TRUE AS rollback_restored_snapshot
+       FROM feed GROUP BY commit_version, change_type
+       ORDER BY change_type""",
+)
+def wh09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLBACK in the row-level change feed, across a schema-evolution
+    boundary (round 14): after a copy-on-write merge (updates +
+    inserts) and a metadata-only ADD COLUMN, ``rollback`` reverts to
+    the pre-merge snapshot and the feed over (evolve, rollback] must
+    read the evolve as silence and the rollback as the merge's exact
+    INVERSE — update_pre at the merged price / update_post at the
+    original for every updated key, delete for every inserted key, and
+    NOTHING for rows the rewrite merely copied. The two diff sides
+    read with DIFFERENT schemas (the pre-image carries the evolved
+    ``w9``, the restored files predate it), so the emitted rows pin
+    the union-schema NULL-backfill contract (``n_w9`` counts non-NULL
+    ``w9`` — must be 0), and ``rollback_restored_snapshot`` pins the
+    restored table equal to v1 on count/key-sum/cent-sum. Per-commit
+    diff work is bounded by the files the rollback actually
+    adds/removes — untouched files never participate, the property
+    that keeps a 100 TB un-rollback readable."""
+    import hashlib
+    import os
+    import tempfile
+
+    from querysight_spark.sources.versioned import (
+        evolve_table_schema,
+        merge_into,
+        read_changes,
+        read_version,
+        rollback,
+        write_version,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"wh09:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"qs_wh09_table_{tag}")
+    done = os.path.join(root, "_build_ok")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_totalprice"
+    )
+    if not os.path.exists(done):
+        row = orders.agg(
+            F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+        ).collect()[0]
+        thr = row.lo + (row.hi - row.lo) // 10
+        write_version(
+            spark,
+            orders.repartitionByRange(16, "o_orderkey"),
+            root,
+            stats_cols=["o_orderkey"],
+        )
+        upd = orders.where(F.col("o_orderkey") <= thr).select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        )
+        ins = orders.where(F.col("o_orderkey") % 1000 == 7).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            (F.col("o_totalprice") + 5000).alias("o_totalprice"),
+        )
+        merge_into(spark, upd.unionByName(ins), root, ["o_orderkey"])
+        evolve_table_schema(spark, root, {"w9": "long"})
+        rollback(root, 1)
+        with open(done, "w") as f:
+            f.write("ok")
+
+    def _chk(df: DataFrame):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").cast("long").alias("sk"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("sc"),
+        ).collect()[0]
+        return (r["n"], r["sk"], r["sc"])
+
+    restored = _chk(
+        read_version(spark, root).select("o_orderkey", "o_totalprice")
+    ) == _chk(orders)
+    feed = read_changes(spark, root, 2, 4, key_cols=["o_orderkey"])
+    return (
+        feed.groupBy(
+            F.col("_commit_version").cast("int").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("sum_cents"),
+            F.sum("o_orderkey").cast("long").alias("sum_keys"),
+            F.count("w9").alias("n_w9"),
+        )
+        .withColumn("rollback_restored_snapshot", F.lit(bool(restored)))
+        .orderBy("change_type")
+    )
+
+
+@_q(
     "io09_multi_zone_prune",
     """WITH e AS (SELECT event_id, CAST(epoch(ts) AS BIGINT) AS ts_s,
                         event_type, value FROM events),
