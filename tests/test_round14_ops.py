@@ -131,6 +131,67 @@ def test_cell_cache_capped(spark, root, monkeypatch):
     }
 
 
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as _st
+
+    @given(
+        _st.integers(0, 15),
+        _st.integers(1, 16),
+        _st.lists(_st.integers(0, 200), min_size=1, max_size=4),
+        _st.integers(1, 64),
+    )
+    @settings(
+        max_examples=20,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_membership_split_path_independent_property(
+        spark, tmp_path_factory, start, width, values, probe_max
+    ):
+        """For ANY candidate slice, probe-value set, and
+        _KF_CELL_PROBE_MAX (which steers the AND gate between the
+        per-cell and full-column decode paths), key_membership_pruned
+        must produce the identical (kept, skipped) split — the r14 AND
+        gate change must never alter answers, only which decode pays."""
+        import querysight_spark.sources.versioned as vm
+
+        global _PROP_ROOT
+        if _PROP_ROOT is None:
+            root = str(tmp_path_factory.mktemp("memb_prop") / "t")
+            spark_df = _kv(spark, range(160)).repartition(16)
+            write_version(
+                spark, spark_df, root,
+                anchor_parquet_min=1,
+                stats_cols=["id"],
+                key_filter_cols=["id"],
+            )
+            _PROP_ROOT = root
+        root = _PROP_ROOT
+        v = table_version(root)
+        files = read_manifest(root, v, need=())["files"]
+        cand = files[start : start + width]
+        keep = vm._KF_CELL_PROBE_MAX
+        try:
+            vm._KF_CELL_PROBE_MAX = probe_max
+            _clear_caches()
+            a = key_membership_pruned(root, v, "id", values, candidates=cand)
+            _clear_caches()
+            read_manifest(root, v)  # force the full-column decode path
+            b = key_membership_pruned(root, v, "id", values, candidates=cand)
+        finally:
+            vm._KF_CELL_PROBE_MAX = keep
+        # split equality across paths; exactness of the split itself
+        # is covered by the r12 no-false-negative pins
+        assert a == b
+
+    _PROP_ROOT = None
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
 # --- ADVICE r13 #2: the live set is cached per snapshot ---
 
 
