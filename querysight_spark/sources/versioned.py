@@ -3976,7 +3976,12 @@ def read_changes(
       participate, which is what zone-map pruned merges buy the feed
       too): new-only keys emit ``insert``, gone keys emit ``delete``,
       keys present on both sides emit ``update_pre``/``update_post``
-      ONLY when a non-key column actually changed.
+      ONLY when a non-key column actually changed. BOTH sides read
+      LOGICALLY: prev's DVs apply to the removed files, and the
+      commit's own DVs apply to added files whose vintage predates the
+      commit (a rollback re-adding still-tombstoned files — round 14;
+      merge/overwrite outputs are immune by scoping and skip the DV
+      read).
     - ``compact`` / ``optimize`` / ``zorder`` commits (``_REWRITE_OPS``)
       are SKIPPED WITHOUT DIFFING: physical rewrites preserve the
       logical row set by the format's own contract (the same one
@@ -4085,7 +4090,27 @@ def read_changes(
                 )
             else:
                 old = _read(m["removed"], prev)
-            new = _read(m["added"], m)
+            # the commit's own DVs apply to its ADDED side too (round
+            # 14, found by the replay hunt over delete->compact->
+            # rollback logs): a rollback re-adds files at their
+            # ORIGINAL vintage, and the restored vectors still
+            # tombstone rows in them — reading those files raw
+            # resurrects deleted keys as phantom inserts. Merge/
+            # overwrite-added files are immune by scoping (their
+            # vintage IS this commit, newer than every carried DV), so
+            # the DV read is gated on an added file predating v —
+            # rollback's re-entries are the only payers.
+            added_fv = m.get("fv", {})
+            if m["added"] and m.get("dvs") and any(
+                added_fv.get(p, _commit_of(p)) < v for p in m["added"]
+            ):
+                new = _read_with_dvs(
+                    spark, root, m["added"], m["dvs"], m["dv_key"],
+                    schema=_schema_of(m),
+                    fv=m.get("fv"), dvv=m.get("dvv"),
+                )
+            else:
+                new = _read(m["added"], m)
             if old is None and new is None:
                 typed = None
             elif old is None:

@@ -510,6 +510,39 @@ except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
 
 
+def test_rollback_readds_tombstoned_files_feed_silent(spark, root):
+    """A rollback that re-adds files still covered by its restored
+    deletion vectors must read its ADDED side logically: delete ->
+    compact -> rollback leaves the snapshot unchanged, so the feed
+    over the rollback is EMPTY — pre-fix the raw added-side read
+    resurrected the tombstoned keys as phantom inserts (found by the
+    round-14 replay hunt, seed 33: delete/compact/rollback/vacuum)."""
+    from querysight_spark.sources.versioned import read_version
+
+    write_version(spark, _kv(spark, range(12)).repartition(2), root)  # v1
+    delete_keys(
+        spark, root,
+        spark.range(0, 200).where(F.col("id") % 5 == 0).select("id"),
+    )  # v2
+    compact_table(spark, root)  # v3
+    v4 = rollback(root, 2)
+    live3 = sorted(r["id"] for r in read_version(spark, root, 3).collect())
+    live4 = sorted(r["id"] for r in read_version(spark, root, 4).collect())
+    assert live3 == live4  # logical no-op
+    assert read_changes(spark, root, 3, v4, key_cols=["id"]).count() == 0
+    # and a later delete still sees the restored tombstones (no
+    # double-delete events for already-dead keys)
+    delete_keys(
+        spark, root,
+        spark.range(0, 200).where(F.col("id") % 2 == 0).select("id"),
+    )  # v5
+    ev = sorted(
+        (r["id"], r["_change_type"])
+        for r in read_changes(spark, root, v4, key_cols=["id"]).collect()
+    )
+    assert ev == [(2, "delete"), (4, "delete"), (6, "delete"), (8, "delete")]
+
+
 def test_change_feed_replays_after_vacuum(spark, root):
     """Deterministic vacuum+feed pin (the property's generator may not
     draw vacuum in its derandomized examples): after dropping history
