@@ -3981,7 +3981,12 @@ def read_changes(
       commit's own DVs apply to added files whose vintage predates the
       commit (a rollback re-adding still-tombstoned files — round 14;
       merge/overwrite outputs are immune by scoping and skip the DV
-      read).
+      read). A DV-ONLY transition (a rollback dropping or restoring
+      deletion vectors with the file list unchanged) diffs the kept
+      files' two logical views restricted to the delta vectors' keys:
+      resurrected keys emit ``insert``, newly re-covered keys emit
+      ``delete`` — bounded by the delete's key set, never the table
+      (round 14, replay hunt).
     - ``compact`` / ``optimize`` / ``zorder`` commits (``_REWRITE_OPS``)
       are SKIPPED WITHOUT DIFFING: physical rewrites preserve the
       logical row set by the format's own contract (the same one
@@ -4111,6 +4116,70 @@ def read_changes(
                 )
             else:
                 new = _read(m["added"], m)
+            # DV-ONLY transitions (round 14, replay hunt seed 94): a
+            # rollback can change the DELETION-VECTOR set without
+            # touching the file list — rolling back across a delete
+            # drops its vectors (keys RESURRECT); rolling back onto a
+            # DV'd snapshot from a later un-DV'd one restores them
+            # (keys disappear). The file diff sees nothing either way,
+            # so the KEPT files' two logical views join the diff too,
+            # restricted to the delta vectors' keys — work is bounded
+            # by the delete's key set, never the table. Carried DVs
+            # keep their vintage (r13), so identity-by-path+vintage
+            # detects the delta exactly; merges/overwrites carry DV
+            # sets verbatim and skip this entirely.
+            prev_eff = {
+                d: prev.get("dvv", {}).get(d, _commit_of(d))
+                for d in prev.get("dvs", [])
+            }
+            m_eff = {
+                d: m.get("dvv", {}).get(d, _commit_of(d))
+                for d in m.get("dvs", [])
+            }
+            gone_dvs = [
+                d for d, ev in prev_eff.items() if m_eff.get(d) != ev
+            ]
+            born_dvs = [
+                d for d, ev in m_eff.items() if prev_eff.get(d) != ev
+            ]
+            kept = (
+                [f for f in m["files"] if f in set(prev.get("files", []))]
+                if (gone_dvs or born_dvs)
+                else []
+            )
+            if kept:
+                delta_keys = _read(sorted(set(gone_dvs + born_dvs)))
+            if kept and delta_keys is not None:
+                delta_keys = delta_keys.distinct()
+                kcols = m.get("dv_key") or prev.get("dv_key")
+                old_kept = (
+                    _read_with_dvs(
+                        spark, root, kept, prev["dvs"], prev["dv_key"],
+                        schema=_schema_of(prev),
+                        fv=prev.get("fv"), dvv=prev.get("dvv"),
+                    )
+                    if prev.get("dvs")
+                    else _read(kept, prev)
+                ).join(delta_keys, kcols, "left_semi")
+                new_kept = (
+                    _read_with_dvs(
+                        spark, root, kept, m["dvs"], m["dv_key"],
+                        schema=_schema_of(m),
+                        fv=m.get("fv"), dvv=m.get("dvv"),
+                    )
+                    if m.get("dvs")
+                    else _read(kept, m)
+                ).join(delta_keys, kcols, "left_semi")
+                old = (
+                    old_kept
+                    if old is None
+                    else old.unionByName(old_kept, allowMissingColumns=True)
+                )
+                new = (
+                    new_kept
+                    if new is None
+                    else new.unionByName(new_kept, allowMissingColumns=True)
+                )
             if old is None and new is None:
                 typed = None
             elif old is None:

@@ -543,6 +543,42 @@ def test_rollback_readds_tombstoned_files_feed_silent(spark, root):
     assert ev == [(2, "delete"), (4, "delete"), (6, "delete"), (8, "delete")]
 
 
+def test_dv_only_rollback_feed_events(spark, root):
+    """A rollback that changes ONLY the deletion-vector set (file list
+    untouched) must still emit the logical row changes: dropping a
+    delete's vectors resurrects its keys (insert events); rolling back
+    onto the DV'd snapshot from a later un-DV'd one re-covers them
+    (delete events). Pre-fix both read as a silent commit while rows
+    moved (found by the round-14 replay hunt, seed 94:
+    delete -> evolve -> rollback)."""
+    from querysight_spark.sources.versioned import read_version
+
+    write_version(spark, _kv(spark, range(12)).repartition(2), root)  # v1
+    delete_keys(
+        spark, root,
+        spark.range(0, 200).where(F.col("id") % 2 == 0).select("id"),
+    )  # v2
+    evolve_table_schema(spark, root, {"w0": "long"})  # v3
+    v4 = rollback(root, 1)  # drops the DVs; file list identical
+    ev = sorted(
+        (r["id"], r["_change_type"])
+        for r in read_changes(spark, root, 3, v4, key_cols=["id"]).collect()
+    )
+    assert ev == [(k, "insert") for k in (0, 2, 4, 6, 8, 10)]
+    assert sorted(
+        r["id"] for r in read_version(spark, root, v4).collect()
+    ) == list(range(12))
+    v5 = rollback(root, 2)  # restores the DVs; file list identical
+    ev2 = sorted(
+        (r["id"], r["_change_type"])
+        for r in read_changes(spark, root, v4, v5, key_cols=["id"]).collect()
+    )
+    assert ev2 == [(k, "delete") for k in (0, 2, 4, 6, 8, 10)]
+    assert sorted(
+        r["id"] for r in read_version(spark, root, v5).collect()
+    ) == [1, 3, 5, 7, 9, 11]
+
+
 def test_change_feed_replays_after_vacuum(spark, root):
     """Deterministic vacuum+feed pin (the property's generator may not
     draw vacuum in its derandomized examples): after dropping history
