@@ -25,7 +25,7 @@ spark = get_spark(app_name="replay-hunt", master="local[8]", shuffle_partitions=
 def _kv(ids):
     return spark.createDataFrame([(int(i), int(i) * 10) for i in ids], "id long, v long")
 
-OPS = ["append", "merge", "delete", "compact", "optimize", "zorder", "evolve", "rollback", "vacuum"]
+OPS = ["append", "merge", "delete", "compact", "optimize", "zorder", "evolve", "rollback", "vacuum", "overwrite"]
 
 def run_case(seed):
     rng = random.Random(seed)
@@ -54,6 +54,11 @@ def run_case(seed):
                 zorder_table(spark, root, ["id", "v"])
             elif kind == "evolve":
                 evolve_table_schema(spark, root, {f"w{arg}": "long"})
+            elif kind == "overwrite":
+                write_version(
+                    spark, _kv(range(arg, arg + 8)).repartition(2), root,
+                    mode="overwrite",
+                )
             elif kind == "rollback":
                 cur = table_version(root)
                 target = max(floor, cur - max(1, arg % 4))
