@@ -24,7 +24,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 
@@ -146,12 +145,18 @@ def connected_components(
         sym = cur.unionByName(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
         mstar = mins.select("u", F.least("u", "mn").alias("m"))
+        # ``sym.where(v > u)`` is exactly the reversed orientation of the
+        # canonical big->small ``cur`` (r14 opt): feed the join that
+        # directly instead of filtering the 2x union. The large-star
+        # emissions are NOT deduplicated here (one exchange per round
+        # saved): both consumers are duplicate-insensitive — ``smins``
+        # is a min-agg and the small-star output runs its own distinct —
+        # so the round's edge SET (and the fixpoint test) is unchanged.
         large = (
-            sym.where(F.col("v") > F.col("u"))
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
             .join(mstar, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
         # ---- small-star over the big->small pairs -----------------------
         smins = large.groupBy("u").agg(F.min("v").alias("m"))
@@ -563,13 +568,23 @@ def label_propagation(
             .groupBy("dst", "community")
             .agg(F.count(F.lit(1)).alias("votes"))
         )
-        win = Window.partitionBy("dst").orderBy(
-            F.col("votes").desc(), F.col("community").asc()
-        )
+        # argmax(votes) with min-community tie-break as ONE hash agg:
+        # min(struct(-votes, community)) == the row_number()-over-window
+        # pick, but aggregates partially map-side and never sorts the
+        # per-node partitions (r14 opt — guide §2.3 "aggregate before
+        # you shuffle"; a window has no partial agg, every (dst,
+        # community, votes) row crossed the exchange and was sorted).
         labels = (
-            counts.withColumn("rn", F.row_number().over(win))
-            .where(F.col("rn") == 1)
-            .select(F.col("dst").alias("node"), "community")
+            counts.groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("votes")).alias("nv"),
+                        F.col("community").alias("c"),
+                    )
+                ).alias("top")
+            )
+            .select(F.col("dst").alias("node"), F.col("top.c").alias("community"))
             .localCheckpoint(eager=True)
         )
     e.unpersist()
