@@ -423,24 +423,33 @@ def ngram_jaccard_pairs(
     if hash_shingles:
         sh = sh.select(F.col(id_col), F.xxhash64("sh").alias("sh"))
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    indexed = sh
-    if max_shingle_df is not None:
-        # prefilter on the same key as the posting-list groupBy (shared
-        # exchange): stop-phrase shingles are dropped row-wise, so the
-        # viral posting list never materializes. Doc sizes stay computed
-        # from the UNCAPPED index (standard prefix-filtering semantics).
-        from pyspark.sql.window import Window
-
-        indexed = (
-            sh.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
-            .where(F.col("_df") <= max_shingle_df)
-            .drop("_df")
-        )
-    posting = indexed.groupBy("sh").agg(
-        F.array_sort(F.collect_list(id_col)).alias("ids")
+    # sizes feeds BOTH sides of the final sa/sb join — persist the
+    # doc-sized agg so the shingle index is re-scanned once, not twice
+    # (r14 opt, guide §2.4; one pass saved over the index per call)
+    sizes = (
+        sh.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    pairs = posting.where(F.size("ids") >= 2).select(
+    # Prefix filtering as a plain length gate on the BUILT posting lists
+    # (r14 opt, guide §2.4): per-doc shingles are distinct by
+    # construction (``_shingles`` wraps array_distinct), so the per-row
+    # document frequency the old ``count() OVER (PARTITION BY sh)``
+    # computed is exactly ``size(ids)`` of the list the very next
+    # operator built — the Window (and its full-index Sort) bought
+    # nothing. Same single exchange (the groupBy), same transient
+    # memory for a viral list (WindowExec buffered the same rows per
+    # key), and the size gate runs BEFORE the array_sort so stop-phrase
+    # lists are dropped unsorted. Doc sizes stay computed from the
+    # UNCAPPED index (standard prefix-filtering semantics).
+    posting = sh.groupBy("sh").agg(F.collect_list(id_col).alias("ids_raw"))
+    lo, hi = 2, max_shingle_df if max_shingle_df is not None else None
+    posting = posting.where(
+        F.size("ids_raw") >= lo
+        if hi is None
+        else F.size("ids_raw").between(lo, hi)
+    ).select("sh", F.array_sort("ids_raw").alias("ids"))
+    pairs = posting.select(
         F.explode(
             F.expr(
                 "flatten(transform(ids, (x, i) -> "

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from querysight_spark.operators.parallel import coalesce_tiny_shuffles
+
 
 def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Undirected view of an edge list: both directions of each distinct
@@ -67,22 +69,24 @@ def pagerank(
 
     pr = deg.select("src", F.lit(1.0 / n).alias("pr"))
     prev = None
-    for _ in range(iterations):
-        contrib = (
-            e.join(pr, "src")
-            .join(deg, "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("pr") / F.col("deg")).alias("mass"))
-        )
-        pr = contrib.select(
-            F.col("dst").alias("src"),
-            (F.lit(base) + F.lit(damping) * F.col("mass")).alias("pr"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        pr.count()  # materialize: caps lineage at one iteration
-        # localCheckpoint() here instead for very deep runs
-        if prev is not None:
-            prev.unpersist()
-        prev = pr
+    # rank-table shuffles are node-sized — coalesce them inside the loop
+    with coalesce_tiny_shuffles(edges.sparkSession):
+        for _ in range(iterations):
+            contrib = (
+                e.join(pr, "src")
+                .join(deg, "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("pr") / F.col("deg")).alias("mass"))
+            )
+            pr = contrib.select(
+                F.col("dst").alias("src"),
+                (F.lit(base) + F.lit(damping) * F.col("mass")).alias("pr"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            pr.count()  # materialize: caps lineage at one iteration
+            # localCheckpoint() here instead for very deep runs
+            if prev is not None:
+                prev.unpersist()
+            prev = pr
     # checkpoint the (node-sized) result so every explicit cache can be
     # released NOW — in a long-lived session the e/deg/pr blocks would
     # otherwise sit in the cache manager until LRU pressure
@@ -139,45 +143,52 @@ def connected_components(
     cur = cur0
     cur_n = cur.count()  # carried across rounds: each round counts only
     rounds, converged = 0, False  # its OWN output, not its input again
-    for _ in range(max_iter):
-        rounds += 1
-        # ---- large-star over the symmetric view -------------------------
-        sym = cur.unionByName(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
-        mstar = mins.select("u", F.least("u", "mn").alias("m"))
-        # ``sym.where(v > u)`` is exactly the reversed orientation of the
-        # canonical big->small ``cur`` (r14 opt): feed the join that
-        # directly instead of filtering the 2x union. The large-star
-        # emissions are NOT deduplicated here (one exchange per round
-        # saved): both consumers are duplicate-insensitive — ``smins``
-        # is a min-agg and the small-star output runs its own distinct —
-        # so the round's edge SET (and the fixpoint test) is unchanged.
-        large = (
-            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
-            .join(mstar, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .where(F.col("u") != F.col("v"))
-        )
-        # ---- small-star over the big->small pairs -----------------------
-        smins = large.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
-            large.join(smins, "u")
-            .select(F.col("v").alias("n"), F.col("m"))
-            .unionByName(smins.select(F.col("u").alias("n"), F.col("m")))
-            .where(F.col("n") != F.col("m"))
-            .distinct()
-            .select(F.col("n").alias("u"), F.col("m").alias("v"))
-            .localCheckpoint(eager=True)
-        )
-        small_n = small.count()
-        unchanged = (
-            small_n == cur_n
-            and small.exceptAll(cur).limit(1).count() == 0
-        )
-        cur, cur_n = small, small_n
-        if unchanged:
-            converged = True
-            break
+    # the loop's per-round frames shrink toward the star forest — size-
+    # based AQE coalescing inside the scope only (cur0's upstream above
+    # and the lazy post-loop plan below run at the caller's conf)
+    with coalesce_tiny_shuffles(edges.sparkSession):
+        for _ in range(max_iter):
+            rounds += 1
+            # ---- large-star over the symmetric view ---------------------
+            sym = cur.unionByName(
+                cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+            mstar = mins.select("u", F.least("u", "mn").alias("m"))
+            # ``sym.where(v > u)`` is exactly the reversed orientation of
+            # the canonical big->small ``cur`` (r14 opt): feed the join
+            # that directly instead of filtering the 2x union. The
+            # large-star emissions are NOT deduplicated here (one exchange
+            # per round saved): both consumers are duplicate-insensitive —
+            # ``smins`` is a min-agg and the small-star output runs its own
+            # distinct — so the round's edge SET (and the fixpoint test)
+            # is unchanged.
+            large = (
+                cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+                .join(mstar, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v"))
+            )
+            # ---- small-star over the big->small pairs -------------------
+            smins = large.groupBy("u").agg(F.min("v").alias("m"))
+            small = (
+                large.join(smins, "u")
+                .select(F.col("v").alias("n"), F.col("m"))
+                .unionByName(smins.select(F.col("u").alias("n"), F.col("m")))
+                .where(F.col("n") != F.col("m"))
+                .distinct()
+                .select(F.col("n").alias("u"), F.col("m").alias("v"))
+                .localCheckpoint(eager=True)
+            )
+            small_n = small.count()
+            unchanged = (
+                small_n == cur_n
+                and small.exceptAll(cur).limit(1).count() == 0
+            )
+            cur, cur_n = small, small_n
+            if unchanged:
+                converged = True
+                break
     if stats is not None:
         stats["rounds"] = rounds
         stats["converged"] = converged
@@ -328,22 +339,25 @@ def bfs_distances(
         .withColumn("dist", F.lit(0))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        if frontier.limit(1).count() == 0:
-            break
-        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
-        nxt = (
-            frontier.join(sym, frontier["node"] == sym["u"])
-            .select(
-                F.col("v").alias("node"),
-                (F.col("dist") + 1).alias("dist"),
+    # frontier/visited frames are node-sized: size-based AQE coalescing
+    # for the round micro-shuffles (sym is checkpointed above, full width)
+    with coalesce_tiny_shuffles(edges.sparkSession):
+        for _ in range(max_iter):
+            if frontier.limit(1).count() == 0:
+                break
+            visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+            nxt = (
+                frontier.join(sym, frontier["node"] == sym["u"])
+                .select(
+                    F.col("v").alias("node"),
+                    (F.col("dist") + 1).alias("dist"),
+                )
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                .join(visited.select("node"), "node", "left_anti")
+                .localCheckpoint(eager=True)
             )
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .join(visited.select("node"), "node", "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        frontier = nxt
+            frontier = nxt
     # absorb the last computed frontier: the loop adds each frontier at
     # the TOP of the next iteration, so on max_iter exhaustion the final
     # frontier (distance == max_iter) was computed but never recorded —
@@ -389,18 +403,25 @@ def multi_source_bfs(
         .select("root", F.col("root").alias("node"), F.lit(0).alias("dist"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        if frontier.limit(1).count() == 0:
-            break
-        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
-        frontier = (
-            frontier.join(sym, frontier["node"] == sym["u"])
-            .select("root", F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
-            .groupBy("root", "node")
-            .agg(F.min("dist").alias("dist"))
-            .join(visited.select("root", "node"), ["root", "node"], "left_anti")
-            .localCheckpoint(eager=True)
-        )
+    with coalesce_tiny_shuffles(edges.sparkSession):
+        for _ in range(max_iter):
+            if frontier.limit(1).count() == 0:
+                break
+            visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+            frontier = (
+                frontier.join(sym, frontier["node"] == sym["u"])
+                .select(
+                    "root",
+                    F.col("v").alias("node"),
+                    (F.col("dist") + 1).alias("dist"),
+                )
+                .groupBy("root", "node")
+                .agg(F.min("dist").alias("dist"))
+                .join(
+                    visited.select("root", "node"), ["root", "node"], "left_anti"
+                )
+                .localCheckpoint(eager=True)
+            )
     # same final-frontier absorption as bfs_distances: coverage is
     # distances 0..max_iter inclusive
     return visited.unionByName(frontier)
@@ -492,28 +513,29 @@ def personalized_pagerank(
     base = (1.0 - damping) / n_seeds
     pr = sd.select("src", F.lit(1.0 / n_seeds).alias("pr"))
     prev = None
-    for _ in range(iterations):
-        contrib = (
-            e.join(pr, "src")
-            .join(deg, "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("pr") / F.col("deg")).alias("mass"))
-        )
-        spread = contrib.select(
-            F.col("dst").alias("src"),
-            (F.lit(damping) * F.col("mass")).alias("pr"),
-        )
-        teleport = sd.select("src", F.lit(base).alias("pr"))
-        pr = (
-            spread.unionByName(teleport)
-            .groupBy("src")
-            .agg(F.sum("pr").alias("pr"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        pr.count()
-        if prev is not None:
-            prev.unpersist()
-        prev = pr
+    with coalesce_tiny_shuffles(edges.sparkSession):
+        for _ in range(iterations):
+            contrib = (
+                e.join(pr, "src")
+                .join(deg, "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("pr") / F.col("deg")).alias("mass"))
+            )
+            spread = contrib.select(
+                F.col("dst").alias("src"),
+                (F.lit(damping) * F.col("mass")).alias("pr"),
+            )
+            teleport = sd.select("src", F.lit(base).alias("pr"))
+            pr = (
+                spread.unionByName(teleport)
+                .groupBy("src")
+                .agg(F.sum("pr").alias("pr"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            pr.count()
+            if prev is not None:
+                prev.unpersist()
+            prev = pr
     # same cache-release discipline as pagerank: checkpoint the small
     # result, then free e/deg/sd and the final iterate immediately
     out = pr.select(F.col("src").alias("node"), "pr").localCheckpoint(eager=True)
@@ -562,30 +584,34 @@ def label_propagation(
         "node", F.col("node").alias("community")
     )
     prev = None
-    for _ in range(iterations):
-        counts = (
-            e.join(labels, e.src == labels.node)
-            .groupBy("dst", "community")
-            .agg(F.count(F.lit(1)).alias("votes"))
-        )
-        # argmax(votes) with min-community tie-break as ONE hash agg:
-        # min(struct(-votes, community)) == the row_number()-over-window
-        # pick, but aggregates partially map-side and never sorts the
-        # per-node partitions (r14 opt — guide §2.3 "aggregate before
-        # you shuffle"; a window has no partial agg, every (dst,
-        # community, votes) row crossed the exchange and was sorted).
-        labels = (
-            counts.groupBy("dst")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("votes")).alias("nv"),
-                        F.col("community").alias("c"),
-                    )
-                ).alias("top")
+    with coalesce_tiny_shuffles(edges.sparkSession):
+        for _ in range(iterations):
+            counts = (
+                e.join(labels, e.src == labels.node)
+                .groupBy("dst", "community")
+                .agg(F.count(F.lit(1)).alias("votes"))
             )
-            .select(F.col("dst").alias("node"), F.col("top.c").alias("community"))
-            .localCheckpoint(eager=True)
-        )
+            # argmax(votes) with min-community tie-break as ONE hash agg:
+            # min(struct(-votes, community)) == the row_number()-over-
+            # window pick, but aggregates partially map-side and never
+            # sorts the per-node partitions (r14 opt — guide §2.3
+            # "aggregate before you shuffle"; a window has no partial agg,
+            # every (dst, community, votes) row crossed the exchange and
+            # was sorted).
+            labels = (
+                counts.groupBy("dst")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("votes")).alias("nv"),
+                            F.col("community").alias("c"),
+                        )
+                    ).alias("top")
+                )
+                .select(
+                    F.col("dst").alias("node"), F.col("top.c").alias("community")
+                )
+                .localCheckpoint(eager=True)
+            )
     e.unpersist()
     return labels

@@ -16,7 +16,44 @@ already wider than the cluster, and no shuffle is added."""
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
+
+
+@contextmanager
+def coalesce_tiny_shuffles(spark):
+    """Size-based AQE partition coalescing, scoped to an iterative
+    fixpoint loop (graph rounds, closure walks).
+
+    AQE's default ``coalescePartitions.parallelismFirst=true`` keeps
+    post-shuffle partition counts at the cluster's parallelism for
+    throughput — the right default for one big query, but inside a
+    loop whose per-round frames are kilobytes it turns EVERY round's
+    exchanges into <cores> micro-tasks whose scheduling overhead
+    dominates the round (measured on the CC loop: ~2x wall-clock).
+    Setting it false makes AQE coalesce toward
+    ``advisoryPartitionSizeInBytes`` (64 MB default) instead — a
+    scale-adaptive rule, not a local[32] constant: at 100 TB a round's
+    shuffle exceeds the advisory size and keeps full width; only
+    genuinely tiny rounds collapse to few tasks.
+
+    The conf is session-scoped, so the scope must not span concurrent
+    jobs from other threads that need parallelism-first; the graph
+    loops below are single-threaded driver loops. Restored on exit."""
+    key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def floor_parallelism(

@@ -64,11 +64,14 @@ def _q(name: str):
     return deco
 
 
-def _patterns(spark: SparkSession, sf_dir: str, min_frequency: int = 2) -> DataFrame:
+def _patterns(
+    spark: SparkSession, sf_dir: str, min_frequency: int = 2, sort: bool = True
+) -> DataFrame:
     return aggregate_patterns(
         build_query_log(spark, sf_dir),
         min_frequency=min_frequency,
         extract_from_sql=False,
+        sort=sort,
     )
 
 
@@ -352,7 +355,9 @@ def ql03(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ql04(spark: SparkSession, sf_dir: str) -> DataFrame:
     from querysight_spark.plans.coverage import patterns_with_models
 
-    p = _patterns(spark, sf_dir)
+    # sort=False: the enrichment join + final orderBy(normalized_query)
+    # make the E1 impact sort dead weight (not eliminable across the join)
+    p = _patterns(spark, sf_dir, sort=False)
     enriched = patterns_with_models(p, build_model_map(spark))
     return enriched.select(
         "normalized_query", F.array_join("dbt_models_used", ",").alias("models_list")
@@ -361,7 +366,10 @@ def ql04(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("ql05_uncovered_tables")
 def ql05(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _patterns(spark, sf_dir, min_frequency=1)
+    # sort=False: uncovered_tables explodes + distincts the pattern rows,
+    # so the E1 impact sort (a full range Exchange + Sort that Catalyst
+    # cannot eliminate across the explode) would be pure waste here
+    p = _patterns(spark, sf_dir, min_frequency=1, sort=False)
     return uncovered_tables(p, build_model_map(spark), build_sources_dim(spark))
 
 
@@ -369,7 +377,9 @@ def _used_t67(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = build_query_log(spark, sf_dir).where(
         F.element_at("tables", 1).rlike(r"\.t[67]$")
     )
-    p = aggregate_patterns(log, min_frequency=1, extract_from_sql=False)
+    # sort=False: used_models joins away the row order; ql06/ql06b apply
+    # their own final orderBy(model_name)
+    p = aggregate_patterns(log, min_frequency=1, extract_from_sql=False, sort=False)
     return used_models(p, build_model_map(spark))
 
 
@@ -388,13 +398,15 @@ def ql06b(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("ql07_merge_runs")
 def ql07(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = build_query_log(spark, sf_dir)
+    # sort=False on both runs: merge_patterns unions and re-aggregates,
+    # so each run's E1 sort would be an eliminated-by-nothing full sort
     run1 = aggregate_patterns(
         log.where(F.col("query_start_time") < dt.datetime(2024, 1, 8)),
-        min_frequency=1, extract_from_sql=False,
+        min_frequency=1, extract_from_sql=False, sort=False,
     )
     run2 = aggregate_patterns(
         log.where(F.col("query_start_time") >= dt.datetime(2024, 1, 6)),
-        min_frequency=1, extract_from_sql=False,
+        min_frequency=1, extract_from_sql=False, sort=False,
     )
     merged = merge_patterns(run1, run2)
     return merged.select(
@@ -613,7 +625,10 @@ def ql18(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized_query — pattern_id hashes are engine-local by design)."""
     from querysight_spark.plans.report import to_junction_tables
 
-    p = _patterns(spark, sf_dir).withColumn("pattern_id", F.col("normalized_query"))
+    # sort=False: the junction explode + own orderBy drop the E1 order
+    p = _patterns(spark, sf_dir, sort=False).withColumn(
+        "pattern_id", F.col("normalized_query")
+    )
     j = to_junction_tables(p)["pattern_users"]
     return j.orderBy("pattern_id", "user")
 
@@ -640,7 +655,8 @@ def ql19(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage metrics (plans.coverage.coverage_metrics)."""
     from querysight_spark.plans.coverage import coverage_metrics, used_models
 
-    p = _patterns(spark, sf_dir)
+    # sort=False: semi-join + one-row metrics aggregate are order-free
+    p = _patterns(spark, sf_dir, sort=False)
     used = used_models(p, build_model_map(spark))
     return coverage_metrics(build_model_map(spark), used)
 
@@ -692,7 +708,8 @@ def ql21(spark: SparkSession, sf_dir: str) -> DataFrame:
     users/tables from the array columns (plans.report.pattern_summary)."""
     from querysight_spark.plans.report import pattern_summary
 
-    out = pattern_summary(_patterns(spark, sf_dir))
+    # sort=False: pattern_summary is a global aggregate — order-free
+    out = pattern_summary(_patterns(spark, sf_dir, sort=False))
     return out.select(
         "total_queries",
         F.round("total_duration_ms", 2).alias("total_duration_ms"),

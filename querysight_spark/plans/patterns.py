@@ -84,6 +84,7 @@ def aggregate_patterns(
     logs: DataFrame,
     min_frequency: int = 2,
     extract_from_sql: bool = True,
+    sort: bool = True,
 ) -> DataFrame:
     """D1 pattern hash-agg keyed by the normalized query, D2 HAVING, E1 sort.
 
@@ -91,6 +92,14 @@ def aggregate_patterns(
     into the log-provided ``tables`` array, mirroring
     utils/models.py:129-133 — applied per-row BEFORE the groupBy so the
     union happens once per log row, not per pattern re-walk.
+
+    ``sort=False`` skips the E1 impact sort (r14 opt, guide §2.4): when a
+    consumer's next operators destroy row order anyway (explode + distinct,
+    union + re-aggregate, semi-join feeds), Catalyst's EliminateSorts only
+    removes the sort if ANOTHER global sort directly follows — with
+    intervening joins/aggs the range-partition Exchange + Sort of the whole
+    pattern table survives and buys nothing. Callers that present or
+    paginate the impact ordering keep the default.
     """
     # NOTE (round 13): no parallelism floor here, deliberately — unlike
     # synth_media_corpus (where single-partition PYTHON codec work
@@ -125,6 +134,8 @@ def aggregate_patterns(
     )
     if min_frequency > 1:
         patterns = patterns.where(F.col("frequency") >= min_frequency)
+    if not sort:
+        return patterns
     # E1 impact sort with a deterministic tie-break
     return patterns.orderBy(
         (F.col("frequency") * F.col("avg_duration_ms")).desc(), F.col("pattern_id")
