@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from querysight_spark.functions.normalize import with_pattern_columns
 from querysight_spark.functions.sqlextract import extract_tables_udf
+from querysight_spark.operators.parallel import floor_parallelism
 
 SLOW_QUERY_MS = 1000.0  # utils/data_acquisition.py:114
 
@@ -101,13 +102,17 @@ def aggregate_patterns(
     pattern table survives and buys nothing. Callers that present or
     paginate the impact ordering keep the default.
     """
-    # NOTE (round 13): no parallelism floor here, deliberately — unlike
-    # synth_media_corpus (where single-partition PYTHON codec work
-    # dominated and a repartition won 3.2×), this stage is bound by the
-    # serial scan+projection of the log itself (pure extract_tables over
-    # the whole sf0.1 log is 1.1 s vs a 2.4 s stage; an A/B repartition
-    # measured +0.35 s of pure exchange cost and no win). At scale the
-    # scan parallelism is the file count and the UDF rides it.
+    # NOTE (round 13, amended round 14): no parallelism floor on the
+    # extract_from_sql=False path, deliberately — that stage is bound by
+    # the serial scan+projection of the log itself (an A/B repartition
+    # measured +0.35 s of pure exchange cost and no win). The
+    # extract_from_sql=True path is different: the H1 ArrowEvalPython
+    # stage fuses onto the scan, so a single-file source runs the whole
+    # Python extractor on ONE core (the mm11/X200 class). Floored r14
+    # A/B: 2.68 → 1.53 s warm at sf0.1; no-op at scale where file count
+    # >= cores (guide §4, §2.5 input skew).
+    if extract_from_sql:
+        logs = floor_parallelism(logs)
     df = with_pattern_columns(logs)
     tables_col = F.coalesce(F.col("tables"), F.array())
     if extract_from_sql:
