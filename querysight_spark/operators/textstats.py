@@ -719,15 +719,38 @@ def remove_duplicate_spans(
 
     Same linear machinery as ``dup_span_coverage``: positional md5
     n-gram hashes (persisted — two consumers), first-occurrence via one
-    min(struct) per hash, covered positions by a bounded
-    sequence-explode, rebuild as a per-doc ordered fold. No suffix
-    array; resolution is the n-gram, the standard large-corpus
-    trade-off."""
+    min per hash, covered positions by a bounded sequence-explode,
+    rebuild from the original text and the per-doc removed-position
+    set. No suffix array; resolution is the n-gram, the standard
+    large-corpus trade-off.
+
+    r14 plan shape (guide §2.3/§2.4/§8):
+
+    * the span hash is ``unhex(md5(..))`` — the same 128 bits as the
+      hex string at half the checkpoint/shuffle bytes;
+    * first-occurrence is ``min(doc_id·10¹⁰ + pos)`` over a
+      decimal(38,0) — injective and order-isomorphic to the old
+      lexicographic min(struct(doc_id, pos)) for any bigint doc_id
+      (positions are Spark array indices, so 0 < pos < 2³¹ < 10¹⁰; two
+      encodings differ by ≥10¹⁰ whenever the doc_ids differ), and a
+      fixed-width decimal min is a plain partially-aggregating
+      HashAggregate where the struct min forced SortAggregate — i.e. a
+      full sort of the span table on both sides of the exchange;
+    * the rebuild shuffles POSITIONS, not words: the old path
+      posexploded every token of every doc through a left-anti join
+      and re-assembled docs with collect_list (the whole corpus
+      crossed an exchange as (doc, pos, word) rows). Only duplicate
+      positions are shuffled now — each doc's kept text is rebuilt in
+      one projection as array_except(sequence(1, n_tokens), removed)
+      mapped over the original token array, which keeps token order by
+      construction and is byte-identical to the old sorted
+      collect_list rebuild (both emit the doc's kept tokens in
+      position order, space-joined)."""
     sh = F.expr(
         f"transform(array(split(`{text_col}`, ' ')), w -> "
         f"CASE WHEN size(w) >= {n} THEN "
         f"transform(sequence(1, size(w) - {n} + 1), "
-        f"i -> struct(i AS pos, md5(concat_ws(' ', slice(w, i, {n}))) AS h)) "
+        f"i -> struct(i AS pos, unhex(md5(concat_ws(' ', slice(w, i, {n})))) AS h)) "
         f"ELSE array() END)[0]"
     )
     # two consumers (first-occurrence agg + the dup join) — checkpoint
@@ -739,19 +762,14 @@ def remove_duplicate_spans(
         .select(F.col(id_col), F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
         .localCheckpoint(eager=True)
     )
+    enc = F.col(id_col).cast("decimal(38,0)") * F.lit(10_000_000_000) + F.col("pos")
     first = posed.groupBy("h").agg(
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("keep"),
+        F.min(enc).alias("keep_enc"),
         F.count(F.lit(1)).alias("occ"),
     )
     dup_occ = (
         posed.join(first, "h")
-        .where(
-            (F.col("occ") > 1)
-            & (
-                (F.col(id_col) != F.col(f"keep.{id_col}"))
-                | (F.col("pos") != F.col("keep.pos"))
-            )
-        )
+        .where((F.col("occ") > 1) & (enc != F.col("keep_enc")))
         .select(
             F.col(id_col),
             F.explode(
@@ -760,29 +778,36 @@ def remove_duplicate_spans(
         )
         .distinct()
     )
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("p0", "word"),
-    ).select(F.col(id_col), (F.col("p0") + 1).alias("p"), "word")
-    kept = toks.join(dup_occ, [id_col, "p"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "word"))),
-                lambda s: s["word"],
-            ),
-            " ",
-        ).alias("clean_text"),
-    )
-    lens = df.select(
-        F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("n_tokens")
-    )
-    return lens.join(rebuilt, id_col, "left").select(
-        F.col(id_col),
-        "n_tokens",
-        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    removed = dup_occ.groupBy(id_col).agg(F.collect_list("p").alias("_rm"))
+    w = F.split(F.col(text_col), " ")
+    return (
+        df.select(F.col(id_col), w.alias("_w"), F.size(w).alias("n_tokens"))
+        .join(removed, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.when(
+                F.col("n_tokens").isNotNull(),
+                F.coalesce(F.size("_rm"), F.lit(0)).cast("long"),
+            ).alias("n_removed"),
+            F.coalesce(
+                F.when(
+                    F.col("_rm").isNull(), F.array_join(F.col("_w"), " ")
+                ).otherwise(
+                    F.array_join(
+                        F.transform(
+                            F.array_except(
+                                F.sequence(F.lit(1), F.col("n_tokens")),
+                                F.col("_rm"),
+                            ),
+                            lambda p: F.element_at(F.col("_w"), p),
+                        ),
+                        " ",
+                    )
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
+        )
     )
 
 

@@ -116,51 +116,83 @@ def stateful_anomalies(
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    def _r6(x: "np.ndarray") -> "np.ndarray":
+        # vectorized _round_half_up6: identical IEEE ops elementwise
+        return np.where(x < 0, -1.0, 1.0) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
     def update(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        # r14 opt (guide §4.2): the original per-row loop built a fresh
+        # numpy array and reduced it once per event (~100k asarray+mean+std
+        # calls per batch at sf0.1). The self-excluded trailing window is
+        # computed vectorized instead, BIT-IDENTICALLY: every window is a
+        # contiguous float64 slice of `full` (carried ring + this batch's
+        # values), and numpy's pairwise-summation mean/std kernels produce
+        # the same double for the same contiguous window regardless of
+        # whether it is reduced row-at-a-time (old) or as rows of a
+        # sliding_window_view copy (new) — pinned by the scalar-reference
+        # test. Only the ≤``lookback`` growing-head rows per key (window
+        # still shorter than ``lookback``) take one scalar slice each.
         vals: list[float] = list(state.get[0]) if state.exists else []
-        out = []
+        cols = [
+            "user_id", "ts", "event_id", "value", "trailing_mean",
+            "trailing_std", "n_history", "zscore",
+        ]
         pdf = pd.concat(list(pdfs), ignore_index=True)
-        if len(pdf):
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for r in pdf.itertuples():
-                n = len(vals)
-                if n >= min_history:
-                    arr = np.asarray(vals)
-                    mean = float(arr.mean())
-                    std = float(arr.std(ddof=1))
-                    if std > 0:
-                        rz = _round_half_up6((float(r.value) - mean) / std)
-                        rstd = _round_half_up6(std)
-                        if rstd > 0 and abs(rz) > z_threshold:
-                            out.append(
-                                (
-                                    key[0],
-                                    r.ts,
-                                    r.event_id,
-                                    r.value,
-                                    _round_half_up6(mean),
-                                    rstd,
-                                    n,
-                                    rz,
-                                )
-                            )
-                vals.append(float(r.value))
-                if len(vals) > lookback:
-                    vals.pop(0)
-        state.update((vals,))
+        if not len(pdf):
+            state.update((vals,))
+            yield pd.DataFrame([], columns=cols)
+            return
+        pdf = pdf.sort_values(["ts", "event_id"])
+        v = pdf["value"].to_numpy(np.float64)
+        c, m, L = len(vals), len(v), lookback
+        full = np.empty(c + m)
+        full[:c] = vals
+        full[c:] = v
+        e = c + np.arange(m)          # window end (= prior-value count)
+        n = np.minimum(e, L)          # n_history per row
+        mean = np.zeros(m)
+        std = np.zeros(m)             # 0 ⇒ excluded by the std>0 gate
+        steady = e >= L
+        if steady.any():
+            sw = np.lib.stride_tricks.sliding_window_view(full, L)
+            sel = sw[e[steady] - L]   # fancy-index copy: C-contiguous rows
+            mean[steady] = sel.mean(axis=1)
+            std[steady] = sel.std(axis=1, ddof=1)
+        for j in np.flatnonzero(~steady):
+            nj = int(e[j])
+            if nj >= min_history:     # window = full[0:nj] (all priors)
+                arr = full[:nj]
+                mean[j] = arr.mean()
+                std[j] = arr.std(ddof=1)
+        score = np.flatnonzero((n >= min_history) & (std > 0))
+        rz = _r6((v[score] - mean[score]) / std[score])
+        rstd = _r6(std[score])
+        hit = score[(rstd > 0) & (np.abs(rz) > z_threshold)]
+        keep = (rstd > 0) & (np.abs(rz) > z_threshold)
+        state.update((full[max(0, c + m - L):].tolist(),))
         yield pd.DataFrame(
-            out,
-            columns=[
-                "user_id", "ts", "event_id", "value", "trailing_mean",
-                "trailing_std", "n_history", "zscore",
-            ],
+            {
+                "user_id": np.full(len(hit), key[0], dtype=np.int64),
+                "ts": pdf["ts"].to_numpy()[hit],
+                "event_id": pdf["event_id"].to_numpy()[hit],
+                "value": v[hit],
+                "trailing_mean": _r6(mean[hit]),
+                "trailing_std": rstd[keep],
+                "n_history": n[hit],
+                "zscore": rz[keep],
+            },
+            columns=cols,
         )
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    # applyInPandasWithState ships EVERY input column to Python (guide
+    # §4.1) — project to the four the scorer reads before the boundary
+    return events.select("user_id", "ts", "event_id", "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
         update,
         outputStructType=ANOMALY_OUTPUT_SCHEMA,
         stateStructType=ANOMALY_STATE_SCHEMA,
