@@ -166,25 +166,37 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<string>): sig[j] = min over shingles of
     md5(j || ':' || shingle). Engine-portable (md5-hex min) and fully
-    JVM-side: explode → groupBy id with one min-agg per hash function."""
+    JVM-side, computed as a per-row fold over the shingle array.
+
+    r14 shape (guide §2.4 "remove shuffles outright"): the previous
+    explode → groupBy(id) path paid dearly for the min because
+    ``min(string)`` has no mutable agg buffer — Spark planned it as
+    SortAggregate, i.e. the ENTIRE shingle stream sorted by doc on both
+    sides of a by-doc exchange. But the min per doc never needed an
+    aggregation at all: the shingles are already an array on each row,
+    so each signature slot is a running-least fold over that array —
+    one projection, zero exchanges, zero sorts, and the md5 count is
+    identical. (The fold is a higher-order function and therefore
+    CodegenFallback, but the md5 itself dominates either way; the A/B
+    is in OPTIMIZATION_r14.md.) The init value 'f'×32 is ≥ every md5
+    hex string, and docs whose shingle array is empty are filtered out
+    — exactly the docs the old explode produced no rows for."""
     # parallelism floor (round 14): on a narrow source (the driver's
-    # 1-file tables scan as one partition) the shingle explode and the
-    # num_hashes md5s per shingle — the query's dominant compute — run
-    # on 1-2 cores and drift with scheduler noise (dd02 measured
-    # 2.20 -> 1.14 s at sf0.1 with the floor; the moved bytes are just
-    # (id, text)). No-op at 100 TB where file count >> cores; see
-    # operators/parallel.py for the measure-both-sides rule.
+    # 1-file tables scan as one partition) the num_hashes md5s per
+    # shingle — the query's dominant compute — run on 1-2 cores and
+    # drift with scheduler noise (dd02 measured 2.20 -> 1.14 s at sf0.1
+    # with the floor; the moved bytes are just (id, text)). No-op at
+    # 100 TB where file count >> cores; see operators/parallel.py.
     df = floor_parallelism(df)
-    sh = df.select(
-        F.col(id_col), F.explode(_shingles(text_col, shingle_size)).alias("sh")
+    sig_expr = (
+        f"transform(sequence(0, {num_hashes - 1}), j -> "
+        f"aggregate(_sh, '{'f' * 32}', "
+        f"(acc, s) -> least(acc, md5(concat(cast(j as string), ':', s)))))"
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"mh{j}")
-        for j in range(num_hashes)
-    ]
-    sig = sh.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        F.col(id_col), F.array(*[F.col(f"mh{j}") for j in range(num_hashes)]).alias("sig")
+    return (
+        df.select(F.col(id_col), _shingles(text_col, shingle_size).alias("_sh"))
+        .where(F.size("_sh") > 0)
+        .select(F.col(id_col), F.expr(sig_expr).alias("sig"))
     )
 
 
@@ -244,22 +256,17 @@ def minhash_lsh_candidates(
     task, so the declared/bench paths set it; pairs whose every shared band
     is viral are the only ones lost."""
     banded = banded_keys(df, id_col, text_col, num_hashes, shingle_size, bands)
-    if max_bucket_size is not None:
-        # window-count prefilter on the SAME key as the groupBy below: the
-        # exchange is shared, and a viral bucket is dropped row-wise before
-        # its posting list ever materializes in one task
-        from pyspark.sql.window import Window
-
-        banded = (
-            banded.withColumn(
-                "_bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
-            )
-            .where(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
-        )
     posting = banded.groupBy("band", "key").agg(
         F.array_sort(F.collect_list("bid")).alias("ids")
     )
+    if max_bucket_size is not None:
+        # r14 (guide §2.4, the dd03 precedent): the cap is a length gate
+        # on the posting lists the groupBy builds anyway — the previous
+        # count() window needed a full Sort of the banded relation before
+        # the exchange-sharing aggregation; the transient footprint is
+        # unchanged (WindowExec buffered the same viral bucket's rows
+        # that collect_list now does before the gate drops it).
+        posting = posting.where(F.size("ids") <= max_bucket_size)
     return (
         posting.where(F.size("ids") >= 2)
         .select(
