@@ -39,6 +39,7 @@ from querysight_spark.plans.coverage import (
 from querysight_spark.plans.patterns import (
     aggregate_patterns,
     filter_logs,
+    merge_pattern_runs,
     merge_patterns,
 )
 from querysight_spark.plans.report import (
@@ -398,17 +399,32 @@ def ql06b(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("ql07_merge_runs")
 def ql07(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = build_query_log(spark, sf_dir)
-    # sort=False on both runs: merge_patterns unions and re-aggregates,
-    # so each run's E1 sort would be an eliminated-by-nothing full sort
-    run1 = aggregate_patterns(
-        log.where(F.col("query_start_time") < dt.datetime(2024, 1, 8)),
-        min_frequency=1, extract_from_sql=False, sort=False,
+    # r14 single-scan shape (guide §1.1 "how many passes"): the two run
+    # windows overlap, and building each run as its own filtered
+    # aggregate_patterns scanned + projected the log TWICE. Each row is
+    # instead tagged with the run(s) it belongs to (overlap rows explode
+    # into both, reproducing the deliberate F9 double-count), aggregated
+    # once keyed by (pattern, run) — the same per-run pattern rows the
+    # two branches produced — and merged by the same D3 re-aggregation.
+    # sort=False: the merge re-aggregates, so the E1 sort is dead weight.
+    runs = log.withColumn(
+        "_run",
+        F.explode(
+            F.array(
+                F.when(
+                    F.col("query_start_time") < dt.datetime(2024, 1, 8), F.lit(1)
+                ),
+                F.when(
+                    F.col("query_start_time") >= dt.datetime(2024, 1, 6), F.lit(2)
+                ),
+            )
+        ),
+    ).where(F.col("_run").isNotNull())
+    per_run = aggregate_patterns(
+        runs, min_frequency=1, extract_from_sql=False, sort=False,
+        extra_group_cols=("_run",),
     )
-    run2 = aggregate_patterns(
-        log.where(F.col("query_start_time") >= dt.datetime(2024, 1, 6)),
-        min_frequency=1, extract_from_sql=False, sort=False,
-    )
-    merged = merge_patterns(run1, run2)
+    merged = merge_pattern_runs(per_run)
     return merged.select(
         "normalized_query",
         "frequency",

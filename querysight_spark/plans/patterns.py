@@ -86,6 +86,7 @@ def aggregate_patterns(
     min_frequency: int = 2,
     extract_from_sql: bool = True,
     sort: bool = True,
+    extra_group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """D1 pattern hash-agg keyed by the normalized query, D2 HAVING, E1 sort.
 
@@ -120,7 +121,7 @@ def aggregate_patterns(
     df = df.withColumn("_all_tables", tables_col)
 
     patterns = (
-        df.groupBy("pattern_id", "normalized_query")
+        df.groupBy("pattern_id", "normalized_query", *extra_group_cols)
         .agg(
             F.count(F.lit(1)).alias("frequency"),
             F.sum("query_duration_ms").alias("total_duration_ms"),
@@ -147,6 +148,22 @@ def aggregate_patterns(
     )
 
 
+_MERGE_COLS = [
+    "pattern_id",
+    "normalized_query",
+    "frequency",
+    "total_duration_ms",
+    "first_seen",
+    "last_seen",
+    "users",
+    "tables_accessed",
+    "memory_usage",
+    "total_read_rows",
+    "total_read_bytes",
+    "sql_pattern",
+]
+
+
 def merge_patterns(prior: DataFrame, batch: DataFrame) -> DataFrame:
     """D3 cross-run merge: additive counters, set unions, min/max timestamps,
     recomputed average (utils/models.py:135-154 driven by
@@ -159,23 +176,20 @@ def merge_patterns(prior: DataFrame, batch: DataFrame) -> DataFrame:
     responsibility: dedupe batches by window id before calling (see
     SnapshotCache keys / streaming.foreachBatch which pass each window once).
     """
-    cols = [
-        "pattern_id",
-        "normalized_query",
-        "frequency",
-        "total_duration_ms",
-        "first_seen",
-        "last_seen",
-        "users",
-        "tables_accessed",
-        "memory_usage",
-        "total_read_rows",
-        "total_read_bytes",
-        "sql_pattern",
-    ]
-    both = prior.select(cols).unionByName(batch.select(cols))
+    return merge_pattern_runs(
+        prior.select(_MERGE_COLS).unionByName(batch.select(_MERGE_COLS))
+    )
+
+
+def merge_pattern_runs(runs: DataFrame) -> DataFrame:
+    """The D3 merge re-aggregation over ONE frame of per-run pattern rows
+    (r14): callers that already hold every run's rows in a single frame —
+    e.g. a run-tagged ``aggregate_patterns(extra_group_cols=("_run",))``
+    computed in one scan of the log — merge here without unioning
+    per-run branches that would each re-scan the source. Extra columns
+    (the run tag) are dropped by the ``_MERGE_COLS`` projection."""
     return (
-        both.groupBy("pattern_id", "normalized_query")
+        runs.select(_MERGE_COLS).groupBy("pattern_id", "normalized_query")
         .agg(
             F.sum("frequency").alias("frequency"),
             F.sum("total_duration_ms").alias("total_duration_ms"),
