@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 
 from querysight_spark.operators.vectors import as_double as _as_double
+from querysight_spark.operators.vectors import cosine_vs_query as _cosine_vs_query
 from querysight_spark.operators.vectors import dot as _dot_dim
 
 
@@ -39,16 +40,12 @@ def brute_force_topk(
     stable across engines/partitionings."""
     q = [float(x) for x in query_vec]
     qn = float(np.sqrt(sum(x * x for x in q)))
-    qcol = F.array(*[F.lit(x) for x in q])
-    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    d = len(q)
-    scored = v.select(
-        F.col(id_col),
-        F.round(
-            _dot(F.col("v"), qcol, d)
-            / (F.sqrt(_dot(F.col("v"), F.col("v"), d)) * F.lit(qn)),
-            6,
-        ).alias("cosine"),
+    # r14: the scoring column is two parsed SQL strings instead of ~4
+    # py4j calls per dimension (see vectors.dot_query_sql) — identical
+    # expression after constant folding, ~1 s less driver latency per
+    # probe plan at dim 64
+    scored = df.select(
+        F.col(id_col), _cosine_vs_query(vec_col, q, qn).alias("cosine")
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
@@ -141,15 +138,9 @@ def lsh_bucketed_topk(
     probes = lsh_probe_buckets(q, bits, seed, n_probes)
     bucketed = bucket_ids(df, hyperplanes(len(q), bits, seed), id_col, vec_col)
     qn = float(np.sqrt(sum(x * x for x in q)))
-    qcol = F.array(*[F.lit(x) for x in q])
     cand = bucketed.where(F.col("bucket").isin(probes))
     scored = cand.select(
-        F.col(id_col),
-        F.round(
-            _dot(F.col("v"), qcol, len(q))
-            / (F.sqrt(_dot(F.col("v"), F.col("v"), len(q))) * F.lit(qn)),
-            6,
-        ).alias("cosine"),
+        F.col(id_col), _cosine_vs_query("v", q, qn).alias("cosine")
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
@@ -234,15 +225,10 @@ def ivf_topk(
     sims = (C @ q) / np.maximum(np.linalg.norm(C, axis=1) * qn_, 1e-12)
     probe_ids = [int(i) for i in np.argsort(-sims)[:n_probes]]
     assigned = ivf_assign(df, centroids, id_col, vec_col)
-    qcol = F.array(*[F.lit(float(x)) for x in q])
     cand = assigned.where(F.col("list_id").isin(probe_ids))
     scored = cand.select(
         F.col(id_col),
-        F.round(
-            _dot(F.col("v"), qcol, len(q))
-            / (F.sqrt(_dot(F.col("v"), F.col("v"), len(q))) * F.lit(float(qn_))),
-            6,
-        ).alias("cosine"),
+        _cosine_vs_query("v", [float(x) for x in q], float(qn_)).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
@@ -286,15 +272,9 @@ def probe_lsh_index(
     q = [float(x) for x in query_vec]
     probes = lsh_probe_buckets(q, bits, seed, n_probes)
     qn = float(np.sqrt(sum(x * x for x in q)))
-    qcol = F.array(*[F.lit(x) for x in q])
     cand = spark.read.parquet(path).where(F.col("bucket").isin(probes))
     scored = cand.select(
-        F.col(id_col),
-        F.round(
-            _dot(F.col("v"), qcol, len(q))
-            / (F.sqrt(_dot(F.col("v"), F.col("v"), len(q))) * F.lit(qn)),
-            6,
-        ).alias("cosine"),
+        F.col(id_col), _cosine_vs_query("v", q, qn).alias("cosine")
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
@@ -1255,19 +1235,10 @@ def grouped_topk(
 
     q = [float(x) for x in query_vec]
     qn = float(np.sqrt(sum(x * x for x in q)))
-    qcol = F.array(*[F.lit(x) for x in q])
-    d = len(q)
-    v = df.select(
-        F.col(id_col), F.col(group_col), _as_double(F.col(vec_col)).alias("v")
-    )
-    scored = v.select(
+    scored = df.select(
         F.col(id_col),
         F.col(group_col),
-        F.round(
-            _dot(F.col("v"), qcol, d)
-            / (F.sqrt(_dot(F.col("v"), F.col("v"), d)) * F.lit(qn)),
-            6,
-        ).alias("cosine"),
+        _cosine_vs_query(vec_col, q, qn).alias("cosine"),
     )
     w = Window.partitionBy(group_col).orderBy(
         F.desc("cosine"), F.col(id_col)
@@ -1552,19 +1523,14 @@ def _scorer(vecs: DataFrame, query_vec: list[float]):
     """(node)-frame -> (node, cosine) closure shared by the graph
     probes: joins the persisted vectors and scores by exact cosine."""
     q = [float(x) for x in query_vec]
-    dim = len(q)
-    qcol = F.array(*[F.lit(x) for x in q])
     qn = float(np.sqrt(sum(x * x for x in q)))
+    # one parsed-SQL scoring column (r14): score() runs PER HOP in the
+    # beam loop, so the old per-call Column-op chain paid its ~4 py4j
+    # round-trips per dimension on every hop
+    cos = _cosine_vs_query("v", q, qn)
 
     def score(frame):
-        return frame.join(vecs, "node").select(
-            "node",
-            F.round(
-                _dot(F.col("v"), qcol, dim)
-                / (F.sqrt(_dot(F.col("v"), F.col("v"), dim)) * F.lit(qn)),
-                6,
-            ).alias("cosine"),
-        )
+        return frame.join(vecs, "node").select("node", cos.alias("cosine"))
 
     return score
 

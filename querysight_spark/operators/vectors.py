@@ -23,6 +23,46 @@ def as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _elem_sql(vec_sql: str, i: int) -> str:
+    return f"CAST(element_at(`{vec_sql}`, {i}) AS DOUBLE)"
+
+
+def dot_query_sql(vec_sql: str, q: list[float]) -> str:
+    """``vec · literal-query`` as ONE SQL string (r14, the _adc_sum
+    precedent): building the unrolled chain with PySpark Column ops
+    costs ~4 py4j round-trips per dimension of pure DRIVER latency —
+    measured ~1 s per brute_force_topk plan at dim 64 — while one parse
+    of the equivalent string is milliseconds. Same left-associated
+    addition order; ``repr(float)`` round-trips through Spark's double
+    literal ('…D' suffix) bit-exactly, and the old literal-array
+    ``element_at(array(lits), i)`` constant-folded to the same
+    per-element literals this writes directly. The element cast mirrors
+    the old ``as_double`` pre-projection (cast-then-index ==
+    index-then-cast), whose higher-order transform was also a
+    CodegenFallback node."""
+    return " + ".join(
+        f"({_elem_sql(vec_sql, i)} * {x!r}D)" for i, x in enumerate(q, 1)
+    )
+
+
+def dot_self_sql(vec_sql: str, dim: int) -> str:
+    """``vec · vec`` (squared norm) as one SQL string; see dot_query_sql."""
+    return " + ".join(
+        f"({_elem_sql(vec_sql, i)} * {_elem_sql(vec_sql, i)})"
+        for i in range(1, dim + 1)
+    )
+
+
+def cosine_vs_query(vec_sql: str, q: list[float], qn: float) -> Column:
+    """round(cosine(vec, q), 6) — the engine-portable scoring column every
+    literal-query ranker uses, built as two parsed SQL strings."""
+    return F.round(
+        F.expr(dot_query_sql(vec_sql, q))
+        / (F.sqrt(F.expr(dot_self_sql(vec_sql, len(q)))) * F.lit(qn)),
+        6,
+    )
+
+
 def dot_fold(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
