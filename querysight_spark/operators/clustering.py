@@ -36,10 +36,24 @@ def cluster_assign(
     """Nearest-centroid assignment by max cosine, ties to the smallest
     centroid id: (vec_id, cluster_id, cosine).
 
-    Argmax = one partial-aggregated ``max(struct(cos, -cid))`` — no
-    window, so the broadcast product reduces map-side and the only
-    shuffle is the final per-vector combine. Cosines are rounded to 6
-    before the argmax so the choice is identical in any engine.
+    Argmax = one partial-aggregated ``max`` over an injective BIGINT
+    encoding of (cos, -cid) — no window, so the broadcast product
+    reduces map-side and the only shuffle is the final per-vector
+    combine. Cosines are rounded to 6 before the argmax so the choice
+    is identical in any engine.
+
+    r14 encoding (guide §2.4, the tx21 precedent): ``max(struct(..))``
+    has no mutable agg buffer, so Spark planned the argmax as
+    SortAggregate — the whole k×n product sorted by vec id on both
+    sides of its exchange. ``cos`` is already ROUND(·, 6), so
+    ``rint(cos·10⁶)`` recovers its integer numerator exactly (|k|≤10⁶;
+    the rounded double sits within 1e-10 of k/10⁶), and
+    ``cosInt·10⁷ + (10⁷−1−cid)`` is order-isomorphic to the
+    lexicographic (cos, −cid) for any centroid id 0 ≤ cid < 10⁷
+    (centroid ids are training-list indices, k ≪ 10⁷) — a plain
+    hash-aggregable bigint max. ``pmod`` decodes the cid for either
+    sign of cosInt; the winning cosine equals ``max(cos)`` because cos
+    is the encoding's primary key.
 
     Norms are computed ONCE per vector / per centroid before the product
     — numerically identical to inlining (same ops, same order: the
@@ -61,13 +75,21 @@ def cluster_assign(
             dot(F.col("v"), F.col("cv"), dim) / (F.col("nv") * F.col("ncv")), 6
         ).alias("cos"),
     )
+    enc = (
+        F.round(F.col("cos") * F.lit(1_000_000), 0).cast("long")
+        * F.lit(10_000_000)
+        + (F.lit(9_999_999) - F.col("_cid").cast("long"))
+    )
+    cid_type = scored.schema["_cid"].dataType
     best = scored.groupBy(id_col).agg(
-        F.max(F.struct(F.col("cos"), (-F.col("_cid")).alias("ncid"))).alias("m")
+        F.max(enc).alias("_enc"), F.max("cos").alias("cosine")
     )
     return best.select(
         F.col(id_col),
-        (-F.col("m.ncid")).alias("cluster_id"),
-        F.col("m.cos").alias("cosine"),
+        (F.lit(9_999_999) - F.pmod(F.col("_enc"), F.lit(10_000_000)))
+        .cast(cid_type)
+        .alias("cluster_id"),
+        F.col("cosine"),
     )
 
 
