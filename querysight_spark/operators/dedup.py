@@ -79,17 +79,14 @@ def exact_duplicate_pairs(
     group). ``max_group_size`` caps pathological groups the same way the
     LSH/shingle caps do."""
     hashed = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
-    if max_group_size is not None:
-        from pyspark.sql.window import Window
-
-        hashed = (
-            hashed.withColumn("_gs", F.count(F.lit(1)).over(Window.partitionBy("h")))
-            .where(F.col("_gs") <= max_group_size)
-            .drop("_gs")
-        )
     posting = hashed.groupBy("h").agg(
         F.array_sort(F.collect_list(id_col)).alias("ids")
     )
+    if max_group_size is not None:
+        # r14: length gate on the built posting lists instead of a
+        # count() window (the dd03/dd02 precedent) — drops the Window's
+        # full Sort of the hashed stream; same exchange, same groups
+        posting = posting.where(F.size("ids") <= max_group_size)
     return (
         posting.where(F.size("ids") >= 2)
         .select(
