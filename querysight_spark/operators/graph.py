@@ -583,7 +583,27 @@ def label_propagation(
     labels = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("community")
     )
-    prev = None
+    # argmax(votes) with min-community tie-break as ONE hash agg (r14,
+    # two steps). Step 1 (guide §2.3 "aggregate before you shuffle"):
+    # min over (-votes, community) == the row_number()-over-window pick,
+    # but aggregates partially map-side — a window has no partial agg.
+    # Step 2 (guide §2.4, the cl01/tx21 encoding): min(struct(..)) has
+    # no mutable agg buffer, so Spark still planned each round's argmax
+    # as SortAggregate; for INTEGRAL node ids the pair is encoded into
+    # one decimal(38,0) — (-votes)·2⁶⁴ + (community + 2⁶³) — which is
+    # injective and order-isomorphic to the lexicographic (-votes,
+    # community) for any int64 community (the biased id sits in
+    # [0, 2⁶⁴), below one vote step) and any vote count ≤ 5·10¹⁸ (votes
+    # are bounded by the edge count), making the argmax a plain
+    # partially-aggregating HashAggregate. Non-integral ids (the
+    # string-keyed contract) keep the struct-min fallback.
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    integral = isinstance(
+        labels.schema["community"].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
+    ctype = labels.schema["community"].dataType
     with coalesce_tiny_shuffles(edges.sparkSession):
         for _ in range(iterations):
             counts = (
@@ -591,27 +611,42 @@ def label_propagation(
                 .groupBy("dst", "community")
                 .agg(F.count(F.lit(1)).alias("votes"))
             )
-            # argmax(votes) with min-community tie-break as ONE hash agg:
-            # min(struct(-votes, community)) == the row_number()-over-
-            # window pick, but aggregates partially map-side and never
-            # sorts the per-node partitions (r14 opt — guide §2.3
-            # "aggregate before you shuffle"; a window has no partial agg,
-            # every (dst, community, votes) row crossed the exchange and
-            # was sorted).
-            labels = (
-                counts.groupBy("dst")
-                .agg(
-                    F.min(
-                        F.struct(
-                            (-F.col("votes")).alias("nv"),
-                            F.col("community").alias("c"),
+            if integral:
+                enc = F.expr(
+                    "CAST(-votes AS DECIMAL(38,0)) * 18446744073709551616BD"
+                    " + (CAST(community AS DECIMAL(38,0))"
+                    " + 9223372036854775808BD)"
+                )
+                labels = (
+                    counts.groupBy("dst")
+                    .agg(F.min(enc).alias("_top"))
+                    .select(
+                        F.col("dst").alias("node"),
+                        F.expr(
+                            "pmod(_top, 18446744073709551616BD)"
+                            " - 9223372036854775808BD"
                         )
-                    ).alias("top")
+                        .cast(ctype)
+                        .alias("community"),
+                    )
+                    .localCheckpoint(eager=True)
                 )
-                .select(
-                    F.col("dst").alias("node"), F.col("top.c").alias("community")
+            else:
+                labels = (
+                    counts.groupBy("dst")
+                    .agg(
+                        F.min(
+                            F.struct(
+                                (-F.col("votes")).alias("nv"),
+                                F.col("community").alias("c"),
+                            )
+                        ).alias("top")
+                    )
+                    .select(
+                        F.col("dst").alias("node"),
+                        F.col("top.c").alias("community"),
+                    )
+                    .localCheckpoint(eager=True)
                 )
-                .localCheckpoint(eager=True)
-            )
     e.unpersist()
     return labels
