@@ -296,11 +296,14 @@ def dup_span_coverage(
     w = F.split(F.col(text_col), " ")
     # CASE guard: sequence(1, 0) counts DOWN (same trap _shingles in
     # operators/dedup.py documents), so short docs yield an empty array
+    # unhex: same 128 bits as the hex string at half the persisted/
+    # shuffled bytes (r14, the tx21 key change applied to the coverage
+    # metric's posting table)
     sh = F.expr(
         f"transform(array(split(`{text_col}`, ' ')), w -> "
         f"CASE WHEN size(w) >= {n} THEN "
         f"transform(sequence(1, size(w) - {n} + 1), "
-        f"i -> struct(i AS pos, md5(concat_ws(' ', slice(w, i, {n}))) AS h)) "
+        f"i -> struct(i AS pos, unhex(md5(concat_ws(' ', slice(w, i, {n})))) AS h)) "
         f"ELSE array() END)[0]"
     )
     from pyspark.storagelevel import StorageLevel
