@@ -68,11 +68,27 @@ def cluster_assign(
     c = centroids.select(
         F.col(cid_col).alias("_cid"), as_double(F.col(cvec_col)).alias("cv")
     ).select("_cid", "cv", norm(F.col("cv"), dim).alias("ncv"))
+    # r15 guard (ADVICE r14): a zero-norm vector/centroid makes the
+    # cosine degenerate — under ANSI the division throws, and with NaN
+    # embedding components the bigint encoding scored NaN as 0 while
+    # max(cos) kept NaN (NaN sorts greatest), so the returned
+    # (cluster_id, cosine) pair could disagree. try_divide returns NULL
+    # on a zero divisor and nanvl(·, NULL) nulls NaN, so BOTH aggregates
+    # skip degenerate pairs consistently (an all-degenerate vector
+    # returns NULLs, not a bogus winner); normal inputs are bit-identical
+    # (try_divide == `/` for nonzero divisors, nanvl passes non-NaN).
     scored = v.crossJoin(F.broadcast(c)).select(
         F.col(id_col),
         F.col("_cid"),
-        F.round(
-            dot(F.col("v"), F.col("cv"), dim) / (F.col("nv") * F.col("ncv")), 6
+        F.nanvl(
+            F.round(
+                F.try_divide(
+                    dot(F.col("v"), F.col("cv"), dim),
+                    F.col("nv") * F.col("ncv"),
+                ),
+                6,
+            ),
+            F.lit(None).cast("double"),
         ).alias("cos"),
     )
     enc = (

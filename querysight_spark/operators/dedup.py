@@ -414,8 +414,6 @@ def ngram_jaccard_pairs(
     aggregation pass), and at 100 TB it is mandatory — an unbounded
     stop-phrase posting list is quadratic in one task either way, but here
     it is also one driver-visible array."""
-    from pyspark import StorageLevel
-
     # parallelism floor (round 14): the shingle explode + xxhash64 that
     # builds the persisted index is the compute-heavy stage; on a
     # narrow source it runs on 1-2 cores (dd03 2.45 -> 1.93 s at sf0.1
@@ -426,14 +424,19 @@ def ngram_jaccard_pairs(
     )
     if hash_shingles:
         sh = sh.select(F.col(id_col), F.xxhash64("sh").alias("sh"))
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    # sizes feeds BOTH sides of the final sa/sb join — persist the
+    # r15 (VERDICT r14 ask #7): localCheckpoint instead of persist — the
+    # blocks release when the result frame is dropped (ContextCleaner on
+    # the checkpoint RDD) instead of accumulating in the session cache
+    # manager across repeated calls; same one-materialization plan shape
+    # (the tx21/remove_duplicate_spans precedent, r4 ADVICE finding).
+    sh = sh.localCheckpoint(eager=True)
+    # sizes feeds BOTH sides of the final sa/sb join — materialize the
     # doc-sized agg so the shingle index is re-scanned once, not twice
     # (r14 opt, guide §2.4; one pass saved over the index per call)
     sizes = (
         sh.groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("sz"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     # Prefix filtering as a plain length gate on the BUILT posting lists
     # (r14 opt, guide §2.4): per-doc shingles are distinct by

@@ -765,7 +765,24 @@ def remove_duplicate_spans(
         .select(F.col(id_col), F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
         .localCheckpoint(eager=True)
     )
-    enc = F.col(id_col).cast("decimal(38,0)") * F.lit(10_000_000_000) + F.col("pos")
+    # r15 guard (ADVICE r14): the decimal encoding requires an INTEGRAL
+    # doc id — for a string-keyed corpus the cast yields NULL, min()
+    # ignores NULLs, and `enc != keep_enc` is NULL for every row, so dup
+    # removal silently became a no-op. Non-integral ids keep the old
+    # lexicographic min(struct(id, pos)) — same first-occurrence pick,
+    # SortAggregate instead of HashAggregate (the price of opaque keys).
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    if isinstance(
+        df.schema[id_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    ):
+        enc = (
+            F.col(id_col).cast("decimal(38,0)") * F.lit(10_000_000_000)
+            + F.col("pos")
+        )
+    else:
+        enc = F.struct(F.col(id_col), F.col("pos"))
     first = posed.groupBy("h").agg(
         F.min(enc).alias("keep_enc"),
         F.count(F.lit(1)).alias("occ"),

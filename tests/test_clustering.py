@@ -44,6 +44,21 @@ def test_cluster_assign(space, cents):
     assert got[1].cosine == 1.0
 
 
+def test_cluster_assign_zero_norm_vector_consistent(spark, cents):
+    """r15 regression (ADVICE r14): a zero-norm vector has NaN cosine to
+    every centroid; the bigint argmax encoding scored NaN as 0 while the
+    separate max(cos) kept NaN — the (cluster_id, cosine) pair could
+    disagree. With the nanvl guard both aggregates skip NaN consistently:
+    an all-NaN vector returns NULLs, and normal vectors are unaffected."""
+    rows = [(1, [0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "raw"]).select(
+        "vec_id", F.transform("raw", lambda x: x.cast("float")).alias("embedding")
+    )
+    got = {r.vec_id: r for r in cluster_assign(df, cents).collect()}
+    assert got[1].cluster_id is None and got[1].cosine is None
+    assert got[2].cluster_id == 100 and got[2].cosine == 1.0
+
+
 def test_semantic_dedup_marks_within_cluster_near_identicals(space, cents):
     got = {r.vec_id: r for r in semantic_dedup(space, cents, threshold=0.999).collect()}
     # 3 is near-identical to 1 within cluster 100 and has the larger id

@@ -158,6 +158,31 @@ def test_remove_duplicate_spans_keep_first(spark):
     assert out[3].n_removed == 0
 
 
+def test_remove_duplicate_spans_string_ids(spark):
+    """r15 regression (ADVICE r14): the decimal first-occurrence encoding
+    casts the id to decimal — NULL for string ids, which silently turned
+    dup removal into a no-op. String-keyed corpora must take the
+    struct-min fallback and still dedup with keep-first semantics."""
+    from querysight_spark.operators.textstats import remove_duplicate_spans
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8"  # exactly one 8-gram
+    docs = spark.createDataFrame(
+        [
+            ("docA", base + " tail1"),
+            ("docB", base + " tail2 tail3"),
+            ("docC", "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs, n=8).collect()}
+    # lexicographic min id keeps the span; the later copy loses it
+    assert out["docA"].clean_text == base + " tail1"
+    assert out["docA"].n_removed == 0
+    assert out["docB"].clean_text == "tail2 tail3"
+    assert out["docB"].n_removed == 8
+    assert out["docC"].n_removed == 0
+
+
 def test_remove_duplicate_spans_within_doc_repeat(spark):
     from querysight_spark.operators.textstats import remove_duplicate_spans
 
