@@ -85,7 +85,16 @@ def exact_duplicate_pairs(
     if max_group_size is not None:
         # r14: length gate on the built posting lists instead of a
         # count() window (the dd03/dd02 precedent) — drops the Window's
-        # full Sort of the hashed stream; same exchange, same groups
+        # full Sort of the hashed stream; same exchange, same groups.
+        # Buffer caveat (ADVICE r14): a viral group's full id array now
+        # materializes in one in-heap collect_list buffer before the
+        # gate drops it, where WindowExec buffered the same rows in a
+        # SPILLABLE array — a pathological key degrades to disk there
+        # but can OOM here. Acceptable for the content-hash key (group
+        # size = exact-copy count, bounded by corpus duplication); for
+        # a corpus where one blob has millions of exact copies,
+        # pre-truncate with a two-phase count (groupBy.count -> anti-
+        # join the viral keys) on a persisted hash stream instead.
         posting = posting.where(F.size("ids") <= max_group_size)
     return (
         posting.where(F.size("ids") >= 2)
@@ -260,9 +269,16 @@ def minhash_lsh_candidates(
         # r14 (guide §2.4, the dd03 precedent): the cap is a length gate
         # on the posting lists the groupBy builds anyway — the previous
         # count() window needed a full Sort of the banded relation before
-        # the exchange-sharing aggregation; the transient footprint is
-        # unchanged (WindowExec buffered the same viral bucket's rows
-        # that collect_list now does before the gate drops it).
+        # the exchange-sharing aggregation.
+        # Buffer caveat (ADVICE r14): WindowExec buffered a viral
+        # bucket's rows in a SPILLABLE array; collect_list builds the
+        # bucket's id array in one in-heap buffer before the gate drops
+        # it — a truly pathological band key (every doc sharing one
+        # band) degrades to disk there but can OOM here. Band keys hash
+        # 2 of 8 minhash slots, so a bucket that large means the corpus
+        # is mostly one near-dup class; for that regime pre-truncate
+        # with a two-phase count over a persisted banded stream rather
+        # than trusting any in-aggregate cap.
         posting = posting.where(F.size("ids") <= max_bucket_size)
     return (
         posting.where(F.size("ids") >= 2)
@@ -335,7 +351,10 @@ def probe_minhash_band_index(
     it streams it map-side against the in-memory batch keys. Intra-batch
     duplicates are minhash_lsh_candidates on the batch alone (compose the
     two for full coverage)."""
-    idx = spark.read.parquet(path).select(
+    from querysight_spark.sources.catalog import read_parquet_known_schema
+
+    # r15: schema-memoized read — skips per-probe footer inference
+    idx = read_parquet_known_schema(spark, path).select(
         F.col("bid").alias("doc_base"), "band", "key"
     )
     delta = banded_keys(
@@ -444,11 +463,18 @@ def ngram_jaccard_pairs(
     # document frequency the old ``count() OVER (PARTITION BY sh)``
     # computed is exactly ``size(ids)`` of the list the very next
     # operator built — the Window (and its full-index Sort) bought
-    # nothing. Same single exchange (the groupBy), same transient
-    # memory for a viral list (WindowExec buffered the same rows per
-    # key), and the size gate runs BEFORE the array_sort so stop-phrase
-    # lists are dropped unsorted. Doc sizes stay computed from the
-    # UNCAPPED index (standard prefix-filtering semantics).
+    # nothing. Same single exchange (the groupBy), and the size gate
+    # runs BEFORE the array_sort so stop-phrase lists are dropped
+    # unsorted. Doc sizes stay computed from the UNCAPPED index
+    # (standard prefix-filtering semantics).
+    # Buffer caveat (ADVICE r14): a stop-phrase shingle's full posting
+    # list materializes in one in-heap collect_list buffer before the
+    # gate drops it (WindowExec's buffer was spillable) — fine while
+    # posting lists are bounded by max_shingle_df-scale skew, but a
+    # shingle shared by a significant fraction of a 100 TB corpus
+    # should be pre-truncated by a two-phase count on the persisted
+    # shingle index (one extra pass over `sh`, which this function
+    # already materializes) rather than gated post-aggregation.
     posting = sh.groupBy("sh").agg(F.collect_list(id_col).alias("ids_raw"))
     lo, hi = 2, max_shingle_df if max_shingle_df is not None else None
     posting = posting.where(

@@ -188,12 +188,16 @@ def bm25_topk_indexed(
     in-flight path — scores are bit-identical to bm25_topk on the corpus
     the index was built from. Probe cost is O(matched postings), not
     O(corpus)."""
+    from querysight_spark.sources.catalog import read_parquet_known_schema
+
+    # r15: schema-memoized reads — one probe paid THREE per-call footer
+    # inferences (~0.1 s each of driver latency); invalidates on rewrite
     post = (
-        spark.read.parquet(f"{path}/postings")
+        read_parquet_known_schema(spark, f"{path}/postings")
         .where(F.col("term").isin(query_terms))
     )
-    lens = spark.read.parquet(f"{path}/lens")
-    stats = spark.read.parquet(f"{path}/stats")
+    lens = read_parquet_known_schema(spark, f"{path}/lens")
+    stats = read_parquet_known_schema(spark, f"{path}/stats")
     return _bm25_from_parts(post, lens, stats, k, k1, b, id_col)
 
 
@@ -821,26 +825,31 @@ def bm25_topk_upsertable(
 
     with open(f"{path}/_index_meta.json") as f:
         n_buckets = json.load(f)["n_buckets"]
+    from querysight_spark.sources.catalog import read_parquet_known_schema
+
     buckets = sorted({_term_bucket_py(t, n_buckets) for t in query_terms})
+    # r15: schema-memoized reads (up to five footer inferences per probe)
     post = (
-        spark.read.parquet(f"{path}/postings")
+        read_parquet_known_schema(spark, f"{path}/postings")
         .where(F.col("term_bucket").isin(buckets))
         .where(F.col("term").isin(query_terms))
         .drop("term_bucket")
     )
     if os.path.exists(f"{path}/deletes"):
         post = post.join(
-            spark.read.parquet(f"{path}/deletes"), id_col, "left_anti"
+            read_parquet_known_schema(spark, f"{path}/deletes"),
+            id_col,
+            "left_anti",
         )
     termdf = (
-        spark.read.parquet(f"{path}/termdf")
+        read_parquet_known_schema(spark, f"{path}/termdf")
         .where(F.col("term_bucket").isin(buckets))
         .where(F.col("term").isin(query_terms))
         .select("term", "df_t")
     )
     post = post.join(F.broadcast(termdf), "term")
-    lens = spark.read.parquet(f"{path}/lens")
-    stats = spark.read.parquet(f"{path}/stats")
+    lens = read_parquet_known_schema(spark, f"{path}/lens")
+    stats = read_parquet_known_schema(spark, f"{path}/stats")
     return _bm25_from_parts(post, lens, stats, k, k1, b, id_col)
 
 

@@ -269,10 +269,16 @@ def probe_lsh_index(
     time (``PartitionFilters`` in the scan node) — same results as
     ``lsh_bucketed_topk`` with the same (bits, seed, n_probes), but the
     candidate scan is I/O-pruned, not post-scan filtered."""
+    from querysight_spark.sources.catalog import read_parquet_known_schema
+
     q = [float(x) for x in query_vec]
     probes = lsh_probe_buckets(q, bits, seed, n_probes)
     qn = float(np.sqrt(sum(x * x for x in q)))
-    cand = spark.read.parquet(path).where(F.col("bucket").isin(probes))
+    # r15: schema-memoized read (sources.catalog) — skips the per-probe
+    # footer inference (~0.1 s driver latency; invalidates on rewrite)
+    cand = read_parquet_known_schema(spark, path).where(
+        F.col("bucket").isin(probes)
+    )
     scored = cand.select(
         F.col(id_col), _cosine_vs_query("v", q, qn).alias("cosine")
     )
@@ -486,9 +492,12 @@ def probe_pq_index(
     shortlist (full-precision rows fetched for ~k·oversample ids only)."""
     import json
 
+    from querysight_spark.sources.catalog import read_parquet_known_schema
+
     with open(path + "/_codebooks.json") as f:
         books = json.load(f)
-    codes = spark.read.parquet(path)
+    # r15: schema-memoized read — skips per-probe footer inference
+    codes = read_parquet_known_schema(spark, path)
     if rerank_df is None:
         return pq_topk(codes, books, query_vec, k=k, id_col=id_col)
     return pq_topk_rerank(
@@ -1025,12 +1034,17 @@ def ivfpq_batch_topk(
                 {qid_col: out_q, id_col: out_i, "cosine": out_c}
             )
 
-    codes_df = spark.read.parquet(path).where(
+    from querysight_spark.sources.catalog import read_parquet_known_schema
+
+    # r15: schema-memoized reads — skip per-probe footer inference
+    codes_df = read_parquet_known_schema(spark, path).where(
         F.col("list_id").isin(probed_lists)
     )
     if os.path.exists(path + "/_deletes"):
         codes_df = codes_df.join(
-            spark.read.parquet(path + "/_deletes"), id_col, "left_anti"
+            read_parquet_known_schema(spark, path + "/_deletes"),
+            id_col,
+            "left_anti",
         )
     cand = codes_df.mapInPandas(
         _score, schema=f"{qid_col} long, {id_col} long, cosine double"
@@ -1178,12 +1192,17 @@ def probe_ivfpq_index(
     import json
     import os
 
+    from querysight_spark.sources.catalog import read_parquet_known_schema
+
     with open(path + "/_ivfpq.json") as f:
         meta = json.load(f)
-    codes = spark.read.parquet(path)
+    # r15: schema-memoized reads — skip per-probe footer inference
+    codes = read_parquet_known_schema(spark, path)
     if os.path.exists(path + "/_deletes"):
         codes = codes.join(
-            spark.read.parquet(path + "/_deletes"), id_col, "left_anti"
+            read_parquet_known_schema(spark, path + "/_deletes"),
+            id_col,
+            "left_anti",
         )
     if filter_keys is not None:
         codes = codes.join(
