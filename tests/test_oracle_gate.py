@@ -29,13 +29,35 @@ def duck():
     con.close()
 
 
+def _sampled_names(qs: dict, n: int = 45) -> list[str]:
+    """Fast-profile subset (r15, VERDICT r14 ask #1): a deterministic
+    ROTATING sample of the inventory — ranked by sha256(corpus-identity
+    + name), so every regenerated testdata vintage exercises a different
+    subset (the same scheme the driver's own correctness sweep uses) and
+    a given vintage always re-runs the same one. QS_FULL_TESTS=1 sweeps
+    all ~300 (tools/verify_round.py sets it)."""
+    import hashlib
+    import os
+
+    if os.environ.get("QS_FULL_TESTS"):
+        return sorted(qs)
+    st = os.stat(f"{SF_DIR}/events.parquet")
+    seed = f"{st.st_mtime_ns}:{st.st_size}"
+
+    def rank(name: str) -> str:
+        return hashlib.sha256(f"{seed}:{name}".encode()).hexdigest()
+
+    return sorted(sorted(qs, key=rank)[:n])
+
+
 def test_all_declared_queries_match_oracle(spark, duck):
     import __spark_entry__ as entry
 
     qs, oracles = entry.queries(), entry.oracle_sql()
     assert len(qs) >= 70, "query inventory shrank unexpectedly"
     failures = []
-    for name, fn in sorted(qs.items()):
+    for name in _sampled_names(qs):
+        fn = qs[name]
         try:
             sdf = fn(spark, SF_DIR).toPandas()
         except Exception as ex:  # noqa: BLE001 — collect, don't abort the sweep
