@@ -62,9 +62,18 @@ def cluster_assign(
     product AND it keeps the unrolled dim=64 codegen under janino's
     method-size ceiling (the inlined 192-term form fails to compile and
     drops whole-stage codegen)."""
-    v = vecs.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")).select(
-        F.col(id_col), "v", norm(F.col("v"), dim).alias("nv")
-    )
+    # parallelism floor (r15, the dd02/dd03/ql16 precedent): the k×n
+    # product inherits the VECTOR scan's width, and on a narrow source
+    # (the driver's 1-file tables scan as one partition) the entire
+    # product — the operator's dominant compute — ran on ONE core
+    # (measured: 228 s for a 20k×400 product at the 10x fixture, load
+    # 1.0 on a 32-core host; ~8 s floored). No-op at 100 TB where file
+    # count >> cores; see operators/parallel.py.
+    from querysight_spark.operators.parallel import floor_parallelism
+
+    v = floor_parallelism(
+        vecs.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    ).select(F.col(id_col), "v", norm(F.col("v"), dim).alias("nv"))
     c = centroids.select(
         F.col(cid_col).alias("_cid"), as_double(F.col(cvec_col)).alias("cv")
     ).select("_cid", "cv", norm(F.col("cv"), dim).alias("ncv"))

@@ -172,37 +172,44 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<string>): sig[j] = min over shingles of
     md5(j || ':' || shingle). Engine-portable (md5-hex min) and fully
-    JVM-side, computed as a per-row fold over the shingle array.
+    JVM-side: explode → groupBy(id) with one min-agg per hash function.
 
-    r14 shape (guide §2.4 "remove shuffles outright"): the previous
-    explode → groupBy(id) path paid dearly for the min because
-    ``min(string)`` has no mutable agg buffer — Spark planned it as
-    SortAggregate, i.e. the ENTIRE shingle stream sorted by doc on both
-    sides of a by-doc exchange. But the min per doc never needed an
-    aggregation at all: the shingles are already an array on each row,
-    so each signature slot is a running-least fold over that array —
-    one projection, zero exchanges, zero sorts, and the md5 count is
-    identical. (The fold is a higher-order function and therefore
-    CodegenFallback, but the md5 itself dominates either way; the A/B
-    is in OPTIMIZATION_r14.md.) The init value 'f'×32 is ≥ every md5
-    hex string, and docs whose shingle array is empty are filtered out
-    — exactly the docs the old explode produced no rows for."""
+    r15 MEASURED REVERSAL of the r14 per-row fold (guide §1: the
+    "ideal" plan lost to the gotcha). r14 replaced this explode →
+    groupBy with ``aggregate(_sh, ...)`` folds per slot — zero
+    exchanges, zero sorts, local parity at sf0.1 — on the structural
+    argument that min(string) plans as SortAggregate (no mutable agg
+    buffer) and the sorted shingle stream is the term that grows.
+    VERDICT r14 asked for proof at sf1; the interleaved A/B at the 10x
+    fixture (tools/ab_scale_r15.py + the 3-variant isolation in
+    OPTIMIZATION_r15.md) measured the fold 2.2–2.5× SLOWER end to end:
+    higher-order functions are CodegenFallback, and the interpreted
+    per-element lambda machinery (8 folds × accumulator rebinding per
+    shingle) costs more than the SortAggregate's per-partition sort —
+    whose input is reduced map-side by partial min to one row per doc
+    before the exchange, and whose log-factor barely moves with corpus
+    size at fixed partition sizes. 10x numbers (best/med, noop sink):
+    explode 1.95/2.46 s, array_min(transform) 3.44/4.37 s, fold
+    4.92/5.92 s — identical signatures asserted row-for-row for all
+    three. So: explode it is, with the measurement committed."""
     # parallelism floor (round 14): on a narrow source (the driver's
-    # 1-file tables scan as one partition) the num_hashes md5s per
-    # shingle — the query's dominant compute — run on 1-2 cores and
-    # drift with scheduler noise (dd02 measured 2.20 -> 1.14 s at sf0.1
-    # with the floor; the moved bytes are just (id, text)). No-op at
-    # 100 TB where file count >> cores; see operators/parallel.py.
+    # 1-file tables scan as one partition) the shingle explode and the
+    # num_hashes md5s per shingle — the query's dominant compute — run
+    # on 1-2 cores and drift with scheduler noise (dd02 measured
+    # 2.20 -> 1.14 s at sf0.1 with the floor; the moved bytes are just
+    # (id, text)). No-op at 100 TB where file count >> cores.
     df = floor_parallelism(df)
-    sig_expr = (
-        f"transform(sequence(0, {num_hashes - 1}), j -> "
-        f"aggregate(_sh, '{'f' * 32}', "
-        f"(acc, s) -> least(acc, md5(concat(cast(j as string), ':', s)))))"
+    sh = df.select(
+        F.col(id_col), F.explode(_shingles(text_col, shingle_size)).alias("sh")
     )
-    return (
-        df.select(F.col(id_col), _shingles(text_col, shingle_size).alias("_sh"))
-        .where(F.size("_sh") > 0)
-        .select(F.col(id_col), F.expr(sig_expr).alias("sig"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh{j}") for j in range(num_hashes)]).alias("sig"),
     )
 
 
