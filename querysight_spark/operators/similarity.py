@@ -429,6 +429,33 @@ def pq_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+# shortlist sizes up to this take the collect + In-pushdown rerank path;
+# larger shortlists (the exact-mode corpus-sized gate construct) keep the
+# broadcast join, whose build side Spark caps at 8 GB anyway
+_RERANK_ISIN_MAX = 1024
+
+
+def _rerank_candidates(
+    df: DataFrame, short: DataFrame, n_short: int, id_col: str
+) -> DataFrame:
+    """Attach a top-k shortlist to the full-precision table for reranking.
+
+    r15 (guide §6 "pushdown must reach the scan", §8 "audit how the
+    proxy's decisions re-attach to the payload"): the old broadcast
+    join never pruned the rerank SCAN — the whole vector table was read
+    to fetch ~k·oversample rows (harmless at sf0.1, a full-corpus read
+    at 100 TB). For production-sized shortlists the ids are collected
+    (one driver round-trip for ≤1024 longs — the shortlist job ran
+    either way as the broadcast build) and applied as an In filter,
+    which reaches the parquet scan as PushedFilters and prunes row
+    groups by statistics. Same candidate set, same rerank result; the
+    corpus-sized exact-mode shortlists keep the broadcast join."""
+    if n_short <= _RERANK_ISIN_MAX:
+        ids = [r[0] for r in short.select(id_col).collect()]
+        return df.where(F.col(id_col).isin(ids))
+    return df.join(F.broadcast(short.select(id_col)), id_col)
+
+
 def pq_topk_rerank(
     df: DataFrame,
     codes_df: DataFrame,
@@ -440,11 +467,11 @@ def pq_topk_rerank(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Two-stage PQ search: ADC shortlist of ``k·oversample`` ids from the
-    compressed codes, then exact cosine over just those rows. The shortlist
-    is tiny, so the rerank join is an explicit broadcast — full-precision
-    vectors are fetched for ~k·oversample rows, not the corpus."""
+    compressed codes, then exact cosine over just those rows — fetched
+    via In-pushdown on the id (row groups pruned by statistics), see
+    ``_rerank_candidates``."""
     short = pq_topk(codes_df, codebooks, query_vec, k=k * oversample, id_col=id_col)
-    cand = df.join(F.broadcast(short.select(id_col)), id_col)
+    cand = _rerank_candidates(df, short, k * oversample, id_col)
     return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
@@ -625,7 +652,7 @@ def opq_topk_rerank(
     q = np.array([float(x) for x in query_vec], dtype=np.float64)
     qr = (q @ np.array(rotation, dtype=np.float64)).tolist()
     short = pq_topk(codes_df, codebooks, qr, k=k * oversample, id_col=id_col)
-    cand = df.join(F.broadcast(short.select(id_col)), id_col)
+    cand = _rerank_candidates(df, short, k * oversample, id_col)
     return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
@@ -839,12 +866,13 @@ def ivfpq_topk_rerank(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF+PQ shortlist → exact cosine rerank on the original vectors."""
+    """IVF+PQ shortlist → exact cosine rerank on the original vectors
+    (In-pushdown candidate fetch, see ``_rerank_candidates``)."""
     short = ivfpq_topk(
         codes_df, centroids, codebooks, query_vec,
         k=k * oversample, n_probes=n_probes, id_col=id_col,
     )
-    cand = df.join(F.broadcast(short.select(id_col)), id_col)
+    cand = _rerank_candidates(df, short, k * oversample, id_col)
     return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
