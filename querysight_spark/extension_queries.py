@@ -230,7 +230,13 @@ def dd06(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact all-pairs oracle."""
     from querysight_spark.operators.dedup import embedding_cosine_duplicates_lsh
 
-    out = embedding_cosine_duplicates_lsh(_vecs_aug(spark, sf_dir), threshold=0.95)
+    # dim passed explicitly (r15): omitting it cost a .first() Spark job
+    # per call just to sniff the vector length
+    out = embedding_cosine_duplicates_lsh(
+        _vecs_aug(spark, sf_dir),
+        threshold=0.95,
+        dim=len(_query_vec(spark, sf_dir)),
+    )
     return out.orderBy("vec_a", "vec_b")
 
 
